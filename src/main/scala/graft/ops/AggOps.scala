@@ -1,0 +1,174 @@
+package graft.ops
+
+import graft.tables.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Dets._
+
+/** SURVEY.md §2 category D — aggregations.
+  *
+  * Scale notes (100 TB): every groupBy here is a two-phase HashAggregate
+  * (partial map-side combine before the exchange), so shuffle volume is the
+  * group cardinality, not the input. Decimal pins make the partial/final
+  * split order-insensitive. `countDistinct` expands — at true scale the
+  * `agg_approx_hll` (HLL++) row is the intended substitute.
+  */
+object AggOps {
+
+  /** Flagship — TPC-H Q1 shape (the reference's daily-summary shape).
+    * Sums/averages follow the exact-decimal policy in [[Dets]]; the product
+    * chains (12,2)*(3,2)*(3,2) stay exact on both engines (no intermediate
+    * rounding anywhere). */
+  val aggPricingSummary: Op = Op(
+    "agg_pricing_summary",
+    (s, d) => {
+      val one = lit(1).cast(D3_2)
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(d2(col("l_extendedprice")) * (one - frac(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          sum(d2(col("l_extendedprice")) * (one - frac(col("l_discount"))) * (one + frac(col("l_tax"))))
+            .cast("double").as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          (sum(frac(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("SELECT l_returnflag, l_linestatus, " +
+      oSum("l_quantity") + " AS sum_qty, " +
+      oSum("l_extendedprice") + " AS sum_base_price, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge, " +
+      oAvg("l_quantity") + " AS avg_qty, " +
+      oAvg("l_extendedprice") + " AS avg_price, " +
+      "CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(*) AS avg_disc, " +
+      "COUNT(*) AS count_order " +
+      "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"))
+
+  val aggCountDistinct: Op = Op(
+    "agg_count_distinct",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+             countDistinct(to_date(col("o_orderdate"))).as("n_days"))
+        .orderBy("c_mktsegment")
+    },
+    Some("SELECT c_mktsegment, COUNT(DISTINCT o_custkey) AS n_cust, " +
+      "COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_days " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment"))
+
+  /** HLL++ sketch — engine-specific, so no hash oracle (ScalaTest asserts
+    * ±5% of exact instead). This is the 100 TB substitute for exact distinct. */
+  val aggApproxHll: Op = Op(
+    "agg_approx_hll",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .orderBy("event_type"),
+    None)
+
+  /** GROUPING SETS is SQL-only surface in Spark — exercised via spark.sql on a
+    * temp view. grouping() flags emitted per column (cast int on both engines;
+    * grouping_id bit-packing conventions are avoided). */
+  val aggGroupingSets: Op = Op(
+    "agg_grouping_sets",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("gs_lineitem")
+      s.sql("SELECT l_returnflag, l_linestatus, " +
+        "CAST(grouping(l_returnflag) AS INT) AS g_rf, CAST(grouping(l_linestatus) AS INT) AS g_ls, " +
+        "COUNT(*) AS cnt, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty " +
+        "FROM gs_lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
+        "ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")
+    },
+    Some("SELECT l_returnflag, l_linestatus, " +
+      "CAST(grouping(l_returnflag) AS INT) AS g_rf, CAST(grouping(l_linestatus) AS INT) AS g_ls, " +
+      "COUNT(*) AS cnt, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty " +
+      "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
+      "ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"))
+
+  /** ROLLUP (year, month) — the reference's site→month→day hierarchy shape. */
+  val aggRollupTime: Op = Op(
+    "agg_rollup_time",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"), col("o_totalprice"))
+        .rollup(col("y"), col("m"))
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("cnt"))
+        .orderBy(col("y").asc_nulls_first, col("m").asc_nulls_first),
+    Some("SELECT y, m, " + oSum("o_totalprice") + " AS revenue, COUNT(*) AS cnt FROM " +
+      "(SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m, o_totalprice FROM orders) " +
+      "GROUP BY ROLLUP (y, m) ORDER BY y NULLS FIRST, m NULLS FIRST"))
+
+  val aggCube: Op = Op(
+    "agg_cube",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some("SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, " + oSum("l_quantity") + " AS sum_qty " +
+      "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) " +
+      "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"))
+
+  /** collect_list is unordered under shuffle → always sort_array (§7.2 rule 6). */
+  val aggCollectSorted: Op = Op(
+    "agg_collect_sorted",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"))
+        .orderBy("o_custkey"),
+    Some("SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys FROM orders " +
+      "GROUP BY o_custkey ORDER BY o_custkey"))
+
+  /** arg-max with explicit tie-break: priciest order per customer, ties → the
+    * larger orderkey (struct ordering on (price, key); oracle via the
+    * equivalent row_number window — deterministic on both engines). */
+  val aggArgMax: Op = Op(
+    "agg_arg_max",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("best_order"))
+        .orderBy("o_custkey"),
+    Some("SELECT o_custkey, best_order FROM (SELECT o_custkey, o_orderkey AS best_order, " +
+      "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn " +
+      "FROM orders) WHERE rn = 1 ORDER BY o_custkey"))
+
+  val aggPivot: Op = Op(
+    "agg_pivot",
+    (s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val piv = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .count()
+      piv.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+        .orderBy("user_id")
+    },
+    Some("SELECT user_id, " +
+      Seq("click", "error", "purchase", "signup", "view")
+        .map(t => s"COUNT(*) FILTER (WHERE event_type = '$t') AS n_$t").mkString(", ") +
+      " FROM events GROUP BY user_id ORDER BY user_id"))
+
+  /** distinct(), not dropDuplicates(cols) — the latter keeps an arbitrary row. */
+  val distinctRows: Op = Op(
+    "distinct_rows",
+    (s, d) =>
+      Tables.events(s, d)
+        .select("user_id", "event_type")
+        .distinct()
+        .orderBy("user_id", "event_type"),
+    Some("SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type"))
+
+  val all: Seq[Op] = Seq(aggPricingSummary, aggCountDistinct, aggApproxHll, aggGroupingSets,
+    aggRollupTime, aggCube, aggCollectSorted, aggArgMax, aggPivot, distinctRows)
+}

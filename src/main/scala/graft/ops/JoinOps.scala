@@ -1,0 +1,174 @@
+package graft.ops
+
+import graft.tables.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Dets._
+
+/** SURVEY.md §2 category C — joins.
+  *
+  * Scale notes (100 TB): dimension joins (`part`, `customer` at warehouse
+  * scale) broadcast explicitly; fact-fact joins (lineitem⋈orders) shuffle on
+  * the join key and are SMJ-friendly — at cluster scale the same plans hold,
+  * with AQE handling skew. The as-of join is the windowed single-shuffle
+  * formulation (one exchange on user_id), not a per-row lookup.
+  */
+object JoinOps {
+
+  val joinInnerHash: Op = Op(
+    "join_inner_hash",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("cnt"))
+        .orderBy("c_mktsegment")
+    },
+    Some("SELECT c_mktsegment, " + oSum("o_totalprice") + " AS revenue, COUNT(*) AS cnt " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment"))
+
+  /** Explicit broadcast of the small dim — BroadcastHashJoinExec asserted in
+    * PlanShapeSpec; at 100 TB `part` stays far below driver memory while
+    * lineitem never shuffles for this join. */
+  val joinBroadcastDim: Op = Op(
+    "join_broadcast_dim",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy("p_brand")
+    },
+    Some("SELECT p_brand, " + oSum("l_quantity") + " AS sum_qty, COUNT(*) AS cnt " +
+      "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand ORDER BY p_brand"))
+
+  /** Fact-fact join pinned to sort-merge via hint — the strategy that scales
+    * when both sides are too big to broadcast/hash. Revenue uses the exact
+    * decimal product chain (no rounding until the final double cast). */
+  val joinSortmergeBig: Op = Op(
+    "join_sortmerge_big",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(d2(col("l_extendedprice")) * (lit(1).cast(D3_2) - frac(col("l_discount"))))
+               .cast("double").as("revenue"),
+             count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")
+    },
+    Some("SELECT o_orderpriority, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "(1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue, COUNT(*) AS cnt " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority"))
+
+  val joinLeftOuter: Op = Op(
+    "join_left_outer",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    },
+    Some("SELECT c_custkey, COUNT(o_orderkey) AS n_orders FROM customer " +
+      "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey ORDER BY c_custkey"))
+
+  /** Thinned per-side counts so both null directions actually occur. */
+  val joinFullOuter: Op = Op(
+    "join_full_outer",
+    (s, d) => {
+      val cc = Tables.customer(s, d).where(col("c_acctbal") > 7500)
+        .groupBy(col("c_nationkey").as("nk_c")).agg(count(lit(1)).as("c_cnt"))
+      val sc = Tables.supplier(s, d).where(col("s_acctbal") > 2500)
+        .groupBy(col("s_nationkey").as("nk_s")).agg(count(lit(1)).as("s_cnt"))
+      cc.join(sc, col("nk_c") === col("nk_s"), "full")
+        .select(coalesce(col("nk_c"), col("nk_s")).as("nationkey"), col("c_cnt"), col("s_cnt"))
+        .orderBy("nationkey")
+    },
+    Some("WITH cc AS (SELECT c_nationkey AS nk_c, COUNT(*) AS c_cnt FROM customer WHERE c_acctbal > 7500 GROUP BY 1), " +
+      "sc AS (SELECT s_nationkey AS nk_s, COUNT(*) AS s_cnt FROM supplier WHERE s_acctbal > 2500 GROUP BY 1) " +
+      "SELECT COALESCE(nk_c, nk_s) AS nationkey, c_cnt, s_cnt FROM cc FULL OUTER JOIN sc ON nk_c = nk_s ORDER BY nationkey"))
+
+  val joinLeftSemi: Op = Op(
+    "join_left_semi",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    Some("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
+      "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"))
+
+  val joinLeftAnti: Op = Op(
+    "join_left_anti",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    Some("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+      "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"))
+
+  val joinCrossSmall: Op = Op(
+    "join_cross_small",
+    (s, d) =>
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select(col("r_name"), col("n_name"))
+        .orderBy("r_name", "n_name"),
+    Some("SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name"))
+
+  /** Band join: equi-key on user_id + time-range predicate. At scale this is
+    * a single shuffle on user_id with the range filter applied inside the
+    * sort-merge join — never a cartesian. */
+  val joinRangeTheta: Op = Op(
+    "join_range_theta",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("u1"), col("ts").as("t1"))
+      val f = e.select(col("event_id").as("follow_id"), col("user_id").as("u2"),
+        col("ts").as("t2"), col("event_type").as("follow_type"))
+      p.join(f, col("u1") === col("u2") &&
+          col("t2") > col("t1") && col("t2") <= col("t1") + expr("INTERVAL 10 MINUTES"))
+        .select("purchase_id", "follow_id", "follow_type")
+        .orderBy("purchase_id", "follow_id")
+    },
+    Some("SELECT e1.event_id AS purchase_id, e2.event_id AS follow_id, e2.event_type AS follow_type " +
+      "FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id AND e2.ts > e1.ts " +
+      "AND e2.ts <= e1.ts + INTERVAL 10 MINUTE WHERE e1.event_type = 'purchase' " +
+      "ORDER BY purchase_id, follow_id"))
+
+  /** As-of join, windowed formulation: one shuffle on user_id, one sort —
+    * the scalable shape (SURVEY §2 C / §7.4). For each purchase, the most
+    * recent strictly-prior view's ts (null if none). Emits the ts only (not
+    * the view id): equal-ts views are ambiguous under the oracle's ASOF JOIN,
+    * while the max prior ts itself is deterministic.
+    */
+  val joinAsof: Op = Op(
+    "join_asof",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e.withColumn("prev_view_ts",
+          last(when(col("event_type") === "view", col("ts")), ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"), col("prev_view_ts"))
+        .orderBy("purchase_id")
+    },
+    Some("SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts, v.ts AS prev_view_ts " +
+      "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+      "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v " +
+      "ON p.user_id = v.user_id AND v.ts < p.ts ORDER BY purchase_id"))
+
+  val all: Seq[Op] = Seq(joinInnerHash, joinBroadcastDim, joinSortmergeBig, joinLeftOuter,
+    joinFullOuter, joinLeftSemi, joinLeftAnti, joinCrossSmall, joinRangeTheta, joinAsof)
+}

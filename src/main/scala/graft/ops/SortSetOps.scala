@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 categories G (sorts/limits/top-k) + H (set operations).
+  *
+  * Scale notes: sort+limit compiles to TakeOrderedAndProject (per-partition
+  * top-k then a single driver merge of k-row heaps — no global sort at 100 TB;
+  * asserted in PlanShapeSpec). Set ops are shuffle-on-all-columns; at scale
+  * prefer the keyed groupBy forms, which these queries reduce to anyway.
+  */
+object SortSetOps {
+
+  val sortMultiKey: Op = Op(
+    "sort_multi_key",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        // (l_orderkey, l_linenumber) not unique → l_quantity completes the
+        // total order so the LIMIT boundary is deterministic.
+        .orderBy(col("l_shipdate").desc_nulls_last, col("l_orderkey").asc,
+                 col("l_linenumber").asc, col("l_quantity").asc)
+        .limit(100),
+    Some("SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem " +
+      "ORDER BY l_shipdate DESC NULLS LAST, l_orderkey, l_linenumber, l_quantity LIMIT 100"))
+
+  val topkGlobal: Op = Op(
+    "topk_global",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10),
+    Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+      "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"))
+
+  private def janFeb(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val o = Tables.orders(s, d)
+    def month(from: String, until: String) =
+      o.where(col("o_orderdate") >= lit(from).cast("timestamp") &&
+              col("o_orderdate") < lit(until).cast("timestamp"))
+        .select("o_custkey")
+    (month("1995-01-01", "1995-02-01"), month("1995-02-01", "1995-03-01"))
+  }
+
+  private val oJan = "SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-02-01'"
+  private val oFeb = "SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-02-01' AND o_orderdate < TIMESTAMP '1995-03-01'"
+
+  val setUnionAll: Op = Op(
+    "set_union_all",
+    (s, d) => {
+      val (jan, feb) = janFeb(s, d)
+      jan.unionAll(feb).groupBy("o_custkey").agg(count(lit(1)).as("cnt")).orderBy("o_custkey")
+    },
+    Some(s"SELECT o_custkey, COUNT(*) AS cnt FROM (($oJan) UNION ALL ($oFeb)) GROUP BY o_custkey ORDER BY o_custkey"))
+
+  val setUnionDistinct: Op = Op(
+    "set_union_distinct",
+    (s, d) => {
+      val (jan, feb) = janFeb(s, d)
+      jan.union(feb).distinct().orderBy("o_custkey")
+    },
+    Some(s"SELECT o_custkey FROM (($oJan) UNION ($oFeb)) ORDER BY o_custkey"))
+
+  val setIntersect: Op = Op(
+    "set_intersect",
+    (s, d) => {
+      val (jan, feb) = janFeb(s, d)
+      jan.intersect(feb).orderBy("o_custkey")
+    },
+    Some(s"($oJan) INTERSECT ($oFeb) ORDER BY o_custkey"))
+
+  val setExcept: Op = Op(
+    "set_except",
+    (s, d) => {
+      val (jan, feb) = janFeb(s, d)
+      jan.except(feb).orderBy("o_custkey")
+    },
+    Some(s"($oJan) EXCEPT ($oFeb) ORDER BY o_custkey"))
+
+  val all: Seq[Op] = Seq(sortMultiKey, topkGlobal, setUnionAll, setUnionDistinct, setIntersect, setExcept)
+}

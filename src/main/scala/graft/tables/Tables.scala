@@ -1,0 +1,46 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Schema-pinned loaders for the driver-generated testdata tables
+  * (TESTDATA.md / FIXTURES.md §1). One loader per table so every operator
+  * reads through the same, audited path.
+  *
+  * Scale note (100 TB): these are plain parquet scans, so Catalyst predicate
+  * pushdown / column pruning applied by downstream operators reaches the file
+  * scan unchanged. On a real cluster the same loaders would point at a
+  * partitioned (e.g. day-partitioned) table root and partition pruning would
+  * compose for free; nothing here materializes or collects.
+  */
+object Tables {
+
+  private def p(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = p(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = p(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = p(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = p(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = p(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = p(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = p(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = p(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = p(s, d, "embeddings")
+
+  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+    * 4.1.2 rejects outright (PARQUET_TYPE_ILLEGAL). Verified shim (SURVEY.md
+    * §7.3): read the raw nanos as a long, then floor-divide to micros with
+    * *integer* division — `ts div 1000` — and rebuild a TimestampType.
+    *
+    * Integer division is load-bearing: epoch-nanos for 2024 is ~1.7e18, which
+    * does not fit a double's 53-bit mantissa, so a float path
+    * (`col/1000 cast long`) can round across a microsecond boundary. Floor
+    * division exactly matches DuckDB's own ns→µs truncation of the same file,
+    * which is what the oracle compares against.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    p(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}
