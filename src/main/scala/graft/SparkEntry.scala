@@ -16,7 +16,8 @@ import scala.collection.immutable.ListMap
 object SparkEntry {
 
   private def allOps: Seq[Op] =
-    ScanFilterOps.all ++ AggOps.all ++ JoinOps.all ++ SortSetOps.all ++ FuncOps.all
+    ScanFilterOps.all ++ AggOps.all ++ JoinOps.all ++ WindowOps.all ++
+      TimeSeriesOps.all ++ SortSetOps.all ++ FuncOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,175 @@
+package graft.ops
+
+import graft.tables.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Dets._
+
+/** SURVEY.md §2 category F — time-series operators, the reference's core
+  * domain (hourly energy rollups, sessions, outage gaps, counter deltas,
+  * daily load profiles over SharedSolar-style circuit samples; here over the
+  * `events` table per the testdata mapping in SURVEY §1.3).
+  *
+  * Scale notes (100 TB): all per-user windows shuffle once on user_id;
+  * bucket aggregations are two-phase hash aggregates keyed on
+  * (user, bucket) — bounded state, no global sort. The resample grid is
+  * generated per user (never a driver-side loop) and the forward-fill is the
+  * single-pass union+window formulation, not a per-gridpoint lookup join.
+  */
+object TimeSeriesOps {
+
+  /** Hourly per-user rollup — the reference's hourly energy table. */
+  val tsTumblingHourly: Op = Op(
+    "ts_tumbling_hourly",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("h"), col("user_id"), col("cnt"), col("sum_value"))
+        .orderBy("h", "user_id"),
+    Some("SELECT date_trunc('hour', ts) AS h, user_id, COUNT(*) AS cnt, " +
+      oSum("value") + " AS sum_value FROM events GROUP BY 1, 2 ORDER BY h, user_id"))
+
+  /** 1h windows sliding every 30min — each event lands in exactly two
+    * windows; oracle = union of the two offset 30-min bucketings. */
+  val tsSlidingWindow: Op = Op(
+    "ts_sliding_window",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("ws"), col("cnt"), col("sum_value"))
+        .orderBy("ws"),
+    Some("SELECT ws, COUNT(*) AS cnt, " + oSum("value") + " AS sum_value FROM " +
+      "(SELECT time_bucket(INTERVAL 30 MINUTES, ts) AS ws, value FROM events " +
+      "UNION ALL SELECT time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES AS ws, value FROM events) " +
+      "GROUP BY ws ORDER BY ws"))
+
+  /** Usage sessions with a 30-minute inactivity gap. Spark merges an event
+    * into the current session iff gap < 30min (strict), so the oracle's
+    * gaps-and-islands breaks on gap >= 30min; session_end = last ts + gap. */
+  val tsSessionWindow: Op = Op(
+    "ts_session_window",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("cnt"))
+        .orderBy("user_id", "session_start"),
+    Some("WITH x AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR " +
+      "ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk " +
+      "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+      "y AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x) " +
+      "SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 MINUTE AS session_end, " +
+      "COUNT(*) AS cnt FROM y GROUP BY user_id, sid ORDER BY user_id, session_start"))
+
+  /** Outage/gap detection: per-user inter-sample gaps > 2 hours. */
+  val tsGapDetection: Op = Op(
+    "ts_gap_detection",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .where(col("prev_ts").isNotNull &&
+               unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 2L * 3600 * 1000000)
+        .select(col("user_id"), col("prev_ts").as("gap_start"), col("ts").as("gap_end"),
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))).as("gap_us"))
+        .orderBy("user_id", "gap_start", "gap_end")
+    },
+    Some("SELECT user_id, gap_start, gap_end, epoch_us(gap_end) - epoch_us(gap_start) AS gap_us FROM " +
+      "(SELECT user_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_start, ts AS gap_end " +
+      "FROM events) WHERE gap_start IS NOT NULL AND gap_end - gap_start > INTERVAL 2 HOUR " +
+      "ORDER BY user_id, gap_start, gap_end"))
+
+  /** THE reference computation (SURVEY §7.4#6): treat the running decimal
+    * sum of `value` per user as a lifetime Wh counter; per-hour energy =
+    * counter delta with reset semantics (delta < 0 ⇒ counter restarted from
+    * zero ⇒ energy = raw counter value). First bucket counts from zero. */
+  val tsCounterDelta: Op = Op(
+    "ts_counter_delta",
+    (s, d) => {
+      val wCum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wLag = Window.partitionBy("user_id").orderBy("h")
+      Tables.events(s, d)
+        .withColumn("ctr", sum(d2(col("value"))).over(wCum))
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(max(col("ctr")).as("c_end"))
+        .withColumn("prev", lag(col("c_end"), 1).over(wLag))
+        .withColumn("energy",
+          when(col("prev").isNull, col("c_end"))
+            .when(col("c_end") - col("prev") < 0, col("c_end"))
+            .otherwise(col("c_end") - col("prev"))
+            .cast("double"))
+        .select("user_id", "h", "energy")
+        .orderBy("user_id", "h")
+    },
+    Some("WITH c AS (SELECT user_id, ts, event_id, SUM(CAST(value AS DECIMAL(12,2))) OVER " +
+      "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctr FROM events), " +
+      "h AS (SELECT user_id, date_trunc('hour', ts) AS h, MAX(ctr) AS c_end FROM c GROUP BY 1, 2), " +
+      "dlt AS (SELECT user_id, h, c_end, lag(c_end) OVER (PARTITION BY user_id ORDER BY h) AS prev FROM h) " +
+      "SELECT user_id, h, CAST(CASE WHEN prev IS NULL THEN c_end WHEN c_end - prev < 0 THEN c_end " +
+      "ELSE c_end - prev END AS DOUBLE) AS energy FROM dlt ORDER BY user_id, h"))
+
+  /** Daily load profile — avg value by hour-of-day × event type, the
+    * reference's signature output. */
+  val tsDailyProfile: Op = Op(
+    "ts_daily_profile",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(hour(col("ts")).as("hod"), col("event_type"))
+        .agg(davg(col("value")).as("avg_value"), count(lit(1)).as("cnt"))
+        .orderBy("hod", "event_type"),
+    Some("SELECT CAST(extract(HOUR FROM ts) AS INT) AS hod, event_type, " +
+      oAvg("value") + " AS avg_value, COUNT(*) AS cnt " +
+      "FROM events GROUP BY 1, 2 ORDER BY hod, event_type"))
+
+  /** Gap-aware resampling: per-user 1-hour grid (hour-truncated min..max ts),
+    * forward-filled with the last observed value, but only if that value is
+    * at most 3 hours old at the grid point — older ⇒ null (an outage stays
+    * visible instead of being silently extrapolated).
+    *
+    * Single-pass formulation: union(events, grid) sorted per user; grid rows
+    * pick up the last event value/ts via an ignore-nulls window (events sort
+    * before grid points at the same instant via the src column).
+    */
+  val tsResampleFfill: Op = Op(
+    "ts_resample_ffill",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val grid = e.groupBy("user_id")
+        .agg(date_trunc("hour", min(col("ts"))).as("mn"), date_trunc("hour", max(col("ts"))).as("mx"))
+        .select(col("user_id"), explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 HOUR"))).as("g"))
+      val evs = e.select(col("user_id"), col("ts"), col("value"), lit(0).as("src"),
+        col("event_id"), lit(null).cast("timestamp").as("g"))
+      val grd = grid.select(col("user_id"), col("g").as("ts"), lit(null).cast("double").as("value"),
+        lit(1).as("src"), lit(null).cast("long").as("event_id"), col("g"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "src", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      evs.unionAll(grd)
+        .withColumn("lv", last(when(col("src") === 0, col("value")), ignoreNulls = true).over(w))
+        .withColumn("lt", last(when(col("src") === 0, col("ts")), ignoreNulls = true).over(w))
+        .where(col("src") === 1)
+        .select(col("user_id"), col("g"),
+          when(col("lt").isNotNull &&
+               unix_micros(col("g")) - unix_micros(col("lt")) <= 3L * 3600 * 1000000, col("lv")).as("v"))
+        .orderBy("user_id", "g")
+    },
+    Some("WITH b AS (SELECT user_id, date_trunc('hour', MIN(ts)) AS mn, date_trunc('hour', MAX(ts)) AS mx " +
+      "FROM events GROUP BY 1), " +
+      "grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS g FROM b), " +
+      "u AS (SELECT user_id, ts, value, 0 AS src, event_id, NULL::TIMESTAMP AS g FROM events " +
+      "UNION ALL SELECT user_id, g AS ts, NULL::DOUBLE AS value, 1 AS src, NULL::BIGINT AS event_id, g FROM grid), " +
+      "f AS (SELECT user_id, g, src, " +
+      "last_value(CASE WHEN src = 0 THEN value END IGNORE NULLS) OVER w AS lv, " +
+      "last_value(CASE WHEN src = 0 THEN ts END IGNORE NULLS) OVER w AS lt " +
+      "FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, src, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+      "SELECT user_id, g, CASE WHEN lt IS NOT NULL AND g - lt <= INTERVAL 3 HOUR THEN lv END AS v " +
+      "FROM f WHERE src = 1 ORDER BY user_id, g"))
+
+  val all: Seq[Op] = Seq(tsTumblingHourly, tsSlidingWindow, tsSessionWindow, tsGapDetection,
+    tsCounterDelta, tsDailyProfile, tsResampleFfill)
+}

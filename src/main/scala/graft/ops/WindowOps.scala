@@ -1,0 +1,162 @@
+package graft.ops
+
+import graft.tables.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Dets._
+
+/** SURVEY.md §2 category E — window functions.
+  *
+  * Scale notes (100 TB): every window here partitions by a real key
+  * (customer/user/nation), so the physical plan is one hash exchange on the
+  * partition key + per-partition sort — no global sort, no driver funnel.
+  * The two global windows (`window_range_frame`, `window_ntile_pct`) are
+  * single-partition by construction; at warehouse scale those would be
+  * replaced by a range-partitioned two-pass (documented on the ops) — kept
+  * here because the *semantics* (RANGE frame, ntile) are the contract.
+  * Tie-breaks: every ordering includes a unique id (§7.2 rule 4).
+  */
+object WindowOps {
+
+  val windowTopkPerGroup: Op = Op(
+    "window_topk_per_group",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    },
+    Some("SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (SELECT o_custkey, o_orderkey, o_totalprice, " +
+      "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn " +
+      "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"))
+
+  /** rank/dense_rank ordered by value only (ties produce equal ranks — the
+    * point of the op); output rows totally ordered by the unique custkey. */
+  val windowRankDense: Op = Op(
+    "window_rank_dense",
+    (s, d) => {
+      val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc)
+      Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+        .orderBy("c_nationkey", "c_custkey")
+    },
+    Some("SELECT c_nationkey, c_custkey, c_acctbal, " +
+      "CAST(rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INT) AS rnk, " +
+      "CAST(dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INT) AS drnk " +
+      "FROM customer ORDER BY c_nationkey, c_custkey"))
+
+  /** Δt to previous event + next event type per user. Time delta emitted in
+    * microseconds as a long (timestamp subtraction yields engine-specific
+    * interval types otherwise). */
+  val windowLagLead: Op = Op(
+    "window_lag_lead",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("delta_us"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .orderBy("event_id")
+    },
+    Some("SELECT event_id, user_id, ts, " +
+      "epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_us, " +
+      "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type " +
+      "FROM events ORDER BY event_id"))
+
+  /** 7-day moving average of daily revenue — ROWS frame over the daily
+    * rollup (one row per date, so the frame is well-defined). */
+  val windowMovingAvg: Op = Op(
+    "window_moving_avg",
+    (s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(d2(col("o_totalprice"))).as("rev_dec"))
+      val w = Window.orderBy("day").rowsBetween(-6, 0)
+      daily
+        .select(col("day"), col("rev_dec").cast("double").as("rev"),
+          (sum(col("rev_dec")).over(w).cast("double") / count(lit(1)).over(w)).as("ma7"))
+        .orderBy("day")
+    },
+    Some("SELECT day, CAST(rev_dec AS DOUBLE) AS rev, " +
+      "CAST(SUM(rev_dec) OVER w AS DOUBLE) / COUNT(*) OVER w AS ma7 " +
+      "FROM (SELECT CAST(o_orderdate AS DATE) AS day, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec " +
+      "FROM orders GROUP BY 1) " +
+      "WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) ORDER BY day"))
+
+  /** RANGE frame on an integer order key: revenue within ±1 of p_size.
+    * Deterministic without a tie-break — the frame depends only on the
+    * p_size value. Global window; scale path = pre-aggregate by p_size
+    * then range-join, noted per §7.5. */
+  val windowRangeFrame: Op = Op(
+    "window_range_frame",
+    (s, d) => {
+      val w = Window.orderBy("p_size").rangeBetween(-1, 1)
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_size"),
+          sum(d2(col("p_retailprice"))).over(w).cast("double").as("band_rev"))
+        .orderBy("p_partkey")
+    },
+    Some("SELECT p_partkey, p_size, CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) OVER " +
+      "(ORDER BY p_size RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS band_rev " +
+      "FROM part ORDER BY p_partkey"))
+
+  val windowNtilePct: Op = Op(
+    "window_ntile_pct",
+    (s, d) => {
+      val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("c_custkey")
+    },
+    Some("SELECT c_custkey, c_acctbal, " +
+      "CAST(ntile(4) OVER w AS INT) AS quartile, percent_rank() OVER w AS pr, cume_dist() OVER w AS cd " +
+      "FROM customer WINDOW w AS (ORDER BY c_acctbal, c_custkey) ORDER BY c_custkey"))
+
+  /** First/last event type per (user, day) — full frame for last (§7.2);
+    * one row per group via distinct after the windows. */
+  val windowFirstLast: Op = Op(
+    "window_first_last",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("day")).orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .select(col("user_id"), col("day"),
+          first(col("event_type")).over(w).as("first_type"),
+          last(col("event_type")).over(w).as("last_type"))
+        .distinct()
+        .orderBy("user_id", "day")
+    },
+    Some("SELECT DISTINCT user_id, day, " +
+      "first_value(event_type) OVER w AS first_type, last_value(event_type) OVER w AS last_type " +
+      "FROM (SELECT *, CAST(ts AS DATE) AS day FROM events) " +
+      "WINDOW w AS (PARTITION BY user_id, day ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY user_id, day"))
+
+  /** Running decimal total per user — the prefix form of the counter-delta
+    * computation in category F. */
+  val windowCumsum: Op = Op(
+    "window_cumsum",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          sum(d2(col("value"))).over(w).cast("double").as("cum_value"))
+        .orderBy("event_id")
+    },
+    Some("SELECT event_id, user_id, ts, " +
+      "CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value " +
+      "FROM events ORDER BY event_id"))
+
+  val all: Seq[Op] = Seq(windowTopkPerGroup, windowRankDense, windowLagLead, windowMovingAvg,
+    windowRangeFrame, windowNtilePct, windowFirstLast, windowCumsum)
+}
