@@ -1,0 +1,219 @@
+package graft.ops
+
+import graft.tables.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 category K — LLM-data-pipeline operators over the
+  * `documents` / `embeddings` tables: dedup (exact + MinHash-LSH near-dup),
+  * similarity search, text analysis, and the multimodal-column join.
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup is a hash groupBy → two-phase aggregate, shuffle = one row
+  *    per distinct hash;
+  *  - MinHash-LSH is the scale path for near-dedup: candidate generation is
+  *    an equi-join on (band, band_hash) buckets — shuffle proportional to
+  *    bucket sizes, never the n² pair space; only candidates pay the exact
+  *    Jaccard verification;
+  *  - brute-force cosine top-k is the correctness baseline; the KNN variant
+  *    broadcasts the (small) query set so the big side streams through one
+  *    stage. A production ANN would LSH/IVF-bucket the embedding column the
+  *    same way MinHash buckets shingles (§4.3, designed-not-built);
+  *  - all similarity math uses fixed left-to-right fold order
+  *    (aggregate/zip_with), so doubles are deterministic.
+  */
+object LlmOps {
+
+  // ---------------------------------------------------------------- dedup
+
+  val dedupExact: Op = Op(
+    "dedup_exact",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), (count(lit(1)) - 1).as("n_dups"))
+        .orderBy("h"),
+    Some("SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) - 1 AS n_dups " +
+      "FROM documents GROUP BY 1 ORDER BY h"))
+
+  /** Deterministic MinHash signature columns: for permutation i, the min
+    * xxhash64 over the document's distinct word-3-gram shingles, salted by i.
+    * Pure column expressions — stays in codegen, no UDF. */
+  private val NumPerm = 64
+  private val Bands = 16
+  private val RowsPerBand = NumPerm / Bands
+
+  private def shingled(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    docs
+      .withColumn("words", words)
+      .where(size(col("words")) >= 3)
+      .withColumn("shingles", array_distinct(
+        transform(sequence(lit(0), size(col("words")) - 3), i =>
+          concat_ws(" ", element_at(col("words"), i + 1),
+            element_at(col("words"), i + 2), element_at(col("words"), i + 3)))))
+  }
+
+  private def withSignature(docs: DataFrame): DataFrame =
+    (0 until NumPerm).foldLeft(docs) { (df, i) =>
+      df.withColumn(s"mh_$i", array_min(transform(col("shingles"), sh => xxhash64(lit(i), sh))))
+    }
+
+  /** Near-duplicate pairs via MinHash + LSH banding, verified by exact
+    * Jaccard >= 0.8 on shingle sets. Fixed seeds (the permutation index)
+    * make the whole pipeline byte-deterministic (SURVEY §7.4#5).
+    * No SQL oracle — proven by NearDupSpec's planted-duplicate fixture. */
+  val dedupNearMinhash: Op = Op(
+    "dedup_near_minhash",
+    (s, d) => {
+      val base = withSignature(shingled(Tables.documents(s, d).select("doc_id", "text")))
+        .select(col("doc_id") +: col("shingles") +: (0 until NumPerm).map(i => col(s"mh_$i")): _*)
+      val bandCols = (0 until Bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((0 until RowsPerBand).map(r => col(s"mh_${b * RowsPerBand + r}")): _*).as("bh"))
+      }
+      val buckets = base
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      val cand = buckets.as("l").join(buckets.as("r"),
+          col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+        .distinct()
+      val sh = base.select(col("doc_id"), col("shingles"))
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))))
+        .where(col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    },
+    None)
+
+  // ------------------------------------------------------ similarity search
+
+  /** Embedding vector as doubles + its L2 norm; cosine via fixed-order folds. */
+  private def withVec(df: DataFrame, idAs: String, vecAs: String, normAs: String): DataFrame =
+    df.select(col("vec_id").as(idAs),
+      transform(col("embedding"), x => x.cast("double")).as(vecAs))
+      .withColumn(normAs, sqrt(aggregate(col(vecAs), lit(0.0), (acc, x) => acc + x * x)))
+
+  private def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
+    aggregate(zip_with(va, vb, (x, y) => x * y), lit(0.0), (acc, x) => acc + x) / (na * nb)
+
+  /** Brute-force global top-20 most-similar pairs. Emits ranked id pairs
+    * only: Spark's double cosine and DuckDB's list_cosine_similarity agree on
+    * ordering (clear gaps between neighbors) but not on low-order bits, so
+    * the similarity value itself stays out of the hash (SURVEY §7.4#1). */
+  val simSearchTopk: Op = Op(
+    "sim_search_topk",
+    (s, d) => {
+      val a = withVec(Tables.embeddings(s, d), "vec_id_a", "va", "na")
+      val b = withVec(Tables.embeddings(s, d), "vec_id_b", "vb", "nb")
+      val w = Window.orderBy(col("sim").desc, col("vec_id_a").asc, col("vec_id_b").asc)
+      a.join(b, col("vec_id_a") < col("vec_id_b"))
+        .withColumn("sim", cosine(col("va"), col("vb"), col("na"), col("nb")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 20)
+        .select("rank", "vec_id_a", "vec_id_b")
+        .orderBy("rank")
+    },
+    Some("SELECT rank, vec_id_a, vec_id_b FROM (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, " +
+      "CAST(row_number() OVER (ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, " +
+      "a.vec_id, b.vec_id) AS INT) AS rank FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) " +
+      "WHERE rank <= 20 ORDER BY rank"))
+
+  /** Per-query 5-NN for 10 fixed query vectors; the query side is tiny and
+    * broadcast, so the corpus streams through a single stage. */
+  val simSearchKnnPerQuery: Op = Op(
+    "sim_search_knn_per_query",
+    (s, d) => {
+      val q = withVec(Tables.embeddings(s, d), "query_id", "vq", "nq").where(col("query_id") < 10)
+      val c = withVec(Tables.embeddings(s, d), "neighbor_id", "vc", "nc")
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("neighbor_id").asc)
+      broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", cosine(col("vq"), col("vc"), col("nq"), col("nc")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    },
+    Some("SELECT query_id, rank, neighbor_id FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+      "CAST(row_number() OVER (PARTITION BY a.vec_id ORDER BY " +
+      "list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS INT) AS rank " +
+      "FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id WHERE a.vec_id < 10) " +
+      "WHERE rank <= 5 ORDER BY query_id, rank"))
+
+  // ----------------------------------------------------------- text analysis
+
+  /** Per (lang, source): doc count, avg length, distinct token count. */
+  val textLangStats: Op = Op(
+    "text_lang_stats",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+      val toks = docs.select(col("lang"), col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("lang", "source").agg(countDistinct(col("tok")).as("n_tokens"))
+      base.join(toks, Seq("lang", "source"))
+        .orderBy("lang", "source")
+    },
+    Some("SELECT b.lang, b.source, n_docs, avg_chars, n_tokens FROM " +
+      "(SELECT lang, source, COUNT(*) AS n_docs, CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_chars " +
+      "FROM documents GROUP BY 1, 2) b JOIN " +
+      "(SELECT lang, source, COUNT(DISTINCT tok) AS n_tokens FROM " +
+      "(SELECT lang, source, unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1, 2) t " +
+      "ON b.lang = t.lang AND b.source = t.source ORDER BY b.lang, b.source"))
+
+  /** Pipeline-style quality gate: keep + per-rule reasons for drops. */
+  val textQualityFilter: Op = Op(
+    "text_quality_filter",
+    (s, d) => {
+      val nTok = size(split(col("text"), " "))
+      val badLen = col("n_chars") < 64 || col("n_chars") > 4096
+      val badTok = nTok < 10
+      val badChars = !col("text").rlike("^[a-z ]+$")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          (!badLen && !badTok && !badChars).as("keep"),
+          concat_ws(",",
+            when(badLen, "len"), when(badTok, "tok"), when(badChars, "chars")).as("reasons"))
+        .orderBy("doc_id")
+    },
+    Some("SELECT doc_id, NOT (bad_len OR bad_tok OR bad_chars) AS keep, " +
+      "concat_ws(',', CASE WHEN bad_len THEN 'len' END, CASE WHEN bad_tok THEN 'tok' END, " +
+      "CASE WHEN bad_chars THEN 'chars' END) AS reasons FROM " +
+      "(SELECT doc_id, (n_chars < 64 OR n_chars > 4096) AS bad_len, " +
+      "len(string_split(text, ' ')) < 10 AS bad_tok, " +
+      "NOT regexp_matches(text, '^[a-z ]+$') AS bad_chars FROM documents) ORDER BY doc_id"))
+
+  // ------------------------------------------------------------- multimodal
+
+  /** Multimodal column: document meta + embedding zipped into one struct
+    * column (the representation), then flattened stats for the hash compare
+    * (nested structs don't hash portably across engines). */
+  val multimodalJoin: Op = Op(
+    "multimodal_join",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .withColumn("doc", struct(col("doc_id"), col("lang"), col("n_chars"),
+          col("label"), col("embedding")))
+        .select(col("doc.doc_id").as("doc_id"), col("doc.lang").as("lang"),
+          col("doc.n_chars").as("n_chars"), col("doc.label").as("label"),
+          size(col("doc.embedding")).as("dim"))
+        .orderBy("doc_id")
+    },
+    Some("SELECT doc_id, lang, n_chars, label, CAST(len(embedding) AS INT) AS dim " +
+      "FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id"))
+
+  val all: Seq[Op] = Seq(dedupExact, dedupNearMinhash, simSearchTopk, simSearchKnnPerQuery,
+    textLangStats, textQualityFilter, multimodalJoin)
+}

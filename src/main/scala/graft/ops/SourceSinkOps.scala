@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+import Dets._
+
+import java.nio.file.Files
+
+/** SURVEY.md §2 category A remainder — the raw-log ingest and the
+  * partitioned warehouse sink (the reference's load step).
+  */
+object SourceSinkOps {
+
+  /** Golden SharedSolar-style raw circuit log (FIXTURES.md §2): includes a
+    * duplicated row (re-uploaded batch), a malformed row (numerics → null
+    * under permissive casting), an out-of-order timestamp, and a counter
+    * reset. Column layout follows the published log format; read by header
+    * NAME (never position — the reference's exact ordering is unverified).
+    */
+  val goldenSolarLog: String =
+    """Time Stamp,Watts,Volts,Amps,Watt Hours SC20,Watt Hours Today,Max Watts,Max Volts,Max Amps,Min Watts,Min Volts,Min Amps,Power Factor,Power Cycle,Frequency,Volt Amps,Relay Not Closed,Send Rate,Machine ID,Type,Credit
+      |20120301120000,12.5,229.1,0.06,15230.5,120.2,40,231,0.2,0,228,0,0.52,1,49.98,24.0,0,60,1a2b3c,PWR,350.75
+      |20120301120200,13.1,229.0,0.06,15231.0,120.7,40,231,0.2,0,228,0,0.53,1,49.97,24.2,0,60,1a2b3c,PWR,350.50
+      |20120301120200,13.1,229.0,0.06,15231.0,120.7,40,231,0.2,0,228,0,0.53,1,49.97,24.2,0,60,1a2b3c,PWR,350.50
+      |20120301120100,not_a_number,229.2,bad,15230.8,120.4,40,231,0.2,0,228,0,0.52,1,49.99,24.1,0,60,1a2b3c,PWR,350.60
+      |20120301120400,6.0,228.9,0.03,2.5,2.5,40,231,0.2,0,228,0,0.50,2,50.01,12.0,0,60,1a2b3c,PWR,350.40
+      |20120301120000,480.0,230.0,2.1,99120.0,501.0,520,232,2.3,0,229,0,0.95,1,50.00,483.0,0,60,feed01,MAINS,0.00
+      |20120301120200,490.5,230.1,2.2,99136.4,517.4,520,232,2.3,0,229,0,0.95,1,50.00,493.5,0,60,feed01,MAINS,0.00
+      |""".stripMargin
+
+  /** CSV ingest with declared semantics: header-name binding, string-typed
+    * read + cast (malformed numerics → null, the permissive path), compact
+    * site-local timestamp parse, exact-duplicate drop (re-uploaded batches).
+    * No SQL oracle (input isn't one of the oracle parquet tables) — golden
+    * assertions live in CsvIngestSpec. */
+  val csvLogIngest: Op = Op(
+    "csv_log_ingest",
+    (s, _) => {
+      val f = Files.createTempFile("solar_log", ".csv")
+      Files.writeString(f, goldenSolarLog)
+      val raw = s.read.option("header", "true").csv(f.toString)
+      val parsed = raw.select(
+        col("Machine ID").as("machine_id"),
+        col("Type").as("circuit_type"),
+        to_timestamp(col("Time Stamp"), "yyyyMMddHHmmss").as("ts"),
+        col("Watts").try_cast("double").as("watts"),
+        col("Volts").try_cast("double").as("volts"),
+        col("Amps").try_cast("double").as("amps"),
+        col("Watt Hours SC20").try_cast("double").as("wh_lifetime"),
+        col("Watt Hours Today").try_cast("double").as("wh_today"),
+        col("Power Factor").try_cast("double").as("power_factor"),
+        col("Frequency").try_cast("double").as("frequency"),
+        col("Relay Not Closed").try_cast("int").as("relay_open"),
+        col("Credit").try_cast("decimal(12,2)").as("credit"))
+      parsed.distinct()
+        .orderBy(col("machine_id"), col("ts").asc_nulls_first, col("watts").asc_nulls_first)
+    },
+    None)
+
+  /** The warehouse load step: facts written day-partitioned, read back
+    * through partition discovery, aggregated per partition. The oracle
+    * checks the full round trip (counts/sums survive the partitioned
+    * layout). At 100 TB this layout is what enables partition pruning. */
+  val sinkPartitionedParquet: Op = Op(
+    "sink_partitioned_parquet",
+    (s, d) => {
+      val out = Files.createTempDirectory("graft_sink").toString
+      Tables.events(s, d)
+        .withColumn("d", to_date(col("ts")))
+        .write.partitionBy("d").mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy("d")
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .orderBy("d")
+    },
+    Some("SELECT CAST(ts AS DATE) AS d, COUNT(*) AS cnt, " + oSum("value") + " AS sum_value " +
+      "FROM events GROUP BY 1 ORDER BY d"))
+
+  val all: Seq[Op] = Seq(csvLogIngest, sinkPartitionedParquet)
+}

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import Dets._
+
+import java.nio.file.Files
+
+/** SURVEY.md §2 category J — Structured Streaming restatement of the
+  * reference's ingest reality (late, duplicated gateway uploads).
+  *
+  * Each op runs a real streaming query (file source → watermark → stateful
+  * operator → sink) drained with Trigger.AvailableNow, then returns the
+  * result as a static DataFrame so the driver's Verify/oracle machinery
+  * applies unchanged. On closed input the streaming result must equal the
+  * batch equivalent — that equivalence IS the oracle.
+  *
+  * Scale notes: the same programs run unmodified as continuous micro-batch
+  * jobs on a cluster — state lives in the checkpointed state store (RocksDB
+  * at scale), watermarks bound state growth, and aggregations are the same
+  * two-phase hash aggregates as batch. Checkpoint/sink dirs here are
+  * per-run temp dirs (idempotent re-runs, SURVEY §7.4#3).
+  */
+object StreamingOps {
+
+  /** events.parquet's physical schema under the nanosAsLong shim. */
+  private val rawEventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** The streaming file source requires a *directory* (it tails new files) —
+    * stage the closed events file into a per-run temp dir. On a cluster this
+    * is the landing directory gateways upload into. */
+  private def eventStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcDir = Files.createTempDirectory("st_src")
+    Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    s.readStream.schema(rawEventsSchema).parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Streaming hourly rollup with a 10-minute watermark, complete-mode
+    * memory sink (emits every window at drain — equals batch on closed
+    * input; append mode would hold back windows newer than the final
+    * watermark). */
+  val streamTumblingWatermark: Op = Op(
+    "stream_tumbling_watermark",
+    (s, d) => {
+      val qn = s"st_tumble_${System.nanoTime()}"
+      val q = eventStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("h"), col("cnt"), col("sum_value"))
+        .writeStream.format("memory").queryName(qn).outputMode("complete")
+        .option("checkpointLocation", tmp("ckpt_tumble"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn).orderBy("h")
+    },
+    Some("SELECT date_trunc('hour', ts) AS h, COUNT(*) AS cnt, " + oSum("value") + " AS sum_value " +
+      "FROM events GROUP BY 1 ORDER BY h"))
+
+  /** Watermarked streaming dedup on event_id (duplicate-upload handling);
+    * file sink, append mode (dedup emits rows on first sight). Input ids are
+    * unique, so output = input — deterministic, hash-comparable. */
+  val streamDedup: Op = Op(
+    "stream_dedup",
+    (s, d) => {
+      val out = tmp("st_dedup_out")
+      val q = eventStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates("event_id")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", tmp("st_dedup_ckpt"))
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    },
+    Some("SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id"))
+
+  /** Streaming sessionization — session_window keyed by user in the state
+    * store; equals batch ts_session_window on closed input. */
+  val streamSessionStateful: Op = Op(
+    "stream_session_stateful",
+    (s, d) => {
+      val qn = s"st_sess_${System.nanoTime()}"
+      val q = eventStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("cnt"))
+        .writeStream.format("memory").queryName(qn).outputMode("complete")
+        .option("checkpointLocation", tmp("ckpt_sess"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn).orderBy("user_id", "session_start")
+    },
+    Some("WITH x AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR " +
+      "ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk " +
+      "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+      "y AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x) " +
+      "SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 MINUTE AS session_end, " +
+      "COUNT(*) AS cnt FROM y GROUP BY user_id, sid ORDER BY user_id, session_start"))
+
+  val all: Seq[Op] = Seq(streamTumblingWatermark, streamDedup, streamSessionStateful)
+}
