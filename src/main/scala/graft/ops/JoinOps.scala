@@ -104,17 +104,23 @@ object JoinOps {
     Some("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
       "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"))
 
+  /** Anti join restricted to pre-1996 orders: every customer has *some*
+    * order in this testdata, so the unrestricted anti join is vacuously
+    * empty — "customers with no orders before 1996" keeps the operator
+    * honest (non-empty result at every sf). */
   val joinLeftAnti: Op = Op(
     "join_left_anti",
     (s, d) => {
       val c = Tables.customer(s, d)
       val o = Tables.orders(s, d)
+        .where(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     },
     Some("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
-      "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"))
+      "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate < TIMESTAMP '1996-01-01') " +
+      "ORDER BY c_custkey"))
 
   val joinCrossSmall: Op = Op(
     "join_cross_small",

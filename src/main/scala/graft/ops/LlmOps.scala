@@ -64,10 +64,10 @@ object LlmOps {
     * Jaccard >= 0.8 on shingle sets. Fixed seeds (the permutation index)
     * make the whole pipeline byte-deterministic (SURVEY §7.4#5).
     * No SQL oracle — proven by NearDupSpec's planted-duplicate fixture. */
-  val dedupNearMinhash: Op = Op(
-    "dedup_near_minhash",
-    (s, d) => {
-      val base = withSignature(shingled(Tables.documents(s, d).select("doc_id", "text")))
+  /** Core of dedup_near_minhash, exposed for the planted-duplicates fixture
+    * (NearDupSpec). Input: (doc_id, text). */
+  def nearDupPairs(docs: DataFrame): DataFrame = {
+      val base = withSignature(shingled(docs.select("doc_id", "text")))
         .select(col("doc_id") +: col("shingles") +: (0 until NumPerm).map(i => col(s"mh_$i")): _*)
       val bandCols = (0 until Bands).map { b =>
         struct(lit(b).as("band"),
@@ -91,7 +91,11 @@ object LlmOps {
         .where(col("jaccard") >= 0.8)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
-    },
+  }
+
+  val dedupNearMinhash: Op = Op(
+    "dedup_near_minhash",
+    (s, d) => nearDupPairs(Tables.documents(s, d)),
     None)
 
   // ------------------------------------------------------ similarity search

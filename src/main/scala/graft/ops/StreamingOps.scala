@@ -107,7 +107,7 @@ object StreamingOps {
       s.table(qn).orderBy("user_id", "session_start")
     },
     Some("WITH x AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR " +
-      "ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk " +
+      "ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk " +
       "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
       "y AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x) " +

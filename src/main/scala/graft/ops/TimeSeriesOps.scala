@@ -46,8 +46,9 @@ object TimeSeriesOps {
       "GROUP BY ws ORDER BY ws"))
 
   /** Usage sessions with a 30-minute inactivity gap. Spark merges an event
-    * into the current session iff gap < 30min (strict), so the oracle's
-    * gaps-and-islands breaks on gap >= 30min; session_end = last ts + gap. */
+    * into the current session iff gap <= 30min (boundary-inclusive — verified
+    * by CoreOpsSpec's gap-equality fixture), so the oracle's gaps-and-islands
+    * breaks only on gap > 30min; session_end = last ts + gap. */
   val tsSessionWindow: Op = Op(
     "ts_session_window",
     (s, d) =>
@@ -58,7 +59,7 @@ object TimeSeriesOps {
           col("session_window.end").as("session_end"), col("cnt"))
         .orderBy("user_id", "session_start"),
     Some("WITH x AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR " +
-      "ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk " +
+      "ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk " +
       "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
       "y AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x) " +
@@ -87,24 +88,33 @@ object TimeSeriesOps {
     * sum of `value` per user as a lifetime Wh counter; per-hour energy =
     * counter delta with reset semantics (delta < 0 ⇒ counter restarted from
     * zero ⇒ energy = raw counter value). First bucket counts from zero. */
+  /** Core of ts_counter_delta, exposed for unit fixtures (CounterDeltaSpec):
+    * input (user_id, ts, counter) → per-hour (user_id, h, energy). Hourly
+    * bucket end = max(counter); energy = delta to the previous bucket's end;
+    * negative delta ⇒ the counter reset (gateway reboot) ⇒ energy = the raw
+    * bucket-end value (counting from zero); first bucket counts from zero. */
+  def counterDelta(withCounter: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wLag = Window.partitionBy("user_id").orderBy("h")
+    withCounter
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(max(col("counter")).as("c_end"))
+      .withColumn("prev", lag(col("c_end"), 1).over(wLag))
+      .withColumn("energy",
+        when(col("prev").isNull, col("c_end"))
+          .when(col("c_end") - col("prev") < 0, col("c_end"))
+          .otherwise(col("c_end") - col("prev"))
+          .cast("double"))
+      .select("user_id", "h", "energy")
+      .orderBy("user_id", "h")
+  }
+
   val tsCounterDelta: Op = Op(
     "ts_counter_delta",
     (s, d) => {
       val wCum = Window.partitionBy("user_id").orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wLag = Window.partitionBy("user_id").orderBy("h")
-      Tables.events(s, d)
-        .withColumn("ctr", sum(d2(col("value"))).over(wCum))
-        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
-        .agg(max(col("ctr")).as("c_end"))
-        .withColumn("prev", lag(col("c_end"), 1).over(wLag))
-        .withColumn("energy",
-          when(col("prev").isNull, col("c_end"))
-            .when(col("c_end") - col("prev") < 0, col("c_end"))
-            .otherwise(col("c_end") - col("prev"))
-            .cast("double"))
-        .select("user_id", "h", "energy")
-        .orderBy("user_id", "h")
+      counterDelta(
+        Tables.events(s, d).withColumn("counter", sum(d2(col("value"))).over(wCum)))
     },
     Some("WITH c AS (SELECT user_id, ts, event_id, SUM(CAST(value AS DECIMAL(12,2))) OVER " +
       "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctr FROM events), " +

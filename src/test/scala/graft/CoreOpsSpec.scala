@@ -1,0 +1,109 @@
+package graft
+
+import graft.ops._
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Unit specs for the oracle:no operators (SURVEY §5.2) + fixture-level
+  * checks of reference-specific semantics. */
+class CoreOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("csv_log_ingest: golden-file semantics") {
+    val rows = SourceSinkOps.csvLogIngest.fn(spark, "").collect()
+    // 7 data rows, one exact duplicate dropped
+    assert(rows.length == 6)
+    // malformed numerics → null (permissive), row retained
+    val malformed = rows.filter(r => r.isNullAt(r.fieldIndex("watts")))
+    assert(malformed.length == 1)
+    assert(malformed.head.isNullAt(malformed.head.fieldIndex("amps")))
+    // compact timestamp parsed
+    assert(rows.forall(!_.isNullAt(1 - 1 + 2))) // ts col idx 2
+    val cons = rows.filter(_.getString(0) == "1a2b3c")
+    assert(cons.length == 4)
+    // out-of-order timestamp sorted into place per machine
+    val ts = cons.map(_.getTimestamp(2).getTime)
+    assert(ts.sorted.sameElements(ts))
+    // counter reset row present (wh_lifetime drops to 2.5)
+    val whIdx = rows.head.fieldIndex("wh_lifetime")
+    assert(cons.exists(r => !r.isNullAt(whIdx) && r.getDouble(whIdx) == 2.5))
+    // both circuit types survive
+    assert(rows.map(_.getString(1)).toSet == Set("PWR", "MAINS"))
+  }
+
+  test("agg_approx_hll: within 5% of exact per event_type") {
+    val approx = AggOps.aggApproxHll.fn(spark, TestSpark.sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, TestSpark.sf0001)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"$k: approx=$a exact=$e")
+    }
+  }
+
+  test("sink_partitioned_parquet: day-partition layout and counts") {
+    import java.nio.file.{Files, Paths}
+    val out = Files.createTempDirectory("sink_spec").toString
+    Tables.events(spark, TestSpark.sf0001)
+      .withColumn("d", to_date(col("ts")))
+      .write.partitionBy("d").mode("overwrite").parquet(out)
+    val dirs = Files.list(Paths.get(out)).toArray.map(_.toString)
+      .filter(_.contains("d=")).sorted
+    assert(dirs.nonEmpty && dirs.head.contains("d=2024-01-01"))
+    val readBack = spark.read.parquet(out)
+    assert(readBack.count() == Tables.events(spark, TestSpark.sf0001).count())
+    // partition pruning: a single-day filter reads one partition directory
+    val oneDay = readBack.where(col("d") === lit("2024-01-02").cast("date"))
+    val expected = Tables.events(spark, TestSpark.sf0001)
+      .where(to_date(col("ts")) === lit("2024-01-02").cast("date")).count()
+    assert(oneDay.count() == expected)
+  }
+
+  test("ts_counter_delta core: reset and gap semantics (FIXTURES.md fixture)") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    // monotone h10, reset inside h11, missing h12, resume h13
+    val df = Seq(
+      (1L, t("2024-01-01 10:00:00"), 10.0),
+      (1L, t("2024-01-01 10:20:00"), 20.0),
+      (1L, t("2024-01-01 10:40:00"), 30.0),
+      (1L, t("2024-01-01 11:05:00"), 2.0),   // reset: counter dropped
+      (1L, t("2024-01-01 11:45:00"), 5.0),
+      (1L, t("2024-01-01 13:10:00"), 50.0)   // gap: no h12 bucket
+    ).toDF("user_id", "ts", "counter")
+    val out = TimeSeriesOps.counterDelta(df).collect()
+      .map(r => (r.getTimestamp(1).toString, r.getDouble(2)))
+    assert(out.sameElements(Array(
+      ("2024-01-01 10:00:00.0", 30.0),  // first bucket counts from zero
+      ("2024-01-01 11:00:00.0", 5.0),   // delta 5-30<0 → reset → raw value
+      ("2024-01-01 13:00:00.0", 45.0)   // gap bridged: 50-5
+    )))
+  }
+
+  test("session window gap-equality edge (§7.2 rule 8): gap == 30min MERGES, +1µs splits") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    // Verified Spark 4.1.2 behavior: an event exactly gapDuration after the
+    // previous one still merges (boundary-inclusive); one microsecond past
+    // the gap starts a new session. The oracle's gaps-and-islands CTE must
+    // therefore break only on gap > 30min — which it does.
+    val df = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L),
+      (1L, t("2024-01-01 10:30:00"), 2L),          // == gap → merges
+      (2L, t("2024-01-01 10:00:00"), 3L),
+      (2L, t("2024-01-01 10:30:00.000001"), 4L)    // gap + 1µs → splits
+    ).toDF("user_id", "ts", "event_id")
+    val sessions = df.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("session_window.start").as("st"), col("cnt"))
+      .orderBy("user_id", "st").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(sessions.sameElements(Array((1L, 2L), (2L, 1L), (2L, 1L))))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.ops.TimeSeriesOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Property-based algebraic checks (SURVEY §5.3) against in-memory models.
+  * Raw ScalaCheck generators with pinned seeds (scalatestplus bridge isn't in
+  * the dependency set) — deterministic, N samples per property. */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("intersect/except match the Scala Set model") {
+    import spark.implicits._
+    val g = Gen.listOfN(40, Gen.chooseNum(0L, 12L))
+    for ((xs, ys) <- samples(Gen.zip(g, g), 8)) {
+      val a = xs.toDF("k")
+      val b = ys.toDF("k")
+      val inter = a.intersect(b).collect().map(_.getLong(0)).toSet
+      val exc = a.except(b).collect().map(_.getLong(0)).toSet
+      assert(inter == (xs.toSet & ys.toSet))
+      assert(exc == (xs.toSet -- ys.toSet))
+    }
+  }
+
+  test("window top-k matches the sort-and-take model") {
+    import spark.implicits._
+    val g = Gen.listOfN(60, Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0, 1000)))
+    for (rows <- samples(g, 8)) {
+      val withId = rows.zipWithIndex.map { case ((grp, v), i) => (grp, v, i.toLong) }
+      val df = withId.toDF("g", "v", "id")
+      val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+      val got = df.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+        .select("g", "v", "id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val want = withId.groupBy(_._1).flatMap { case (_, rs) =>
+        rs.sortBy(r => (-r._2, r._3)).take(3)
+      }.toSet
+      assert(got == want)
+    }
+  }
+
+  test("counter delta sums back to the final counter value (no resets)") {
+    import spark.implicits._
+    val g = Gen.listOfN(30, Gen.chooseNum(1, 500))
+    for (increments <- samples(g, 8) if increments.nonEmpty) {
+      var acc = 0.0
+      val rows = increments.zipWithIndex.map { case (inc, i) =>
+        acc += inc
+        (1L, new Timestamp(1704067200000L + i * 1800L * 1000L), acc) // every 30min
+      }
+      val out = TimeSeriesOps.counterDelta(rows.toDF("user_id", "ts", "counter"))
+      val total = out.agg(sum(col("energy"))).collect()(0).getDouble(0)
+      assert(math.abs(total - acc) < 1e-6)
+    }
+  }
+
+  test("exact dedup is idempotent") {
+    import spark.implicits._
+    for (texts <- samples(Gen.listOfN(30, Gen.oneOf("a b c", "d e f", "g h i", "j k l")), 5)
+         if texts.nonEmpty) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = docs.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("keep_id"))
+      val kept = docs.join(once, docs("doc_id") === once("keep_id")).select("doc_id", "text")
+      val twice = kept.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("keep_id"))
+      assert(twice.count() == once.count())
+    }
+  }
+}

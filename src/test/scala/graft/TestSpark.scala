@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for the whole suite — mirrors the driver's
+  * Verify config (UTC, local[4], shuffle.partitions=4). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // plan toString truncates PushedFilters/ReadSchema at 100 chars by
+      // default, which breaks plan-shape assertions
+      .config("spark.sql.maxMetadataStringLength", "10000")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf0001 = "/root/testdata/sf0.001"
+}
