@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression: dot product of two ArrayType(DoubleType)
+  * columns with whole-stage-codegen support.
+  *
+  * Why custom (SURVEY §4.3): the higher-order-function spelling
+  * `aggregate(zip_with(a, b, _*_), 0d, _+_)` materializes the zipped array
+  * and interprets two lambdas per row — measured ~5× slower on the n² pair
+  * space of sim_search_topk. This expression generates a single fused loop
+  * over the two ArrayData buffers (no allocation, no virtual calls), keeping
+  * the similarity join inside WholeStageCodegen.
+  *
+  * Determinism: strictly left-to-right accumulation — bit-identical to the
+  * sequential HOF fold it replaces, on every partitioning.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot requires two array<double> arguments, got ${left.dataType} / ${right.dataType}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration + Column-level entry points for graft's native expressions. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", (args: Seq[Expression]) => DotProduct(args(0), args(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_sig",
+      (args: Seq[Expression]) =>
+        MinHashSig(args(0), args(1).eval().asInstanceOf[Int]), "built-in")
+  }
+
+  /** Requires register(spark) on the session first. */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Requires register(spark) on the session first. */
+  def minhashSig(elementHashes: Column, numPerm: Int): Column =
+    call_function("graft_minhash_sig", elementHashes,
+      org.apache.spark.sql.functions.lit(numPerm))
+}

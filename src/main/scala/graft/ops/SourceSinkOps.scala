@@ -67,6 +67,10 @@ object SourceSinkOps {
       val out = Files.createTempDirectory("graft_sink").toString
       Tables.events(s, d)
         .withColumn("d", to_date(col("ts")))
+        // one shuffle keyed by the partition column → one file per day dir
+        // instead of (tasks × days) small files — the small-files guard that
+        // matters far more at 100 TB than here
+        .repartition(col("d"))
         .write.partitionBy("d").mode("overwrite").parquet(out)
       s.read.parquet(out)
         .groupBy("d")
