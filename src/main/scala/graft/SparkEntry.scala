@@ -18,7 +18,7 @@ object SparkEntry {
   private def allOps: Seq[Op] =
     ScanFilterOps.all ++ SourceSinkOps.all ++ AggOps.all ++ JoinOps.all ++ WindowOps.all ++
       TimeSeriesOps.all ++ SortSetOps.all ++ FuncOps.all ++ LlmOps.all ++
-      MultimodalOps.all ++ StreamingOps.all
+      TextOps.all ++ MultimodalOps.all ++ StreamingOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -74,6 +74,8 @@ object GraftFunctions {
       "graft_minhash_sig",
       (args: Seq[Expression]) =>
         MinHashSig(args(0), args(1).eval().asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash64", (args: Seq[Expression]) => SimHash64(args(0)), "built-in")
   }
 
   /** Requires register(spark) on the session first. */
@@ -83,4 +85,8 @@ object GraftFunctions {
   def minhashSig(elementHashes: Column, numPerm: Int): Column =
     call_function("graft_minhash_sig", elementHashes,
       org.apache.spark.sql.functions.lit(numPerm))
+
+  /** Requires register(spark) on the session first. */
+  def simhash64(elementHashes: Column): Column =
+    call_function("graft_simhash64", elementHashes)
 }

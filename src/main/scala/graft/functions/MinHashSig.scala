@@ -50,8 +50,9 @@ case class MinHashSig(child: Expression, numPerm: Int)
 }
 
 object MinHashSig {
-  /** SplitMix64 — the (a, b) parameter generator for permutation i. */
-  private def splitmix64(x0: Long): Long = {
+  /** SplitMix64 — deterministic parameter generator (also used by the LSH
+    * hyperplane construction in LlmOps). */
+  def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L
     x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
     x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL

@@ -100,6 +100,153 @@ object LlmOps {
     (s, d) => nearDupPairs(Tables.documents(s, d)),
     None)
 
+  /** SimHash near-dedup: 64-bit signature via bit voting over shingle hashes
+    * ([[graft.functions.SimHash64]]), candidates from 8×8-bit chunk banding
+    * (Hamming ≤ 7 ⇒ at least one chunk identical — pigeonhole), verified by
+    * bit_count(xor) ≤ 7. The threshold suits this corpus's feature-set sizes
+    * (hundreds of shingles → a one-word edit moves ~4 signature bits; an
+    * unrelated pair sits at ~32). Deterministic; proven by TextSpec's planted
+    * fixture. Scale shape = same bucket-join as MinHash-LSH. */
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val base = shingled(docs.select("doc_id", "text"))
+      .withColumn("hs", transform(col("shingles"), sh => xxhash64(sh)))
+      .withColumn("sig", graft.functions.GraftFunctions.simhash64(col("hs")))
+      .select("doc_id", "sig")
+    val chunkCols = (0 until 8).map { c =>
+      struct(lit(c).as("band"),
+        expr(s"shiftrightunsigned(sig, ${8 * c}) & 255").as("bh"))
+    }
+    val buckets = base
+      .select(col("doc_id"), col("sig"), explode(array(chunkCols: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    buckets.as("l").join(buckets.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).as("hamming"))
+      .where(col("hamming") <= 7) // filter before distinct: shrink the dedup input
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupSimhash: Op = Op(
+    "dedup_simhash",
+    (s, d) => simhashPairs(Tables.documents(s, d)),
+    None)
+
+  /** Exact n-gram Jaccard near-dedup — fully relational (explode shingles →
+    * equi-join on shingle → shared counts → Jaccard), so the oracle can
+    * mirror it with DuckDB list lambdas. At 100 TB add a document-frequency
+    * cutoff on hot shingles before the self-join (a one-line filter on a
+    * groupBy count) — the synthetic vocabulary doesn't need it. */
+  val dedupNgramJaccard: Op = Op(
+    "dedup_ngram_jaccard",
+    (s, d) => {
+      val sh = shingled(Tables.documents(s, d).select("doc_id", "text"))
+        .select(col("doc_id"), explode(col("shingles")).as("s"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .where(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "g AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 2), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s FROM t WHERE len(w) >= 3), " +
+      "sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1), " +
+      "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter FROM g a " +
+      "JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard " +
+      "FROM p JOIN sz na ON na.doc_id = doc_a JOIN sz nb ON nb.doc_id = doc_b " +
+      "WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5 ORDER BY doc_a, doc_b"))
+
+  /** Embedding-space near-dedup: pairs with cosine ≥ 0.4, ids only. The 0.4
+    * boundary has ≥1e-5 margin from every actual pair value across all sfs
+    * while DuckDB's float32 cosine diverges from our double math by ≤1e-7
+    * (both measured) — so threshold membership can't flip. */
+  val dedupEmbeddingCosine: Op = Op(
+    "dedup_embedding_cosine",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val a = withVec(Tables.embeddings(s, d), "vec_id_a", "va", "na")
+      val b = withVec(Tables.embeddings(s, d), "vec_id_b", "vb", "nb")
+      a.join(b, col("vec_id_a") < col("vec_id_b"))
+        .where(cosine(col("va"), col("vb"), col("na"), col("nb")) >= 0.4)
+        .select("vec_id_a", "vec_id_b")
+        .orderBy("vec_id_a", "vec_id_b")
+    },
+    Some("SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b FROM embeddings a " +
+      "JOIN embeddings b ON a.vec_id < b.vec_id " +
+      "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4 " +
+      "ORDER BY vec_id_a, vec_id_b"))
+
+  /** The 100 TB scale path for similarity search: multi-table
+    * random-hyperplane LSH. 4 independent tables × 6 sign-bits bucket the
+    * corpus (hyperplanes derived from SplitMix64 — fixed seeds); each query
+    * probes its bucket plus all 1-bit flips in every table; only candidates
+    * pay exact cosine, then a per-query top-5 window. The corpus never pays
+    * the n² pair space — the join is an equi-join on (table, bucket).
+    *
+    * Tuning note: uniform random embeddings are LSH's worst case (no cluster
+    * structure — the 5th neighbor is barely above random), so these
+    * parameters scan ~40% of this corpus for ~2/3 recall; on real clustered
+    * embeddings the same plan prunes far harder. Approximate ⇒ no SQL
+    * oracle; AnnSpec measures recall against the brute-force baseline and
+    * asserts determinism. */
+  val simSearchAnnLsh: Op = Op(
+    "sim_search_ann_lsh",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.MinHashSig.splitmix64
+      val nTables = 4
+      val nBits = 6
+      val planes = Array.tabulate(nTables, nBits, 64) { (t, p, j) =>
+        splitmix64((t * nBits + p) * 64L + j).toDouble / Long.MaxValue.toDouble // [-1, 1]
+      }
+      def bucketOf(vec: String, t: Int): Column =
+        (0 until nBits).map { p =>
+          val plane = array(planes(t)(p).map(lit(_)): _*)
+          when(graft.functions.GraftFunctions.dot(col(vec), plane) >= 0, lit(1 << p)).otherwise(lit(0))
+        }.reduce(_ + _)
+      val corpus = withVec(Tables.embeddings(s, d), "neighbor_id", "vc", "nc")
+        .withColumn("tb", explode(array((0 until nTables).map(t =>
+          struct(lit(t).as("t"), bucketOf("vc", t).as("bucket"))): _*)))
+        .select(col("neighbor_id"), col("vc"), col("nc"),
+          col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      // per table: the exact bucket plus every 1-bit flip (multi-probe)
+      val probeCols = (0 until nTables).flatMap { t =>
+        val b = bucketOf("vq", t)
+        (b +: (0 until nBits).map(p => b.bitwiseXOR(lit(1 << p))))
+          .map(pb => struct(lit(t).as("t"), pb.as("bucket")))
+      }
+      val queries = withVec(Tables.embeddings(s, d), "query_id", "vq", "nq")
+        .where(col("query_id") < 10)
+        .withColumn("pr", explode(array(probeCols: _*)))
+        .select(col("query_id"), col("vq"), col("nq"),
+          col("pr.t").as("qt"), col("pr.bucket").as("qbucket"))
+      val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+      broadcast(queries).join(corpus,
+          col("qt") === col("t") && col("qbucket") === col("bucket") &&
+            col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("vq"), col("vc"), col("nq"), col("nc")).as("sim"))
+        .distinct() // a neighbor can match several probes/tables
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    },
+    None)
+
   // ------------------------------------------------------ similarity search
 
   /** Embedding vector as doubles + its L2 norm. The dot product is the
@@ -232,6 +379,7 @@ object LlmOps {
     Some("SELECT doc_id, lang, n_chars, label, CAST(len(embedding) AS INT) AS dim " +
       "FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id"))
 
-  val all: Seq[Op] = Seq(dedupExact, dedupNearMinhash, simSearchTopk, simSearchKnnPerQuery,
+  val all: Seq[Op] = Seq(dedupExact, dedupNearMinhash, dedupSimhash, dedupNgramJaccard,
+    dedupEmbeddingCosine, simSearchTopk, simSearchKnnPerQuery, simSearchAnnLsh,
     textLangStats, textQualityFilter, multimodalJoin)
 }

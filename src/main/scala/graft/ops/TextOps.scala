@@ -1,0 +1,109 @@
+package graft.ops
+
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** North-star text-analysis operators beyond SURVEY §2 K's original rows:
+  * language identification (n-gram/stopword heuristic), tokenization
+  * statistics (whitespace + BPE-ish regex), and document fingerprinting
+  * (k-gram winnowing).
+  *
+  * Scale notes: all three are embarrassingly parallel scan→project/groupBy
+  * pipelines; language-ID and token stats stay in whole-stage codegen, the
+  * fingerprint explode is rows-out ∝ fingerprints with no shuffle until the
+  * consumer joins on fingerprint (which is exactly the near-dup bucket-join
+  * shape again).
+  */
+object TextOps {
+
+  /** Stopword marker sets per language — a deterministic heuristic scorer
+    * (count of distinct marker tokens present), argmax with alphabetical
+    * tie-break. On the synthetic database-vocabulary corpus most docs score
+    * highest for 'en' ("the"/"a" are in the vocabulary); TextSpec proves the
+    * classifier on genuine per-language fixtures. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "los", "de", "y", "es", "que"),
+    "fr" -> Seq("le", "la", "et", "les", "est", "que"),
+    "zh" -> Seq("的", "是", "在", "了", "不", "我"))
+
+  val textLangId: Op = Op(
+    "text_lang_id",
+    (s, d) => {
+      val words = array_distinct(split(col("text"), " "))
+      val scored = Tables.documents(s, d)
+        .select((col("doc_id") +: col("lang").as("labeled_lang") +:
+          markers.map { case (lang, ms) =>
+            size(array_intersect(words, array(ms.map(lit(_)): _*))).as(s"s_$lang")
+          }): _*)
+      val Seq(de, en, es, fr, zh) = markers.map { case (l, _) => col(s"s_$l") }
+      scored
+        .withColumn("pred_lang",
+          when(de >= en && de >= es && de >= fr && de >= zh, "de")
+            .when(en >= es && en >= fr && en >= zh, "en")
+            .when(es >= fr && es >= zh, "es")
+            .when(fr >= zh, "fr")
+            .otherwise("zh"))
+        .orderBy("doc_id")
+    },
+    Some("SELECT doc_id, lang AS labeled_lang, s_de, s_en, s_es, s_fr, s_zh, " +
+      "CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de' " +
+      "WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en' " +
+      "WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es' " +
+      "WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS pred_lang FROM " +
+      "(SELECT doc_id, lang, " +
+      markers.map { case (lang, ms) =>
+        val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+        s"CAST(len(list_distinct(list_intersect(string_split(text, ' '), $lst))) AS INT) AS s_$lang"
+      }.mkString(", ") +
+      " FROM documents) ORDER BY doc_id"))
+
+  /** Token counting: whitespace tokens, BPE-ish subword chunks (greedy
+    * ≤4-char alpha runs — identical greedy-regex semantics on both engines),
+    * and alpha char count, plus chars-per-subtoken. */
+  val textTokenStats: Op = Op(
+    "text_token_stats",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0))).as("n_subtokens"),
+          length(expr("replace(text, ' ', '')")).as("n_alpha"))
+        .withColumn("chars_per_subtoken",
+          col("n_alpha").cast("double") / col("n_subtokens"))
+        .orderBy("doc_id"),
+    Some("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, " +
+      "CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS INT) AS n_subtokens, " +
+      "CAST(length(replace(text, ' ', '')) AS INT) AS n_alpha, " +
+      "CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(regexp_extract_all(text, '[a-z]{1,4}')) AS chars_per_subtoken " +
+      "FROM documents ORDER BY doc_id"))
+
+  /** Document fingerprinting by winnowing: rolling word-3-gram hashes, min
+    * over each window of 4 consecutive hashes, distinct — the classic
+    * near-dup sketch (identical docs ⇒ identical fingerprint sets; near-dups
+    * share most fingerprints). Hash values are xxhash64 (engine-specific) ⇒
+    * no SQL oracle; TextSpec asserts the set semantics. */
+  val textFingerprint: Op = Op(
+    "text_fingerprint",
+    (s, d) => {
+      val words = split(col("text"), " ")
+      Tables.documents(s, d)
+        .withColumn("words", words)
+        .where(size(col("words")) >= 6) // ≥3 shingles ⇒ ≥0 windows of 4 after guard below
+        .withColumn("hs", transform(
+          sequence(lit(0), size(col("words")) - 3),
+          i => xxhash64(concat_ws(" ", element_at(col("words"), i + 1),
+            element_at(col("words"), i + 2), element_at(col("words"), i + 3)))))
+        .where(size(col("hs")) >= 4)
+        .withColumn("fp", explode(array_distinct(
+          transform(sequence(lit(0), size(col("hs")) - 4),
+            i => array_min(slice(col("hs"), i + 1, lit(4)))))))
+        .select("doc_id", "fp")
+        .orderBy("doc_id", "fp")
+    },
+    None)
+
+  val all: Seq[Op] = Seq(textLangId, textTokenStats, textFingerprint)
+}
