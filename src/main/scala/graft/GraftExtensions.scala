@@ -1,0 +1,35 @@
+package graft
+
+import graft.functions.{DotProduct, MinHashSig, SimHash64}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Production registration path for graft's native expressions:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   // or
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * }}}
+  *
+  * makes `graft_dot`, `graft_minhash_sig`, and `graft_simhash64` available
+  * to every session (SQL and DataFrame API) without the per-session
+  * `GraftFunctions.register` call the operators use as a fallback. No custom
+  * optimizer rules or strategies are injected — SURVEY §4.3's audit holds:
+  * Catalyst's built-in planning covers the whole declared surface, and the
+  * engine's extensions are scalar expressions only.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      (args: Seq[Expression]) => MinHashSig(args(0), args(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (args: Seq[Expression]) => SimHash64(args(0))))
+  }
+}
