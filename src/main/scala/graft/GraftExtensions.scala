@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, MinHashSig, SimHash64}
+import graft.functions.{DotProduct, MinHashSig, SimHash64, WinnowMins}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -31,5 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (args: Seq[Expression]) => SimHash64(args(0))))
+    ext.injectFunction((FunctionIdentifier("graft_winnow_mins"),
+      new ExpressionInfo(classOf[WinnowMins].getName, "graft_winnow_mins"),
+      (args: Seq[Expression]) => WinnowMins(args(0), args(1).eval().asInstanceOf[Int])))
   }
 }

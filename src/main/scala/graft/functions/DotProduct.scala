@@ -76,6 +76,10 @@ object GraftFunctions {
         MinHashSig(args(0), args(1).eval().asInstanceOf[Int]), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash64", (args: Seq[Expression]) => SimHash64(args(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_winnow_mins",
+      (args: Seq[Expression]) =>
+        WinnowMins(args(0), args(1).eval().asInstanceOf[Int]), "built-in")
   }
 
   /** Requires register(spark) on the session first. */
@@ -89,4 +93,9 @@ object GraftFunctions {
   /** Requires register(spark) on the session first. */
   def simhash64(elementHashes: Column): Column =
     call_function("graft_simhash64", elementHashes)
+
+  /** Requires register(spark) on the session first. */
+  def winnowMins(elementHashes: Column, window: Int): Column =
+    call_function("graft_winnow_mins", elementHashes,
+      org.apache.spark.sql.functions.lit(window))
 }

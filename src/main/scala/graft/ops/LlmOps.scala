@@ -68,8 +68,14 @@ object LlmOps {
     * (NearDupSpec). Input: (doc_id, text). */
   def nearDupPairs(docs: DataFrame): DataFrame = {
       graft.functions.GraftFunctions.register(docs.sparkSession)
+      // Materialize signatures+shingles once: the table is tiny (one row per
+      // doc) but its expression tree is big, and it feeds three join
+      // branches — uncached, Spark inlines the tree into every branch and
+      // pays codegen + recompute per copy. At 100 TB this is "write the
+      // signature table once, then join against it".
       val base = withSignature(shingled(docs.select("doc_id", "text")))
         .select(col("doc_id"), col("shingles"), col("sig"))
+        .cache()
       val bandCols = (0 until Bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(lit(b) +: (0 until RowsPerBand).map(r =>
@@ -109,17 +115,31 @@ object LlmOps {
     * fixture. Scale shape = same bucket-join as MinHash-LSH. */
   def simhashPairs(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // Materialized once for the same reason as nearDupPairs' base: the
+    // signature subtree would otherwise be inlined (and codegen-compiled)
+    // into the bucket-size aggregate and both sides of the self-join.
     val base = shingled(docs.select("doc_id", "text"))
       .withColumn("hs", transform(col("shingles"), sh => xxhash64(sh)))
       .withColumn("sig", graft.functions.GraftFunctions.simhash64(col("hs")))
       .select("doc_id", "sig")
+      .cache()
     val chunkCols = (0 until 8).map { c =>
       struct(lit(c).as("band"),
         expr(s"shiftrightunsigned(sig, ${8 * c}) & 255").as("bh"))
     }
-    val buckets = base
+    val rawBuckets = base
       .select(col("doc_id"), col("sig"), explode(array(chunkCols: _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // Hot-bucket cap: a homogeneous corpus makes SimHash chunks cluster, and
+    // one hot (band, value) bucket goes quadratic. A bucket with > 64 members
+    // carries no near-dup evidence a cooler band wouldn't also carry (8
+    // independent chunks per pair), so drop it from candidate generation —
+    // the deterministic skew guard SCALE.md prescribes for 100 TB. The
+    // bucket-size table is ≤ 8×256 rows → broadcast.
+    val bucketSizes = rawBuckets.groupBy("band", "bh").agg(count(lit(1)).as("bsz"))
+    val buckets = rawBuckets
+      .join(broadcast(bucketSizes.where(col("bsz") <= 64)), Seq("band", "bh"))
+      .select("doc_id", "sig", "band", "bh")
     buckets.as("l").join(buckets.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.doc_id") < col("r.doc_id"))
@@ -145,6 +165,7 @@ object LlmOps {
     (s, d) => {
       val sh = shingled(Tables.documents(s, d).select("doc_id", "text"))
         .select(col("doc_id"), explode(col("shingles")).as("s"))
+        .cache() // feeds the self-join twice + the per-doc size aggregate
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("a").join(sh.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

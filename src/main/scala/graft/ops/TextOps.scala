@@ -88,18 +88,20 @@ object TextOps {
   val textFingerprint: Op = Op(
     "text_fingerprint",
     (s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val words = split(col("text"), " ")
       Tables.documents(s, d)
         .withColumn("words", words)
-        .where(size(col("words")) >= 6) // ≥3 shingles ⇒ ≥0 windows of 4 after guard below
+        .where(size(col("words")) >= 6)
         .withColumn("hs", transform(
           sequence(lit(0), size(col("words")) - 3),
           i => xxhash64(concat_ws(" ", element_at(col("words"), i + 1),
             element_at(col("words"), i + 2), element_at(col("words"), i + 3)))))
         .where(size(col("hs")) >= 4)
-        .withColumn("fp", explode(array_distinct(
-          transform(sequence(lit(0), size(col("hs")) - 4),
-            i => array_min(slice(col("hs"), i + 1, lit(4)))))))
+        // fused sliding-min ([[graft.functions.WinnowMins]]) — same values as
+        // the array_distinct(transform(...array_min(slice)...)) spelling,
+        // asserted equivalent in TextSpec
+        .withColumn("fp", explode(graft.functions.GraftFunctions.winnowMins(col("hs"), 4)))
         .select("doc_id", "fp")
         .orderBy("doc_id", "fp")
     },

@@ -70,6 +70,16 @@ class TextSpec extends AnyFunSuite {
     val overlap = (fps(1L) & fps(3L)).size.toDouble / (fps(1L) | fps(3L)).size
     assert(overlap >= 0.3, s"near-dup fingerprint overlap $overlap too low")
     assert(fps(1L) != fps(3L), "edited doc must differ somewhere")
+    // the fused WinnowMins expression produces the same sets as the HOF spelling
+    graft.functions.GraftFunctions.register(spark)
+    val fused = docs.withColumn("words", words)
+      .withColumn("hs", transform(sequence(lit(0), size(col("words")) - 3),
+        i => xxhash64(concat_ws(" ", element_at(col("words"), i + 1),
+          element_at(col("words"), i + 2), element_at(col("words"), i + 3)))))
+      .withColumn("fp", explode(graft.functions.GraftFunctions.winnowMins(col("hs"), 4)))
+      .select("doc_id", "fp").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(fused == fps, "WinnowMins must match the array_distinct/array_min/slice spelling")
   }
 
   test("simhash: planted near-duplicates within Hamming 7, deterministic") {
