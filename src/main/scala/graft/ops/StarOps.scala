@@ -1,0 +1,119 @@
+package graft.ops
+
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Dets._
+
+/** Multi-join analytical queries over the full star schema — the optimizer
+  * workout (join ordering, broadcast selection across 5–6 relations) plus
+  * the plain-SQL serving surface a warehouse user expects.
+  *
+  * Scale notes: region/nation (and part-scale dims) broadcast; the
+  * lineitem⋈orders spine is the only big shuffle; Catalyst reorders the dim
+  * joins below it. `sql_interface` proves the whole engine is reachable from
+  * SQL text over [[GraftCatalog]]'s registered views — same plans, same
+  * oracle, zero extra code per operator.
+  */
+object StarOps {
+
+  /** TPC-H Q5 shape: revenue per nation for one year, customers and
+    * suppliers co-located in an ASIA nation. */
+  val starJoinQ5: Op = Op(
+    "star_join_q5",
+    (s, d) => {
+      val one = lit(1).cast(D3_2)
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+               col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val c = Tables.customer(s, d)
+      val su = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d).where(col("r_name") === "ASIA")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey") &&
+                  c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(d2(col("l_extendedprice")) * (one - frac(col("l_discount"))))
+               .cast("double").as("revenue"),
+             count(lit(1)).as("cnt"))
+        .orderBy("n_name")
+    },
+    Some("SELECT n_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "(1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue, COUNT(*) AS cnt " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+      "JOIN nation ON s_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey " +
+      "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+      "AND o_orderdate < TIMESTAMP '1997-01-01' " +
+      "GROUP BY n_name ORDER BY n_name"))
+
+  /** TPC-H Q3 shape: top-10 open orders by discounted revenue for one
+    * market segment — join + aggregate + top-k in one plan. */
+  val starTopnQ3: Op = Op(
+    "star_topn_q3",
+    (s, d) => {
+      val one = lit(1).cast(D3_2)
+      val c = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).where(col("o_orderstatus") === "O")
+      val li = Tables.lineitem(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(li, o("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(d2(col("l_extendedprice")) * (one - frac(col("l_discount"))))
+               .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    },
+    Some("SELECT o_orderkey, o_orderdate, o_orderpriority, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "JOIN lineitem ON o_orderkey = l_orderkey " +
+      "WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O' " +
+      "GROUP BY o_orderkey, o_orderdate, o_orderpriority " +
+      "ORDER BY revenue DESC, o_orderkey LIMIT 10"))
+
+  /** The SQL serving surface: the flagship pricing summary submitted as SQL
+    * text against GraftCatalog's views — plan and results identical to the
+    * DataFrame spelling (same oracle SQL modulo table resolution). */
+  val sqlInterface: Op = Op(
+    "sql_interface",
+    (s, d) => {
+      GraftCatalog.registerAll(s, d)
+      s.sql("SELECT l_returnflag, l_linestatus, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price, " +
+        "COUNT(*) AS count_order " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus " +
+        "ORDER BY l_returnflag, l_linestatus")
+    },
+    Some("SELECT l_returnflag, l_linestatus, " +
+      "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price, " +
+      "COUNT(*) AS count_order " +
+      "FROM lineitem GROUP BY l_returnflag, l_linestatus " +
+      "ORDER BY l_returnflag, l_linestatus"))
+
+  val all: Seq[Op] = Seq(starJoinQ5, starTopnQ3, sqlInterface)
+}
+
+/** Temp-view registration for the SQL surface: a user of the reference who
+  * writes SQL points their queries at these view names. */
+object GraftCatalog {
+  private val tables = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "documents", "embeddings")
+
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    tables.foreach { t =>
+      spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+    }
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+    graft.functions.GraftFunctions.register(spark)
+  }
+}
