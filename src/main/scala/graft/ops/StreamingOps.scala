@@ -114,5 +114,46 @@ object StreamingOps {
       "SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 MINUTE AS session_end, " +
       "COUNT(*) AS cnt FROM y GROUP BY user_id, sid ORDER BY user_id, session_start"))
 
-  val all: Seq[Op] = Seq(streamTumblingWatermark, streamDedup, streamSessionStateful)
+  /** Late-data semantics demonstrated end-to-end: replay a fixed out-of-order
+    * event script through MemoryStream with a 10-minute watermark, in two
+    * micro-batches so the watermark actually advances between them; a row
+    * older than the watermark is dropped by the window aggregation. Returns
+    * the surviving per-window counts plus the state store's dropped-row
+    * accounting. Deterministic (fixed script, fixed batch boundaries) but not
+    * SQL-expressible — rows-only driver check; the full behavioral assertions
+    * live in StreamLateDataSpec. */
+  val streamLateData: Op = Op(
+    "stream_late_data",
+    (s, _) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      def t(str: String) = java.sql.Timestamp.valueOf(str)
+      val input = MemoryStream[(Long, java.sql.Timestamp)]
+      val qn = s"st_late_${System.nanoTime()}"
+      val q = input.toDF().toDF("event_id", "ts")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("ws"), col("cnt"))
+        .writeStream.format("memory").queryName(qn).outputMode("update")
+        .option("checkpointLocation", tmp("ckpt_late"))
+        .start()
+      try {
+        input.addData((1L, t("2024-01-01 10:00:00")), (2L, t("2024-01-01 10:25:00")))
+        q.processAllAvailable() // watermark advances to 10:15
+        input.addData((3L, t("2024-01-01 10:01:00")), // < watermark → dropped
+                      (4L, t("2024-01-01 10:21:00"))) // kept
+        q.processAllAvailable()
+        val dropped = q.recentProgress
+          .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+        s.table(qn)
+          .groupBy("ws").agg(max(col("cnt")).as("cnt")) // update mode re-emits
+          .withColumn("rows_dropped_by_watermark", lit(dropped))
+          .orderBy("ws")
+      } finally q.stop()
+    },
+    None)
+
+  val all: Seq[Op] = Seq(streamTumblingWatermark, streamDedup, streamSessionStateful, streamLateData)
 }
