@@ -80,5 +80,47 @@ object SourceSinkOps {
     Some("SELECT CAST(ts AS DATE) AS d, COUNT(*) AS cnt, " + oSum("value") + " AS sum_value " +
       "FROM events GROUP BY 1 ORDER BY d"))
 
-  val all: Seq[Op] = Seq(csvLogIngest, sinkPartitionedParquet)
+  /** The co-located-join layout from SCALE.md, demonstrated end to end:
+    * lineitem and orders written as tables bucketed (and sorted) on the join
+    * key, then joined — the bucketed scans satisfy the join's distribution
+    * requirement, so there is NO exchange on the join keys
+    * (BucketedJoinSpec asserts it). At 100 TB this is the layout decision
+    * that removes the one fact-fact shuffle entirely. */
+  val sinkBucketedJoin: Op = Op(
+    "sink_bucketed_join",
+    (s, d) => {
+      import Dets._
+      val run = java.lang.Long.toHexString(System.nanoTime())
+      val liName = s"li_bucketed_$run"
+      val oName = s"o_bucketed_$run"
+      val base = Files.createTempDirectory("graft_bucketed")
+      Tables.lineitem(s, d)
+        .repartition(8, col("l_orderkey"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", base.resolve(liName).toString)
+        .mode("overwrite").saveAsTable(liName)
+      Tables.orders(s, d)
+        .repartition(8, col("o_orderkey"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", base.resolve(oName).toString)
+        .mode("overwrite").saveAsTable(oName)
+      val one = lit(1).cast(D3_2)
+      // merge hint: at testdata scale Catalyst would (rightly) broadcast the
+      // small side; the point of this op is the fact-fact shape, where SMJ
+      // over co-bucketed scans is the plan — pin it so the no-shuffle
+      // property is what executes.
+      s.table(liName).hint("merge")
+        .join(s.table(oName), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(d2(col("l_extendedprice")) * (one - frac(col("l_discount"))))
+               .cast("double").as("revenue"),
+             count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")
+    },
+    Some("SELECT o_orderpriority, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "(1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue, COUNT(*) AS cnt " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "GROUP BY o_orderpriority ORDER BY o_orderpriority"))
+
+  val all: Seq[Op] = Seq(csvLogIngest, sinkPartitionedParquet, sinkBucketedJoin)
 }
