@@ -16,7 +16,8 @@ import scala.collection.immutable.ListMap
 object SparkEntry {
 
   private def allOps: Seq[Op] =
-    ScanFilterOps.all ++ SourceSinkOps.all ++ AggOps.all ++ JoinOps.all ++ StarOps.all ++ WindowOps.all ++
+    ScanFilterOps.all ++ SourceSinkOps.all ++ AggOps.all ++ JoinOps.all ++ StarOps.all ++
+      SubqueryOps.all ++ WindowOps.all ++
       TimeSeriesOps.all ++ SortSetOps.all ++ FuncOps.all ++ LlmOps.all ++
       TextOps.all ++ MultimodalOps.all ++ StreamingOps.all
 
