@@ -92,12 +92,15 @@ object TextOps {
       val words = split(col("text"), " ")
       Tables.documents(s, d)
         .withColumn("words", words)
+        // >= 6 words ⇒ exactly size(words)-2 >= 4 shingle hashes, so no
+        // post-hs size filter: a second consumer of `hs` would get the whole
+        // transform tree inlined again by projection collapse (measured 3×
+        // the compute for the same output)
         .where(size(col("words")) >= 6)
         .withColumn("hs", transform(
           sequence(lit(0), size(col("words")) - 3),
           i => xxhash64(concat_ws(" ", element_at(col("words"), i + 1),
             element_at(col("words"), i + 2), element_at(col("words"), i + 3)))))
-        .where(size(col("hs")) >= 4)
         // fused sliding-min ([[graft.functions.WinnowMins]]) — same values as
         // the array_distinct(transform(...array_min(slice)...)) spelling,
         // asserted equivalent in TextSpec
