@@ -241,6 +241,31 @@ object FuncOps {
     Some("SELECT doc_id, CAST(unnest(generate_series(1, len(string_split(text, ' ')))) AS INT) AS pos, " +
       "unnest(string_split(text, ' ')) AS token FROM documents ORDER BY doc_id, pos"))
 
+  /** Column profiling via unpivot (stack): per numeric lineitem column —
+    * counts, null count, min/max (order statistics on raw doubles are
+    * deterministic), exact-decimal mean. The data-quality scan every
+    * warehouse runs after a load. */
+  val profileUnpivot: Op = Op(
+    "profile_unpivot",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(expr("stack(4, 'l_quantity', l_quantity, 'l_extendedprice', l_extendedprice, " +
+          "'l_discount', l_discount, 'l_tax', l_tax) AS (col_name, v)"))
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col("v"))).as("n_nulls"),
+          min(col("v")).as("v_min"),
+          max(col("v")).as("v_max"),
+          (sum(col("v").cast(Dets.D12_2)).cast("double") / count(col("v"))).as("v_mean"))
+        .orderBy("col_name"),
+    Some("SELECT col_name, COUNT(*) AS n_rows, COUNT(*) - COUNT(v) AS n_nulls, " +
+      "min(v) AS v_min, max(v) AS v_max, " +
+      "CAST(SUM(CAST(v AS DECIMAL(12,2))) AS DOUBLE) / COUNT(v) AS v_mean " +
+      "FROM (UNPIVOT (SELECT l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem) " +
+      "ON l_quantity, l_extendedprice, l_discount, l_tax INTO NAME col_name VALUE v) " +
+      "GROUP BY col_name ORDER BY col_name"))
+
   val all: Seq[Op] = Seq(strFuncs, dateFuncs, mathFuncs, arrayFuncs, jsonExtractProps,
-    mapFuncs, hashFuncs, explodeWords, udfScalar, udafWeightedAvg, udtfFlatmapTokens)
+    mapFuncs, hashFuncs, explodeWords, udfScalar, udafWeightedAvg, udtfFlatmapTokens,
+    profileUnpivot)
 }
