@@ -1,7 +1,6 @@
 package graft.ops
 
 import graft.tables.Tables
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Dets._
 

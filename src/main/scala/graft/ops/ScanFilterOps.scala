@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.tables.Tables
 import org.apache.spark.sql.functions._
-import Dets._
 
 /** SURVEY.md §2 categories A (scans/sources) + B (projections/filters).
   *

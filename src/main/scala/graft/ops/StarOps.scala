@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.tables.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import Dets._
 

@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.tables.Tables
 import org.apache.spark.sql.functions._
-import Dets._
 
 /** Subquery surface — Catalyst's decorrelation at work (SURVEY §4.2:
   * RewriteCorrelatedScalarSubquery). Both ops are written as SQL (the
