@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  // NOTE on timestamp physical output: TimestampType (LTZ) columns write as
+  // legacy INT96 parquet under Spark's defaults. That is deliberate here:
+  // DuckDB (and pyarrow) read INT96 as a *naive* timestamp, exactly matching
+  // the oracle side's naive values. Forcing TIMESTAMP_MICROS instead writes
+  // tz-annotated int64, which DuckDB surfaces as TIMESTAMPTZ and the compare
+  // breaks — and an NTZ cast upstream is impossible because streaming
+  // watermarks and unix_micros require TimestampType. Verified empirically
+  // at sf0.001/0.01/0.1 (preflight 76/76 with INT96; 64/76 with µs).
   private def p(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
