@@ -122,5 +122,56 @@ object SourceSinkOps {
       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
       "GROUP BY o_orderpriority ORDER BY o_orderpriority"))
 
-  val all: Seq[Op] = Seq(csvLogIngest, sinkPartitionedParquet, sinkBucketedJoin)
+  /** The reference's load step is append + re-upload + idempotent rebuild —
+    * the relational form is a latest-wins upsert (CDC merge): base rows ∪ a
+    * correction batch, keep one row per key preferring (is_update, ts).
+    * Correction batch synthesized deterministically (every 10th event with a
+    * +100 value adjustment). One shuffle on the key at any scale. */
+  val mergeUpsertLatest: Op = Op(
+    "merge_upsert_latest",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"), lit(0).as("src"))
+      val updates = Tables.events(s, d)
+        .where(col("event_id") % 10 === 0)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          (col("value") + 100.0).as("value"), lit(1).as("src"))
+      val w = Window.partitionBy("event_id")
+        .orderBy(col("src").desc, col("ts").desc)
+      base.unionAll(updates)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("event_id", "user_id", "value", "src")
+        .orderBy("event_id")
+    },
+    Some("SELECT event_id, user_id, value, src FROM (" +
+      "SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY src DESC, ts DESC) AS rn FROM (" +
+      "SELECT event_id, ts, user_id, value, 0 AS src FROM events " +
+      "UNION ALL SELECT event_id, ts, user_id, value + 100.0 AS value, 1 AS src FROM events WHERE event_id % 10 = 0)) " +
+      "WHERE rn = 1 ORDER BY event_id"))
+
+  /** Report export: monthly revenue written as a CSV report, read back with
+    * a declared schema — the round trip must preserve every value (shortest
+    * double representation round-trips exactly). */
+  val sinkCsvReport: Op = Op(
+    "sink_csv_report",
+    (s, d) => {
+      import Dets._
+      val out = Files.createTempDirectory("graft_csv").toString
+      Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("mo"))
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("cnt"))
+        .coalesce(1)
+        .write.option("header", "true").mode("overwrite").csv(out)
+      s.read.option("header", "true")
+        .schema("mo TIMESTAMP, revenue DOUBLE, cnt BIGINT")
+        .csv(out)
+        .orderBy("mo")
+    },
+    Some("SELECT date_trunc('month', o_orderdate) AS mo, " + oSum("o_totalprice") + " AS revenue, " +
+      "COUNT(*) AS cnt FROM orders GROUP BY 1 ORDER BY mo"))
+
+  val all: Seq[Op] = Seq(csvLogIngest, sinkPartitionedParquet, sinkBucketedJoin,
+    mergeUpsertLatest, sinkCsvReport)
 }
