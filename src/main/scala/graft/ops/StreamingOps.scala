@@ -155,5 +155,52 @@ object StreamingOps {
     },
     None)
 
-  val all: Seq[Op] = Seq(streamTumblingWatermark, streamDedup, streamSessionStateful, streamLateData)
+  /** The arbitrary-stateful API (flatMapGroupsWithState): a per-user
+    * lifetime counter in explicit GroupState — the shape of custom state
+    * machines (credit balances, device registers) the built-in windows can't
+    * express. State accumulates in exact decimals so the within-group
+    * iterator order (shuffle-dependent) cannot change the emitted sums; on
+    * closed input the drained result equals the batch aggregation — which is
+    * the oracle. State store semantics identical on a cluster (RocksDB). */
+  val streamStatefulCounter: Op = Op(
+    "stream_stateful_counter",
+    (s, d) => {
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      import org.apache.spark.sql.{Encoder, Encoders}
+      implicit val stateEnc: Encoder[(Long, java.math.BigDecimal)] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.DECIMAL)
+      implicit val outEnc: Encoder[(Long, Long, Double)] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble)
+      implicit val rowEnc: Encoder[(Long, Double)] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+      val qn = s"st_state_${System.nanoTime()}"
+      val q = eventStream(s, d)
+        .select(col("user_id"), col("value")).as[(Long, Double)](rowEnc)
+        .groupByKey(_._1)(Encoders.scalaLong)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, java.math.BigDecimal)]) =>
+            var (cnt, sum) = state.getOption.getOrElse((0L, java.math.BigDecimal.ZERO))
+            rows.foreach { case (_, v) =>
+              cnt += 1
+              sum = sum.add(java.math.BigDecimal.valueOf(v)
+                .setScale(2, java.math.RoundingMode.HALF_UP))
+            }
+            state.update((cnt, sum))
+            Iterator((uid, cnt, sum.doubleValue()))
+        }
+        .toDF("user_id", "cnt", "sum_value")
+        .writeStream.format("memory").queryName(qn).outputMode("update")
+        .option("checkpointLocation", tmp("ckpt_state"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // a state-flush batch can re-emit identical finals → collapse by key
+      s.table(qn).groupBy("user_id")
+        .agg(max(col("cnt")).as("cnt"), max(col("sum_value")).as("sum_value"))
+        .orderBy("user_id")
+    },
+    Some("SELECT user_id, COUNT(*) AS cnt, " + oSum("value") + " AS sum_value " +
+      "FROM events GROUP BY user_id ORDER BY user_id"))
+
+  val all: Seq[Op] = Seq(streamTumblingWatermark, streamDedup, streamSessionStateful,
+    streamLateData, streamStatefulCounter)
 }
