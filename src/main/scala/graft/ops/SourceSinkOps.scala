@@ -172,6 +172,49 @@ object SourceSinkOps {
     Some("SELECT date_trunc('month', o_orderdate) AS mo, " + oSum("o_totalprice") + " AS revenue, " +
       "COUNT(*) AS cnt FROM orders GROUP BY 1 ORDER BY mo"))
 
+  /** JSON-lines ingest round trip — the other format gateways actually
+    * upload. Events written as JSONL, read back schema-pinned (never
+    * inferred — §1.2), aggregated; oracle from the raw table proves the
+    * format round-trips values exactly (timestamps via ISO-8601 strings). */
+  val sourceJsonlRoundtrip: Op = Op(
+    "source_jsonl_roundtrip",
+    (s, d) => {
+      import Dets._
+      val out = Files.createTempDirectory("graft_jsonl").toString
+      Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        // default JSON timestamp format truncates to milliseconds — pin µs
+        .write.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .mode("overwrite").json(out)
+      s.read.schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .json(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+          min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+        .orderBy("event_type")
+    },
+    Some("SELECT event_type, COUNT(*) AS cnt, " + oSum("value") + " AS sum_value, " +
+      "min(ts) AS first_ts, max(ts) AS last_ts FROM events GROUP BY 1 ORDER BY 1"))
+
+  /** ORC round trip — the second columnar format (native Spark support).
+    * Same aggregation contract as the JSONL path. */
+  val sourceOrcRoundtrip: Op = Op(
+    "source_orc_roundtrip",
+    (s, d) => {
+      import Dets._
+      val out = Files.createTempDirectory("graft_orc").toString
+      Tables.lineitem(s, d)
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag")
+    },
+    Some("SELECT l_returnflag, COUNT(*) AS cnt, " + oSum("l_quantity") + " AS sum_qty, " +
+      oSum("l_extendedprice") + " AS sum_price FROM lineitem GROUP BY 1 ORDER BY 1"))
+
   val all: Seq[Op] = Seq(csvLogIngest, sinkPartitionedParquet, sinkBucketedJoin,
-    mergeUpsertLatest, sinkCsvReport)
+    mergeUpsertLatest, sinkCsvReport, sourceJsonlRoundtrip, sourceOrcRoundtrip)
 }
