@@ -27,12 +27,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))
     ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
-      (args: Seq[Expression]) => MinHashSig(args(0), args(1).eval().asInstanceOf[Int])))
+      (args: Seq[Expression]) => MinHashSig(args(0), graft.functions.GraftFunctions.intParam(args(1), "graft_minhash_sig"))))
     ext.injectFunction((FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (args: Seq[Expression]) => SimHash64(args(0))))
     ext.injectFunction((FunctionIdentifier("graft_winnow_mins"),
       new ExpressionInfo(classOf[WinnowMins].getName, "graft_winnow_mins"),
-      (args: Seq[Expression]) => WinnowMins(args(0), args(1).eval().asInstanceOf[Int])))
+      (args: Seq[Expression]) => WinnowMins(args(0), graft.functions.GraftFunctions.intParam(args(1), "graft_winnow_mins"))))
   }
 }

@@ -36,50 +36,64 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
-    s
-  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotProduct.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val s = ctx.freshName("s")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
-         |}
-         |${ev.value} = $s;
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev,
+      (a, b) => s"${ev.value} = graft.functions.DotProduct.dot($a, $b);")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
 
+object DotProduct {
+  /** Shared by interpreted and generated code. Mismatched lengths raise
+    * rather than silently truncating — a ragged embedding is a data-quality
+    * defect that must not flow into similarity rankings unnoticed. */
+  def dot(x: ArrayData, y: ArrayData): Double = {
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_dot: vector length mismatch ($n vs ${y.numElements()})")
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+}
+
 /** Registration + Column-level entry points for graft's native expressions. */
 object GraftFunctions {
+
+  /** Resolve a parameter that must be a foldable integer (e.g. numPerm) —
+    * a clear error beats a ClassCastException from a blind eval cast when a
+    * SQL user passes a column or a BIGINT literal. */
+  private[graft] def intParam(e: Expression, fn: String): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(s"$fn: parameter must be a literal integer, got ${e.sql}")
+    e.eval() match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case other =>
+        throw new IllegalArgumentException(s"$fn: parameter must be an integer literal, got $other")
+    }
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", (args: Seq[Expression]) => DotProduct(args(0), args(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_sig",
       (args: Seq[Expression]) =>
-        MinHashSig(args(0), args(1).eval().asInstanceOf[Int]), "built-in")
+        MinHashSig(args(0), intParam(args(1), "graft_minhash_sig")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash64", (args: Seq[Expression]) => SimHash64(args(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_winnow_mins",
       (args: Seq[Expression]) =>
-        WinnowMins(args(0), args(1).eval().asInstanceOf[Int]), "built-in")
+        WinnowMins(args(0), intParam(args(1), "graft_winnow_mins")), "built-in")
   }
 
   /** Requires register(spark) on the session first. */

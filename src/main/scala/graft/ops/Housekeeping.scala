@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.file.{Files, Path}
+import java.util.Comparator
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicReference
+
+/** Bounded lifecycles for the side artifacts some operators create (caches,
+  * temp dirs, catalog tables). Query functions return lazy DataFrames, so an
+  * artifact can't be destroyed inside the same invocation that produced it —
+  * instead each op keeps at most ONE live generation: invoking the op again
+  * disposes the previous invocation's artifacts. Verify/Bench/test loops
+  * therefore hold a constant footprint instead of leaking per run.
+  */
+object Housekeeping {
+
+  private val caches = new ConcurrentHashMap[String, DataFrame]()
+
+  /** cache() with one live generation per key. */
+  def cacheBounded(key: String, df: DataFrame): DataFrame = {
+    val cached = df.cache()
+    val prev = caches.put(key, cached)
+    if (prev != null && (prev ne cached)) prev.unpersist(blocking = false)
+    cached
+  }
+
+  private val dirs = new ConcurrentHashMap[String, Path]()
+
+  /** Register a temp directory under a key; the key's previous directory is
+    * deleted recursively. */
+  def tempDirBounded(key: String, path: Path): Path = {
+    val prev = dirs.put(key, path)
+    if (prev != null && prev != path) deleteRecursively(prev)
+    path
+  }
+
+  def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => { Files.deleteIfExists(f); () })
+    }
+
+  private val tables = new AtomicReference[(SparkSession, Seq[String], Path)](null)
+
+  /** Register this invocation's catalog tables + backing dir; the previous
+    * invocation's tables are dropped and its dir deleted. */
+  def tablesBounded(s: SparkSession, names: Seq[String], dir: Path): Unit = {
+    val prev = tables.getAndSet((s, names, dir))
+    if (prev != null) {
+      val (ps, pNames, pDir) = prev
+      pNames.foreach(n => ps.sql(s"DROP TABLE IF EXISTS $n"))
+      deleteRecursively(pDir)
+    }
+  }
+}

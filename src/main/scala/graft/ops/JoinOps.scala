@@ -161,8 +161,11 @@ object JoinOps {
     "join_asof",
     (s, d) => {
       val e = Tables.events(s, d)
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
+      // RANGE frame over event-time micros ending 1µs before the current row:
+      // exactly the oracle's strict `v.ts < p.ts` — a row-based frame would
+      // wrongly admit a view at the *same* timestamp as the purchase.
+      val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+        .rangeBetween(Window.unboundedPreceding, -1)
       e.withColumn("prev_view_ts",
           last(when(col("event_type") === "view", col("ts")), ignoreNulls = true).over(w))
         .where(col("event_type") === "purchase")

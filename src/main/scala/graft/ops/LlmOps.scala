@@ -73,9 +73,9 @@ object LlmOps {
       // branches — uncached, Spark inlines the tree into every branch and
       // pays codegen + recompute per copy. At 100 TB this is "write the
       // signature table once, then join against it".
-      val base = withSignature(shingled(docs.select("doc_id", "text")))
-        .select(col("doc_id"), col("shingles"), col("sig"))
-        .cache()
+      val base = Housekeeping.cacheBounded("minhash_base",
+        withSignature(shingled(docs.select("doc_id", "text")))
+          .select(col("doc_id"), col("shingles"), col("sig")))
       val bandCols = (0 until Bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(lit(b) +: (0 until RowsPerBand).map(r =>
@@ -118,11 +118,11 @@ object LlmOps {
     // Materialized once for the same reason as nearDupPairs' base: the
     // signature subtree would otherwise be inlined (and codegen-compiled)
     // into the bucket-size aggregate and both sides of the self-join.
-    val base = shingled(docs.select("doc_id", "text"))
-      .withColumn("hs", transform(col("shingles"), sh => xxhash64(sh)))
-      .withColumn("sig", graft.functions.GraftFunctions.simhash64(col("hs")))
-      .select("doc_id", "sig")
-      .cache()
+    val base = Housekeeping.cacheBounded("simhash_base",
+      shingled(docs.select("doc_id", "text"))
+        .withColumn("hs", transform(col("shingles"), sh => xxhash64(sh)))
+        .withColumn("sig", graft.functions.GraftFunctions.simhash64(col("hs")))
+        .select("doc_id", "sig"))
     val chunkCols = (0 until 8).map { c =>
       struct(lit(c).as("band"),
         expr(s"shiftrightunsigned(sig, ${8 * c}) & 255").as("bh"))
@@ -163,9 +163,10 @@ object LlmOps {
   val dedupNgramJaccard: Op = Op(
     "dedup_ngram_jaccard",
     (s, d) => {
-      val sh = shingled(Tables.documents(s, d).select("doc_id", "text"))
-        .select(col("doc_id"), explode(col("shingles")).as("s"))
-        .cache() // feeds the self-join twice + the per-doc size aggregate
+      // feeds the self-join twice + the per-doc size aggregate
+      val sh = Housekeeping.cacheBounded("ngram_shingles",
+        shingled(Tables.documents(s, d).select("doc_id", "text"))
+          .select(col("doc_id"), explode(col("shingles")).as("s")))
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("a").join(sh.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

@@ -94,6 +94,7 @@ object SourceSinkOps {
       val liName = s"li_bucketed_$run"
       val oName = s"o_bucketed_$run"
       val base = Files.createTempDirectory("graft_bucketed")
+      Housekeeping.tablesBounded(s, Seq(liName, oName), base)
       Tables.lineitem(s, d)
         .repartition(8, col("l_orderkey"))
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")

@@ -109,11 +109,18 @@ object GraftCatalog {
   private val tables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "documents", "embeddings")
 
-  def registerAll(spark: SparkSession, dir: String): Unit = {
-    tables.foreach { t =>
-      spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+  // Registration is skipped only when the session's views already point at
+  // THIS dir (a set-based memo would serve stale views after alternating
+  // warehouse roots in one session — the views are session-global).
+  private val current =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    if (current.put(spark, dir) != dir) {
+      tables.foreach { t =>
+        spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+      }
+      Tables.events(spark, dir).createOrReplaceTempView("events")
+      graft.functions.GraftFunctions.register(spark)
     }
-    Tables.events(spark, dir).createOrReplaceTempView("events")
-    graft.functions.GraftFunctions.register(spark)
-  }
 }

@@ -25,26 +25,30 @@ import java.nio.file.Files
   */
 object StreamingOps {
 
-  /** events.parquet's physical schema under the nanosAsLong shim. */
-  private val rawEventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** The streaming file source requires a *directory* (it tails new files) —
     * stage the closed events file into a per-run temp dir. On a cluster this
-    * is the landing directory gateways upload into. */
-  private def eventStream(s: SparkSession, d: String): DataFrame = {
+    * is the landing directory gateways upload into. The ns shim (schema +
+    * rebuild) is shared with the batch loader — one definition in
+    * [[graft.tables.Tables]]. Staged source and checkpoint dirs are disposed
+    * after the drained query terminates (cleanupAfter). */
+  private def eventStream(s: SparkSession, d: String): (DataFrame, java.nio.file.Path) = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val srcDir = Files.createTempDirectory("st_src")
     Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
       srcDir.resolve("events.parquet"))
-    s.readStream.schema(rawEventsSchema).parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = s.readStream.schema(graft.tables.Tables.rawEventsSchema).parquet(srcDir.toString)
+      .withColumn("ts", graft.tables.Tables.nsColToTimestamp("ts"))
+    (df, srcDir)
   }
 
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
+
+  /** Run a drained streaming query, then delete the dirs it no longer
+    * needs (staged source + checkpoint — the results live elsewhere). */
+  private def cleanupAfter[A](dirs: Seq[String])(run: => A): A =
+    try run
+    finally dirs.foreach(dir => Housekeeping.deleteRecursively(java.nio.file.Paths.get(dir)))
 
   /** Streaming hourly rollup with a 10-minute watermark, complete-mode
     * memory sink (emits every window at drain — equals batch on closed
@@ -54,16 +58,20 @@ object StreamingOps {
     "stream_tumbling_watermark",
     (s, d) => {
       val qn = s"st_tumble_${System.nanoTime()}"
-      val q = eventStream(s, d)
-        .withWatermark("ts", "10 minutes")
-        .groupBy(window(col("ts"), "1 hour"))
-        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
-        .select(col("window.start").as("h"), col("cnt"), col("sum_value"))
-        .writeStream.format("memory").queryName(qn).outputMode("complete")
-        .option("checkpointLocation", tmp("ckpt_tumble"))
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(qn).orderBy("h")
+      val (src, srcDir) = eventStream(s, d)
+      val ckpt = tmp("ckpt_tumble")
+      cleanupAfter(Seq(srcDir.toString, ckpt)) {
+        val q = src
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+          .select(col("window.start").as("h"), col("cnt"), col("sum_value"))
+          .writeStream.format("memory").queryName(qn).outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(qn).orderBy("h")
+      }
     },
     Some("SELECT date_trunc('hour', ts) AS h, COUNT(*) AS cnt, " + oSum("value") + " AS sum_value " +
       "FROM events GROUP BY 1 ORDER BY h"))
@@ -74,17 +82,22 @@ object StreamingOps {
   val streamDedup: Op = Op(
     "stream_dedup",
     (s, d) => {
-      val out = tmp("st_dedup_out")
-      val q = eventStream(s, d)
-        .withWatermark("ts", "10 minutes")
-        .dropDuplicates("event_id")
-        .writeStream.format("parquet").option("path", out)
-        .option("checkpointLocation", tmp("st_dedup_ckpt"))
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.read.parquet(out)
-        .select("event_id", "user_id", "event_type", "value")
-        .orderBy("event_id")
+      val out = Housekeeping.tempDirBounded("st_dedup_out",
+        Files.createTempDirectory("st_dedup_out")).toString
+      val (src, srcDir) = eventStream(s, d)
+      val ckpt = tmp("st_dedup_ckpt")
+      cleanupAfter(Seq(srcDir.toString, ckpt)) {
+        val q = src
+          .withWatermark("ts", "10 minutes")
+          .dropDuplicates("event_id")
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(out)
+          .select("event_id", "user_id", "event_type", "value")
+          .orderBy("event_id")
+      }
     },
     Some("SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id"))
 
@@ -94,17 +107,21 @@ object StreamingOps {
     "stream_session_stateful",
     (s, d) => {
       val qn = s"st_sess_${System.nanoTime()}"
-      val q = eventStream(s, d)
-        .withWatermark("ts", "10 minutes")
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-        .agg(count(lit(1)).as("cnt"))
-        .select(col("user_id"), col("session_window.start").as("session_start"),
-          col("session_window.end").as("session_end"), col("cnt"))
-        .writeStream.format("memory").queryName(qn).outputMode("complete")
-        .option("checkpointLocation", tmp("ckpt_sess"))
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(qn).orderBy("user_id", "session_start")
+      val (src, srcDir) = eventStream(s, d)
+      val ckpt = tmp("ckpt_sess")
+      cleanupAfter(Seq(srcDir.toString, ckpt)) {
+        val q = src
+          .withWatermark("ts", "10 minutes")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("user_id"), col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"), col("cnt"))
+          .writeStream.format("memory").queryName(qn).outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(qn).orderBy("user_id", "session_start")
+      }
     },
     Some("WITH x AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR " +
       "ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk " +
@@ -174,7 +191,10 @@ object StreamingOps {
       implicit val rowEnc: Encoder[(Long, Double)] =
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
       val qn = s"st_state_${System.nanoTime()}"
-      val q = eventStream(s, d)
+      val (src, srcDir) = eventStream(s, d)
+      val ckpt = tmp("ckpt_state")
+      cleanupAfter(Seq(srcDir.toString, ckpt)) {
+      val q = src
         .select(col("user_id"), col("value")).as[(Long, Double)](rowEnc)
         .groupByKey(_._1)(Encoders.scalaLong)
         .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
@@ -190,13 +210,17 @@ object StreamingOps {
         }
         .toDF("user_id", "cnt", "sum_value")
         .writeStream.format("memory").queryName(qn).outputMode("update")
-        .option("checkpointLocation", tmp("ckpt_state"))
+        .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      // a state-flush batch can re-emit identical finals → collapse by key
+      // multiple micro-batches emit one running (cnt, sum) per user per
+      // batch — keep the row with the final cnt (max_by), never independent
+      // maxes (a later batch can lower the running sum if values go negative)
       s.table(qn).groupBy("user_id")
-        .agg(max(col("cnt")).as("cnt"), max(col("sum_value")).as("sum_value"))
+        .agg(max(col("cnt")).as("cnt"),
+          max_by(col("sum_value"), col("cnt")).as("sum_value"))
         .orderBy("user_id")
+      }
     },
     Some("SELECT user_id, COUNT(*) AS cnt, " + oSum("value") + " AS sum_value " +
       "FROM events GROUP BY user_id ORDER BY user_id"))

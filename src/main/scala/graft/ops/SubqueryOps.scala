@@ -26,7 +26,7 @@ object SubqueryOps {
         "COUNT(*) AS cnt " +
         "FROM lineitem JOIN part ON p_partkey = l_partkey " +
         "WHERE l_quantity < (SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)) " +
-        "FROM lineitem l2 WHERE l2.l_partkey = l_partkey) " +
+        "FROM lineitem l2 WHERE l2.l_partkey = p_partkey) " +
         "GROUP BY p_brand ORDER BY p_brand")
     },
     Some("SELECT p_brand, " +
@@ -34,7 +34,7 @@ object SubqueryOps {
       "COUNT(*) AS cnt " +
       "FROM lineitem JOIN part ON p_partkey = l_partkey " +
       "WHERE l_quantity < (SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)) " +
-      "FROM lineitem l2 WHERE l2.l_partkey = l_partkey) " +
+      "FROM lineitem l2 WHERE l2.l_partkey = p_partkey) " +
       "GROUP BY p_brand ORDER BY p_brand"))
 
   /** Uncorrelated scalar subquery: orders above the global average price. */

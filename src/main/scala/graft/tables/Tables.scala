@@ -49,6 +49,21 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    p(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    p(s, d, "events").withColumn("ts", nsColToTimestamp("ts"))
   }
+
+  /** events.parquet's physical schema under the nanosAsLong shim — shared
+    * with the streaming reader so the shim has exactly one definition. */
+  val rawEventsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+  }
+
+  /** The ns→µs rebuild (see [[events]] scaladoc — integer division is
+    * load-bearing). */
+  def nsColToTimestamp(colName: String): org.apache.spark.sql.Column =
+    timestamp_micros(expr(s"$colName div 1000"))
 }
