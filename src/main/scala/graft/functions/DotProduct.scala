@@ -76,6 +76,7 @@ object GraftFunctions {
       case i: Int => i
       case l: Long if l.isValidInt => l.toInt
       case s: Short => s.toInt
+      case b: Byte => b.toInt
       case other =>
         throw new IllegalArgumentException(s"$fn: parameter must be an integer literal, got $other")
     }

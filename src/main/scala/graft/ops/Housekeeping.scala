@@ -7,14 +7,24 @@ import java.util.Comparator
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicReference
 
+import scala.util.control.NonFatal
+
 /** Bounded lifecycles for the side artifacts some operators create (caches,
-  * temp dirs, catalog tables). Query functions return lazy DataFrames, so an
-  * artifact can't be destroyed inside the same invocation that produced it —
-  * instead each op keeps at most ONE live generation: invoking the op again
-  * disposes the previous invocation's artifacts. Verify/Bench/test loops
-  * therefore hold a constant footprint instead of leaking per run.
+  * temp dirs, catalog tables, memory-sink views). Query functions return
+  * lazy DataFrames, so an artifact can't be destroyed inside the same
+  * invocation that produced it — instead each op keeps at most ONE live
+  * generation: invoking the op again disposes the previous invocation's
+  * artifacts. Verify/Bench/test loops therefore hold a constant footprint
+  * instead of leaking per run.
+  *
+  * All disposal is best-effort: the previous generation may belong to a
+  * session that has since been stopped, and a cleanup failure must never
+  * fail the CURRENT invocation.
   */
 object Housekeeping {
+
+  private def bestEffort(body: => Unit): Unit =
+    try body catch { case NonFatal(_) => () }
 
   private val caches = new ConcurrentHashMap[String, DataFrame]()
 
@@ -22,7 +32,9 @@ object Housekeeping {
   def cacheBounded(key: String, df: DataFrame): DataFrame = {
     val cached = df.cache()
     val prev = caches.put(key, cached)
-    if (prev != null && (prev ne cached)) prev.unpersist(blocking = false)
+    if (prev != null && (prev ne cached)) bestEffort {
+      if (!prev.sparkSession.sparkContext.isStopped) prev.unpersist(blocking = false)
+    }
     cached
   }
 
@@ -36,11 +48,14 @@ object Housekeeping {
     path
   }
 
-  def deleteRecursively(p: Path): Unit =
+  def deleteRecursively(p: Path): Unit = bestEffort {
     if (Files.exists(p)) {
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]())
         .forEach(f => { Files.deleteIfExists(f); () })
+      finally walk.close()
     }
+  }
 
   private val tables = new AtomicReference[(SparkSession, Seq[String], Path)](null)
 
@@ -50,8 +65,27 @@ object Housekeeping {
     val prev = tables.getAndSet((s, names, dir))
     if (prev != null) {
       val (ps, pNames, pDir) = prev
-      pNames.foreach(n => ps.sql(s"DROP TABLE IF EXISTS $n"))
+      bestEffort {
+        if (!ps.sparkContext.isStopped)
+          pNames.foreach(n => ps.sql(s"DROP TABLE IF EXISTS $n"))
+      }
       deleteRecursively(pDir)
+    }
+  }
+
+  private val views = new ConcurrentHashMap[String, (SparkSession, String)]()
+
+  /** Register this invocation's memory-sink view under a key; the previous
+    * generation's temp view is dropped (its data stays reachable through any
+    * DataFrame still holding the resolved plan — only the catalog entry and
+    * the sink's root reference go). */
+  def tempViewBounded(key: String, s: SparkSession, viewName: String): Unit = {
+    val prev = views.put(key, (s, viewName))
+    if (prev != null) {
+      val (ps, pName) = prev
+      bestEffort {
+        if (!ps.sparkContext.isStopped) { ps.catalog.dropTempView(pName); () }
+      }
     }
   }
 }

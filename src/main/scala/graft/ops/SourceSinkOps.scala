@@ -64,7 +64,8 @@ object SourceSinkOps {
   val sinkPartitionedParquet: Op = Op(
     "sink_partitioned_parquet",
     (s, d) => {
-      val out = Files.createTempDirectory("graft_sink").toString
+      val out = Housekeeping.tempDirBounded("graft_sink",
+        Files.createTempDirectory("graft_sink")).toString
       Tables.events(s, d)
         .withColumn("d", to_date(col("ts")))
         // one shuffle keyed by the partition column → one file per day dir
@@ -159,7 +160,8 @@ object SourceSinkOps {
     "sink_csv_report",
     (s, d) => {
       import Dets._
-      val out = Files.createTempDirectory("graft_csv").toString
+      val out = Housekeeping.tempDirBounded("graft_csv",
+        Files.createTempDirectory("graft_csv")).toString
       Tables.orders(s, d)
         .groupBy(date_trunc("month", col("o_orderdate")).as("mo"))
         .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("cnt"))
@@ -181,7 +183,8 @@ object SourceSinkOps {
     "source_jsonl_roundtrip",
     (s, d) => {
       import Dets._
-      val out = Files.createTempDirectory("graft_jsonl").toString
+      val out = Housekeeping.tempDirBounded("graft_jsonl",
+        Files.createTempDirectory("graft_jsonl")).toString
       Tables.events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
         // default JSON timestamp format truncates to milliseconds — pin µs
@@ -204,7 +207,8 @@ object SourceSinkOps {
     "source_orc_roundtrip",
     (s, d) => {
       import Dets._
-      val out = Files.createTempDirectory("graft_orc").toString
+      val out = Housekeeping.tempDirBounded("graft_orc",
+        Files.createTempDirectory("graft_orc")).toString
       Tables.lineitem(s, d)
         .write.mode("overwrite").orc(out)
       s.read.orc(out)

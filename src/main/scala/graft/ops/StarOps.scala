@@ -111,16 +111,21 @@ object GraftCatalog {
 
   // Registration is skipped only when the session's views already point at
   // THIS dir (a set-based memo would serve stale views after alternating
-  // warehouse roots in one session — the views are session-global).
+  // warehouse roots in one session — the views are session-global). The memo
+  // is recorded AFTER successful registration (a failure must not poison it)
+  // and the whole check-register-record runs under a lock (a concurrent
+  // caller must not observe the memo before the views exist).
   private val current =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    if (current.put(spark, dir) != dir) {
+  def registerAll(spark: SparkSession, dir: String): Unit = current.synchronized {
+    if (current.get(spark) != dir) {
       tables.foreach { t =>
         spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
       }
       Tables.events(spark, dir).createOrReplaceTempView("events")
       graft.functions.GraftFunctions.register(spark)
+      current.put(spark, dir)
     }
+  }
 }

@@ -58,6 +58,7 @@ object StreamingOps {
     "stream_tumbling_watermark",
     (s, d) => {
       val qn = s"st_tumble_${System.nanoTime()}"
+      Housekeeping.tempViewBounded("st_tumble", s, qn)
       val (src, srcDir) = eventStream(s, d)
       val ckpt = tmp("ckpt_tumble")
       cleanupAfter(Seq(srcDir.toString, ckpt)) {
@@ -107,6 +108,7 @@ object StreamingOps {
     "stream_session_stateful",
     (s, d) => {
       val qn = s"st_sess_${System.nanoTime()}"
+      Housekeeping.tempViewBounded("st_sess", s, qn)
       val (src, srcDir) = eventStream(s, d)
       val ckpt = tmp("ckpt_sess")
       cleanupAfter(Seq(srcDir.toString, ckpt)) {
@@ -148,13 +150,15 @@ object StreamingOps {
       def t(str: String) = java.sql.Timestamp.valueOf(str)
       val input = MemoryStream[(Long, java.sql.Timestamp)]
       val qn = s"st_late_${System.nanoTime()}"
+      Housekeeping.tempViewBounded("st_late", s, qn)
+      val ckpt = tmp("ckpt_late")
       val q = input.toDF().toDF("event_id", "ts")
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "10 minutes"))
         .agg(count(lit(1)).as("cnt"))
         .select(col("window.start").as("ws"), col("cnt"))
         .writeStream.format("memory").queryName(qn).outputMode("update")
-        .option("checkpointLocation", tmp("ckpt_late"))
+        .option("checkpointLocation", ckpt)
         .start()
       try {
         input.addData((1L, t("2024-01-01 10:00:00")), (2L, t("2024-01-01 10:25:00")))
@@ -168,7 +172,10 @@ object StreamingOps {
           .groupBy("ws").agg(max(col("cnt")).as("cnt")) // update mode re-emits
           .withColumn("rows_dropped_by_watermark", lit(dropped))
           .orderBy("ws")
-      } finally q.stop()
+      } finally {
+        q.stop()
+        Housekeeping.deleteRecursively(java.nio.file.Paths.get(ckpt))
+      }
     },
     None)
 
@@ -191,6 +198,7 @@ object StreamingOps {
       implicit val rowEnc: Encoder[(Long, Double)] =
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
       val qn = s"st_state_${System.nanoTime()}"
+      Housekeeping.tempViewBounded("st_state", s, qn)
       val (src, srcDir) = eventStream(s, d)
       val ckpt = tmp("ckpt_state")
       cleanupAfter(Seq(srcDir.toString, ckpt)) {
