@@ -63,6 +63,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("streaming ingestion is arrival-order independent under a generous watermark") {
+    // the reference's reality: gateway batches arrive late and out of order;
+    // with a watermark wider than the disorder, the drained windowed counts
+    // must equal the batch aggregation for EVERY arrival permutation
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = (0 until 60).map { i =>
+      (i.toLong, new Timestamp(1704067200000L + (i * 97 % 60) * 60000L)) // minutes 0..59, scrambled
+    }
+    val batchExpected = events.toDF("event_id", "ts")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("cnt"))
+      .orderBy("ws").collect().map(_.toString).toSeq
+    for (seed <- Seq(1, 2, 3)) {
+      val perm = new scala.util.Random(seed).shuffle(events)
+      val input = MemoryStream[(Long, Timestamp)]
+      val qn = s"perm_${seed}_${System.nanoTime()}"
+      val q = input.toDF().toDF("event_id", "ts")
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("ws"), col("cnt"))
+        .writeStream.format("memory").queryName(qn).outputMode("update").start()
+      try {
+        perm.grouped(20).foreach { b => input.addData(b); q.processAllAvailable() }
+        val got = spark.table(qn).groupBy("ws").agg(max("cnt").as("cnt"))
+          .orderBy("ws").collect().map(_.toString).toSeq
+        assert(got == batchExpected, s"permutation seed=$seed diverged from batch")
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(qn)
+      }
+    }
+  }
+
   test("exact dedup is idempotent") {
     import spark.implicits._
     for (texts <- samples(Gen.listOfN(30, Gen.oneOf("a b c", "d e f", "g h i", "j k l")), 5)
