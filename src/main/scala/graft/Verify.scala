@@ -15,12 +15,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration escape hatch (driver never sets it): run a subset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = only match {
+      case Some(pats) => SparkEntry.queries.filter { case (k, _) => pats.exists(k.contains) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Each dump is written before the next query runs, so this invocation's
+      // caches/temp artifacts can go — keeps the 90-query loop's footprint
+      // flat instead of cumulative.
+      graft.ops.Housekeeping.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

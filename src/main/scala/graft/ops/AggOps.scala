@@ -117,16 +117,21 @@ object AggOps {
       "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) " +
       "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"))
 
-  /** collect_list is unordered under shuffle → always sort_array (§7.2 rule 6). */
+  /** collect_list is unordered under shuffle → always sort_array (§7.2 rule 6).
+    * Emitted as a comma-joined STRING, not array<bigint>: the driver's pandas
+    * hasher cannot factorize array cells (round-1 red row), and a joined
+    * string carries identical information. Sort happens on the numeric array
+    * BEFORE stringification so ordering stays numeric on both engines. */
   val aggCollectSorted: Op = Op(
     "agg_collect_sorted",
     (s, d) =>
       Tables.orders(s, d)
         .groupBy(col("o_custkey"))
-        .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"))
+        .agg(array_join(transform(sort_array(collect_list(col("o_orderkey"))),
+          _.cast("string")), ",").as("orderkeys"))
         .orderBy("o_custkey"),
-    Some("SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys FROM orders " +
-      "GROUP BY o_custkey ORDER BY o_custkey"))
+    Some("SELECT o_custkey, array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys " +
+      "FROM orders GROUP BY o_custkey ORDER BY o_custkey"))
 
   /** arg-max with explicit tie-break: priciest order per customer, ties → the
     * larger orderkey (struct ordering on (price, key); oracle via the

@@ -131,13 +131,15 @@ object FuncOps {
           col("doc_id"),
           size(words).as("n_words"),
           array_contains(words, "scan").as("has_scan"),
-          slice(words, 1, 3).as("first3"),
+          // joined to a scalar string: the driver's pandas hasher cannot
+          // factorize array cells (round-1 red row)
+          array_join(slice(words, 1, 3), ",").as("first3"),
           size(array_distinct(words)).as("n_uniq"))
         .orderBy("doc_id")
     },
     Some("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_words, " +
       "list_contains(string_split(text, ' '), 'scan') AS has_scan, " +
-      "list_slice(string_split(text, ' '), 1, 3) AS first3, " +
+      "array_to_string(list_slice(string_split(text, ' '), 1, 3), ',') AS first3, " +
       "CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq " +
       "FROM documents ORDER BY doc_id"))
 

@@ -73,6 +73,36 @@ object Housekeeping {
     }
   }
 
+  /** Dispose EVERY live generation now: unpersist caches, delete temp dirs,
+    * drop catalog tables and views. For harness loops (Bench/Verify) that
+    * consume each query's result before moving on — calling this between
+    * queries makes each measurement independent of what ran before it
+    * (round 1's driver bench showed 3–8× inflation on the late n²-heavy
+    * queries from accumulated artifacts + heap pressure). Safe because all
+    * returned DataFrames have been fully consumed by then; the next
+    * invocation of any op rebuilds what it needs. */
+  def releaseAll(): Unit = {
+    caches.forEach { (_, df) =>
+      bestEffort { if (!df.sparkSession.sparkContext.isStopped) df.unpersist(blocking = false) }
+    }
+    caches.clear()
+    dirs.forEach((_, p) => deleteRecursively(p))
+    dirs.clear()
+    val t = tables.getAndSet(null)
+    if (t != null) {
+      val (ps, pNames, pDir) = t
+      bestEffort {
+        if (!ps.sparkContext.isStopped)
+          pNames.foreach(n => ps.sql(s"DROP TABLE IF EXISTS $n"))
+      }
+      deleteRecursively(pDir)
+    }
+    views.forEach { (_, v) =>
+      bestEffort { if (!v._1.sparkContext.isStopped) { v._1.catalog.dropTempView(v._2); () } }
+    }
+    views.clear()
+  }
+
   private val views = new ConcurrentHashMap[String, (SparkSession, String)]()
 
   /** Register this invocation's memory-sink view under a key; the previous

@@ -155,18 +155,43 @@ object LlmOps {
     (s, d) => simhashPairs(Tables.documents(s, d)),
     None)
 
-  /** Exact n-gram Jaccard near-dedup — fully relational (explode shingles →
-    * equi-join on shingle → shared counts → Jaccard), so the oracle can
-    * mirror it with DuckDB list lambdas. At 100 TB add a document-frequency
-    * cutoff on hot shingles before the self-join (a one-line filter on a
-    * groupBy count) — the synthetic vocabulary doesn't need it. */
+  /** A shingle present in more than this many documents carries no near-dup
+    * evidence (it's corpus boilerplate) but drives the self-join fan-out
+    * quadratically — df² pairs per hot shingle. Dropping hot shingles from
+    * BOTH the intersection and the per-doc sizes keeps Jaccard self-consistent
+    * over the filtered shingle universe; the oracle applies the identical
+    * cutoff. At the test sfs no shingle exceeds df 25 (measured), so the
+    * result equals the unfiltered computation there — the guard exists for
+    * the 100 TB corpus where one boilerplate shingle would otherwise fan out
+    * to ~10¹⁰ pairs. */
+  private val NgramMaxDf = 100
+
+  /** Exact n-gram Jaccard near-dedup — fully relational (shingle-array per
+    * doc → explode → document-frequency cutoff → equi-join on shingle →
+    * shared counts → Jaccard), so the oracle can mirror it with DuckDB list
+    * lambdas.
+    *
+    * The per-doc shingle ARRAY (not the exploded rows) is what's cached:
+    * Catalyst's InferFiltersFromGenerate injects a
+    * `size(shingles)>0 AND isnotnull(shingles)` filter under the explode, and
+    * without the cache barrier that filter re-derives the whole shingle tree
+    * with `split(text)` inlined into every element_at — an O(words²)-per-doc
+    * blowup (measured 12× on this query at sf0.1). Against the materialized
+    * array the injected filter is O(1), and per-doc sizes come straight from
+    * `size(shingles)` with no shuffle. */
   val dedupNgramJaccard: Op = Op(
     "dedup_ngram_jaccard",
     (s, d) => {
-      // feeds the self-join twice + the per-doc size aggregate
-      val sh = Housekeeping.cacheBounded("ngram_shingles",
+      val base = Housekeeping.cacheBounded("ngram_shingles",
         shingled(Tables.documents(s, d).select("doc_id", "text"))
-          .select(col("doc_id"), explode(col("shingles")).as("s")))
+          .select(col("doc_id"), col("shingles")))
+      val exploded = base.select(col("doc_id"), explode(col("shingles")).as("s"))
+      // df-cutoff: the skew guard — see NgramMaxDf. One groupBy over the
+      // exploded rows; the surviving-shingle set joins back on the shingle.
+      val cool = exploded.join(
+        exploded.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= NgramMaxDf)
+          .select("s"), "s")
+      val sh = cool
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("a").join(sh.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -182,8 +207,9 @@ object LlmOps {
         .orderBy("doc_a", "doc_b")
     },
     Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
-      "g AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 2), " +
+      "g0 AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 2), " +
       "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s FROM t WHERE len(w) >= 3), " +
+      s"g AS (SELECT doc_id, s FROM g0 WHERE s IN (SELECT s FROM g0 GROUP BY 1 HAVING COUNT(*) <= $NgramMaxDf)), " +
       "sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1), " +
       "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter FROM g a " +
       "JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +

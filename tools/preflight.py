@@ -58,6 +58,19 @@ def main(sf_dir, out_dir):
             failures.append(name)
             print(f"FAIL {name}: spark result unreadable: {e}")
             continue
+        # The driver's checker sorts rows via pandas factorize, which dies on
+        # non-scalar cells (round-1: agg_collect_sorted/array_funcs). Reject
+        # array/map/struct output columns here so that failure class can never
+        # pass preflight again.
+        stypes = con.execute(
+            f"DESCRIBE SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
+        nested = [(c, t) for c, t, *_ in stypes
+                  if "[]" in t or t.startswith(("STRUCT", "MAP", "LIST"))]
+        if nested:
+            failures.append(name)
+            print(f"FAIL {name}: driver-unhashable column types: {nested} "
+                  f"(emit as concat_ws/array_to_string strings instead)")
+            continue
         ocols, scols = sorted(odf.columns), sorted(sdf.columns)
         if ocols != scols:
             failures.append(name)
