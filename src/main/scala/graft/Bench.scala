@@ -21,6 +21,23 @@ object Bench {
     // cold JVM pays ~4-5 s of class loading + codegen compiler start-up that
     // belongs to the process, not to whichever query happens to run first.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Same for the Structured Streaming machinery (state store, WAL, commit
+    // log classes): a throwaway one-batch memory-stream query (~3 s once).
+    try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val in = MemoryStream[Int]
+      val ckpt = java.nio.file.Files.createTempDirectory("bench_warm_ckpt")
+      in.addData(1, 2, 3)
+      val q = in.toDF().groupBy().count()
+        .writeStream.format("memory").queryName("bench_warmup")
+        .outputMode("complete").option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.catalog.dropTempView("bench_warmup")
+      graft.ops.Housekeeping.deleteRecursively(ckpt)
+    } catch { case _: Throwable => () }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

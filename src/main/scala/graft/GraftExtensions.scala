@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, MinHashSig, SimHash64, WinnowMins}
+import graft.functions.{DotProduct, HyperplaneBuckets, MinHashSig, SimHash64, WinnowMins}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -34,5 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_winnow_mins"),
       new ExpressionInfo(classOf[WinnowMins].getName, "graft_winnow_mins"),
       (args: Seq[Expression]) => WinnowMins(args(0), graft.functions.GraftFunctions.intParam(args(1), "graft_winnow_mins"))))
+    ext.injectFunction((FunctionIdentifier("graft_hyperplane_buckets"),
+      new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
+      (args: Seq[Expression]) => HyperplaneBuckets(args(0),
+        graft.functions.GraftFunctions.intParam(args(1), "graft_hyperplane_buckets"),
+        graft.functions.GraftFunctions.intParam(args(2), "graft_hyperplane_buckets"))))
   }
 }

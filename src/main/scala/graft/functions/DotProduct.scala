@@ -95,6 +95,11 @@ object GraftFunctions {
       "graft_winnow_mins",
       (args: Seq[Expression]) =>
         WinnowMins(args(0), intParam(args(1), "graft_winnow_mins")), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hyperplane_buckets",
+      (args: Seq[Expression]) =>
+        HyperplaneBuckets(args(0), intParam(args(1), "graft_hyperplane_buckets"),
+          intParam(args(2), "graft_hyperplane_buckets")), "built-in")
   }
 
   /** Requires register(spark) on the session first. */
@@ -113,4 +118,10 @@ object GraftFunctions {
   def winnowMins(elementHashes: Column, window: Int): Column =
     call_function("graft_winnow_mins", elementHashes,
       org.apache.spark.sql.functions.lit(window))
+
+  /** Requires register(spark) on the session first. */
+  def hyperplaneBuckets(vec: Column, numTables: Int, numBits: Int): Column =
+    call_function("graft_hyperplane_buckets", vec,
+      org.apache.spark.sql.functions.lit(numTables),
+      org.apache.spark.sql.functions.lit(numBits))
 }

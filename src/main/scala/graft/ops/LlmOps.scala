@@ -254,40 +254,41 @@ object LlmOps {
     "sim_search_ann_lsh",
     (s, d) => {
       graft.functions.GraftFunctions.register(s)
-      import graft.functions.MinHashSig.splitmix64
       val nTables = 4
       val nBits = 6
-      val planes = Array.tabulate(nTables, nBits, 64) { (t, p, j) =>
-        splitmix64((t * nBits + p) * 64L + j).toDouble / Long.MaxValue.toDouble // [-1, 1]
-      }
-      def bucketOf(vec: String, t: Int): Column =
-        (0 until nBits).map { p =>
-          val plane = array(planes(t)(p).map(lit(_)): _*)
-          when(graft.functions.GraftFunctions.dot(col(vec), plane) >= 0, lit(1 << p)).otherwise(lit(0))
-        }.reduce(_ + _)
+      // All table buckets in one fused codegen call
+      // ([[graft.functions.HyperplaneBuckets]]) — the literal-plane
+      // when-chain spelling this replaced generated 1 536 literals whose
+      // Janino compile dominated the query at bench scale.
+      def buckets(vec: String): Column =
+        graft.functions.GraftFunctions.hyperplaneBuckets(col(vec), nTables, nBits)
       val corpus = withVec(Tables.embeddings(s, d), "neighbor_id", "vc", "nc")
-        .withColumn("tb", explode(array((0 until nTables).map(t =>
-          struct(lit(t).as("t"), bucketOf("vc", t).as("bucket"))): _*)))
         .select(col("neighbor_id"), col("vc"), col("nc"),
-          col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-      // per table: the exact bucket plus every 1-bit flip (multi-probe)
-      val probeCols = (0 until nTables).flatMap { t =>
-        val b = bucketOf("vq", t)
-        (b +: (0 until nBits).map(p => b.bitwiseXOR(lit(1 << p))))
-          .map(pb => struct(lit(t).as("t"), pb.as("bucket")))
-      }
+          posexplode(buckets("vc")).as(Seq("t", "bucket")))
+      // per table: the exact bucket plus every 1-bit flip (multi-probe) —
+      // one Generate over the flattened (table, probe-bucket) struct array,
+      // so the (tiny, broadcast) query side costs a single stage to compile.
+      val probeMasks = array((lit(0) +: (0 until nBits).map(p => lit(1 << p))): _*)
       val queries = withVec(Tables.embeddings(s, d), "query_id", "vq", "nq")
         .where(col("query_id") < 10)
-        .withColumn("pr", explode(array(probeCols: _*)))
+        .withColumn("bs", buckets("vq"))
         .select(col("query_id"), col("vq"), col("nq"),
-          col("pr.t").as("qt"), col("pr.bucket").as("qbucket"))
+          explode(flatten(transform(sequence(lit(0), lit(nTables - 1)), t =>
+            transform(probeMasks, m => struct(t.as("qt"),
+              element_at(col("bs"), t + 1).bitwiseXOR(m).as("qbucket")))))).as("pr"))
+        .select(col("query_id"), col("vq"), col("nq"),
+          col("pr.qt").as("qt"), col("pr.qbucket").as("qbucket"))
       val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
       broadcast(queries).join(corpus,
           col("qt") === col("t") && col("qbucket") === col("bucket") &&
             col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
           cosine(col("vq"), col("vc"), col("nq"), col("nc")).as("sim"))
-        .distinct() // a neighbor can match several probes/tables
+        // a neighbor can match several probes/tables: per-pair max is the
+        // cheap dedup (partial-aggregates map-side; sim is identical across
+        // copies, so max == the value) — a distinct() here shuffled the
+        // whole candidate set on a double column for the same effect.
+        .groupBy("query_id", "neighbor_id").agg(max(col("sim")).as("sim"))
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= 5)
         .select("query_id", "rank", "neighbor_id")

@@ -44,6 +44,20 @@ object StreamingOps {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** Streaming state-store partition sizing. A stateful query creates one
+    * state store (with per-micro-batch checkpoint files + fsyncs) per shuffle
+    * partition, fixed at first run — so partition count should track STATE
+    * size, not the session's batch-shuffle width. This state (hour windows /
+    * user sessions / user counters) is tiny; 32 partitions spent ~2/3 of each
+    * query's wall clock on empty-store checkpoint traffic (measured 32→8:
+    * ~2.5× faster). On a cluster you'd size this to state volume the same
+    * way. The session's batch setting is restored before the op returns. */
+  private def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Run a drained streaming query, then delete the dirs it no longer
     * needs (staged source + checkpoint — the results live elsewhere). */
   private def cleanupAfter[A](dirs: Seq[String])(run: => A): A =
@@ -61,7 +75,7 @@ object StreamingOps {
       Housekeeping.tempViewBounded("st_tumble", s, qn)
       val (src, srcDir) = eventStream(s, d)
       val ckpt = tmp("ckpt_tumble")
-      cleanupAfter(Seq(srcDir.toString, ckpt)) {
+      withStatePartitions(s, 8) { cleanupAfter(Seq(srcDir.toString, ckpt)) {
         val q = src
           .withWatermark("ts", "10 minutes")
           .groupBy(window(col("ts"), "1 hour"))
@@ -72,7 +86,7 @@ object StreamingOps {
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         s.table(qn).orderBy("h")
-      }
+      } }
     },
     Some("SELECT date_trunc('hour', ts) AS h, COUNT(*) AS cnt, " + oSum("value") + " AS sum_value " +
       "FROM events GROUP BY 1 ORDER BY h"))
@@ -87,7 +101,7 @@ object StreamingOps {
         Files.createTempDirectory("st_dedup_out")).toString
       val (src, srcDir) = eventStream(s, d)
       val ckpt = tmp("st_dedup_ckpt")
-      cleanupAfter(Seq(srcDir.toString, ckpt)) {
+      withStatePartitions(s, 8) { cleanupAfter(Seq(srcDir.toString, ckpt)) {
         val q = src
           .withWatermark("ts", "10 minutes")
           .dropDuplicates("event_id")
@@ -98,7 +112,7 @@ object StreamingOps {
         s.read.parquet(out)
           .select("event_id", "user_id", "event_type", "value")
           .orderBy("event_id")
-      }
+      } }
     },
     Some("SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id"))
 
@@ -111,7 +125,7 @@ object StreamingOps {
       Housekeeping.tempViewBounded("st_sess", s, qn)
       val (src, srcDir) = eventStream(s, d)
       val ckpt = tmp("ckpt_sess")
-      cleanupAfter(Seq(srcDir.toString, ckpt)) {
+      withStatePartitions(s, 8) { cleanupAfter(Seq(srcDir.toString, ckpt)) {
         val q = src
           .withWatermark("ts", "10 minutes")
           .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
@@ -123,7 +137,7 @@ object StreamingOps {
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         s.table(qn).orderBy("user_id", "session_start")
-      }
+      } }
     },
     Some("WITH x AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR " +
       "ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk " +
@@ -152,6 +166,7 @@ object StreamingOps {
       val qn = s"st_late_${System.nanoTime()}"
       Housekeeping.tempViewBounded("st_late", s, qn)
       val ckpt = tmp("ckpt_late")
+      withStatePartitions(s, 8) {
       val q = input.toDF().toDF("event_id", "ts")
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "10 minutes"))
@@ -175,6 +190,7 @@ object StreamingOps {
       } finally {
         q.stop()
         Housekeeping.deleteRecursively(java.nio.file.Paths.get(ckpt))
+      }
       }
     },
     None)
@@ -201,7 +217,7 @@ object StreamingOps {
       Housekeeping.tempViewBounded("st_state", s, qn)
       val (src, srcDir) = eventStream(s, d)
       val ckpt = tmp("ckpt_state")
-      cleanupAfter(Seq(srcDir.toString, ckpt)) {
+      withStatePartitions(s, 8) { cleanupAfter(Seq(srcDir.toString, ckpt)) {
       val q = src
         .select(col("user_id"), col("value")).as[(Long, Double)](rowEnc)
         .groupByKey(_._1)(Encoders.scalaLong)
@@ -228,7 +244,7 @@ object StreamingOps {
         .agg(max(col("cnt")).as("cnt"),
           max_by(col("sum_value"), col("cnt")).as("sum_value"))
         .orderBy("user_id")
-      }
+      } }
     },
     Some("SELECT user_id, COUNT(*) AS cnt, " + oSum("value") + " AS sum_value " +
       "FROM events GROUP BY user_id ORDER BY user_id"))

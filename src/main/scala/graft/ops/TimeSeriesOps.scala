@@ -180,6 +180,51 @@ object TimeSeriesOps {
       "SELECT user_id, g, CASE WHEN lt IS NOT NULL AND g - lt <= INTERVAL 3 HOUR THEN lv END AS v " +
       "FROM f WHERE src = 1 ORDER BY user_id, g"))
 
+  /** Credit-event detection — the reference's derived fact (SURVEY §1.1):
+    * given only a prepaid credit BALANCE series per account, recover the
+    * events behind it — a jump up is a top-up (credit purchase), a drain is
+    * consumption. The balance series is synthesized first (purchases add
+    * credit, every other event draws it down, cumulative per user in event
+    * order) and the detector then reads ONLY (user, ts, balance), exactly the
+    * position a meter-register analyst is in.
+    *
+    * Determinism: the balance is an exact-decimal running sum (order-free
+    * partials), the lag-diff compares identical decimals, and the emitted
+    * amount is a final double cast — both engines agree bitwise. Detection is
+    * one lag window per user; at 100 TB this is a single shuffle on user_id
+    * with no state beyond the sort. */
+  val creditEventDetect: Op = Op(
+    "credit_event_detect",
+    (s, d) => {
+      val wCum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wLag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val signed = when(col("event_type") === "purchase", d2(col("value")))
+        .otherwise(-d2(col("value")))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), signed.as("delta"))
+        .withColumn("balance", sum(col("delta")).over(wCum))
+        // from here on, only (user_id, ts, balance) are "observed"
+        .withColumn("prev", lag(col("balance"), 1).over(wLag))
+        .where(col("prev").isNotNull && col("balance") =!= col("prev"))
+        .select(col("user_id"), col("ts"),
+          when(col("balance") > col("prev"), lit("topup"))
+            .otherwise(lit("consumption")).as("event_kind"),
+          abs(col("balance") - col("prev")).cast("double").as("amount"))
+        .orderBy("user_id", "ts", "event_kind", "amount")
+    },
+    Some("WITH b AS (SELECT user_id, ts, event_id, " +
+      "SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) " +
+      "ELSE -CAST(value AS DECIMAL(12,2)) END) OVER " +
+      "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS balance " +
+      "FROM events), " +
+      "x AS (SELECT user_id, ts, balance, lag(balance) OVER " +
+      "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM b) " +
+      "SELECT user_id, ts, CASE WHEN balance > prev THEN 'topup' ELSE 'consumption' END AS event_kind, " +
+      "CAST(abs(balance - prev) AS DOUBLE) AS amount " +
+      "FROM x WHERE prev IS NOT NULL AND balance <> prev " +
+      "ORDER BY user_id, ts, event_kind, amount"))
+
   val all: Seq[Op] = Seq(tsTumblingHourly, tsSlidingWindow, tsSessionWindow, tsGapDetection,
-    tsCounterDelta, tsDailyProfile, tsResampleFfill)
+    tsCounterDelta, tsDailyProfile, tsResampleFfill, creditEventDetect)
 }

@@ -34,6 +34,21 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getString(1)).toSet == Set("PWR", "MAINS"))
   }
 
+  test("credit_event_detect: recovers both event kinds; amounts match the source events") {
+    val out = TimeSeriesOps.creditEventDetect.fn(spark, TestSpark.sf0001).collect()
+    assert(out.nonEmpty)
+    val kinds = out.map(_.getString(2)).toSet
+    assert(kinds == Set("topup", "consumption"), s"expected both kinds, got $kinds")
+    // every detected amount is positive and equals the source event's value
+    // (the balance delta IS the event value by construction)
+    assert(out.forall(_.getDouble(3) > 0))
+    val topupAmounts = out.filter(_.getString(2) == "topup").map(_.getDouble(3)).toSet
+    val purchaseValues = Tables.events(spark, TestSpark.sf0001)
+      .where(col("event_type") === "purchase").select("value")
+      .collect().map(_.getDouble(0)).toSet
+    assert(topupAmounts.subsetOf(purchaseValues))
+  }
+
   test("agg_approx_hll: within 5% of exact per event_type") {
     val approx = AggOps.aggApproxHll.fn(spark, TestSpark.sf0001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
