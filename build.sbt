@@ -30,4 +30,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // this one JVM — at 8g the 90-query bench showed GC-driven 3-8× inflation
   // on the late n²-heavy queries (round-1 driver run).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // A 90-query bench Janino-compiles hundreds of generated classes in one
+  // JVM; if the JIT code cache fills, HotSpot silently stops compiling and
+  // every later query runs interpreted (matches the progressive 2-10×
+  // late-query inflation seen only in full-suite runs). Double the cache and
+  // let cold code be flushed instead of disabling the compiler.
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
 )

@@ -296,6 +296,89 @@ object LlmOps {
     },
     None)
 
+  /** The other classic ANN family: IVF (inverted file). A coarse k-means
+    * quantizer splits the corpus into K cells; a query probes only its
+    * NProbe nearest cells and pays exact cosine on those candidates — the
+    * corpus-side cost at 100 TB is one equi-join on `cell` against a
+    * materialized inverted file (here rebuilt per run; a production pipeline
+    * would persist the assignment bucketed by cell).
+    *
+    * Determinism: Lloyd's algorithm runs a FIXED 2 iterations from a fixed
+    * seed assignment (vec_id mod K); per-dimension centroid means aggregate
+    * in exact DECIMAL (order-free sums) before a final double cast, so
+    * centroids — and therefore cells, candidates, and ranking — are
+    * bit-identical across shuffle partitionings. Everything stays a
+    * DataFrame: the K-row centroid table is cache-materialized and
+    * broadcast, never collected to the driver.
+    *
+    * K=16/NProbe=4 scans ~25% of a uniform corpus — like the LSH variant,
+    * uniform-random embeddings are the worst case (no cluster structure for
+    * the quantizer to find); AnnIvfSpec holds the same recall floor, and on
+    * real clustered embeddings the same plan prunes far harder. Approximate
+    * ⇒ no SQL oracle. */
+  val simSearchAnnIvf: Op = Op(
+    "sim_search_ann_ivf",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val K = 16
+      val NProbe = 4
+      val Iters = 2
+      def dot(a: Column, b: Column) = graft.functions.GraftFunctions.dot(a, b)
+      val corpus = Housekeeping.cacheBounded("ivf_corpus",
+        withVec(Tables.embeddings(s, d), "neighbor_id", "vc", "nc"))
+      // cell → centroid vector (+norm) from an assignment, via exact-decimal
+      // per-dimension means (empty cells simply drop out of the groupBy)
+      def centroidsOf(assigned: DataFrame): DataFrame =
+        assigned.select(col("cell"), posexplode(col("vc")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos")
+          .agg(avg(col("x").cast("decimal(27,12)")).cast("double").as("m"))
+          .groupBy("cell")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            p => p.getField("m")).as("cv"))
+          .withColumn("ncv", sqrt(dot(col("cv"), col("cv"))))
+      // nearest centroid per corpus vector: K is tiny, so the centroid table
+      // broadcasts and the argmax is a map-side struct-max aggregate keyed by
+      // vector id (ties break to the highest cell id — deterministic because
+      // the sims themselves are deterministic doubles)
+      def assign(cents: DataFrame): DataFrame =
+        corpus.join(broadcast(cents),
+            col("neighbor_id").isNotNull) // cross vs K rows, kept broadcastable
+          .select(col("neighbor_id"), col("vc"), col("nc"), col("cell"),
+            (dot(col("vc"), col("cv")) / (col("nc") * col("ncv"))).as("csim"))
+          .groupBy("neighbor_id")
+          .agg(max(struct(col("csim"), col("cell"))).getField("cell").as("cell"),
+            first(col("vc")).as("vc"), first(col("nc")).as("nc"))
+      val seed = corpus.withColumn("cell", (col("neighbor_id") % K).cast("int"))
+      val trained = (1 to Iters).foldLeft(seed) { (assigned, it) =>
+        assign(Housekeeping.cacheBounded(s"ivf_cent_$it", centroidsOf(assigned)))
+      }
+      val index = Housekeeping.cacheBounded("ivf_index", trained)
+      val cents = Housekeeping.cacheBounded("ivf_cent_final", centroidsOf(index))
+      // query side: 10 fixed queries probe their NProbe nearest cells
+      val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cell").asc)
+      val probes = withVec(Tables.embeddings(s, d), "query_id", "vq", "nq")
+        .where(col("query_id") < 10)
+        .join(broadcast(cents), col("query_id").isNotNull)
+        .select(col("query_id"), col("vq"), col("nq"), col("cell"),
+          (dot(col("vq"), col("cv")) / (col("nq") * col("ncv"))).as("csim"))
+        .withColumn("pr", row_number().over(wProbe))
+        .where(col("pr") <= NProbe)
+        .select("query_id", "vq", "nq", "cell")
+      // each corpus vector lives in exactly one cell and probe cells are
+      // distinct per query ⇒ candidate pairs are already unique: no dedup
+      // stage before the ranking window
+      val wRank = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+      broadcast(probes).join(index, Seq("cell"))
+        .where(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (dot(col("vq"), col("vc")) / (col("nq") * col("nc"))).as("sim"))
+        .withColumn("rank", row_number().over(wRank))
+        .where(col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    },
+    None)
+
   // ------------------------------------------------------ similarity search
 
   /** Embedding vector as doubles + its L2 norm. The dot product is the
@@ -430,5 +513,5 @@ object LlmOps {
 
   val all: Seq[Op] = Seq(dedupExact, dedupNearMinhash, dedupSimhash, dedupNgramJaccard,
     dedupEmbeddingCosine, simSearchTopk, simSearchKnnPerQuery, simSearchAnnLsh,
-    textLangStats, textQualityFilter, multimodalJoin)
+    simSearchAnnIvf, textLangStats, textQualityFilter, multimodalJoin)
 }

@@ -96,14 +96,21 @@ object SourceSinkOps {
       val oName = s"o_bucketed_$run"
       val base = Files.createTempDirectory("graft_bucketed")
       Housekeeping.tablesBounded(s, Seq(liName, oName), base)
+      // Project to the join's working set BEFORE materializing the layout —
+      // a bucketed table built for a known join workload carries only the
+      // columns that workload reads (at 100 TB the other 13 lineitem columns
+      // are most of the bytes). 16 buckets: enough write/join parallelism for
+      // 32 cores while keeping per-bucket files well above small-file size.
       Tables.lineitem(s, d)
-        .repartition(8, col("l_orderkey"))
-        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .repartition(16, col("l_orderkey"))
+        .write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
         .option("path", base.resolve(liName).toString)
         .mode("overwrite").saveAsTable(liName)
       Tables.orders(s, d)
-        .repartition(8, col("o_orderkey"))
-        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .select("o_orderkey", "o_orderpriority")
+        .repartition(16, col("o_orderkey"))
+        .write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
         .option("path", base.resolve(oName).toString)
         .mode("overwrite").saveAsTable(oName)
       val one = lit(1).cast(D3_2)

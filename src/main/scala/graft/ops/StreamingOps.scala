@@ -51,7 +51,12 @@ object StreamingOps {
     * user sessions / user counters) is tiny; 32 partitions spent ~2/3 of each
     * query's wall clock on empty-store checkpoint traffic (measured 32→8:
     * ~2.5× faster). On a cluster you'd size this to state volume the same
-    * way. The session's batch setting is restored before the op returns. */
+    * way. The session's batch setting is restored before the op returns.
+    *
+    * Single-threaded assumption: this mutates the session-global conf with a
+    * restore-in-finally, which is safe because Bench/Verify/tests run ops
+    * sequentially on one session. If concurrent op execution is ever added,
+    * scope the setting via a cloned session (`s.cloneSession()`) instead. */
   private def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)

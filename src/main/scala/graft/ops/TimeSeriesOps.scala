@@ -225,6 +225,38 @@ object TimeSeriesOps {
       "FROM x WHERE prev IS NOT NULL AND balance <> prev " +
       "ORDER BY user_id, ts, event_kind, amount"))
 
+  /** The site/circuit dimensional surface (SURVEY §1.1): every circuit
+    * (user_id) belongs to a site of ~20 circuits, and maps to a household
+    * account (the customer dimension). The dimension is assembled once —
+    * circuit → (site, account nation) — and BROADCAST onto the sample stream;
+    * the rollup is then per (site, day): samples, circuits actually
+    * reporting, distinct account nations, and site energy. At 100 TB the
+    * fact side streams through one broadcast-hash-join stage plus a single
+    * two-phase aggregate on (site, day) — the dimension is a few thousand
+    * rows regardless of fact volume, which is exactly why it is a dimension. */
+  val siteCircuitRollup: Op = Op(
+    "site_circuit_rollup",
+    (s, d) => {
+      import org.apache.spark.sql.functions.broadcast
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("circuit_id"),
+          floor(col("c_custkey") / 20).cast("long").as("site_id"),
+          col("c_nationkey").as("nation"))
+      Tables.events(s, d)
+        .join(broadcast(dim), col("user_id") === col("circuit_id"))
+        .groupBy(col("site_id"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n_samples"),
+          countDistinct(col("circuit_id")).as("circuits_reporting"),
+          countDistinct(col("nation")).as("household_nations"),
+          dsum(col("value")).as("site_energy"))
+        .orderBy("site_id", "d")
+    },
+    Some("SELECT CAST(floor(c.c_custkey / 20) AS BIGINT) AS site_id, CAST(e.ts AS DATE) AS d, " +
+      "COUNT(*) AS n_samples, COUNT(DISTINCT c.c_custkey) AS circuits_reporting, " +
+      "COUNT(DISTINCT c.c_nationkey) AS household_nations, " + oSum("e.value") + " AS site_energy " +
+      "FROM events e JOIN customer c ON c.c_custkey = e.user_id " +
+      "GROUP BY 1, 2 ORDER BY site_id, d"))
+
   val all: Seq[Op] = Seq(tsTumblingHourly, tsSlidingWindow, tsSessionWindow, tsGapDetection,
-    tsCounterDelta, tsDailyProfile, tsResampleFfill, creditEventDetect)
+    tsCounterDelta, tsDailyProfile, tsResampleFfill, creditEventDetect, siteCircuitRollup)
 }
