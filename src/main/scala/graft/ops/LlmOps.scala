@@ -5,6 +5,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** SURVEY.md §2 category K — LLM-data-pipeline operators over the
   * `documents` / `embeddings` tables: dedup (exact + MinHash-LSH near-dup),
   * similarity search, text analysis, and the multimodal-column join.
@@ -179,43 +181,114 @@ object LlmOps {
     * blowup (measured 12× on this query at sf0.1). Against the materialized
     * array the injected filter is O(1), and per-doc sizes come straight from
     * `size(shingles)` with no shuffle. */
-  val dedupNgramJaccard: Op = Op(
-    "dedup_ngram_jaccard",
-    (s, d) => {
-      val base = Housekeeping.cacheBounded("ngram_shingles",
-        shingled(Tables.documents(s, d).select("doc_id", "text"))
-          .select(col("doc_id"), col("shingles")))
-      val exploded = base.select(col("doc_id"), explode(col("shingles")).as("s"))
-      // df-cutoff: the skew guard — see NgramMaxDf. One groupBy over the
-      // exploded rows; the surviving-shingle set joins back on the shingle.
-      val cool = exploded.join(
-        exploded.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= NgramMaxDf)
-          .select("s"), "s")
-      val sh = cool
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.as("a").join(sh.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-        .withColumn("jaccard",
-          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-        .where(col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
-    },
-    Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+  /** (doc_a, doc_b, jaccard) near-dup pairs at threshold 0.5 — the shared
+    * core of `dedup_ngram_jaccard` (which just orders it) and
+    * `dedup_cluster_keep` (which runs connected components over it). */
+  private def ngramPairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val base = Housekeeping.cacheBounded("ngram_shingles",
+      shingled(Tables.documents(s, d).select("doc_id", "text"))
+        .select(col("doc_id"), col("shingles")))
+    val exploded = base.select(col("doc_id"), explode(col("shingles")).as("s"))
+    // df-cutoff: the skew guard — see NgramMaxDf. One groupBy over the
+    // exploded rows; the surviving-shingle set joins back on the shingle.
+    val sh = exploded.join(
+      exploded.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= NgramMaxDf)
+        .select("s"), "s")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** The oracle-side spelling of [[ngramPairs]], as CTEs ending in
+    * `j(doc_a, doc_b, jaccard)` — shared by the two ops the same way. */
+  private val ngramPairCtes: String =
+    "t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
       "g0 AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 2), " +
       "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s FROM t WHERE len(w) >= 3), " +
       s"g AS (SELECT doc_id, s FROM g0 WHERE s IN (SELECT s FROM g0 GROUP BY 1 HAVING COUNT(*) <= $NgramMaxDf)), " +
       "sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1), " +
       "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter FROM g a " +
-      "JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
-      "SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard " +
+      "JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "j AS (SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard " +
       "FROM p JOIN sz na ON na.doc_id = doc_a JOIN sz nb ON nb.doc_id = doc_b " +
-      "WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5 ORDER BY doc_a, doc_b"))
+      "WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5)"
+
+  val dedupNgramJaccard: Op = Op(
+    "dedup_ngram_jaccard",
+    (s, d) => ngramPairs(s, d).orderBy("doc_a", "doc_b"),
+    Some(s"WITH $ngramPairCtes SELECT doc_a, doc_b, jaccard FROM j ORDER BY doc_a, doc_b"))
+
+  /** The end of the near-dup pipeline: the KEEP decision. Near-dup pairs form
+    * a graph; what a 100 TB dedup job actually emits is one survivor per
+    * connected component (keep the smallest doc_id, drop the rest). Min-label
+    * propagation to fixpoint: every node starts labeled with itself, each
+    * round takes the min of its own and its neighbors' labels — converges in
+    * diameter rounds to the component minimum, each round one equi-join +
+    * min-aggregate (the classic iterative-CC shape; at extreme graph sizes
+    * you'd switch to large-star/small-star to cut round count, same join
+    * primitives). The convergence check collects ONE number per round; near-dup
+    * components are shallow (dup groups, diameter ≤ a handful), so rounds stay
+    * single-digit at any corpus size. Oracle: DuckDB WITH RECURSIVE reaches
+    * the identical fixpoint (min over reachable labels = component min). */
+  /** Connected-components keep decision over an undirected (doc_a, doc_b)
+    * pair list — the core of dedup_cluster_keep, exposed for the planted
+    * transitive-chain fixture in ClusterKeepSpec.
+    *
+    * Each round's plan references the previous labels twice (join + union),
+    * so WITHOUT lineage truncation the logical tree doubles per round and
+    * Catalyst analysis goes exponential long before execution does (a path
+    * graph of diameter 9 already hangs planning). `localCheckpoint` — the
+    * standard iterative-algorithm pattern — materializes each round and cuts
+    * the lineage flat; on a cluster you would use reliable `checkpoint()` if
+    * executor loss mid-train matters. */
+  def ccKeep(pr: DataFrame): DataFrame = {
+    val edges = Housekeeping.cacheBounded("cc_edges",
+      pr.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pr.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    // labels only ever DECREASE under min-propagation, so the label sum is
+    // strictly decreasing until fixpoint — convergence is one overflow-safe
+    // aggregate per round, not a join. (The one number collected per round.)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)")).as("s")).first().getDecimal(0)
+    var cur = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < 64) {
+      iter += 1
+      val next = edges.join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("label"))
+        .union(labels)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val ns = labelSum(next)
+      labels = next
+      converged = ns.compareTo(cur) == 0
+      cur = ns
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("keep_id"))
+      .orderBy("doc_id")
+  }
+
+  val dedupClusterKeep: Op = Op(
+    "dedup_cluster_keep",
+    (s, d) => ccKeep(ngramPairs(s, d)),
+    Some(s"WITH RECURSIVE $ngramPairCtes, " +
+      "e AS (SELECT doc_a AS src, doc_b AS dst FROM j UNION ALL SELECT doc_b, doc_a FROM j), " +
+      "cc(node, label) AS (SELECT DISTINCT src, src FROM e " +
+      "UNION SELECT e.dst, cc.label FROM cc JOIN e ON e.src = cc.node) " +
+      "SELECT node AS doc_id, MIN(label) AS keep_id FROM cc GROUP BY 1 ORDER BY doc_id"))
 
   /** Embedding-space near-dedup: pairs with cosine ≥ 0.4, ids only. The 0.4
     * boundary has ≥1e-5 margin from every actual pair value across all sfs
@@ -307,9 +380,13 @@ object LlmOps {
     * seed assignment (vec_id mod K); per-dimension centroid means aggregate
     * in exact DECIMAL (order-free sums) before a final double cast, so
     * centroids — and therefore cells, candidates, and ranking — are
-    * bit-identical across shuffle partitionings. Everything stays a
-    * DataFrame: the K-row centroid table is cache-materialized and
-    * broadcast, never collected to the driver.
+    * bit-identical across shuffle partitionings. The K-row centroid table is
+    * an AGGREGATE RESULT collected to the driver each iteration and re-seeded
+    * as a local DataFrame — the same driver loop every k-means trainer runs —
+    * which keeps each iteration's lineage flat instead of compounding the
+    * whole training history into every downstream plan (measured: the pure
+    * cache-chained spelling planned 260+ Exchange references and paid ~2 s of
+    * planning/codegen at bench scale for identical results).
     *
     * K=16/NProbe=4 scans ~25% of a uniform corpus — like the LSH variant,
     * uniform-random embeddings are the worst case (no cluster structure for
@@ -328,14 +405,20 @@ object LlmOps {
         withVec(Tables.embeddings(s, d), "neighbor_id", "vc", "nc"))
       // cell → centroid vector (+norm) from an assignment, via exact-decimal
       // per-dimension means (empty cells simply drop out of the groupBy)
-      def centroidsOf(assigned: DataFrame): DataFrame =
-        assigned.select(col("cell"), posexplode(col("vc")).as(Seq("pos", "x")))
+      def centroidsOf(assigned: DataFrame): DataFrame = {
+        val computed = assigned
+          .select(col("cell"), posexplode(col("vc")).as(Seq("pos", "x")))
           .groupBy("cell", "pos")
           .agg(avg(col("x").cast("decimal(27,12)")).cast("double").as("m"))
           .groupBy("cell")
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
             p => p.getField("m")).as("cv"))
           .withColumn("ncv", sqrt(dot(col("cv"), col("cv"))))
+        // K rows to the driver, re-seeded as a flat local table (see scaladoc)
+        val rows = computed.collect().toSeq
+        s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), computed.schema)
+      }
       // nearest centroid per corpus vector: K is tiny, so the centroid table
       // broadcasts and the argmax is a map-side struct-max aggregate keyed by
       // vector id (ties break to the highest cell id — deterministic because
@@ -349,11 +432,11 @@ object LlmOps {
           .agg(max(struct(col("csim"), col("cell"))).getField("cell").as("cell"),
             first(col("vc")).as("vc"), first(col("nc")).as("nc"))
       val seed = corpus.withColumn("cell", (col("neighbor_id") % K).cast("int"))
-      val trained = (1 to Iters).foldLeft(seed) { (assigned, it) =>
-        assign(Housekeeping.cacheBounded(s"ivf_cent_$it", centroidsOf(assigned)))
+      val trained = (1 to Iters).foldLeft(seed) { (assigned, _) =>
+        assign(centroidsOf(assigned))
       }
       val index = Housekeeping.cacheBounded("ivf_index", trained)
-      val cents = Housekeeping.cacheBounded("ivf_cent_final", centroidsOf(index))
+      val cents = centroidsOf(index)
       // query side: 10 fixed queries probe their NProbe nearest cells
       val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cell").asc)
       val probes = withVec(Tables.embeddings(s, d), "query_id", "vq", "nq")
@@ -512,6 +595,6 @@ object LlmOps {
       "FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id"))
 
   val all: Seq[Op] = Seq(dedupExact, dedupNearMinhash, dedupSimhash, dedupNgramJaccard,
-    dedupEmbeddingCosine, simSearchTopk, simSearchKnnPerQuery, simSearchAnnLsh,
-    simSearchAnnIvf, textLangStats, textQualityFilter, multimodalJoin)
+    dedupClusterKeep, dedupEmbeddingCosine, simSearchTopk, simSearchKnnPerQuery,
+    simSearchAnnLsh, simSearchAnnIvf, textLangStats, textQualityFilter, multimodalJoin)
 }

@@ -2,7 +2,7 @@
 """Regenerate COVERAGE.md: query key -> implementation file:line -> oracle
 status -> dedicated specs. Needs a fresh oracle_sql.json from graft.Verify.
 
-Usage: python3 tools/gen_coverage.py <verifyOutDir>
+Usage: python3 tools/gen_coverage.py <verifyOutDir>  # dir must hold a CURRENT oracle_sql.json
 """
 import glob
 import json
