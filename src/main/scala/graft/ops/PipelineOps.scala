@@ -1,0 +1,90 @@
+package graft.ops
+
+import graft.tables.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline staples beyond dedup/similarity: deterministic
+  * sampling, leakage-safe dataset splitting, and sequence packing. All three
+  * are single-scan, shuffle-light, and CONTENT-KEYED — the sampling/split
+  * decision for a document is a pure function of its text, so re-running the
+  * pipeline on a grown corpus never flips past decisions (the property that
+  * makes incremental 100 TB rebuilds possible), and byte-identical docs land
+  * together.
+  *
+  * Determinism across engines: decisions compare fixed-length lowercase-hex
+  * md5 substrings LEXICOGRAPHICALLY (both Spark and DuckDB emit lowercase
+  * hex), so no float math, no locale, no hash-function parity issues.
+  */
+object PipelineOps {
+
+  private val Cap = 2048L // pack_sequences bin capacity, tokens
+
+  /** Stratified downsampling by language: the dominant stratum ('en', ~44%
+    * of the synthetic corpus) keeps ~10%, every other language keeps ~20% —
+    * the classic rebalance-before-training move. Keep iff the first 8 hex
+    * chars of md5(text) fall below the stratum's threshold: '19999999' ≈
+    * 0.1 × 16^8, '33333333' ≈ 0.2 × 16^8. One scan, no shuffle before the
+    * final order. */
+  val sampleStratified: Op = Op(
+    "sample_stratified",
+    (s, d) => {
+      val u = substring(md5(col("text")), 1, 8)
+      val thr = when(col("lang") === "en", lit("19999999")).otherwise(lit("33333333"))
+      Tables.documents(s, d)
+        .where(u < thr)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+    Some("SELECT doc_id, lang FROM documents " +
+      "WHERE substr(md5(text), 1, 8) < (CASE WHEN lang = 'en' THEN '19999999' ELSE '33333333' END) " +
+      "ORDER BY doc_id"))
+
+  /** 80/10/10 train/val/test assignment keyed on CONTENT hash (hex chars
+    * 9-12 of md5(text) — a different substring than the sampler, so the two
+    * decisions are independent). Content keying means byte-identical
+    * documents always share a split: exact duplicates can never leak from
+    * train into eval. 'cccc' ≈ 0.8 × 16^4, 'e666' ≈ 0.9 × 16^4. */
+  val splitTrainValTest: Op = Op(
+    "split_train_val_test",
+    (s, d) => {
+      val b = substring(md5(col("text")), 9, 4)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(b < "cccc", "train").when(b < "e666", "val").otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+    Some("SELECT doc_id, CASE WHEN substr(md5(text), 9, 4) < 'cccc' THEN 'train' " +
+      "WHEN substr(md5(text), 9, 4) < 'e666' THEN 'val' ELSE 'test' END AS split " +
+      "FROM documents ORDER BY doc_id"))
+
+  /** Greedy in-order sequence packing: per language, documents are laid out
+    * in doc_id order and assigned to fixed-capacity token bins by their
+    * START offset (bin = floor(prev_cumsum / cap)) — the streaming-friendly
+    * packing a tokenizer shard job uses (a doc spanning a boundary overflows
+    * its bin rather than being split; capacity is therefore a target, not a
+    * hard limit — PipelineSpec bounds the overflow by one document). Integer
+    * token counts + one window per language stratum: exact on both engines,
+    * one shuffle on lang at any width (salt by doc_id range per lang if one
+    * language dominates a 100 TB corpus). */
+  val packSequences: Op = Op(
+    "pack_sequences",
+    (s, d) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("end_off", sum(col("n_tokens")).over(w))
+        .select(col("lang"), col("doc_id"), col("n_tokens"),
+          floor((col("end_off") - col("n_tokens")) / Cap).as("bin"))
+        .orderBy("lang", "doc_id")
+    },
+    Some("SELECT lang, doc_id, n_tokens, CAST(floor((end_off - n_tokens) / " + Cap + ") AS BIGINT) AS bin " +
+      "FROM (SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+      "SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER " +
+      "(PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off " +
+      "FROM documents) ORDER BY lang, doc_id"))
+
+  val all: Seq[Op] = Seq(sampleStratified, splitTrainValTest, packSequences)
+}
