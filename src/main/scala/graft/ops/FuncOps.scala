@@ -267,7 +267,75 @@ object FuncOps {
       "ON l_quantity, l_extendedprice, l_discount, l_tax INTO NAME col_name VALUE v) " +
       "GROUP BY col_name ORDER BY col_name"))
 
+  /** Conditional aggregation via the SQL:2003 FILTER clause — the idiomatic
+    * way to compute several differently-predicated aggregates in ONE
+    * two-phase hash aggregate pass (vs a self-join per predicate; at 100 TB
+    * that is one scan instead of three). */
+  val aggFilterClause: Op = Op(
+    "agg_filter_clause",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_all"),
+          expr("count(*) FILTER (WHERE o_totalprice > 150000)").as("n_big"),
+          expr("sum(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (WHERE o_orderstatus = 'F')")
+            .cast("double").as("sum_f"),
+          expr("count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 150000)").as("cust_big"))
+        .orderBy("o_orderpriority"),
+    Some("SELECT o_orderpriority, COUNT(*) AS n_all, " +
+      "COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sum_f, " +
+      "COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 150000) AS cust_big " +
+      "FROM orders GROUP BY 1 ORDER BY o_orderpriority"))
+
+  /** NULL-semantics surface: nullif / coalesce / ifnull and NULL-safe
+    * predicates, over synthesized NULLs (the TPC-H-ish tables ship none).
+    * Row-level, codegen'd, zero shuffles. */
+  val nullFuncs: Op = Op(
+    "null_funcs",
+    (s, d) => {
+      val nn = expr("nullif(o_orderstatus, 'O')")
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          nn.as("status_or_null"),
+          coalesce(nn, lit("open")).as("status_coalesced"),
+          expr("ifnull(nullif(o_orderstatus, 'O'), 'open')").as("status_ifnull"),
+          nn.isNull.cast("int").as("is_open"),
+          (nn <=> lit("F")).cast("int").as("nullsafe_is_f"))
+        .orderBy("o_orderkey")
+    },
+    Some("SELECT o_orderkey, nullif(o_orderstatus, 'O') AS status_or_null, " +
+      "coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_coalesced, " +
+      "ifnull(nullif(o_orderstatus, 'O'), 'open') AS status_ifnull, " +
+      "CAST(nullif(o_orderstatus, 'O') IS NULL AS INT) AS is_open, " +
+      "CAST(nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM 'F' AS INT) AS nullsafe_is_f " +
+      "FROM orders ORDER BY o_orderkey"))
+
+  /** ANSI-mode-safe arithmetic: Spark 4 runs ANSI by default, so division by
+    * zero and bad casts THROW unless the try_* family is used — this op is
+    * the pattern a pipeline needs for dirty data (NULL through, never crash,
+    * count the casualties downstream). Double division keeps IEEE parity
+    * with the oracle's NULLIF spelling. */
+  val safeArithmetic: Op = Op(
+    "safe_arithmetic",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          expr("try_divide(CAST(o_totalprice AS DOUBLE), CAST(o_orderkey % 7 AS DOUBLE))")
+            .as("price_per_bucket"),
+          expr("try_cast(substr(o_orderpriority, 1, 1) AS INT)").as("prio_num"),
+          expr("try_cast(o_orderstatus AS INT)").as("status_num"))
+        .orderBy("o_orderkey"),
+    Some("SELECT o_orderkey, " +
+      "CAST(o_totalprice AS DOUBLE) / NULLIF(CAST(o_orderkey % 7 AS DOUBLE), 0.0) AS price_per_bucket, " +
+      "try_cast(substr(o_orderpriority, 1, 1) AS INT) AS prio_num, " +
+      "try_cast(o_orderstatus AS INT) AS status_num " +
+      "FROM orders ORDER BY o_orderkey"))
+
   val all: Seq[Op] = Seq(strFuncs, dateFuncs, mathFuncs, arrayFuncs, jsonExtractProps,
     mapFuncs, hashFuncs, explodeWords, udfScalar, udafWeightedAvg, udtfFlatmapTokens,
-    profileUnpivot)
+    profileUnpivot, aggFilterClause, nullFuncs, safeArithmetic)
 }

@@ -191,9 +191,14 @@ object LlmOps {
     val exploded = base.select(col("doc_id"), explode(col("shingles")).as("s"))
     // df-cutoff: the skew guard — see NgramMaxDf. One groupBy over the
     // exploded rows; the surviving-shingle set joins back on the shingle.
-    val sh = exploded.join(
-      exploded.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= NgramMaxDf)
-        .select("s"), "s")
+    // The cutoff result feeds THREE plan branches (per-doc sizes + both
+    // sides of the self-join): materialize it once or the explode + groupBy
+    // + join subtree executes three times (same plan-branch recompute trap
+    // as the shingle arrays themselves, one level up).
+    val sh = Housekeeping.cacheBounded("ngram_cool",
+      exploded.join(
+        exploded.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= NgramMaxDf)
+          .select("s"), "s"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
