@@ -86,15 +86,20 @@ object Bench {
       spark.catalog.dropTempView("bench_warmup2")
       graft.ops.Housekeeping.deleteRecursively(ckpt)
     } catch { case t: Throwable => System.err.println(s"WARNING: state warm-up failed: $t") }
+    // A failed query reports the documented -1 sentinel, NOT its
+    // time-to-exception — otherwise a crash would masquerade as a fast
+    // green number in the JSON.
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case t: Throwable => System.err.println(s"WARNING: query $name failed: $t"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       // Keep measurements independent: drop this query's caches/artifacts
       // before the next one runs (outside its timed span; disposal cost is
       // bookkeeping, not query work).
       graft.ops.Housekeeping.releaseAll()
-      dt
+      if (ok) dt else -1.0
     }
     val firstPass = selected.map { case (name, fn) => name -> timeOne(name, fn) }
     // This box is a VM whose host CPUs are shared: identical code has been
@@ -103,6 +108,7 @@ object Bench {
     // contended (> 2 s) once and keep the better observation — min-of-N is
     // the standard way to report compute cost under external noise; a query
     // that is slow in BOTH passes is genuinely slow and still shows as such.
+    // (A -1 failure never re-measures and never improves: min keeps -1.)
     val results = selected.map { case (name, fn) =>
       val t1 = firstPass(name)
       name -> (if (t1 > 2.0) math.min(t1, timeOne(name, fn)) else t1)
@@ -112,10 +118,14 @@ object Bench {
     // contains the headline "metric"/"value" fields even when the head of the
     // line is cut. The same line is also written to BENCH_FULL.json so the
     // complete per-query map survives any stdout truncation.
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // Locale.ROOT: the f-interpolator honors the default JVM locale, and a
+    // comma-decimal locale would print invalid JSON.
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"queries":$qs,"sf":"$sfDir","unit":"sec","metric":"total","value":${f"$total%.3f"}}"""
+    // -1 failure sentinels stay visible per-query but don't distort the total
+    val total = results.values.filter(_ >= 0).sum
+    val line = s"""{"queries":$qs,"sf":"$sfDir","unit":"sec","metric":"total","value":${num(total)}}"""
     println(line)
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (line + "\n").getBytes("UTF-8"))

@@ -265,8 +265,11 @@ object LlmOps {
     // labels only ever DECREASE under min-propagation, so the label sum is
     // strictly decreasing until fixpoint — convergence is one overflow-safe
     // aggregate per round, not a join. (The one number collected per round.)
+    // sum over an EMPTY frame is SQL NULL — null-guard it or an empty pair
+    // list (no near-dups in the corpus) NPEs on the compareTo below.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)")).as("s")).first().getDecimal(0)
+      Option(df.agg(sum(col("label").cast("decimal(38,0)")).as("s")).first().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var cur = labelSum(labels)
     var iter = 0
     var converged = false
@@ -282,6 +285,13 @@ object LlmOps {
       converged = ns.compareTo(cur) == 0
       cur = ns
     }
+    // Silent truncation would emit labels that are NOT the component minima
+    // (multiple "survivors" per component) and quietly diverge from the
+    // oracle's true fixpoint — refuse instead. 64 rounds covers any
+    // realistic near-dup component diameter; a corpus that exceeds it needs
+    // the large-star/small-star recurrence, not a bigger cap.
+    require(converged,
+      s"connected-components min-label propagation did not converge in $iter rounds")
     labels.select(col("node").as("doc_id"), col("label").as("keep_id"))
       .orderBy("doc_id")
   }

@@ -56,19 +56,17 @@ class AnnCrossoverSpec extends AnyFunSuite {
 
       // The IVF family must cross over too: k-means training (a few passes
       // over n vectors) plus probe-limited search stays far under the 134 M
-      // exact pairs. Same retry-once discipline as above.
-      def measureIvf(): (Long, Double, Long, Double) = {
-        val (ivfRows, ivfSec) = timed(LlmOps.simSearchAnnIvf.fn(spark, dir.toString).count())
-        val (bRows, bSec) = timed(LlmOps.simSearchTopk.fn(spark, dir.toString).count())
-        (ivfRows, ivfSec, bRows, bSec)
-      }
+      // exact pairs. The brute-force baseline is the expensive half of this
+      // spec, so REUSE the warm measurement from the LSH block above; only
+      // the IVF side gets the retry-once treatment.
+      def measureIvf(): (Long, Double) =
+        timed(LlmOps.simSearchAnnIvf.fn(spark, dir.toString).count())
       val f2 = measureIvf()
-      val (ivfRows, ivfSec, b2Rows, b2Sec) =
-        if (f2._2 < 0.5 * f2._4) f2 else measureIvf()
-      info(f"n=$n: ivf $ivfSec%.2f s ($ivfRows rows) vs brute $b2Sec%.2f s ($b2Rows rows)")
-      assert(ivfRows > 0 && b2Rows > 0)
-      assert(ivfSec < 0.5 * b2Sec,
-        f"ivf $ivfSec%.2f s is not < 0.5 x brute $b2Sec%.2f s at n=$n (after retry)")
+      val (ivfRows, ivfSec) = if (f2._2 < 0.5 * bruteSec) f2 else measureIvf()
+      info(f"n=$n: ivf $ivfSec%.2f s ($ivfRows rows) vs brute $bruteSec%.2f s (reused)")
+      assert(ivfRows > 0)
+      assert(ivfSec < 0.5 * bruteSec,
+        f"ivf $ivfSec%.2f s is not < 0.5 x brute $bruteSec%.2f s at n=$n (after retry)")
     } finally graft.ops.Housekeeping.deleteRecursively(dir)
   }
 }

@@ -28,6 +28,14 @@ class ClusterKeepSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("empty pair list yields an empty keep table, not a crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val got = LlmOps.ccKeep(empty).collect()
+    graft.ops.Housekeeping.releaseAll()
+    assert(got.isEmpty)
+  }
+
   test("long path converges (diameter > a couple of rounds)") {
     import spark.implicits._
     // path 0-1-2-...-9: worst-case diameter for min propagation
