@@ -56,4 +56,52 @@ class PlanShapeSpec extends AnyFunSuite {
   test("sim_search_knn_per_query broadcasts the query side") {
     assert(plan(LlmOps.simSearchKnnPerQuery).contains("Broadcast"))
   }
+
+  test("site_circuit_rollup broadcasts the circuit dimension onto the fact stream") {
+    val p = plan(TimeSeriesOps.siteCircuitRollup)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the fact side must NOT be exchanged before the join — only the
+    // (site, day) aggregate may shuffle
+    assert(!p.contains("Exchange hashpartitioning(user_id"), p)
+  }
+
+  test("pipeline sample/split are shuffle-free single scans") {
+    assert(!plan(PipelineOps.sampleStratified).contains("Exchange hashpartitioning"),
+      "sampling must not shuffle")
+    assert(!plan(PipelineOps.splitTrainValTest).contains("Exchange hashpartitioning"),
+      "splitting must not shuffle")
+  }
+
+  /** AQE skew-join splitting — the runtime answer to skewed fact-fact joins
+    * claimed in SCALE.md. Synthesize a join where one key owns ~100× the
+    * median partition volume and assert AQE marks the sort-merge join as
+    * skew-handled (`isSkew=true` on the join node) while producing the exact
+    * expected row count. */
+  test("AQE splits a skewed sort-merge join at runtime") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val prev = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    // make the skew detectable at toy scale: tiny thresholds, no broadcast
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // key 0 carries 200k fact rows; keys 1-400 carry 100 each
+      val fact = spark.range(0, 200000).select(lit(0L).as("k"), col("id").as("v"))
+        .union(spark.range(0, 40000).select((col("id") % 400 + 1).as("k"), col("id").as("v")))
+      val dim = spark.range(0, 401).select(col("id").as("k"), (col("id") * 10).as("w"))
+      val joined = fact.join(dim.hint("merge"), "k")
+      // collect() (not count()) so THIS DataFrame's QueryExecution is the one
+      // AQE finalizes — count() would execute a separate plan tree
+      assert(joined.collect().length == 240000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("isSkew=true") || p.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$p")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
