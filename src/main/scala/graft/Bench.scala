@@ -38,9 +38,7 @@ object Bench {
       spark.read.schema(graft.tables.Tables.rawEventsSchema)
         .parquet(s"$sfDir/events.parquet").limit(512)
         .write.mode("overwrite").parquet(warmDir.toString)
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      graft.ops.Housekeeping.withShufflePartitions(spark, 8) {
         val q = spark.readStream.schema(graft.tables.Tables.rawEventsSchema)
           .parquet(warmDir.toString)
           .withColumn("ts", graft.tables.Tables.nsColToTimestamp("ts"))
@@ -50,7 +48,7 @@ object Bench {
           .outputMode("complete").option("checkpointLocation", ckpt.toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
         q.awaitTermination()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      }
       spark.catalog.dropTempView("bench_warmup")
       graft.ops.Housekeeping.deleteRecursively(ckpt)
       graft.ops.Housekeeping.deleteRecursively(warmDir)
@@ -67,9 +65,7 @@ object Bench {
       val in = MemoryStream[Int]
       val ckpt = java.nio.file.Files.createTempDirectory("bench_warm_ckpt2")
       in.addData(1, 2, 3)
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      graft.ops.Housekeeping.withShufflePartitions(spark, 8) {
         val q = in.toDS().groupByKey(_ % 2)
           .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
             (k: Int, rows: Iterator[Int], state: org.apache.spark.sql.streaming.GroupState[Int]) =>
@@ -82,7 +78,7 @@ object Bench {
           .outputMode("update").option("checkpointLocation", ckpt.toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
         q.awaitTermination()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      }
       spark.catalog.dropTempView("bench_warmup2")
       graft.ops.Housekeeping.deleteRecursively(ckpt)
     } catch { case t: Throwable => System.err.println(s"WARNING: state warm-up failed: $t") }

@@ -28,6 +28,18 @@ object Housekeeping {
 
   private val caches = new ConcurrentHashMap[String, DataFrame]()
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to `n`,
+    * restoring the previous value afterwards. Single-threaded by design —
+    * Bench/Verify/tests run ops sequentially on one session; scope via a
+    * cloned session if concurrent op execution is ever added. Used by the
+    * streaming ops (state-store sizing) and the Bench warm-ups. */
+  def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** cache() with one live generation per key. */
   def cacheBounded(key: String, df: DataFrame): DataFrame = {
     val cached = df.cache()

@@ -439,8 +439,7 @@ object LlmOps {
       // vector id (ties break to the highest cell id — deterministic because
       // the sims themselves are deterministic doubles)
       def assign(cents: DataFrame): DataFrame =
-        corpus.join(broadcast(cents),
-            col("neighbor_id").isNotNull) // cross vs K rows, kept broadcastable
+        corpus.crossJoin(broadcast(cents)) // every vector scores all K centroids
           .select(col("neighbor_id"), col("vc"), col("nc"), col("cell"),
             (dot(col("vc"), col("cv")) / (col("nc") * col("ncv"))).as("csim"))
           .groupBy("neighbor_id")
@@ -456,7 +455,7 @@ object LlmOps {
       val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cell").asc)
       val probes = withVec(Tables.embeddings(s, d), "query_id", "vq", "nq")
         .where(col("query_id") < 10)
-        .join(broadcast(cents), col("query_id").isNotNull)
+        .crossJoin(broadcast(cents))
         .select(col("query_id"), col("vq"), col("nq"), col("cell"),
           (dot(col("vq"), col("cv")) / (col("nq") * col("ncv"))).as("csim"))
         .withColumn("pr", row_number().over(wProbe))

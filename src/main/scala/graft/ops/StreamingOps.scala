@@ -51,17 +51,10 @@ object StreamingOps {
     * user sessions / user counters) is tiny; 32 partitions spent ~2/3 of each
     * query's wall clock on empty-store checkpoint traffic (measured 32→8:
     * ~2.5× faster). On a cluster you'd size this to state volume the same
-    * way. The session's batch setting is restored before the op returns.
-    *
-    * Single-threaded assumption: this mutates the session-global conf with a
-    * restore-in-finally, which is safe because Bench/Verify/tests run ops
-    * sequentially on one session. If concurrent op execution is ever added,
-    * scope the setting via a cloned session (`s.cloneSession()`) instead. */
-  private def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+    * way. The session's batch setting is restored before the op returns
+    * (thread-safety caveat in [[Housekeeping.withShufflePartitions]]). */
+  private def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A =
+    Housekeeping.withShufflePartitions(s, n)(body)
 
   /** Run a drained streaming query, then delete the dirs it no longer
     * needs (staged source + checkpoint — the results live elsewhere). */

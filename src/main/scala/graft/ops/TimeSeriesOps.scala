@@ -237,7 +237,6 @@ object TimeSeriesOps {
   val siteCircuitRollup: Op = Op(
     "site_circuit_rollup",
     (s, d) => {
-      import org.apache.spark.sql.functions.broadcast
       val dim = Tables.customer(s, d)
         .select(col("c_custkey").as("circuit_id"),
           floor(col("c_custkey") / 20).cast("long").as("site_id"),
