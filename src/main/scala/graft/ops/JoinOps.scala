@@ -178,6 +178,46 @@ object JoinOps {
       "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v " +
       "ON p.user_id = v.user_id AND v.ts < p.ts ORDER BY purchase_id"))
 
+  /** Interval-overlap join by BIN EQUI-JOIN rewrite — the scale form of the
+    * overlap join OSS Spark would otherwise plan as a nested-loop over the
+    * full pair space (the same rewrite commercial engines apply under a
+    * "range join" hint). Per-user-day activity intervals [s, e] are counted
+    * into every 6-hour wall-clock window they overlap. The rewrite: explode
+    * each interval to its covered bins (bin width = window width, epoch
+    * aligned), where bin b is covered iff floor(s/W) <= b <= floor(e/W) —
+    * algebraically EXACTLY "s < (b+1)·W AND b·W <= e", the half-open overlap
+    * predicate — then aggregate on the bin. No post-join residual filter is
+    * needed, the fan-out is bounded by interval_length/W + 1 (<= 5 here:
+    * day-bounded intervals), and the shuffle is an equi-key aggregate at any
+    * corpus width. The oracle is the NAIVE overlap join (generate windows,
+    * non-equi predicate) — hash equality proves the rewrite. */
+  val joinIntervalBin: Op = Op(
+    "join_interval_bin",
+    (s, d) => {
+      val W = 6L * 3600 * 1000000 // 6-hour bins in epoch microseconds
+      val iv = Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+      iv.select(col("user_id"),
+          explode(sequence(
+            floor(unix_micros(col("st")) / W).cast("long"),
+            floor(unix_micros(col("en")) / W).cast("long"))).as("b"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("n_intervals"), countDistinct(col("user_id")).as("n_users"))
+        .select(timestamp_micros(col("b") * W).as("w_start"),
+          col("n_intervals"), col("n_users"))
+        .orderBy("w_start")
+    },
+    Some("WITH iv AS (SELECT user_id, CAST(ts AS DATE) AS day, min(ts) AS st, max(ts) AS en " +
+      "FROM events GROUP BY 1, 2), " +
+      "rng AS (SELECT make_timestamp((epoch_us(min(st)) // 21600000000) * 21600000000) AS w0, " +
+      "max(en) AS mx FROM iv), " +
+      "w AS (SELECT unnest(generate_series(w0, mx, INTERVAL 6 HOUR)) AS w_start FROM rng) " +
+      "SELECT w.w_start, COUNT(*) AS n_intervals, COUNT(DISTINCT i.user_id) AS n_users " +
+      "FROM w JOIN iv i ON i.st < w.w_start + INTERVAL 6 HOUR AND w.w_start <= i.en " +
+      "GROUP BY 1 ORDER BY w_start"))
+
   val all: Seq[Op] = Seq(joinInnerHash, joinBroadcastDim, joinSortmergeBig, joinLeftOuter,
-    joinFullOuter, joinLeftSemi, joinLeftAnti, joinCrossSmall, joinRangeTheta, joinAsof)
+    joinFullOuter, joinLeftSemi, joinLeftAnti, joinCrossSmall, joinRangeTheta, joinAsof,
+    joinIntervalBin)
 }
