@@ -305,21 +305,72 @@ object LlmOps {
       "UNION SELECT e.dst, cc.label FROM cc JOIN e ON e.src = cc.node) " +
       "SELECT node AS doc_id, MIN(label) AS keep_id FROM cc GROUP BY 1 ORDER BY doc_id"))
 
+  /** Every unordered distinct embedding pair exactly once, with its cosine —
+    * the EXACT all-pairs stage shared by `dedup_embedding_cosine` and
+    * `sim_search_topk`, spelled as a block-matrix theta-join shard instead of
+    * the `vec_id_a < vec_id_b` non-equi join Spark would plan as a
+    * BroadcastNestedLoopJoin (which at 100 TB means broadcasting the whole
+    * corpus — memory-fatal before it is even slow).
+    *
+    * Why not LSH/IVF candidate pruning here (the approximate families below):
+    * full recall at threshold 0.4 on THIS corpus is information-theoretically
+    * out of reach for bucketing — the qualifying pairs are the upper tail of
+    * an isotropic corpus (measured: min qualifying cosine 0.40001, median
+    * 0.42; background ≈ 0 ± 0.125 at dim 64), so per-hyperplane-bit collision
+    * is p₁ = 1 − acos(0.4)/π ≈ 0.631 vs background p₂ = 0.5. Driving per-pair
+    * miss below 1e-5 (needed: ~10³ qualifying pairs across sfs) requires e.g.
+    * b=4 bits × 67 tables — which admits 1 − (1 − 0.5⁴)⁶⁷ ≈ 99% of background
+    * pairs as candidates. Concentration of measure: every bucketing family
+    * degenerates to ~all-pairs at this similarity gap. The honest scale form
+    * of an EXACT threshold op is therefore sharded exact:
+    *
+    * Block-matrix sharding (the classic distributed theta-join partitioning):
+    * block g = vec_id mod B; the B(B+1)/2 unordered block pairs (g1 ≤ g2) are
+    * a tiny broadcast table; each side replicates to its block pairs (~B/2×)
+    * and the pair space is computed under an EQUI-join on (g1, g2) — shuffle
+    * is n·(B+1)/2 rows across B(B+1)/2 uniform keys of (n/B)² work each, no
+    * broadcast of the corpus, no nested loop, parallelism chosen by B ~
+    * √(2·cores) (B=16 → 136 keys over 32 cores here; on a 1000-executor
+    * cluster raise B, same plan). Output ids are normalized (least, greatest)
+    * so each unordered pair appears exactly once; cosine is symmetric in
+    * IEEE double (same left-to-right index fold either way), so side
+    * assignment cannot change the value. */
+  private val PairBlocks = 16
+
+  def blockedAllPairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val blockPairs = broadcast(
+      (for { g1 <- 0 until PairBlocks; g2 <- g1 until PairBlocks } yield (g1, g2))
+        .toDF("g1", "g2"))
+    val a = withVec(Tables.embeddings(s, d), "vec_id_a", "va", "na")
+      .withColumn("ga", pmod(col("vec_id_a"), lit(PairBlocks)).cast("int"))
+      .join(blockPairs, col("ga") === col("g1"))
+    val b = withVec(Tables.embeddings(s, d), "vec_id_b", "vb", "nb")
+      .withColumn("gb", pmod(col("vec_id_b"), lit(PairBlocks)).cast("int"))
+      .join(blockPairs.select(col("g1").as("h1"), col("g2").as("h2")), col("gb") === col("h2"))
+    a.join(b, col("g1") === col("h1") && col("g2") === col("h2") &&
+        (col("g1") < col("g2") || col("vec_id_a") < col("vec_id_b")))
+      .select(
+        least(col("vec_id_a"), col("vec_id_b")).as("vec_id_a"),
+        greatest(col("vec_id_a"), col("vec_id_b")).as("vec_id_b"),
+        cosine(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
+  }
+
   /** Embedding-space near-dedup: pairs with cosine ≥ 0.4, ids only. The 0.4
     * boundary has ≥1e-5 margin from every actual pair value across all sfs
     * while DuckDB's float32 cosine diverges from our double math by ≤1e-7
-    * (both measured) — so threshold membership can't flip. */
+    * (both measured) — so threshold membership can't flip. Pair generation is
+    * the sharded exact stage [[blockedAllPairs]] (see there for why bucketed
+    * candidate pruning cannot reach full recall at this threshold);
+    * PlanShapeSpec asserts no BroadcastNestedLoopJoin remains. */
   val dedupEmbeddingCosine: Op = Op(
     "dedup_embedding_cosine",
-    (s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val a = withVec(Tables.embeddings(s, d), "vec_id_a", "va", "na")
-      val b = withVec(Tables.embeddings(s, d), "vec_id_b", "vb", "nb")
-      a.join(b, col("vec_id_a") < col("vec_id_b"))
-        .where(cosine(col("va"), col("vb"), col("na"), col("nb")) >= 0.4)
+    (s, d) =>
+      blockedAllPairs(s, d)
+        .where(col("sim") >= 0.4)
         .select("vec_id_a", "vec_id_b")
-        .orderBy("vec_id_a", "vec_id_b")
-    },
+        .orderBy("vec_id_a", "vec_id_b"),
     Some("SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b FROM embeddings a " +
       "JOIN embeddings b ON a.vec_id < b.vec_id " +
       "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4 " +
@@ -337,10 +388,15 @@ object LlmOps {
     * parameters scan ~40% of this corpus for ~2/3 recall; on real clustered
     * embeddings the same plan prunes far harder. Approximate ⇒ no SQL
     * oracle; AnnSpec measures recall against the brute-force baseline and
-    * asserts determinism. */
-  val simSearchAnnLsh: Op = Op(
-    "sim_search_ann_lsh",
-    (s, d) => {
+    * asserts determinism.
+    *
+    * `lshCandidates` is the bucket-join output — one row per (table, probe)
+    * match, i.e. exactly the rows that pay an exact cosine — exposed so
+    * AnnCrossoverSpec can assert the WORK of the bucketed plan (candidate
+    * row count ≪ n²/2) rather than wall-clock, which flakes under host load;
+    * the op dedups and ranks it. Deterministic: fixed hyperplanes, fixed
+    * corpus. */
+  def lshCandidates(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
       graft.functions.GraftFunctions.register(s)
       val nTables = 4
       val nBits = 6
@@ -366,12 +422,18 @@ object LlmOps {
               element_at(col("bs"), t + 1).bitwiseXOR(m).as("qbucket")))))).as("pr"))
         .select(col("query_id"), col("vq"), col("nq"),
           col("pr.qt").as("qt"), col("pr.qbucket").as("qbucket"))
-      val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
       broadcast(queries).join(corpus,
           col("qt") === col("t") && col("qbucket") === col("bucket") &&
             col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
           cosine(col("vq"), col("vc"), col("nq"), col("nc")).as("sim"))
+  }
+
+  val simSearchAnnLsh: Op = Op(
+    "sim_search_ann_lsh",
+    (s, d) => {
+      val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+      lshCandidates(s, d)
         // a neighbor can match several probes/tables: per-pair max is the
         // cheap dedup (partial-aggregates map-side; sim is identical across
         // copies, so max == the value) — a distinct() here shuffled the
@@ -407,10 +469,14 @@ object LlmOps {
     * uniform-random embeddings are the worst case (no cluster structure for
     * the quantizer to find); AnnIvfSpec holds the same recall floor, and on
     * real clustered embeddings the same plan prunes far harder. Approximate
-    * ⇒ no SQL oracle. */
-  val simSearchAnnIvf: Op = Op(
-    "sim_search_ann_ivf",
-    (s, d) => {
+    * ⇒ no SQL oracle.
+    *
+    * `ivfCandidates` is the probe⋈inverted-file join output — exactly the
+    * corpus rows that pay an exact cosine at search time (training adds
+    * K·n·Iters centroid scorings on top, accounted arithmetically in
+    * AnnCrossoverSpec) — exposed for the same work-count assertion as
+    * [[lshCandidates]]; the op ranks it. */
+  def ivfCandidates(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
       graft.functions.GraftFunctions.register(s)
       val K = 16
       val NProbe = 4
@@ -464,11 +530,17 @@ object LlmOps {
       // each corpus vector lives in exactly one cell and probe cells are
       // distinct per query ⇒ candidate pairs are already unique: no dedup
       // stage before the ranking window
-      val wRank = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
       broadcast(probes).join(index, Seq("cell"))
         .where(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
           (dot(col("vq"), col("vc")) / (col("nq") * col("nc"))).as("sim"))
+  }
+
+  val simSearchAnnIvf: Op = Op(
+    "sim_search_ann_ivf",
+    (s, d) => {
+      val wRank = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+      ivfCandidates(s, d)
         .withColumn("rank", row_number().over(wRank))
         .where(col("rank") <= 5)
         .select("query_id", "rank", "neighbor_id")
@@ -490,24 +562,22 @@ object LlmOps {
   private def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
     graft.functions.GraftFunctions.dot(va, vb) / (na * nb)
 
-  /** Brute-force global top-20 most-similar pairs. Emits ranked id pairs
-    * only: Spark's double cosine and DuckDB's list_cosine_similarity agree on
-    * ordering (clear gaps between neighbors) but not on low-order bits, so
-    * the similarity value itself stays out of the hash (SURVEY §7.4#1). */
+  /** Exact global top-20 most-similar pairs (§2's brute-force baseline — the
+    * ANN families above are the approximate width path). Pair generation is
+    * the sharded exact stage [[blockedAllPairs]]: every pair is still scored
+    * (that is what "exact" costs), but as an equi-join shard instead of a
+    * corpus-broadcast nested loop. Emits ranked id pairs only: Spark's double
+    * cosine and DuckDB's list_cosine_similarity agree on ordering (clear gaps
+    * between neighbors) but not on low-order bits, so the similarity value
+    * itself stays out of the hash (SURVEY §7.4#1). */
   val simSearchTopk: Op = Op(
     "sim_search_topk",
     (s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val a = withVec(Tables.embeddings(s, d), "vec_id_a", "va", "na")
-      val b = withVec(Tables.embeddings(s, d), "vec_id_b", "vb", "nb")
-      // Project down to (ids, sim) BEFORE the top-k: orderBy+limit compiles
-      // to TakeOrderedAndProject (per-partition heaps, no global sort of the
+      // (ids, sim) only into the top-k: orderBy+limit compiles to
+      // TakeOrderedAndProject (per-partition heaps, no global sort of the
       // n² pair space, no embedding arrays in the sort); the rank window then
       // runs over 20 rows.
-      val pairs = a.join(b, col("vec_id_a") < col("vec_id_b"))
-        .select(col("vec_id_a"), col("vec_id_b"),
-          cosine(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
-      val top = pairs
+      val top = blockedAllPairs(s, d)
         .orderBy(col("sim").desc, col("vec_id_a").asc, col("vec_id_b").asc)
         .limit(20)
       val w = Window.orderBy(col("sim").desc, col("vec_id_a").asc, col("vec_id_b").asc)

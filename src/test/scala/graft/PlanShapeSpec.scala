@@ -65,6 +65,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning(user_id"), p)
   }
 
+  test("exact pair ops shard as equi-joins, never a corpus nested loop") {
+    // blockedAllPairs replaced the `vec_id_a < vec_id_b` non-equi join: the
+    // pair space must come from the block-matrix EQUI-join (shuffle-sharded,
+    // uniform keys), with nested-loop/cartesian plans gone entirely. The tiny
+    // block-pair table may broadcast — what must not appear is a nested loop
+    // or cartesian over the corpus itself.
+    for (op <- Seq(LlmOps.dedupEmbeddingCosine, LlmOps.simSearchTopk)) {
+      val p = plan(op)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"${op.key} plans a nested loop:\n$p")
+      assert(!p.contains("CartesianProduct"), s"${op.key} plans a cartesian product:\n$p")
+    }
+  }
+
   test("pipeline sample/split are shuffle-free single scans") {
     assert(!plan(PipelineOps.sampleStratified).contains("Exchange hashpartitioning"),
       "sampling must not shuffle")
