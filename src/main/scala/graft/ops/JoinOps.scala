@@ -153,9 +153,12 @@ object JoinOps {
 
   /** As-of join, windowed formulation: one shuffle on user_id, one sort —
     * the scalable shape (SURVEY §2 C / §7.4). For each purchase, the most
-    * recent strictly-prior view's ts (null if none). Emits the ts only (not
-    * the view id): equal-ts views are ambiguous under the oracle's ASOF JOIN,
-    * while the max prior ts itself is deterministic.
+    * recent strictly-prior view — its ts AND its row identity (event_id),
+    * null if none. Equal-ts prior views are ambiguous under a plain ASOF
+    * JOIN, so the tie-break is explicit and deterministic: latest ts, then
+    * max event_id — expressed as a struct-max over the range frame (max of
+    * (ts_micros, event_id) is lexicographic), which both engines can state
+    * exactly.
     */
   val joinAsof: Op = Op(
     "join_asof",
@@ -166,17 +169,27 @@ object JoinOps {
       // wrongly admit a view at the *same* timestamp as the purchase.
       val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
         .rangeBetween(Window.unboundedPreceding, -1)
-      e.withColumn("prev_view_ts",
-          last(when(col("event_type") === "view", col("ts")), ignoreNulls = true).over(w))
+      e.withColumn("pv",
+          max(when(col("event_type") === "view",
+            struct(unix_micros(col("ts")).as("us"), col("event_id").as("vid")))).over(w))
         .where(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
-          col("ts").as("purchase_ts"), col("prev_view_ts"))
+          col("ts").as("purchase_ts"),
+          timestamp_micros(col("pv.us")).as("prev_view_ts"),
+          col("pv.vid").as("prev_view_id"))
         .orderBy("purchase_id")
     },
-    Some("SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts, v.ts AS prev_view_ts " +
-      "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
-      "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v " +
-      "ON p.user_id = v.user_id AND v.ts < p.ts ORDER BY purchase_id"))
+    Some("WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
+      "v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'), " +
+      "m AS (SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts, " +
+      "v.ts AS prev_view_ts, v.event_id AS prev_view_id, " +
+      "row_number() OVER (PARTITION BY p.event_id ORDER BY v.ts DESC, v.event_id DESC) AS rn " +
+      "FROM p JOIN v ON v.user_id = p.user_id AND v.ts < p.ts) " +
+      "SELECT purchase_id, user_id, purchase_ts, prev_view_ts, prev_view_id FROM m WHERE rn = 1 " +
+      "UNION ALL " +
+      "SELECT p.event_id, p.user_id, p.ts, NULL, NULL FROM p " +
+      "WHERE NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = p.user_id AND v.ts < p.ts) " +
+      "ORDER BY purchase_id"))
 
   /** Interval-overlap join by BIN EQUI-JOIN rewrite — the scale form of the
     * overlap join OSS Spark would otherwise plan as a nested-loop over the

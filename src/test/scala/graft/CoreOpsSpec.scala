@@ -101,6 +101,36 @@ class CoreOpsSpec extends AnyFunSuite {
     )))
   }
 
+  test("ts_counter_daily_reset core: schedule vs reboot resets, boundary edge") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, t("2024-01-01 22:00:00"), 3.0),
+      (1L, t("2024-01-01 23:10:00"), 5.0),   // day 1 ends with register at 5
+      // THE distinguishing edge: day-2 hour-0 register (10) EXCEEDS day 1's
+      // total, so the cross-day delta is +5 — a lifetime-counter reader
+      // (counterDelta) books 5.0; the scheduled-reset semantic must book
+      // the full 10.0 counted from midnight.
+      (1L, t("2024-01-02 00:30:00"), 10.0),
+      (1L, t("2024-01-02 01:15:00"), 2.0),   // reboot mid-day: dropped to 2
+      (1L, t("2024-01-02 02:05:00"), 6.0)    // normal in-day delta: 4
+    ).toDF("user_id", "ts", "counter")
+    val out = TimeSeriesOps.counterDailyReset(df).collect()
+      .map(r => (r.getTimestamp(1).toString, r.getDouble(2), r.getString(3)))
+    assert(out.sameElements(Array(
+      ("2024-01-01 22:00:00.0", 3.0, "first"),
+      ("2024-01-01 23:00:00.0", 2.0, "none"),
+      ("2024-01-02 00:00:00.0", 10.0, "schedule"), // NOT the +5 delta
+      ("2024-01-02 01:00:00.0", 2.0, "reboot"),
+      ("2024-01-02 02:00:00.0", 4.0, "none")
+    )), out.mkString(", "))
+    // and the generic lifetime reader really would book the boundary as +5 —
+    // the two register semantics are distinguishable, not redundant
+    val generic = TimeSeriesOps.counterDelta(df).collect()
+      .map(r => (r.getTimestamp(1).toString, r.getDouble(2)))
+    assert(generic.contains(("2024-01-02 00:00:00.0", 5.0)))
+  }
+
   test("session window gap-equality edge (§7.2 rule 8): gap == 30min MERGES, +1µs splits") {
     import spark.implicits._
     def t(s: String) = Timestamp.valueOf(s)
