@@ -292,6 +292,81 @@ object StreamingOps {
     Some("SELECT user_id, COUNT(*) AS cnt, " + oSum("value") + " AS sum_value " +
       "FROM events GROUP BY user_id ORDER BY user_id"))
 
+  /** The per-user register as a [[org.apache.spark.sql.streaming.StatefulProcessor]]
+    * — same semantics as stream_stateful_counter, written against Spark 4's
+    * transformWithState (the successor API to flatMapGroupsWithState: typed
+    * named state cells via the handle, timer support, initial-state hooks).
+    * State is the same exact-decimal (cnt, sum) pair so within-group iterator
+    * order cannot change the emitted values. Serializable, no session
+    * capture. */
+  private class CounterProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var st: ValueState[(Long, java.math.BigDecimal)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("ctr",
+        Encoders.tuple(Encoders.scalaLong, Encoders.DECIMAL), TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, Double)],
+        tv: TimerValues): Iterator[(Long, Long, Double)] = {
+      var (cnt, sum) =
+        if (st.exists()) st.get() else (0L, java.math.BigDecimal.ZERO)
+      rows.foreach { case (_, v) =>
+        cnt += 1
+        sum = sum.add(java.math.BigDecimal.valueOf(v)
+          .setScale(2, java.math.RoundingMode.HALF_UP))
+      }
+      st.update((cnt, sum))
+      Iterator((uid, cnt, sum.doubleValue()))
+    }
+  }
+
+  /** transformWithState spelling of the per-user lifetime register — keeps
+    * the streaming surface on Spark 4's current arbitrary-state API. The
+    * operator requires the RocksDB state store provider (its state layout is
+    * RocksDB-native — also the provider a cluster deployment runs anyway,
+    * proven interchangeable in RocksDbStateSpec), so the provider conf is
+    * scoped to this query and restored after. Oracle: identical batch
+    * aggregation as stream_stateful_counter. */
+  val streamStatefulCounterTws: Op = Op(
+    "stream_stateful_counter_tws",
+    (s, d) => {
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      import org.apache.spark.sql.{Encoder, Encoders}
+      implicit val outEnc: Encoder[(Long, Long, Double)] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble)
+      implicit val rowEnc: Encoder[(Long, Double)] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+      val qn = s"st_tws_${System.nanoTime()}"
+      Housekeeping.tempViewBounded("st_tws", s, qn)
+      val (src, srcDir) = eventStream(s, d)
+      val ckpt = tmp("ckpt_tws")
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = s.conf.get(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try withStatePartitions(s, 8) { cleanupAfter(Seq(srcDir.toString, ckpt)) {
+        val q = src
+          .select(col("user_id"), col("value")).as[(Long, Double)](rowEnc)
+          .groupByKey(_._1)(Encoders.scalaLong)
+          .transformWithState(new CounterProcessor, TimeMode.None(), OutputMode.Update())
+          .toDF("user_id", "cnt", "sum_value")
+          .writeStream.format("memory").queryName(qn).outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        // same final-row selection as stream_stateful_counter: keep the row
+        // with the final cnt per user across micro-batch re-emissions
+        s.table(qn).groupBy("user_id")
+          .agg(max(col("cnt")).as("cnt"),
+            max_by(col("sum_value"), col("cnt")).as("sum_value"))
+          .orderBy("user_id")
+      } }
+      finally s.conf.set(providerKey, prevProvider)
+    },
+    Some("SELECT user_id, COUNT(*) AS cnt, " + oSum("value") + " AS sum_value " +
+      "FROM events GROUP BY user_id ORDER BY user_id"))
+
   val all: Seq[Op] = Seq(streamTumblingWatermark, streamDedup, streamSessionStateful,
-    streamLateData, streamStatefulCounter, streamJoinFollows)
+    streamLateData, streamStatefulCounter, streamStatefulCounterTws, streamJoinFollows)
 }
