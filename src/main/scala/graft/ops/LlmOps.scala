@@ -39,6 +39,30 @@ object LlmOps {
     Some("SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) - 1 AS n_dups " +
       "FROM documents GROUP BY 1 ORDER BY h"))
 
+  /** Incremental snapshot dedup — the shape a standing 100 TB corpus
+    * actually runs: a small DELTA of new uploads (here doc_id ≡ 0 mod 5, the
+    * "new snapshot") checked against the big standing CORPUS (the rest), not
+    * all-pairs over everything. Spelled as a left join of the delta against
+    * the corpus's distinct content-hash index: at width the hash index is a
+    * bucketed table on disk and only the delta shuffles — cost ∝ delta, not
+    * corpus. Emits the keep/drop verdict per delta doc. */
+  val dedupIncrementalExact: Op = Op(
+    "dedup_incremental_exact",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpusIdx = docs.where(col("doc_id") % 5 =!= 0)
+        .select(md5(col("text")).as("h")).distinct()
+        .withColumn("dup", lit(true))
+      docs.where(col("doc_id") % 5 === 0)
+        .withColumn("h", md5(col("text")))
+        .join(corpusIdx, Seq("h"), "left")
+        .select(col("doc_id"), coalesce(col("dup"), lit(false)).as("dup_of_corpus"))
+        .orderBy("doc_id")
+    },
+    Some("SELECT doc_id, EXISTS (SELECT 1 FROM documents c WHERE c.doc_id % 5 <> 0 " +
+      "AND md5(c.text) = md5(n.text)) AS dup_of_corpus " +
+      "FROM documents n WHERE n.doc_id % 5 = 0 ORDER BY doc_id"))
+
   /** Deterministic MinHash: shingles hash once via xxhash64; the 64
     * permutations are the fused codegen loop in
     * [[graft.functions.MinHashSig]] (fixed SplitMix64-derived seeds). */
@@ -323,6 +347,51 @@ object LlmOps {
       "cc(node, label) AS (SELECT DISTINCT src, src FROM e " +
       "UNION SELECT e.dst, cc.label FROM cc JOIN e ON e.src = cc.node) " +
       "SELECT node AS doc_id, MIN(label) AS keep_id FROM cc GROUP BY 1 ORDER BY doc_id"))
+
+  /** Benchmark DECONTAMINATION — the training-data op that runs beside
+    * dedup in every serious pipeline: flag training documents whose content
+    * overlaps a held-out evaluation set (here source 'src0' plays the
+    * benchmark; everything else is the training pool), so eval scores are
+    * not inflated by memorized training copies. Overlap metric: fraction of
+    * the training doc's distinct word-3-gram shingles that appear in ANY
+    * benchmark doc; ≥ 0.5 ⇒ contaminated. Threshold membership is engine-
+    * stable WITHOUT needing a margin: the fraction is one IEEE division of
+    * identical exact integers on both engines, so even the sf0.1 doc that
+    * lands on exactly 0.5 (77/154) compares identically. (Planted
+    * cross-source duplicates sit at 1.0; background overlap ≤ 0.494.)
+    *
+    * Scale shape: the benchmark shingle dictionary is DISTINCT shingles of
+    * the eval set — eval sets are tiny relative to a 100 TB training corpus,
+    * so it is the broadcast side; the training side streams through one
+    * equi-join stage plus a per-doc count aggregate. No pair space anywhere. */
+  val dedupDecontaminate: Op = Op(
+    "dedup_decontaminate",
+    (s, d) => {
+      val sh = shingled(Tables.documents(s, d).select("doc_id", "source", "text"))
+      val bench = sh.where(col("source") === "src0")
+        .select(explode(col("shingles")).as("s")).distinct()
+      val train = sh.where(col("source") =!= "src0")
+        .select(col("doc_id"), explode(col("shingles")).as("s"))
+      val hits = train.join(broadcast(bench), "s")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("contaminated",
+          col("n_hits").cast("double") / col("n_shingles") >= 0.5)
+        .orderBy("doc_id")
+    },
+    Some("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents), " +
+      "g AS (SELECT doc_id, source, unnest(list_distinct(list_transform(generate_series(1, len(w) - 2), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s FROM t WHERE len(w) >= 3), " +
+      "bench AS (SELECT DISTINCT s FROM g WHERE source = 'src0'), " +
+      "train AS (SELECT doc_id, s FROM g WHERE source <> 'src0'), " +
+      "sz AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY 1), " +
+      "hit AS (SELECT doc_id, COUNT(*) AS n_hits FROM train JOIN bench USING (s) GROUP BY 1) " +
+      "SELECT sz.doc_id, n_shingles, COALESCE(n_hits, 0) AS n_hits, " +
+      "CAST(COALESCE(n_hits, 0) AS DOUBLE) / n_shingles >= 0.5 AS contaminated " +
+      "FROM sz LEFT JOIN hit ON hit.doc_id = sz.doc_id ORDER BY sz.doc_id"))
 
   /** Every unordered distinct embedding pair exactly once, with its cosine —
     * the EXACT all-pairs stage shared by `dedup_embedding_cosine` and
@@ -697,7 +766,8 @@ object LlmOps {
     Some("SELECT doc_id, lang, n_chars, label, CAST(len(embedding) AS INT) AS dim " +
       "FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id"))
 
-  val all: Seq[Op] = Seq(dedupExact, dedupNearMinhash, dedupSimhash, dedupNgramJaccard,
-    dedupClusterKeep, dedupEmbeddingCosine, simSearchTopk, simSearchKnnPerQuery,
-    simSearchAnnLsh, simSearchAnnIvf, textLangStats, textQualityFilter, multimodalJoin)
+  val all: Seq[Op] = Seq(dedupExact, dedupIncrementalExact, dedupNearMinhash, dedupSimhash,
+    dedupNgramJaccard, dedupClusterKeep, dedupDecontaminate, dedupEmbeddingCosine,
+    simSearchTopk, simSearchKnnPerQuery, simSearchAnnLsh, simSearchAnnIvf,
+    textLangStats, textQualityFilter, multimodalJoin)
 }

@@ -86,5 +86,32 @@ object PipelineOps {
       "(PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off " +
       "FROM documents) ORDER BY lang, doc_id"))
 
-  val all: Seq[Op] = Seq(sampleStratified, splitTrainValTest, packSequences)
+  /** Symmetric per-vector int8 quantization — the embedding-prep step before
+    * a vector-index load or a memory-tight training run: scale each vector by
+    * 127/max|x| and round to signed bytes. Scan-local and codegen-friendly
+    * (zero shuffle before the output order). Determinism across engines: the
+    * float inputs cast exactly to double, 127/max and x·scale are single IEEE
+    * ops, and rounding is the explicit floor(x·scale + 0.5) — no engine
+    * round() (whose half-way rules differ). Quantized bytes are emitted as a
+    * '|'-joined string (the driver's hasher rejects array columns). */
+  val embedQuantizeInt8: Op = Op(
+    "embed_quantize_int8",
+    (s, d) => {
+      Tables.embeddings(s, d)
+        .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+        .withColumn("scale",
+          when(col("maxabs") === 0, lit(0.0)).otherwise(lit(127.0) / col("maxabs")))
+        .select(col("vec_id"), col("scale"),
+          concat_ws("|", transform(col("v"),
+            x => floor(x * col("scale") + 0.5).cast("int").cast("string"))).as("q"))
+        .orderBy("vec_id")
+    },
+    Some("SELECT vec_id, scale, array_to_string(list_transform(embedding, " +
+      "x -> CAST(CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT) AS VARCHAR)), '|') AS q " +
+      "FROM (SELECT vec_id, embedding, CASE WHEN maxabs = 0 THEN 0.0 ELSE 127.0 / maxabs END AS scale " +
+      "FROM (SELECT vec_id, embedding, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs " +
+      "FROM embeddings)) ORDER BY vec_id"))
+
+  val all: Seq[Op] = Seq(sampleStratified, splitTrainValTest, packSequences, embedQuantizeInt8)
 }

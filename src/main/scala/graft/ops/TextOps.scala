@@ -110,5 +110,41 @@ object TextOps {
     },
     None)
 
-  val all: Seq[Op] = Seq(textLangId, textTokenStats, textFingerprint)
+  /** Tokenizer-vocabulary induction, step one of BPE: the most frequent
+    * ADJACENT CHARACTER PAIR across the corpus, weighted by word frequency —
+    * exactly the statistic the first BPE merge is chosen from. The corpus
+    * collapses to its word-frequency VOCABULARY first (one groupBy; shuffle ∝
+    * distinct words, which saturates by Heaps' law while the corpus keeps
+    * growing), and the pair explosion then runs over vocabulary entries, not
+    * corpus tokens — the reason real BPE trainers operate on (word, freq)
+    * tables. Counts are exact integers; ties break on the pair string
+    * (lowercase ASCII ⇒ identical collation on both engines). */
+  val textBpePairs: Op = Op(
+    "text_bpe_pairs",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val vocab = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+        .where(length(col("tok")) >= 2)
+      val counts = vocab
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), length(col("tok")) - 1),
+          i => col("tok").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("n"))
+      val top = counts.orderBy(col("n").desc, col("pair").asc).limit(20)
+      val w = Window.orderBy(col("n").desc, col("pair").asc)
+      top.withColumn("rank", row_number().over(w))
+        .select("rank", "pair", "n")
+        .orderBy("rank")
+    },
+    Some("WITH v AS (SELECT tok, COUNT(*) AS freq FROM " +
+      "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1), " +
+      "p AS (SELECT unnest(list_transform(generate_series(1, length(tok) - 1), " +
+      "i -> substr(tok, i, 2))) AS pair, freq FROM v WHERE length(tok) >= 2), " +
+      "c AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM p GROUP BY 1), " +
+      "r AS (SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rank FROM c) " +
+      "SELECT rank, pair, n FROM r WHERE rank <= 20 ORDER BY rank"))
+
+  val all: Seq[Op] = Seq(textLangId, textTokenStats, textFingerprint, textBpePairs)
 }
