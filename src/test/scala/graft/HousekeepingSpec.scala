@@ -59,6 +59,43 @@ class HousekeepingSpec extends AnyFunSuite {
       s"memory-sink views grew $viewsAfterFirst -> $viewsAfter")
   }
 
+  test("materialization memo: one live generation, content-keyed, survives releaseAll") {
+    import graft.ops.Housekeeping
+    def put(ck: String, payload: String) =
+      Housekeeping.memoPut("hk_spec_memo", ck,
+        dir => java.nio.file.Files.writeString(dir.resolve("x"), payload))
+    val g1 = put("inputs-A", "one")
+    // same content key: a consumer resolves the live generation
+    assert(Housekeeping.memoGet("hk_spec_memo", "inputs-A").contains(g1))
+    // releaseAll (the between-queries reset) must NOT clear the memo — it is
+    // the deliberate cross-query artifact (shared-stage materialization)
+    Housekeeping.releaseAll()
+    assert(Housekeeping.memoGet("hk_spec_memo", "inputs-A").contains(g1))
+    // mismatched content key (different inputs) must miss, not serve stale data
+    assert(Housekeeping.memoGet("hk_spec_memo", "inputs-B").isEmpty)
+    // a new generation replaces AND deletes the previous one
+    val g2 = put("inputs-B", "two")
+    assert(Housekeeping.memoGet("hk_spec_memo", "inputs-B").contains(g2))
+    assert(Housekeeping.memoGet("hk_spec_memo", "inputs-A").isEmpty)
+    assert(!java.nio.file.Files.exists(g1), "previous memo generation must be deleted")
+    Housekeeping.deleteRecursively(g2)
+  }
+
+  test("dedup_cluster_keep equals its memo-miss result when the pair memo is live") {
+    import graft.ops.LlmOps
+    // produce the memo (jaccard is the producer), then consume it
+    LlmOps.dedupNgramJaccard.fn(spark, TestSpark.sf0001).count()
+    val viaMemo = LlmOps.dedupClusterKeep.fn(spark, TestSpark.sf0001).collect().toSeq
+    // wipe every artifact INCLUDING nothing-up-my-sleeve: memoGet misses on a
+    // different content key only, so force the miss path via a fresh compute
+    // by invalidating with a different-sf memo generation
+    LlmOps.dedupNgramJaccard.fn(spark, TestSpark.sf001).count()
+    val viaMiss = LlmOps.dedupClusterKeep.fn(spark, TestSpark.sf0001)
+    // sf0.001's memo key no longer matches -> cluster_keep recomputes pairs
+    assert(viaMiss.collect().toSeq == viaMemo,
+      "memo-hit and memo-miss cluster_keep results diverged")
+  }
+
   test("repeated jsonl/orc round-trips keep one temp dir each") {
     SourceSinkOps.sourceJsonlRoundtrip.fn(spark, TestSpark.sf0001).count()
     SourceSinkOps.sourceOrcRoundtrip.fn(spark, TestSpark.sf0001).count()
