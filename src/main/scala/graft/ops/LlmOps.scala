@@ -367,7 +367,13 @@ object LlmOps {
   val dedupDecontaminate: Op = Op(
     "dedup_decontaminate",
     (s, d) => {
-      val sh = shingled(Tables.documents(s, d).select("doc_id", "source", "text"))
+      // Materialize the shingle arrays once: they feed THREE plan branches
+      // (bench dictionary, per-doc sizes, hit join) and uncached each branch
+      // re-derives the whole split/transform tree — the same measured
+      // recompute trap as ngramPairs (cache barrier pattern, §7.2).
+      val sh = Housekeeping.cacheBounded("decon_shingles",
+        shingled(Tables.documents(s, d).select("doc_id", "source", "text"))
+          .select(col("doc_id"), col("source"), col("shingles")))
       val bench = sh.where(col("source") === "src0")
         .select(explode(col("shingles")).as("s")).distinct()
       val train = sh.where(col("source") =!= "src0")
