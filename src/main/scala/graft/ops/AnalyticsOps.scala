@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over the event stream — the funnel and cohort
+  * queries every events warehouse serves (and the reference's user-behavior
+  * reporting restated on the testdata's event taxonomy).
+  *
+  * Scale notes (100 TB): every stage keys on user_id, so the whole family
+  * reuses one hash-clustering; aggregates are two-phase with shuffle volume
+  * = user/cohort cardinality, never event volume.
+  */
+object AnalyticsOps {
+
+  /** Strictly-ordered funnel signup → view → click → purchase: a user
+    * reaches step N only with an event strictly after their step-N−1 time.
+    * Spelled as a chain of conditional min-aggregates (each stage: filter
+    * type, join the previous stage's per-user timestamp, keep later events,
+    * min) — each stage is one equi-join + two-phase aggregate on user_id,
+    * and every join reuses the same user clustering. Emits the classic
+    * step → distinct-users-reached table. */
+  val funnelConversion: Op = Op(
+    "funnel_conversion",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      def stage(evType: String, prev: org.apache.spark.sql.DataFrame,
+          prevTs: String, outTs: String) =
+        e.where(col("event_type") === evType)
+          .join(prev, Seq("user_id"))
+          .where(col("ts") > col(prevTs))
+          .groupBy("user_id").agg(min(col("ts")).as(outTs))
+      val s1 = e.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val s2 = stage("view", s1, "t1", "t2")
+      val s3 = stage("click", s2, "t2", "t3")
+      val s4 = stage("purchase", s3, "t3", "t4")
+      val counts = Seq(
+        (1, "signup", s1), (2, "view", s2), (3, "click", s3), (4, "purchase", s4))
+        .map { case (i, name, df) =>
+          df.agg(count(lit(1)).as("n_users"))
+            .select(lit(i).as("step_idx"), lit(name).as("step"), col("n_users"))
+        }
+      counts.reduce(_ unionAll _).orderBy("step_idx")
+    },
+    Some("WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1), " +
+      "s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 ON s1.user_id = e.user_id " +
+      "WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1), " +
+      "s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 ON s2.user_id = e.user_id " +
+      "WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY 1), " +
+      "s4 AS (SELECT e.user_id, MIN(e.ts) AS t4 FROM events e JOIN s3 ON s3.user_id = e.user_id " +
+      "WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY 1) " +
+      "SELECT CAST(1 AS INT) AS step_idx, 'signup' AS step, COUNT(*) AS n_users FROM s1 " +
+      "UNION ALL SELECT CAST(2 AS INT), 'view', COUNT(*) FROM s2 " +
+      "UNION ALL SELECT CAST(3 AS INT), 'click', COUNT(*) FROM s3 " +
+      "UNION ALL SELECT CAST(4 AS INT), 'purchase', COUNT(*) FROM s4 ORDER BY step_idx"))
+
+  /** Cohort retention: users grouped by first-activity date (their cohort),
+    * counted on each later activity day by day offset — the
+    * (cohort × offset) retention triangle. Two aggregates and one join, all
+    * on user_id / (cohort, offset); distinct (user, day) activity first so a
+    * chatty user counts once per day. */
+  val cohortRetention: Op = Op(
+    "cohort_retention",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val firstDay = e.groupBy("user_id").agg(to_date(min(col("ts"))).as("cohort"))
+      val acts = e.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      acts.join(firstDay, Seq("user_id"))
+        .select(col("cohort"), datediff(col("day"), col("cohort")).as("offset_days"),
+          col("user_id"))
+        .groupBy("cohort", "offset_days")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort", "offset_days")
+    },
+    Some("WITH f AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort FROM events GROUP BY 1), " +
+      "a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events) " +
+      "SELECT cohort, CAST(datediff('day', cohort, day) AS INT) AS offset_days, " +
+      "COUNT(DISTINCT a.user_id) AS n_users " +
+      "FROM a JOIN f ON f.user_id = a.user_id GROUP BY 1, 2 ORDER BY cohort, offset_days"))
+
+  val all: Seq[Op] = Seq(funnelConversion, cohortRetention)
+}
