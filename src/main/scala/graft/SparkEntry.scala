@@ -18,7 +18,7 @@ object SparkEntry {
   private def allOps: Seq[Op] =
     ScanFilterOps.all ++ SourceSinkOps.all ++ AggOps.all ++ JoinOps.all ++ StarOps.all ++
       SubqueryOps.all ++ WindowOps.all ++
-      TimeSeriesOps.all ++ SortSetOps.all ++ FuncOps.all ++ LlmOps.all ++
+      TimeSeriesOps.all ++ AnalyticsOps.all ++ SortSetOps.all ++ FuncOps.all ++ LlmOps.all ++
       TextOps.all ++ PipelineOps.all ++ MultimodalOps.all ++ StreamingOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
