@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, HyperplaneBuckets, MinHashSig, SimHash64, WinnowMins}
+import graft.functions.{DotProduct, HyperplaneBuckets, MinHashSig, SimHash64, SpaceSavingTopK, WinnowMins}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -13,12 +13,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   SparkSession.builder().withExtensions(new GraftExtensions) ...
   * }}}
   *
-  * makes `graft_dot`, `graft_minhash_sig`, and `graft_simhash64` available
-  * to every session (SQL and DataFrame API) without the per-session
-  * `GraftFunctions.register` call the operators use as a fallback. No custom
-  * optimizer rules or strategies are injected — SURVEY §4.3's audit holds:
-  * Catalyst's built-in planning covers the whole declared surface, and the
-  * engine's extensions are scalar expressions only.
+  * makes the graft_* functions available to every session (SQL and
+  * DataFrame API) without the per-session `GraftFunctions.register` call
+  * the operators use as a fallback. No custom optimizer rules or strategies
+  * are injected — SURVEY §4.3's audit holds: Catalyst's built-in planning
+  * covers the whole declared surface, and the engine's extensions are five
+  * scalar expressions plus one native aggregate (the Space-Saving
+  * heavy-hitters sketch, a TypedImperativeAggregate).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -34,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_winnow_mins"),
       new ExpressionInfo(classOf[WinnowMins].getName, "graft_winnow_mins"),
       (args: Seq[Expression]) => WinnowMins(args(0), graft.functions.GraftFunctions.intParam(args(1), "graft_winnow_mins"))))
+    ext.injectFunction((FunctionIdentifier("graft_heavy_hitters"),
+      new ExpressionInfo(classOf[SpaceSavingTopK].getName, "graft_heavy_hitters"),
+      (args: Seq[Expression]) => SpaceSavingTopK(args(0),
+        graft.functions.GraftFunctions.intParam(args(1), "graft_heavy_hitters"))))
     ext.injectFunction((FunctionIdentifier("graft_hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
       (args: Seq[Expression]) => HyperplaneBuckets(args(0),

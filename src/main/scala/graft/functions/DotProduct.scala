@@ -96,6 +96,10 @@ object GraftFunctions {
       (args: Seq[Expression]) =>
         WinnowMins(args(0), intParam(args(1), "graft_winnow_mins")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_heavy_hitters",
+      (args: Seq[Expression]) =>
+        SpaceSavingTopK(args(0), intParam(args(1), "graft_heavy_hitters")), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hyperplane_buckets",
       (args: Seq[Expression]) =>
         HyperplaneBuckets(args(0), intParam(args(1), "graft_hyperplane_buckets"),
@@ -118,6 +122,11 @@ object GraftFunctions {
   def winnowMins(elementHashes: Column, window: Int): Column =
     call_function("graft_winnow_mins", elementHashes,
       org.apache.spark.sql.functions.lit(window))
+
+  /** Requires register(spark) on the session first. */
+  def heavyHitters(item: Column, capacity: Int): Column =
+    call_function("graft_heavy_hitters", item,
+      org.apache.spark.sql.functions.lit(capacity))
 
   /** Requires register(spark) on the session first. */
   def hyperplaneBuckets(vec: Column, numTables: Int, numBits: Int): Column =

@@ -146,5 +146,43 @@ object TextOps {
       "r AS (SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rank FROM c) " +
       "SELECT rank, pair, n FROM r WHERE rank <= 20 ORDER BY rank"))
 
-  val all: Seq[Op] = Seq(textLangId, textTokenStats, textFingerprint, textBpePairs)
+  /** Heavy-hitter tokens via the sketch-proposes/exact-verifies pattern: a
+    * Space-Saving sketch ([[graft.functions.SpaceSavingTopK]], a native
+    * TypedImperativeAggregate — partial sketches merge map-side, the token
+    * stream never shuffles) proposes ≤ capacity candidates in one pass; the
+    * exact count then runs ONLY over candidate rows (semi-join before the
+    * shuffle), and the top-10 with exact counts is emitted. The oracle is
+    * DuckDB's exact global top-10 — hash equality proves the sketch never
+    * missed a true heavy hitter. Why this shape at 100 TB: when the token
+    * universe explodes (urls, ids), the exact groupBy over everything is the
+    * bottleneck; the sketch is fixed-memory and the verified count touches
+    * only candidate rows. Capacity 64 exceeds this corpus's 31-token
+    * vocabulary, so the sketch is exact here (and bit-deterministic across
+    * partitionings — DeterminismSpec); the N/capacity error bound is the
+    * guarantee at width. */
+  val textHeavyHitters: Op = Op(
+    "text_heavy_hitters",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      def toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val cand = toks
+        .agg(graft.functions.GraftFunctions.heavyHitters(col("tok"), 64).as("cands"))
+        .select(explode(col("cands")).as("tok"))
+      val w = Window.orderBy(col("n").desc, col("tok").asc)
+      toks.join(broadcast(cand), Seq("tok"), "left_semi")
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc).limit(10)
+        .withColumn("rank", row_number().over(w))
+        .select("rank", "tok", "n")
+        .orderBy("rank")
+    },
+    Some("WITH c AS (SELECT tok, COUNT(*) AS n FROM " +
+      "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1), " +
+      "r AS (SELECT tok, n, CAST(row_number() OVER (ORDER BY n DESC, tok) AS INT) AS rank FROM c) " +
+      "SELECT rank, tok, n FROM r WHERE rank <= 10 ORDER BY rank"))
+
+  val all: Seq[Op] = Seq(textLangId, textTokenStats, textFingerprint, textBpePairs,
+    textHeavyHitters)
 }
