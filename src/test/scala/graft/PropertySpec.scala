@@ -101,6 +101,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("blockedAllPairs emits the exact unordered pair space (model check)") {
+    import spark.implicits._
+    // The block-matrix shard has two subtle edges: same-block pairs must
+    // dedup by id order, cross-block pairs must appear exactly once with
+    // normalized (least, greatest) ids. Check against the combinations
+    // model for sizes below/at/above the block count (B = 16), with both
+    // contiguous and strided (block-skewed) id sets.
+    val cases = Seq(
+      (0 until 1).map(_.toLong),
+      (0 until 2).map(_.toLong),
+      (0 until 5).map(_.toLong),
+      (0 until 17).map(_.toLong),
+      (0 until 33).map(_.toLong),
+      (0 until 20).map(i => i.toLong * 16 + 3), // every id in the SAME block
+      (0 until 24).map(i => i.toLong * 3 + 1))
+    for (ids <- cases) {
+      val dir = java.nio.file.Files.createTempDirectory("pairs_prop")
+      try {
+        ids.map(i => (i, Array.tabulate(4)(j => (i * 4 + j).toFloat / 100f)))
+          .toDF("vec_id", "embedding")
+          .write.mode("overwrite").parquet(dir.resolve("embeddings.parquet").toString)
+        val got = graft.ops.LlmOps.blockedAllPairs(spark, dir.toString)
+          .select("vec_id_a", "vec_id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val expected = ids.combinations(2).map(p => (p.min, p.max)).toSet
+        assert(got.length == got.toSet.size, s"duplicate pairs at n=${ids.size}")
+        assert(got.forall { case (a, b) => a < b }, "pair ids must be normalized")
+        assert(got.toSet == expected,
+          s"pair space mismatch at n=${ids.size}: got ${got.length}, expected ${expected.size}")
+      } finally graft.ops.Housekeeping.deleteRecursively(dir)
+    }
+  }
+
+  test("embed_quantize_int8 stays in int8 range and inverts within 1/scale") {
+    val out = graft.ops.PipelineOps.embedQuantizeInt8.fn(spark, TestSpark.sf0001)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val scale = r.getDouble(1)
+      val qs = r.getString(2).split('|').map(_.toInt)
+      assert(qs.forall(q => q >= -127 && q <= 127),
+        s"quantized value out of int8 range for vec ${r.getLong(0)}")
+      assert(scale >= 0.0)
+    }
+  }
+
   test("exact dedup is idempotent") {
     import spark.implicits._
     for (texts <- samples(Gen.listOfN(30, Gen.oneOf("a b c", "d e f", "g h i", "j k l")), 5)
