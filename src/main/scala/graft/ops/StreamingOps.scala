@@ -209,12 +209,16 @@ object StreamingOps {
     (s, d) => {
       val qn = s"st_join_${System.nanoTime()}"
       Housekeeping.tempViewBounded("st_join", s, qn)
-      // two independent staged sources: each side of a stream-stream join
-      // is its own stream with its own watermark
+      // each side of a stream-stream join is its own stream with its own
+      // watermark; they can tail the SAME staged landing directory (two
+      // independent file-source readers — exactly the production layout
+      // where both sides subscribe to one upload directory)
       val (srcP, dirP) = eventStream(s, d)
-      val (srcF, dirF) = eventStream(s, d)
+      val srcF = s.readStream.schema(graft.tables.Tables.rawEventsSchema)
+        .parquet(dirP.toString)
+        .withColumn("ts", graft.tables.Tables.nsColToTimestamp("ts"))
       val ckpt = tmp("ckpt_join")
-      withStatePartitions(s, 8) { cleanupAfter(Seq(dirP.toString, dirF.toString, ckpt)) {
+      withStatePartitions(s, 8) { cleanupAfter(Seq(dirP.toString, ckpt)) {
         val purchases = srcP.where(col("event_type") === "purchase")
           .select(col("event_id").as("purchase_id"), col("user_id").as("u1"), col("ts").as("t1"))
           .withWatermark("t1", "10 minutes")
