@@ -242,6 +242,40 @@ object StreamingOps {
       "AND e2.ts <= e1.ts + INTERVAL 10 MINUTE WHERE e1.event_type = 'purchase' " +
       "ORDER BY purchase_id, follow_id"))
 
+  /** Stream-static enrichment — the third join class Structured Streaming
+    * offers (beside stream-stream and stateful ops): the event stream joins
+    * a STATIC dimension (circuit → account nation, broadcast into every
+    * micro-batch; the dim is re-planned per batch, so a dim refresh is
+    * picked up without restarting the query), then rolls up per nation.
+    * At 100 TB the fact stream never shuffles for the join — same
+    * broadcast-hash-join argument as the batch site_circuit_rollup. Oracle:
+    * equals the batch join+rollup on closed input. */
+  val streamEnrichDim: Op = Op(
+    "stream_enrich_dim",
+    (s, d) => {
+      val qn = s"st_enrich_${System.nanoTime()}"
+      Housekeeping.tempViewBounded("st_enrich", s, qn)
+      val (src, srcDir) = eventStream(s, d)
+      val dim = graft.tables.Tables.customer(s, d)
+        .select(col("c_custkey").as("circuit_id"), col("c_nationkey").as("nation"))
+      val ckpt = tmp("ckpt_enrich")
+      withStatePartitions(s, 8) { cleanupAfter(Seq(srcDir.toString, ckpt)) {
+        val q = src
+          .withWatermark("ts", "10 minutes")
+          .join(broadcast(dim), col("user_id") === col("circuit_id"))
+          .groupBy(col("nation"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+          .writeStream.format("memory").queryName(qn).outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(qn).orderBy("nation")
+      } }
+    },
+    Some("SELECT c_nationkey AS nation, COUNT(*) AS cnt, " + oSum("e.value") + " AS sum_value " +
+      "FROM events e JOIN customer c ON c.c_custkey = e.user_id " +
+      "GROUP BY 1 ORDER BY nation"))
+
   /** The arbitrary-stateful API (flatMapGroupsWithState): a per-user
     * lifetime counter in explicit GroupState — the shape of custom state
     * machines (credit balances, device registers) the built-in windows can't
@@ -372,5 +406,6 @@ object StreamingOps {
       "FROM events GROUP BY user_id ORDER BY user_id"))
 
   val all: Seq[Op] = Seq(streamTumblingWatermark, streamDedup, streamSessionStateful,
-    streamLateData, streamStatefulCounter, streamStatefulCounterTws, streamJoinFollows)
+    streamLateData, streamStatefulCounter, streamStatefulCounterTws, streamJoinFollows,
+    streamEnrichDim)
 }

@@ -56,4 +56,38 @@ class StreamJoinSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("stream-static enrichment broadcasts the dim — fact side joins shuffle-free") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val facts = MemoryStream[(Long, Double)]
+    val dim = Seq((1L, "ALGERIA"), (2L, "BRAZIL")).toDF("circuit_id", "nation")
+    val enriched = facts.toDF().toDF("circuit_id", "value")
+      .join(broadcast(dim), "circuit_id")
+      .groupBy("nation").agg(sum("value").as("sum_value"))
+    val ckpt = java.nio.file.Files.createTempDirectory("st_enrich_spec_ckpt")
+    graft.ops.Housekeeping.withShufflePartitions(spark, 8) {
+      val q = enriched.writeStream.format("memory").queryName("st_enrich_spec")
+        .outputMode("complete").option("checkpointLocation", ckpt.toString).start()
+      try {
+        facts.addData((1L, 2.0), (1L, 3.0), (2L, 4.0), (9L, 99.0)) // 9L: no dim row
+        q.processAllAvailable()
+        val rows = spark.table("st_enrich_spec").orderBy("nation").collect()
+        assert(rows.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+          Seq(("ALGERIA", 5.0), ("BRAZIL", 4.0)))
+        // The micro-batch physical plan must hash-join against a broadcast
+        // dim — an Exchange feeding a SortMergeJoin here would mean the
+        // unbounded fact stream shuffles for the join at every batch.
+        val baos = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(baos, true, "UTF-8")) { q.explain() }
+        val plan = baos.toString("UTF-8")
+        assert(plan.contains("BroadcastHashJoin"), s"dim not broadcast:\n$plan")
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView("st_enrich_spec")
+        graft.ops.Housekeeping.deleteRecursively(ckpt)
+      }
+    }
+  }
 }
