@@ -30,7 +30,16 @@ object StreamingOps {
     * is the landing directory gateways upload into. The ns shim (schema +
     * rebuild) is shared with the batch loader — one definition in
     * [[graft.tables.Tables]]. Staged source and checkpoint dirs are disposed
-    * after the drained query terminates (cleanupAfter). */
+    * after the drained query terminates (cleanupAfter).
+    *
+    * Staging contract: exactly ONE file is staged and no maxFilesPerTrigger
+    * is set, so a drained run processes the whole input in a single
+    * micro-batch with the watermark still at epoch. The batch-equivalence
+    * oracles (notably stream_join_follows') depend on this — rows landing in
+    * a later batch behind an advanced watermark would be legitimately
+    * dropped/evicted and the drained result would diverge from the batch
+    * SQL. If staging ever becomes multi-file, files must be ordered so event
+    * time is monotone non-decreasing across batches. */
   private def eventStream(s: SparkSession, d: String): (DataFrame, java.nio.file.Path) = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val srcDir = Files.createTempDirectory("st_src")
@@ -201,14 +210,18 @@ object StreamingOps {
     * Spark derives a state-retention horizon per side and EVICTS buffered
     * rows as the watermarks advance — state stays bounded by
     * (watermark + 10 min) of stream history at any input volume, which is
-    * what makes this run indefinitely on a cluster. On closed input the
-    * drained result equals the batch band join — that equivalence is the
-    * oracle (same SQL as join_range_theta). */
+    * what makes this run indefinitely on a cluster. Sink is a parquet FILE
+    * sink (same pattern as stream_dedup): unlike the complete-mode aggregate
+    * sinks — whose output is small by construction — this op's output is
+    * proportional to input volume, so an in-memory sink would be a
+    * driver-size bomb at scale. On closed input the drained result equals
+    * the batch band join — that equivalence is the oracle (same SQL as
+    * join_range_theta). */
   val streamJoinFollows: Op = Op(
     "stream_join_follows",
     (s, d) => {
-      val qn = s"st_join_${System.nanoTime()}"
-      Housekeeping.tempViewBounded("st_join", s, qn)
+      val out = Housekeeping.tempDirBounded("st_join_out",
+        Files.createTempDirectory("st_join_out")).toString
       // each side of a stream-stream join is its own stream with its own
       // watermark; they can tail the SAME staged landing directory (two
       // independent file-source readers — exactly the production layout
@@ -230,11 +243,11 @@ object StreamingOps {
             col("u1") === col("u2") &&
               col("t2") > col("t1") && col("t2") <= col("t1") + expr("INTERVAL 10 MINUTES"))
           .select("purchase_id", "follow_id", "follow_type")
-          .writeStream.format("memory").queryName(qn).outputMode("append")
+          .writeStream.format("parquet").option("path", out)
           .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).start()
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        s.table(qn).orderBy("purchase_id", "follow_id")
+        s.read.parquet(out).orderBy("purchase_id", "follow_id")
       } }
     },
     Some("SELECT e1.event_id AS purchase_id, e2.event_id AS follow_id, e2.event_type AS follow_type " +
