@@ -544,8 +544,9 @@ object LlmOps {
     * quantizer splits the corpus into K cells; a query probes only its
     * NProbe nearest cells and pays exact cosine on those candidates — the
     * corpus-side cost at 100 TB is one equi-join on `cell` against a
-    * materialized inverted file (here rebuilt per run; a production pipeline
-    * would persist the assignment bucketed by cell).
+    * materialized inverted file (this key rebuilds per run as the declared
+    * trainer; `sim_search_ann_probe` below is the production build-once/
+    * probe-many lifecycle over the persisted index).
     *
     * Determinism: Lloyd's algorithm runs a FIXED 2 iterations from a fixed
     * seed assignment (vec_id mod K); per-dimension centroid means aggregate
@@ -570,57 +571,86 @@ object LlmOps {
     * K·n·Iters centroid scorings on top, accounted arithmetically in
     * AnnCrossoverSpec) — exposed for the same work-count assertion as
     * [[lshCandidates]]; the op ranks it. */
+  private val IvfK = 16
+  private val IvfNProbe = 4
+  private val IvfIters = 2
+
+  private def dot(a: Column, b: Column) = graft.functions.GraftFunctions.dot(a, b)
+
+  /** cell → centroid vector (+norm) from an assignment, via exact-decimal
+    * per-dimension means (empty cells simply drop out of the groupBy).
+    * K rows are collected and re-seeded as a flat local table — the same
+    * driver loop every k-means trainer runs — which keeps each iteration's
+    * lineage flat instead of compounding the whole training history into
+    * every downstream plan (see [[ivfCandidates]] scaladoc). */
+  private def ivfCentroidsOf(s: org.apache.spark.sql.SparkSession,
+                             assigned: DataFrame): DataFrame = {
+    val computed = assigned
+      .select(col("cell"), posexplode(col("vc")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg(avg(col("x").cast("decimal(27,12)")).cast("double").as("m"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        p => p.getField("m")).as("cv"))
+      .withColumn("ncv", sqrt(dot(col("cv"), col("cv"))))
+    val rows = computed.collect().toSeq
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), computed.schema)
+  }
+
+  /** Fixed-seed, fixed-iteration Lloyd's training: the (neighbor_id, vc, nc,
+    * cell) assignment — deterministic (exact-decimal centroid means, ties to
+    * the highest cell id), so every build of the same corpus produces the
+    * bit-identical inverted file. */
+  private def ivfTrained(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val corpus = Housekeeping.cacheBounded("ivf_corpus",
+      withVec(Tables.embeddings(s, d), "neighbor_id", "vc", "nc"))
+    // nearest centroid per corpus vector: K is tiny, so the centroid table
+    // broadcasts and the argmax is a map-side struct-max aggregate keyed by
+    // vector id (ties break to the highest cell id — deterministic because
+    // the sims themselves are deterministic doubles)
+    def assign(cents: DataFrame): DataFrame =
+      corpus.crossJoin(broadcast(cents)) // every vector scores all K centroids
+        .select(col("neighbor_id"), col("vc"), col("nc"), col("cell"),
+          (dot(col("vc"), col("cv")) / (col("nc") * col("ncv"))).as("csim"))
+        .groupBy("neighbor_id")
+        .agg(max(struct(col("csim"), col("cell"))).getField("cell").as("cell"),
+          first(col("vc")).as("vc"), first(col("nc")).as("nc"))
+    val seed = corpus.withColumn("cell", (col("neighbor_id") % IvfK).cast("int"))
+    (1 to IvfIters).foldLeft(seed) { (assigned, _) =>
+      assign(ivfCentroidsOf(s, assigned))
+    }
+  }
+
+  /** Query side of the IVF search: each of the 10 fixed queries scores the K
+    * broadcast centroids and keeps its NProbe nearest cells. */
+  private def ivfProbes(s: org.apache.spark.sql.SparkSession, d: String,
+                        cents: DataFrame): DataFrame = {
+    val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cell").asc)
+    withVec(Tables.embeddings(s, d), "query_id", "vq", "nq")
+      .where(col("query_id") < 10)
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("vq"), col("nq"), col("cell"),
+        (dot(col("vq"), col("cv")) / (col("nq") * col("ncv"))).as("csim"))
+      .withColumn("pr", row_number().over(wProbe))
+      .where(col("pr") <= IvfNProbe)
+      .select("query_id", "vq", "nq", "cell")
+  }
+
+  /** rank candidates → the (query_id, rank, neighbor_id) contract shape. */
+  private def rankCandidates(cand: DataFrame): DataFrame = {
+    val wRank = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    cand
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
   def ivfCandidates(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
       graft.functions.GraftFunctions.register(s)
-      val K = 16
-      val NProbe = 4
-      val Iters = 2
-      def dot(a: Column, b: Column) = graft.functions.GraftFunctions.dot(a, b)
-      val corpus = Housekeeping.cacheBounded("ivf_corpus",
-        withVec(Tables.embeddings(s, d), "neighbor_id", "vc", "nc"))
-      // cell → centroid vector (+norm) from an assignment, via exact-decimal
-      // per-dimension means (empty cells simply drop out of the groupBy)
-      def centroidsOf(assigned: DataFrame): DataFrame = {
-        val computed = assigned
-          .select(col("cell"), posexplode(col("vc")).as(Seq("pos", "x")))
-          .groupBy("cell", "pos")
-          .agg(avg(col("x").cast("decimal(27,12)")).cast("double").as("m"))
-          .groupBy("cell")
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-            p => p.getField("m")).as("cv"))
-          .withColumn("ncv", sqrt(dot(col("cv"), col("cv"))))
-        // K rows to the driver, re-seeded as a flat local table (see scaladoc)
-        val rows = computed.collect().toSeq
-        s.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), computed.schema)
-      }
-      // nearest centroid per corpus vector: K is tiny, so the centroid table
-      // broadcasts and the argmax is a map-side struct-max aggregate keyed by
-      // vector id (ties break to the highest cell id — deterministic because
-      // the sims themselves are deterministic doubles)
-      def assign(cents: DataFrame): DataFrame =
-        corpus.crossJoin(broadcast(cents)) // every vector scores all K centroids
-          .select(col("neighbor_id"), col("vc"), col("nc"), col("cell"),
-            (dot(col("vc"), col("cv")) / (col("nc") * col("ncv"))).as("csim"))
-          .groupBy("neighbor_id")
-          .agg(max(struct(col("csim"), col("cell"))).getField("cell").as("cell"),
-            first(col("vc")).as("vc"), first(col("nc")).as("nc"))
-      val seed = corpus.withColumn("cell", (col("neighbor_id") % K).cast("int"))
-      val trained = (1 to Iters).foldLeft(seed) { (assigned, _) =>
-        assign(centroidsOf(assigned))
-      }
-      val index = Housekeeping.cacheBounded("ivf_index", trained)
-      val cents = centroidsOf(index)
-      // query side: 10 fixed queries probe their NProbe nearest cells
-      val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cell").asc)
-      val probes = withVec(Tables.embeddings(s, d), "query_id", "vq", "nq")
-        .where(col("query_id") < 10)
-        .crossJoin(broadcast(cents))
-        .select(col("query_id"), col("vq"), col("nq"), col("cell"),
-          (dot(col("vq"), col("cv")) / (col("nq") * col("ncv"))).as("csim"))
-        .withColumn("pr", row_number().over(wProbe))
-        .where(col("pr") <= NProbe)
-        .select("query_id", "vq", "nq", "cell")
+      val index = Housekeeping.cacheBounded("ivf_index", ivfTrained(s, d))
+      val probes = ivfProbes(s, d, ivfCentroidsOf(s, index))
       // each corpus vector lives in exactly one cell and probe cells are
       // distinct per query ⇒ candidate pairs are already unique: no dedup
       // stage before the ranking window
@@ -632,14 +662,58 @@ object LlmOps {
 
   val simSearchAnnIvf: Op = Op(
     "sim_search_ann_ivf",
-    (s, d) => {
-      val wRank = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-      ivfCandidates(s, d)
-        .withColumn("rank", row_number().over(wRank))
-        .where(col("rank") <= 5)
-        .select("query_id", "rank", "neighbor_id")
-        .orderBy("query_id", "rank")
-    },
+    (s, d) => rankCandidates(ivfCandidates(s, d)),
+    None)
+
+  /** The persisted IVF lifecycle the per-run trainer above deliberately skips:
+    * BUILD ONCE — train the quantizer, write the inverted file as a
+    * cell-PARTITIONED parquet layout (`cells/cell=<c>/…`) plus the K-row
+    * centroid table — then PROBE MANY times against the files. Keyed by the
+    * corpus dir through the same content-key memo as the ngram pair table
+    * ([[Housekeeping.memoPut]]): the first caller pays the build inside its
+    * own measurement, every later caller (and every later bench pass) reads
+    * the index from disk. Training is bit-deterministic (see [[ivfTrained]]),
+    * so build-then-probe and the per-run trainer return identical rankings —
+    * AnnIvfSpec asserts exact equality. */
+  private def ivfMemoKey(d: String) = s"ivf_index_v1|$d"
+
+  def ivfIndexPath(s: org.apache.spark.sql.SparkSession, d: String): java.nio.file.Path =
+    Housekeeping.memoGet("ivf_index_store", ivfMemoKey(d)).getOrElse {
+      Housekeeping.memoPut("ivf_index_store", ivfMemoKey(d), dir => {
+        graft.functions.GraftFunctions.register(s)
+        val trained = Housekeeping.cacheBounded("ivf_index", ivfTrained(s, d))
+        // partitionBy(cell): K directories — at 100 TB each holds that cell's
+        // shard of the corpus, and a probe reads ONLY its probed cells' files
+        trained.write.mode("overwrite").partitionBy("cell")
+          .parquet(dir.resolve("cells").toString)
+        ivfCentroidsOf(s, trained).write.mode("overwrite")
+          .parquet(dir.resolve("centroids").toString)
+      })
+    }
+
+  /** Probe-only search against a persisted index: NO k-means stages, no
+    * corpus-side exchange — the probed cell ids (≤ K ints, the same driver
+    * round-trip class as the centroid collect) become a static partition
+    * filter, so the scan touches only NProbe×queries cell directories and
+    * the tiny probe table broadcasts onto it. PlanShapeSpec asserts both
+    * properties on the executed plan. */
+  def ivfProbe(s: org.apache.spark.sql.SparkSession, d: String,
+               idx: java.nio.file.Path): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val cents = s.read.parquet(idx.resolve("centroids").toString)
+    val probes = ivfProbes(s, d, cents)
+    val probedCells = probes.select("cell").distinct().collect().map(_.getInt(0))
+    val index = s.read.parquet(idx.resolve("cells").toString)
+      .where(col("cell").isin(probedCells.toIndexedSeq.map(Int.box): _*))
+    broadcast(probes).join(index, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("vq"), col("vc")) / (col("nq") * col("nc"))).as("sim"))
+  }
+
+  val simSearchAnnProbe: Op = Op(
+    "sim_search_ann_probe",
+    (s, d) => rankCandidates(ivfProbe(s, d, ivfIndexPath(s, d))),
     None)
 
   // ------------------------------------------------------ similarity search
@@ -774,6 +848,6 @@ object LlmOps {
 
   val all: Seq[Op] = Seq(dedupExact, dedupIncrementalExact, dedupNearMinhash, dedupSimhash,
     dedupNgramJaccard, dedupClusterKeep, dedupDecontaminate, dedupEmbeddingCosine,
-    simSearchTopk, simSearchKnnPerQuery, simSearchAnnLsh, simSearchAnnIvf,
+    simSearchTopk, simSearchKnnPerQuery, simSearchAnnLsh, simSearchAnnIvf, simSearchAnnProbe,
     textLangStats, textQualityFilter, multimodalJoin)
 }

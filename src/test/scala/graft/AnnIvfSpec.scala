@@ -33,4 +33,20 @@ class AnnIvfSpec extends AnyFunSuite {
     info(f"mean recall@5 = $mean%.2f")
     assert(mean >= 0.3, f"mean recall $mean%.2f below floor")
   }
+
+  /** Build-once/probe-many lifecycle: training is bit-deterministic, so a
+    * probe against the persisted cell-partitioned index must return EXACTLY
+    * the per-run trainer's ranking — not merely recall parity. */
+  test("ann_probe: persisted-index probe equals the per-run trainer exactly") {
+    val ivf = LlmOps.simSearchAnnIvf.fn(spark, TestSpark.sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    graft.ops.Housekeeping.releaseAll()
+    val probe1 = LlmOps.simSearchAnnProbe.fn(spark, TestSpark.sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // second probe memo-hits the index (releaseAll keeps memos): same result
+    val probe2 = LlmOps.simSearchAnnProbe.fn(spark, TestSpark.sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(probe1.sameElements(ivf), "probe ranking diverged from the trainer's")
+    assert(probe2.sameElements(ivf), "memo-hit probe diverged")
+  }
 }

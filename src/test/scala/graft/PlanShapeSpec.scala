@@ -78,6 +78,22 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_search_ann_probe probes the persisted index without retraining") {
+    val p = plan(LlmOps.simSearchAnnProbe)
+    // no k-means stages: training's argmax aggregate shuffles on neighbor_id
+    // (and its centroid means on (cell, pos)) — neither may appear in a probe
+    assert(!p.contains("Exchange hashpartitioning(neighbor_id"),
+      s"probe plan retrains (argmax shuffle present):\n$p")
+    assert(!p.contains("Exchange hashpartitioning(cell"),
+      s"probe plan retrains (centroid-mean shuffle present):\n$p")
+    // corpus side is a pruned scan of the persisted cells/ layout: the probed
+    // cell ids arrive as a static partition filter
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"probe scan is not partition-pruned on cell:\n$p")
+    // and the probe table broadcasts onto it — no exchange on the index side
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("pipeline sample/split are shuffle-free single scans") {
     assert(!plan(PipelineOps.sampleStratified).contains("Exchange hashpartitioning"),
       "sampling must not shuffle")
