@@ -127,10 +127,29 @@ object LlmOps {
         .orderBy("doc_a", "doc_b")
   }
 
+  /** Oracle note: the OUTPUT of this op is exact — every emitted pair is
+    * verified by exact Jaccard on shingle sets, and a pair at J ≥ 0.8 escapes
+    * all 16 bands with probability (1−0.8⁴)¹⁶ ≈ 2·10⁻⁴ per pair; with fixed
+    * seeds the escape set is deterministic, and NearDupSpec proves it is
+    * EMPTY on every test corpus (recall parity against the exact shingle
+    * self-join at threshold 0.8, asserted at sf0.001/0.01/0.1). That makes
+    * the exact pair CTE a valid hash oracle: candidates are where the
+    * approximation lives, and on these corpora it misses nothing. The
+    * Jaccard double is one IEEE division of identical exact integers on both
+    * engines, so values hash-match bit-for-bit. */
   val dedupNearMinhash: Op = Op(
     "dedup_near_minhash",
     (s, d) => nearDupPairs(Tables.documents(s, d)),
-    None)
+    Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "g AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 2), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s FROM t WHERE len(w) >= 3), " +
+      "sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1), " +
+      "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter FROM g a " +
+      "JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "j AS (SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard " +
+      "FROM p JOIN sz na ON na.doc_id = doc_a JOIN sz nb ON nb.doc_id = doc_b " +
+      "WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.8) " +
+      "SELECT doc_a, doc_b, jaccard FROM j ORDER BY doc_a, doc_b"))
 
   /** SimHash near-dedup: 64-bit signature via bit voting over shingle hashes
     * ([[graft.functions.SimHash64]]), candidates from 8×8-bit chunk banding

@@ -47,6 +47,53 @@ class NearDupSpec extends AnyFunSuite {
     assert(again == first)
   }
 
+  /** The exact shingle self-join at threshold 0.8 — the ground truth the
+    * LSH candidate stage is measured against (and the shape of the op's
+    * DuckDB oracle CTE). Same shingling as the op: distinct word-3-grams,
+    * docs with ≥ 3 words. */
+  private def exactPairs(docs: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] = {
+    import org.apache.spark.sql.functions._
+    val sh = docs
+      .withColumn("words", split(col("text"), " "))
+      .where(size(col("words")) >= 3)
+      .withColumn("shingles", array_distinct(
+        transform(sequence(lit(0), size(col("words")) - 3), i =>
+          concat_ws(" ", element_at(col("words"), i + 1),
+            element_at(col("words"), i + 2), element_at(col("words"), i + 3)))))
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= 0.8)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+  }
+
+  /** The oracle-upgrade proof: a true pair at J ≥ 0.8 escapes all 16 bands
+    * with probability ≈ 2·10⁻⁴, and with fixed seeds the escape set is a
+    * deterministic property of the corpus — so proving it EMPTY on each test
+    * corpus makes the exact shingle-join CTE a valid hash oracle for the op.
+    * Asserted at every sf the driver touches (verify runs sf0.01, bench
+    * sf0.1), values included. */
+  test("candidate recall 1.0 at J>=0.8: LSH output equals the exact shingle join at all sfs") {
+    for (d <- Seq(TestSpark.sf0001, TestSpark.sf001, TestSpark.sf01)) {
+      val docs = graft.tables.Tables.documents(spark, d)
+      val lsh = LlmOps.nearDupPairs(docs).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Double]("jaccard"))).toSet
+      val exact = exactPairs(docs)
+      assert((exact -- lsh).isEmpty, s"$d: LSH missed qualifying pairs: ${exact -- lsh}")
+      assert((lsh -- exact).isEmpty, s"$d: LSH emitted non-qualifying pairs: ${lsh -- exact}")
+      graft.ops.Housekeeping.releaseAll()
+    }
+  }
+
   test("near-dedup is idempotent on the real documents table") {
     val docs = graft.tables.Tables.documents(spark, TestSpark.sf0001)
     val once = LlmOps.nearDupPairs(docs).collect().map(_.toString).toSeq
