@@ -146,6 +146,63 @@ object TextOps {
       "r AS (SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rank FROM c) " +
       "SELECT rank, pair, n FROM r WHERE rank <= 20 ORDER BY rank"))
 
+  /** BPE step 2 — APPLY a learned merge list, the half of the tokenizer
+    * story a pipeline actually runs at corpus scale: the top-20 adjacent-pair
+    * merges from the induction step ([[textBpePairs]]), applied greedily in
+    * rank order to every vocabulary word. Work ∝ vocab (the corpus collapses
+    * to its (word, freq) table first, same as induction), and the merge list
+    * itself is the ≤ 20-row learned artifact collected to the driver — the
+    * same driver-round-trip class as the k-means centroids.
+    *
+    * Merge application is spelled so both engines share exact semantics with
+    * NO per-word loop: a word becomes the '|'-delimited symbol string
+    * ("|h|e|l|l|o|"; '|' is outside the corpus alphabet [a-z ]), and merge
+    * (a,b) is one plain substring replace of "|a|b|" with "|ab|" — plain
+    * replace() is left-to-right non-overlapping in both Spark and DuckDB
+    * ("|a|a|a|" + merge "aa" → "|aa|a|", verified), and a merged symbol can't
+    * re-match its parts because the pattern requires both delimiters. The 20
+    * merges chain as 20 nested codegen'd replaces on the Spark side and a
+    * rank-joined WITH RECURSIVE on the oracle side — identical fixpoint.
+    * Ranking ties break (n DESC, pair ASC): exact ints + ASCII collation. */
+  val textBpeApply: Op = Op(
+    "text_bpe_apply",
+    (s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      val merges = vocab.where(length(col("tok")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), length(col("tok")) - 1),
+          i => col("tok").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc).limit(20)
+        .collect().map(_.getString(0)).toIndexedSeq
+      val init = concat(lit("|"), regexp_replace(col("tok"), "(.)", "$1|"))
+      val merged = merges.foldLeft(init)((c, p) =>
+        replace(c, lit(s"|${p.charAt(0)}|${p.charAt(1)}|"), lit(s"|$p|")))
+      vocab
+        .withColumn("pieces", replace(trim(merged, "|"), lit("|"), lit(" ")))
+        .select(col("tok"), col("freq"),
+          size(split(col("pieces"), " ")).as("n_pieces"), col("pieces"))
+        .orderBy("tok")
+    },
+    Some(raw"""WITH RECURSIVE
+      v AS (SELECT tok, COUNT(*) AS freq FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1),
+      pc AS (SELECT unnest(list_transform(generate_series(1, length(tok) - 1), i -> substr(tok, i, 2))) AS pair, freq FROM v WHERE length(tok) >= 2),
+      c AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM pc GROUP BY 1),
+      m AS (SELECT pair, r FROM (SELECT pair, CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS r FROM c) WHERE r <= 20),
+      step AS (
+        SELECT tok, freq, '|' || regexp_replace(tok, '(.)', '\1|', 'g') AS s, 0 AS r FROM v
+        UNION ALL
+        SELECT step.tok, step.freq,
+               replace(step.s, '|' || substr(m.pair, 1, 1) || '|' || substr(m.pair, 2, 1) || '|', '|' || m.pair || '|'),
+               step.r + 1
+        FROM step JOIN m ON m.r = step.r + 1)
+      SELECT tok, freq, CAST(len(string_split(pieces, ' ')) AS INT) AS n_pieces, pieces FROM (
+        SELECT tok, freq, replace(trim(s, '|'), '|', ' ') AS pieces FROM step
+        WHERE r = (SELECT COUNT(*) FROM m))
+      ORDER BY tok""".linesIterator.map(_.trim).mkString(" ")))
+
   /** Heavy-hitter tokens via the sketch-proposes/exact-verifies pattern: a
     * Space-Saving sketch ([[graft.functions.SpaceSavingTopK]], a native
     * TypedImperativeAggregate — partial sketches merge map-side, the token
@@ -184,5 +241,5 @@ object TextOps {
       "SELECT rank, tok, n FROM r WHERE rank <= 10 ORDER BY rank"))
 
   val all: Seq[Op] = Seq(textLangId, textTokenStats, textFingerprint, textBpePairs,
-    textHeavyHitters)
+    textBpeApply, textHeavyHitters)
 }

@@ -110,4 +110,21 @@ class TextSpec extends AnyFunSuite {
     val again = LlmOps.simhashPairs(docs).collect().map(_.toString).toSeq
     assert(again == LlmOps.simhashPairs(docs).collect().map(_.toString).toSeq)
   }
+
+  /** BPE apply: segmentation must be LOSSLESS (pieces concatenate back to
+    * the token — the invariant any tokenizer apply step must hold), n_pieces
+    * consistent, and at least one learned merge must actually fire (some
+    * token segments into a multi-char piece). */
+  test("bpe apply: lossless segmentation, consistent counts, merges fire") {
+    val rows = graft.ops.TextOps.textBpeApply.fn(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tok = r.getString(0)
+      val pieces = r.getString(3)
+      assert(pieces.replace(" ", "") == tok, s"pieces don't reconstruct '$tok': '$pieces'")
+      assert(r.getInt(2) == pieces.split(" ").length, s"n_pieces mismatch for '$tok'")
+    }
+    assert(rows.exists(_.getString(3).split(" ").exists(_.length > 1)),
+      "no merge fired anywhere — merge list not applied")
+  }
 }
