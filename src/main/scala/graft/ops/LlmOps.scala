@@ -450,8 +450,32 @@ object LlmOps {
     * assignment cannot change the value. */
   private val PairBlocks = 16
 
+  /** Operational guard on the two declared-exact pair ops: the pair space is
+    * n(n−1)/2 BY CONTRACT (full-recall exact threshold — see the rebuttal
+    * above for why it cannot be bucketed), so a 100× corpus must get a loud
+    * refusal at plan time, not a quiet quadratic job. The default budget
+    * (10⁸ unordered pairs ≈ minutes of work at these row widths) is
+    * overridable per session via `graft.pair.budget` for a caller who has
+    * priced the quadratic cost and wants it anyway. The row count is one
+    * parquet-metadata count, paid before any job is launched. */
+  private val PairBudgetConf = "graft.pair.budget"
+  private val PairBudgetDefault = 100000000L
+
+  private def requirePairBudget(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    val n = Tables.embeddings(s, d).count()
+    val pairs = BigInt(n) * (n - 1) / 2
+    val budget = s.conf.get(PairBudgetConf, PairBudgetDefault.toString).toLong
+    require(pairs <= budget,
+      s"exact all-pairs stage refused: $n vectors -> $pairs unordered pairs exceeds the " +
+        s"pair budget $budget. Exact-threshold recall cannot be bucketed (see " +
+        s"LlmOps.blockedAllPairs scaladoc); at this scale use the approximate families " +
+        s"(sim_search_ann_lsh / sim_search_ann_ivf / sim_search_ann_probe), or set " +
+        s"$PairBudgetConf explicitly to accept the quadratic cost.")
+  }
+
   def blockedAllPairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    requirePairBudget(s, d)
     import s.implicits._
     val blockPairs = broadcast(
       (for { g1 <- 0 until PairBlocks; g2 <- g1 until PairBlocks } yield (g1, g2))
