@@ -86,35 +86,51 @@ object LlmOps {
       .withColumn("hs", transform(col("shingles"), sh => xxhash64(sh)))
       .withColumn("sig", graft.functions.GraftFunctions.minhashSig(col("hs"), NumPerm))
 
+  /** Signature+shingle table, materialized once: the table is tiny (one row
+    * per doc) but its expression tree is big, and it feeds three join
+    * branches — uncached, Spark inlines the tree into every branch and pays
+    * codegen + recompute per copy. At 100 TB this is "write the signature
+    * table once, then join against it". */
+  private def signedBase(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    Housekeeping.cacheBounded("minhash_base",
+      withSignature(shingled(docs.select("doc_id", "text")))
+        .select(col("doc_id"), col("shingles"), col("sig")))
+  }
+
+  /** LSH banding candidate generation over a signature table: distinct
+    * (doc_a, doc_b) pairs sharing at least one (band, band-hash) bucket —
+    * exactly the rows that pay an exact Jaccard verification. */
+  private def candidatesFrom(base: DataFrame): DataFrame = {
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(lit(b) +: (0 until RowsPerBand).map(r =>
+          element_at(col("sig"), b * RowsPerBand + r + 1)): _*).as("bh"))
+    }
+    val buckets = base
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    buckets.as("l").join(buckets.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** The WORK of the bucketed near-dup plan — candidate pairs before
+    * verification. Exposed (like [[lshCandidates]]/[[ivfCandidates]]) so
+    * DedupScaleSpec can assert candidate count grows ~linearly with planted
+    * duplicates instead of quadratically with the corpus. */
+  def minhashCandidates(docs: DataFrame): DataFrame = candidatesFrom(signedBase(docs))
+
   /** Near-duplicate pairs via MinHash + LSH banding, verified by exact
     * Jaccard >= 0.8 on shingle sets. Fixed seeds (the permutation index)
     * make the whole pipeline byte-deterministic (SURVEY §7.4#5).
-    * No SQL oracle — proven by NearDupSpec's planted-duplicate fixture. */
-  /** Core of dedup_near_minhash, exposed for the planted-duplicates fixture
+    * Core of dedup_near_minhash, exposed for the planted-duplicates fixture
     * (NearDupSpec). Input: (doc_id, text). */
   def nearDupPairs(docs: DataFrame): DataFrame = {
-      graft.functions.GraftFunctions.register(docs.sparkSession)
-      // Materialize signatures+shingles once: the table is tiny (one row per
-      // doc) but its expression tree is big, and it feeds three join
-      // branches — uncached, Spark inlines the tree into every branch and
-      // pays codegen + recompute per copy. At 100 TB this is "write the
-      // signature table once, then join against it".
-      val base = Housekeeping.cacheBounded("minhash_base",
-        withSignature(shingled(docs.select("doc_id", "text")))
-          .select(col("doc_id"), col("shingles"), col("sig")))
-      val bandCols = (0 until Bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(lit(b) +: (0 until RowsPerBand).map(r =>
-            element_at(col("sig"), b * RowsPerBand + r + 1)): _*).as("bh"))
-      }
-      val buckets = base
-        .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      val cand = buckets.as("l").join(buckets.as("r"),
-          col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
-            col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-        .distinct()
+      val base = signedBase(docs)
+      val cand = candidatesFrom(base)
       val sh = base.select(col("doc_id"), col("shingles"))
       cand
         .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
@@ -209,7 +225,14 @@ object LlmOps {
     * result equals the unfiltered computation there — the guard exists for
     * the 100 TB corpus where one boilerplate shingle would otherwise fan out
     * to ~10¹⁰ pairs. */
-  private val NgramMaxDf = 100
+  val NgramMaxDf = 100
+
+  /** Exploded (doc_id, shingle) rows — the shared shingling of every dedup
+    * op, exposed (with [[NgramMaxDf]]) for DedupScaleSpec's work-count
+    * assertions over the shingle document-frequency table. */
+  def shingleRows(docs: DataFrame): DataFrame =
+    shingled(docs.select("doc_id", "text"))
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
 
   /** Exact n-gram Jaccard near-dedup — fully relational (shingle-array per
     * doc → explode → document-frequency cutoff → equi-join on shingle →
@@ -226,10 +249,12 @@ object LlmOps {
     * `size(shingles)` with no shuffle. */
   /** (doc_a, doc_b, jaccard) near-dup pairs at threshold 0.5 — the shared
     * core of `dedup_ngram_jaccard` (which just orders it) and
-    * `dedup_cluster_keep` (which runs connected components over it). */
-  private def ngramPairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    * `dedup_cluster_keep` (which runs connected components over it); takes
+    * the documents frame directly so DedupScaleSpec can drive it with a
+    * synthetic boilerplate corpus. */
+  def ngramPairs(docs: DataFrame): DataFrame = {
     val base = Housekeeping.cacheBounded("ngram_shingles",
-      shingled(Tables.documents(s, d).select("doc_id", "text"))
+      shingled(docs.select("doc_id", "text"))
         .select(col("doc_id"), col("shingles")))
     val exploded = base.select(col("doc_id"), explode(col("shingles")).as("s"))
     // df-cutoff: the skew guard — see NgramMaxDf. One groupBy over the
@@ -284,7 +309,8 @@ object LlmOps {
     "dedup_ngram_jaccard",
     (s, d) => {
       val path = Housekeeping.memoPut("ngram_pairs", ngramMemoKey(d),
-        dir => ngramPairs(s, d).write.mode("overwrite").parquet(dir.resolve("pairs").toString))
+        dir => ngramPairs(Tables.documents(s, d)).write.mode("overwrite")
+          .parquet(dir.resolve("pairs").toString))
       s.read.parquet(path.resolve("pairs").toString).orderBy("doc_a", "doc_b")
     },
     Some(s"WITH $ngramPairCtes SELECT doc_a, doc_b, jaccard FROM j ORDER BY doc_a, doc_b"))
@@ -360,7 +386,7 @@ object LlmOps {
       // the materialized pair table when its inputs match, else compute
       Housekeeping.memoGet("ngram_pairs", ngramMemoKey(d))
         .map(p => s.read.parquet(p.resolve("pairs").toString))
-        .getOrElse(ngramPairs(s, d))),
+        .getOrElse(ngramPairs(Tables.documents(s, d)))),
     Some(s"WITH RECURSIVE $ngramPairCtes, " +
       "e AS (SELECT doc_a AS src, doc_b AS dst FROM j UNION ALL SELECT doc_b, doc_a FROM j), " +
       "cc(node, label) AS (SELECT DISTINCT src, src FROM e " +
