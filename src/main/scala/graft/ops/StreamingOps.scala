@@ -161,7 +161,11 @@ object StreamingOps {
     * the surviving per-window counts plus the state store's dropped-row
     * accounting. Deterministic (fixed script, fixed batch boundaries) but not
     * SQL-expressible — rows-only driver check; the full behavioral assertions
-    * live in StreamLateDataSpec. */
+    * live in StreamLateDataSpec.
+    *
+    * Sink is foreachBatch → parquet append (update-mode rows land as files,
+    * one append per micro-batch), so no sink output ever accumulates in
+    * driver memory — the same scale posture as the rest of the family. */
   val streamLateData: Op = Op(
     "stream_late_data",
     (s, _) => {
@@ -170,8 +174,8 @@ object StreamingOps {
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
       def t(str: String) = java.sql.Timestamp.valueOf(str)
       val input = MemoryStream[(Long, java.sql.Timestamp)]
-      val qn = s"st_late_${System.nanoTime()}"
-      Housekeeping.tempViewBounded("st_late", s, qn)
+      val out = Housekeeping.tempDirBounded("st_late_out",
+        Files.createTempDirectory("st_late_out")).toString
       val ckpt = tmp("ckpt_late")
       withStatePartitions(s, 8) {
       val q = input.toDF().toDF("event_id", "ts")
@@ -179,7 +183,9 @@ object StreamingOps {
         .groupBy(window(col("ts"), "10 minutes"))
         .agg(count(lit(1)).as("cnt"))
         .select(col("window.start").as("ws"), col("cnt"))
-        .writeStream.format("memory").queryName(qn).outputMode("update")
+        .writeStream.outputMode("update")
+        .foreachBatch((batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out))
         .option("checkpointLocation", ckpt)
         .start()
       try {
@@ -190,7 +196,7 @@ object StreamingOps {
         q.processAllAvailable()
         val dropped = q.recentProgress
           .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
-        s.table(qn)
+        s.read.parquet(out)
           .groupBy("ws").agg(max(col("cnt")).as("cnt")) // update mode re-emits
           .withColumn("rows_dropped_by_watermark", lit(dropped))
           .orderBy("ws")
@@ -295,7 +301,12 @@ object StreamingOps {
     * express. State accumulates in exact decimals so the within-group
     * iterator order (shuffle-dependent) cannot change the emitted sums; on
     * closed input the drained result equals the batch aggregation — which is
-    * the oracle. State store semantics identical on a cluster (RocksDB). */
+    * the oracle. State store semantics identical on a cluster (RocksDB).
+    *
+    * Sink is foreachBatch → parquet append: update-mode emissions (one
+    * running register per user per micro-batch) land as files, so sink
+    * volume ∝ users × batches lives on disk, not in driver memory — the
+    * whole streaming family now shares one scale-safe sink posture. */
   val streamStatefulCounter: Op = Op(
     "stream_stateful_counter",
     (s, d) => {
@@ -307,8 +318,8 @@ object StreamingOps {
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble)
       implicit val rowEnc: Encoder[(Long, Double)] =
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
-      val qn = s"st_state_${System.nanoTime()}"
-      Housekeeping.tempViewBounded("st_state", s, qn)
+      val out = Housekeeping.tempDirBounded("st_state_out",
+        Files.createTempDirectory("st_state_out")).toString
       val (src, srcDir) = eventStream(s, d)
       val ckpt = tmp("ckpt_state")
       withStatePartitions(s, 8) { cleanupAfter(Seq(srcDir.toString, ckpt)) {
@@ -327,14 +338,16 @@ object StreamingOps {
             Iterator((uid, cnt, sum.doubleValue()))
         }
         .toDF("user_id", "cnt", "sum_value")
-        .writeStream.format("memory").queryName(qn).outputMode("update")
+        .writeStream.outputMode("update")
+        .foreachBatch((batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out))
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       // multiple micro-batches emit one running (cnt, sum) per user per
       // batch — keep the row with the final cnt (max_by), never independent
       // maxes (a later batch can lower the running sum if values go negative)
-      s.table(qn).groupBy("user_id")
+      s.read.parquet(out).groupBy("user_id")
         .agg(max(col("cnt")).as("cnt"),
           max_by(col("sum_value"), col("cnt")).as("sum_value"))
         .orderBy("user_id")
@@ -388,8 +401,8 @@ object StreamingOps {
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble)
       implicit val rowEnc: Encoder[(Long, Double)] =
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
-      val qn = s"st_tws_${System.nanoTime()}"
-      Housekeeping.tempViewBounded("st_tws", s, qn)
+      val out = Housekeeping.tempDirBounded("st_tws_out",
+        Files.createTempDirectory("st_tws_out")).toString
       val (src, srcDir) = eventStream(s, d)
       val ckpt = tmp("ckpt_tws")
       val providerKey = "spark.sql.streaming.stateStore.providerClass"
@@ -402,13 +415,15 @@ object StreamingOps {
           .groupByKey(_._1)(Encoders.scalaLong)
           .transformWithState(new CounterProcessor, TimeMode.None(), OutputMode.Update())
           .toDF("user_id", "cnt", "sum_value")
-          .writeStream.format("memory").queryName(qn).outputMode("update")
+          .writeStream.outputMode("update")
+          .foreachBatch((batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(out))
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         // same final-row selection as stream_stateful_counter: keep the row
         // with the final cnt per user across micro-batch re-emissions
-        s.table(qn).groupBy("user_id")
+        s.read.parquet(out).groupBy("user_id")
           .agg(max(col("cnt")).as("cnt"),
             max_by(col("sum_value"), col("cnt")).as("sum_value"))
           .orderBy("user_id")
