@@ -98,18 +98,27 @@ object LlmOps {
         .select(col("doc_id"), col("shingles"), col("sig")))
   }
 
-  /** LSH banding candidate generation over a signature table: distinct
-    * (doc_a, doc_b) pairs sharing at least one (band, band-hash) bucket —
-    * exactly the rows that pay an exact Jaccard verification. */
-  private def candidatesFrom(base: DataFrame): DataFrame = {
+  /** (doc_id, band, band-hash) LSH bucket rows for a signature table — the
+    * band index. At width this is the standing table a pipeline persists
+    * bucketed by (band, bh); here it is derived in-plan from the signature
+    * base. Shared by the self-join candidate stage and the incremental
+    * delta-probe stage. */
+  private def bandBuckets(base: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(lit(b) +: (0 until RowsPerBand).map(r =>
           element_at(col("sig"), b * RowsPerBand + r + 1)): _*).as("bh"))
     }
-    val buckets = base
+    base
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** LSH banding candidate generation over a signature table: distinct
+    * (doc_a, doc_b) pairs sharing at least one (band, band-hash) bucket —
+    * exactly the rows that pay an exact Jaccard verification. */
+  private def candidatesFrom(base: DataFrame): DataFrame = {
+    val buckets = bandBuckets(base)
     buckets.as("l").join(buckets.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.doc_id") < col("r.doc_id"))
@@ -166,6 +175,73 @@ object LlmOps {
       "FROM p JOIN sz na ON na.doc_id = doc_a JOIN sz nb ON nb.doc_id = doc_b " +
       "WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.8) " +
       "SELECT doc_a, doc_b, jaccard FROM j ORDER BY doc_a, doc_b"))
+
+  /** Incremental NEAR-dup: the MinHash-LSH spelling of
+    * [[dedupIncrementalExact]] — a small DELTA of new uploads probed against
+    * the standing corpus's band index, never all-pairs over the union.
+    * Exposed for the planted-duplicates fixture in NearDupSpec. Same
+    * fixed-seed signatures and banding as [[nearDupPairs]], so the recall
+    * argument (and NearDupSpec's recall-1.0 proof at J ≥ 0.8) carries over
+    * unchanged: a delta×corpus pair shares a (band, band-hash) bucket under
+    * exactly the same condition as in the full self-join — banding is
+    * per-document and symmetric.
+    *
+    * Scale shape (100 TB): the corpus band index is the standing table —
+    * written once, bucketed by (band, bh) on disk (the sink_bucketed_join
+    * layout), signatures never recomputed; per increment only the delta is
+    * shingled/signed/banded, and the bucket equi-join shuffles delta-sized
+    * rows against the co-located index. Cost ∝ delta, not corpus — the same
+    * contract as the exact incremental op. */
+  def incrementalNearDupPairs(delta: DataFrame, corpus: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(delta.sparkSession)
+    // Two signature bases (cache barriers for the same plan-branch recompute
+    // reason as nearDupPairs'): each feeds its band explode AND the shingle
+    // side of the verification joins.
+    val corpusBase = Housekeeping.cacheBounded("minhash_inc_corpus",
+      withSignature(shingled(corpus.select("doc_id", "text")))
+        .select(col("doc_id"), col("shingles"), col("sig")))
+    val deltaBase = Housekeeping.cacheBounded("minhash_inc_delta",
+      withSignature(shingled(delta.select("doc_id", "text")))
+        .select(col("doc_id"), col("shingles"), col("sig")))
+    val cand = bandBuckets(deltaBase).as("l")
+      .join(bandBuckets(corpusBase).as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh"))
+      .select(col("l.doc_id").as("doc_id"), col("r.doc_id").as("dup_of"))
+      .distinct()
+    cand
+      .join(deltaBase.select(col("doc_id"), col("shingles").as("sh_a")), "doc_id")
+      .join(corpusBase.select(col("doc_id").as("dup_of"), col("shingles").as("sh_b")), "dup_of")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("jaccard") >= 0.8)
+      .select("doc_id", "dup_of", "jaccard")
+      .orderBy("doc_id", "dup_of")
+  }
+
+  /** Delta = doc_id ≡ 0 mod 5 (the same "new snapshot" split as
+    * dedup_incremental_exact); corpus = the rest. Oracle: the exact
+    * delta×corpus Jaccard pairs at ≥ 0.8 — valid for the same reason as
+    * dedup_near_minhash's (verification is exact; candidate recall proven
+    * 1.0 at this threshold; the Jaccard double is one IEEE division of
+    * identical exact integers on both engines). */
+  val dedupIncrementalMinhash: Op = Op(
+    "dedup_incremental_minhash",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      incrementalNearDupPairs(
+        docs.where(col("doc_id") % 5 === 0), docs.where(col("doc_id") % 5 =!= 0))
+    },
+    Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "g AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 2), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s FROM t WHERE len(w) >= 3), " +
+      "sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1), " +
+      "p AS (SELECT a.doc_id AS doc_id, b.doc_id AS dup_of, COUNT(*) AS inter FROM g a " +
+      "JOIN g b ON a.s = b.s AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0 GROUP BY 1, 2), " +
+      "j AS (SELECT p.doc_id, dup_of, CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard " +
+      "FROM p JOIN sz na ON na.doc_id = p.doc_id JOIN sz nb ON nb.doc_id = dup_of " +
+      "WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.8) " +
+      "SELECT doc_id, dup_of, jaccard FROM j ORDER BY doc_id, dup_of"))
 
   /** SimHash near-dedup: 64-bit signature via bit voting over shingle hashes
     * ([[graft.functions.SimHash64]]), candidates from 8×8-bit chunk banding
@@ -915,7 +991,8 @@ object LlmOps {
     Some("SELECT doc_id, lang, n_chars, label, CAST(len(embedding) AS INT) AS dim " +
       "FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id"))
 
-  val all: Seq[Op] = Seq(dedupExact, dedupIncrementalExact, dedupNearMinhash, dedupSimhash,
+  val all: Seq[Op] = Seq(dedupExact, dedupIncrementalExact, dedupNearMinhash,
+    dedupIncrementalMinhash, dedupSimhash,
     dedupNgramJaccard, dedupClusterKeep, dedupDecontaminate, dedupEmbeddingCosine,
     simSearchTopk, simSearchKnnPerQuery, simSearchAnnLsh, simSearchAnnIvf, simSearchAnnProbe,
     textLangStats, textQualityFilter, multimodalJoin)

@@ -94,6 +94,67 @@ class NearDupSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental near-dup: delta probe finds exactly the planted cross pairs") {
+    import org.apache.spark.sql.functions.col
+    val docs = fixture()
+    // edited halves of the planted pairs play the delta; their bases (and
+    // all other docs) are the standing corpus
+    val delta = docs.where(col("doc_id").between(100, 199) && col("doc_id") % 2 === 1)
+    val corpus = docs.where(!(col("doc_id").between(100, 199) && col("doc_id") % 2 === 1))
+    val expected = (0 until 10).map(i => (101L + 2 * i, 100L + 2 * i)).toSet
+    val found = LlmOps.incrementalNearDupPairs(delta, corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((expected -- found).isEmpty, s"missed pairs: ${expected -- found}")
+    assert((found -- expected).isEmpty, s"false positives: ${found -- expected}")
+  }
+
+  /** Exact delta×corpus ground truth under the op's doc_id%5 split — the
+    * shape of dedup_incremental_minhash's oracle CTE. */
+  private def exactCrossPairs(docs: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] = {
+    import org.apache.spark.sql.functions._
+    val sh = docs
+      .withColumn("words", split(col("text"), " "))
+      .where(size(col("words")) >= 3)
+      .withColumn("shingles", array_distinct(
+        transform(sequence(lit(0), size(col("words")) - 3), i =>
+          concat_ws(" ", element_at(col("words"), i + 1),
+            element_at(col("words"), i + 2), element_at(col("words"), i + 3)))))
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") &&
+          col("a.doc_id") % 5 === 0 && col("b.doc_id") % 5 =!= 0)
+      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("dup_of"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_id"), col("n").as("na")), "doc_id")
+      .join(sizes.select(col("doc_id").as("dup_of"), col("n").as("nb")), "dup_of")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= 0.8)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Double]("jaccard"))).toSet
+  }
+
+  /** Same oracle-validity proof as the full op, for the incremental split:
+    * the delta probe's output equals the exact delta×corpus Jaccard pairs at
+    * J ≥ 0.8 on every sf the driver touches — recall 1.0 (no band escape),
+    * precision 1.0 (verification is exact), values bit-equal. */
+  test("incremental recall parity: equals exact delta-corpus join at J>=0.8 at all sfs") {
+    import org.apache.spark.sql.functions.col
+    for (d <- Seq(TestSpark.sf0001, TestSpark.sf001, TestSpark.sf01)) {
+      val docs = graft.tables.Tables.documents(spark, d)
+      val inc = LlmOps.incrementalNearDupPairs(
+          docs.where(col("doc_id") % 5 === 0), docs.where(col("doc_id") % 5 =!= 0))
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"),
+          r.getAs[Double]("jaccard"))).toSet
+      val exact = exactCrossPairs(docs)
+      assert((exact -- inc).isEmpty, s"$d: probe missed qualifying pairs: ${exact -- inc}")
+      assert((inc -- exact).isEmpty, s"$d: probe emitted non-qualifying pairs: ${inc -- exact}")
+      graft.ops.Housekeeping.releaseAll()
+    }
+  }
+
   test("near-dedup is idempotent on the real documents table") {
     val docs = graft.tables.Tables.documents(spark, TestSpark.sf0001)
     val once = LlmOps.nearDupPairs(docs).collect().map(_.toString).toSeq
