@@ -94,6 +94,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("dedup_incremental_minhash candidates come from a band equi-join, no pair space") {
+    val p = plan(LlmOps.dedupIncrementalMinhash)
+    // the delta probes the corpus band index via the (band, bh) bucket
+    // equi-join — a nested loop or cartesian would mean the all-pairs space
+    // the incremental contract exists to avoid
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"incremental probe plans a nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"incremental probe plans a cartesian product:\n$p")
+  }
+
   test("pipeline sample/split are shuffle-free single scans") {
     assert(!plan(PipelineOps.sampleStratified).contains("Exchange hashpartitioning"),
       "sampling must not shuffle")
