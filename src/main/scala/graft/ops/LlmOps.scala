@@ -192,23 +192,37 @@ object LlmOps {
     * shingled/signed/banded, and the bucket equi-join shuffles delta-sized
     * rows against the co-located index. Cost ∝ delta, not corpus — the same
     * contract as the exact incremental op. */
-  def incrementalNearDupPairs(delta: DataFrame, corpus: DataFrame): DataFrame = {
+  private def incBases(delta: DataFrame, corpus: DataFrame): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(delta.sparkSession)
     // Two signature bases (cache barriers for the same plan-branch recompute
     // reason as nearDupPairs'): each feeds its band explode AND the shingle
     // side of the verification joins.
-    val corpusBase = Housekeeping.cacheBounded("minhash_inc_corpus",
-      withSignature(shingled(corpus.select("doc_id", "text")))
-        .select(col("doc_id"), col("shingles"), col("sig")))
-    val deltaBase = Housekeeping.cacheBounded("minhash_inc_delta",
-      withSignature(shingled(delta.select("doc_id", "text")))
-        .select(col("doc_id"), col("shingles"), col("sig")))
-    val cand = bandBuckets(deltaBase).as("l")
+    (Housekeeping.cacheBounded("minhash_inc_delta",
+        withSignature(shingled(delta.select("doc_id", "text")))
+          .select(col("doc_id"), col("shingles"), col("sig"))),
+      Housekeeping.cacheBounded("minhash_inc_corpus",
+        withSignature(shingled(corpus.select("doc_id", "text")))
+          .select(col("doc_id"), col("shingles"), col("sig"))))
+  }
+
+  private def candidatesBetween(deltaBase: DataFrame, corpusBase: DataFrame): DataFrame =
+    bandBuckets(deltaBase).as("l")
       .join(bandBuckets(corpusBase).as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh"))
       .select(col("l.doc_id").as("doc_id"), col("r.doc_id").as("dup_of"))
       .distinct()
-    cand
+
+  /** The WORK of the incremental probe — (delta, corpus) candidate pairs
+    * before verification, exposed so DedupScaleSpec can assert the count
+    * tracks the delta, not the corpus. */
+  def incrementalCandidates(delta: DataFrame, corpus: DataFrame): DataFrame = {
+    val (deltaBase, corpusBase) = incBases(delta, corpus)
+    candidatesBetween(deltaBase, corpusBase)
+  }
+
+  def incrementalNearDupPairs(delta: DataFrame, corpus: DataFrame): DataFrame = {
+    val (deltaBase, corpusBase) = incBases(delta, corpus)
+    candidatesBetween(deltaBase, corpusBase)
       .join(deltaBase.select(col("doc_id"), col("shingles").as("sh_a")), "doc_id")
       .join(corpusBase.select(col("doc_id").as("dup_of"), col("shingles").as("sh_b")), "dup_of")
       .withColumn("jaccard",

@@ -240,6 +240,44 @@ object TextOps {
       "r AS (SELECT tok, n, CAST(row_number() OVER (ORDER BY n DESC, tok) AS INT) AS rank FROM c) " +
       "SELECT rank, tok, n FROM r WHERE rank <= 10 ORDER BY rank"))
 
+  /** Email / IPv4 patterns shared by the scrub op and its spec. Both are
+    * expressible identically in Java regex (Spark) and RE2 (DuckDB):
+    * character classes, bounded repetition, and \b word boundaries only — no
+    * backtracking-dependent constructs, so the two engines match the same
+    * spans. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrubbing — the redaction pass every public-corpus pipeline runs
+    * before training: count and replace email addresses and IPv4 literals
+    * per document, emitting the redaction counts plus an md5 of the scrubbed
+    * text (the full text stays out of the result; the hash still proves both
+    * engines produced byte-identical redactions). Scan-local, fully codegen
+    * (regexp_count / regexp_replace), zero shuffle — the 100 TB cost is one
+    * pass over the text column. The synthetic corpus contains no PII (counts
+    * 0, text unchanged — which the oracle equally proves); TextSpec's planted
+    * fixture drives the positive path. */
+  /** The scrub projection over a (doc_id, text) frame — exposed for
+    * TextSpec's planted-PII fixture (which also checks the scrubbed text
+    * itself, not just its hash). */
+  def piiScrub(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).as("n_email"),
+        regexp_count(col("text"), lit(Ipv4Re)).as("n_ip"),
+        md5(regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>")).as("scrubbed_md5"))
+      .orderBy("doc_id")
+
+  val textPiiScrub: Op = Op(
+    "text_pii_scrub",
+    (s, d) => piiScrub(Tables.documents(s, d)),
+    Some("SELECT doc_id, " +
+      s"CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_email, " +
+      s"CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS INT) AS n_ip, " +
+      s"md5(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'), " +
+      s"'$Ipv4Re', '<IP>', 'g')) AS scrubbed_md5 " +
+      "FROM documents ORDER BY doc_id"))
+
   val all: Seq[Op] = Seq(textLangId, textTokenStats, textFingerprint, textBpePairs,
-    textBpeApply, textHeavyHitters)
+    textBpeApply, textHeavyHitters, textPiiScrub)
 }

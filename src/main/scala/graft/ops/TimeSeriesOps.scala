@@ -238,6 +238,75 @@ object TimeSeriesOps {
       "SELECT user_id, g, CASE WHEN lt IS NOT NULL AND g - lt <= INTERVAL 3 HOUR THEN lv END AS v " +
       "FROM f WHERE src = 1 ORDER BY user_id, g"))
 
+  /** Linear interpolation onto the same per-user hourly grid as
+    * [[tsResampleFfill]] — the other standard gap-fill a meter pipeline
+    * offers: each grid point takes the line between its bracketing
+    * observations, but only when the bracket spans ≤ 6 hours (a longer gap is
+    * an outage and stays null rather than being smoothly bridged).
+    *
+    * Same single-pass union(events, grid) formulation: one backward
+    * ignore-nulls window picks the previous observation, one forward window
+    * the next — two window passes over one user_id sort, no self-join. An
+    * event at the grid instant sorts before the grid row (src column), so the
+    * forward neighbor is strictly later and the bracket is never empty-width:
+    * nt > g ≥ lt, no division by zero.
+    *
+    * Determinism: the interpolant is lv + (nv − lv) · Δ, with Δ one IEEE
+    * division of exact microsecond integers — both engines evaluate the
+    * identical operation sequence on identical doubles, so values hash-match
+    * bit-for-bit (same argument as dedup_near_minhash's Jaccard). */
+  /** The interpolation core over an (user_id, ts, value, event_id) frame —
+    * exposed for CoreOpsSpec's hand-computed bracket fixture. */
+  def interpolateLinear(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val grid = e.groupBy("user_id")
+        .agg(date_trunc("hour", min(col("ts"))).as("mn"), date_trunc("hour", max(col("ts"))).as("mx"))
+        .select(col("user_id"), explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 HOUR"))).as("g"))
+      val evs = e.select(col("user_id"), col("ts"), col("value"), lit(0).as("src"),
+        col("event_id"), lit(null).cast("timestamp").as("g"))
+      val grd = grid.select(col("user_id"), col("g").as("ts"), lit(null).cast("double").as("value"),
+        lit(1).as("src"), lit(null).cast("long").as("event_id"), col("g"))
+      val wb = Window.partitionBy("user_id").orderBy("ts", "src", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("user_id").orderBy("ts", "src", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      evs.unionAll(grd)
+        .withColumn("lv", last(when(col("src") === 0, col("value")), ignoreNulls = true).over(wb))
+        .withColumn("lt", last(when(col("src") === 0, col("ts")), ignoreNulls = true).over(wb))
+        .withColumn("nv", first(when(col("src") === 0, col("value")), ignoreNulls = true).over(wf))
+        .withColumn("nt", first(when(col("src") === 0, col("ts")), ignoreNulls = true).over(wf))
+        .where(col("src") === 1)
+        .select(col("user_id"), col("g"),
+          when(col("lt").isNotNull && col("nt").isNotNull &&
+              unix_micros(col("nt")) - unix_micros(col("lt")) <= 6L * 3600 * 1000000,
+            col("lv") + (col("nv") - col("lv")) *
+              ((unix_micros(col("g")) - unix_micros(col("lt"))).cast("double") /
+                (unix_micros(col("nt")) - unix_micros(col("lt"))).cast("double"))).as("v"))
+        .orderBy("user_id", "g")
+  }
+
+  val tsInterpolateLinear: Op = Op(
+    "ts_interpolate_linear",
+    (s, d) => interpolateLinear(Tables.events(s, d)),
+    Some("WITH b AS (SELECT user_id, date_trunc('hour', MIN(ts)) AS mn, date_trunc('hour', MAX(ts)) AS mx " +
+      "FROM events GROUP BY 1), " +
+      "grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS g FROM b), " +
+      "u AS (SELECT user_id, ts, value, 0 AS src, event_id, NULL::TIMESTAMP AS g FROM events " +
+      "UNION ALL SELECT user_id, g AS ts, NULL::DOUBLE AS value, 1 AS src, NULL::BIGINT AS event_id, g FROM grid), " +
+      "f AS (SELECT user_id, g, src, " +
+      "last_value(CASE WHEN src = 0 THEN value END IGNORE NULLS) OVER wb AS lv, " +
+      "last_value(CASE WHEN src = 0 THEN ts END IGNORE NULLS) OVER wb AS lt, " +
+      "first_value(CASE WHEN src = 0 THEN value END IGNORE NULLS) OVER wf AS nv, " +
+      "first_value(CASE WHEN src = 0 THEN ts END IGNORE NULLS) OVER wf AS nt " +
+      "FROM u WINDOW wb AS (PARTITION BY user_id ORDER BY ts, src, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+      "wf AS (PARTITION BY user_id ORDER BY ts, src, event_id " +
+      "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+      "SELECT user_id, g, CASE WHEN lt IS NOT NULL AND nt IS NOT NULL " +
+      "AND epoch_us(nt) - epoch_us(lt) <= 21600000000 " +
+      "THEN lv + (nv - lv) * (CAST(epoch_us(g) - epoch_us(lt) AS DOUBLE) / " +
+      "CAST(epoch_us(nt) - epoch_us(lt) AS DOUBLE)) END AS v " +
+      "FROM f WHERE src = 1 ORDER BY user_id, g"))
+
   /** Credit-event detection — the reference's derived fact (SURVEY §1.1):
     * given only a prepaid credit BALANCE series per account, recover the
     * events behind it — a jump up is a top-up (credit purchase), a drain is
@@ -315,6 +384,6 @@ object TimeSeriesOps {
       "GROUP BY 1, 2 ORDER BY site_id, d"))
 
   val all: Seq[Op] = Seq(tsTumblingHourly, tsSlidingWindow, tsSessionWindow, tsGapDetection,
-    tsCounterDelta, tsCounterDailyReset, tsDailyProfile, tsResampleFfill, creditEventDetect,
-    siteCircuitRollup)
+    tsCounterDelta, tsCounterDailyReset, tsDailyProfile, tsResampleFfill, tsInterpolateLinear,
+    creditEventDetect, siteCircuitRollup)
 }

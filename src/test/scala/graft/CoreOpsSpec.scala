@@ -12,6 +12,34 @@ import java.sql.Timestamp
 class CoreOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("ts_interpolate_linear: hand-computed brackets, outage gap stays null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def t(str: String) = java.sql.Timestamp.valueOf(str)
+    // one user, three observations: a 2.5 h bracket (interpolable), then a
+    // 9.5 h outage (> 6 h bracket → null), and a trailing observation whose
+    // grid point has no forward neighbor (→ null)
+    val e = Seq(
+      (1L, t("2024-01-01 10:00:00"), 10.0, 1L),
+      (1L, t("2024-01-01 12:30:00"), 20.0, 2L),
+      (1L, t("2024-01-01 22:00:00"), 5.0, 3L)
+    ).toDF("user_id", "ts", "value", "event_id")
+    val rows = TimeSeriesOps.interpolateLinear(e)
+      .collect().map(r => (r.getTimestamp(1).toString, Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(rows.length == 13) // hourly grid 10:00..22:00
+    val byG = rows.toMap
+    // inside the 10:00→12:30 bracket: value = 10 + 10·Δ, Δ = elapsed/9000 s
+    assert(byG("2024-01-01 10:00:00.0").contains(10.0))
+    assert(byG("2024-01-01 11:00:00.0").contains(10.0 + 10.0 * (3600.0 / 9000.0))) // 14.0
+    assert(byG("2024-01-01 12:00:00.0").contains(10.0 + 10.0 * (7200.0 / 9000.0))) // 18.0
+    // the 12:30→22:00 gap spans > 6 h: every grid point inside it stays null
+    for (h <- 13 to 21)
+      assert(byG(f"2024-01-01 $h%02d:00:00.0").isEmpty, s"hour $h should be null")
+    // trailing grid point: previous observation exists at the instant, no
+    // forward neighbor → null (no one-sided extrapolation)
+    assert(byG("2024-01-01 22:00:00.0").isEmpty)
+  }
+
   test("csv_log_ingest: golden-file semantics") {
     val rows = SourceSinkOps.csvLogIngest.fn(spark, "").collect()
     // 7 data rows, one exact duplicate dropped

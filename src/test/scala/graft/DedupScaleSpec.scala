@@ -105,4 +105,40 @@ class DedupScaleSpec extends AnyFunSuite {
     assert((plantedS -- foundS).isEmpty, s"1x missed: ${plantedS -- foundS}")
     assert((plantedB -- foundB).isEmpty, s"10x missed: ${plantedB -- foundB}")
   }
+
+  /** A FIXED 15-doc delta (one-word edits of corpus docs) probed against the
+    * 1× and 10× corpora: the incremental probe's candidate count must track
+    * the DELTA — ~constant across corpus scales — while a per-increment
+    * all-pairs check would grow 10×. Recall stays 1.0 at both scales. */
+  test("incremental probe work tracks the delta, not the corpus, at 1x and 10x") {
+    import spark.implicits._
+    // one-word edits of the first 15 unique corpus docs (seeds 62000+i are
+    // shared by both corpus sizes; uniques get doc_id 10·n + i)
+    def delta(): DataFrame =
+      (0 until 15).map { i =>
+        val base = words(62000 + i, 40)
+        val edited = base.clone()
+        edited(10) = if (base(10) == "w2") "w3" else "w2"
+        (1000000L + i, edited.mkString(" "))
+      }.toDF("doc_id", "text")
+    def planted(corpusN: Int): Set[(Long, Long)] =
+      (0 until 15).map(i => (1000000L + i, 10L * corpusN + i)).toSet
+    val (corpusS, _) = corpus(300, boilerplate = false)
+    val (corpusB, _) = corpus(3000, boilerplate = false)
+    val candS = LlmOps.incrementalCandidates(delta(), corpusS).count()
+    graft.ops.Housekeeping.releaseAll()
+    val candB = LlmOps.incrementalCandidates(delta(), corpusB).count()
+    graft.ops.Housekeeping.releaseAll()
+    info(s"incremental candidates: 1x=$candS 10x=$candB (delta×corpus 1x=${15 * 300} 10x=${15 * 3000})")
+    // work ∝ delta: the candidate count may not scale with the corpus
+    assert(candB <= 2 * candS + 5, s"probe work grew with the corpus: $candS -> $candB")
+    val foundS = LlmOps.incrementalNearDupPairs(delta(), corpusS).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.ops.Housekeeping.releaseAll()
+    val foundB = LlmOps.incrementalNearDupPairs(delta(), corpusB).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.ops.Housekeeping.releaseAll()
+    assert((planted(300) -- foundS).isEmpty, s"1x missed: ${planted(300) -- foundS}")
+    assert((planted(3000) -- foundB).isEmpty, s"10x missed: ${planted(3000) -- foundB}")
+  }
 }

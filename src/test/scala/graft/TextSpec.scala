@@ -9,6 +9,29 @@ import org.scalatest.funsuite.AnyFunSuite
 class TextSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("pii scrub: planted emails and IPv4 literals are counted and redacted") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact alice.smith+tag@example.com or bob@sub.example.org today"),
+      (2L, "server at 10.0.0.1 fell over, failover to 192.168.1.255 at noon"),
+      (3L, "mixed: mail root@host.io from 172.16.254.3 please"),
+      (4L, "clean text with no personal identifiers at all")
+    ).toDF("doc_id", "text")
+    val rows = graft.ops.TextOps.piiScrub(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(rows(1L)._1 == 2 && rows(1L)._2 == 0)
+    assert(rows(2L)._1 == 0 && rows(2L)._2 == 2)
+    assert(rows(3L)._1 == 1 && rows(3L)._2 == 1)
+    assert(rows(4L)._1 == 0 && rows(4L)._2 == 0)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(rows(1L)._3 == md5hex("contact <EMAIL> or <EMAIL> today"))
+    assert(rows(2L)._3 == md5hex("server at <IP> fell over, failover to <IP> at noon"))
+    assert(rows(3L)._3 == md5hex("mixed: mail <EMAIL> from <IP> please"))
+    assert(rows(4L)._3 == md5hex("clean text with no personal identifiers at all"))
+  }
+
   test("lang-id heuristic classifies genuine fixtures correctly") {
     import spark.implicits._
     val fixtures = Seq(
