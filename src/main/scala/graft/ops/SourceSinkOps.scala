@@ -131,6 +131,47 @@ object SourceSinkOps {
       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
       "GROUP BY o_orderpriority ORDER BY o_orderpriority"))
 
+  /** Range-clustered write on (l_shipdate, l_orderkey) — exposed for
+    * ClusteredLayoutSpec's per-file disjointness assertion. Returns the
+    * output path it wrote. */
+  def writeClustered(s: org.apache.spark.sql.SparkSession, d: String, out: String): String = {
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity", "l_extendedprice")
+      .repartitionByRange(8, col("l_shipdate"), col("l_orderkey"))
+      .sortWithinPartitions("l_shipdate", "l_orderkey")
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
+  /** The third physical-layout decision beside day-partitioning and
+    * bucketing: RANGE-clustering on the dominant filter key. Rows are
+    * range-repartitioned and sorted within partitions before the write, so
+    * every output file (and every row group inside it) covers a disjoint
+    * slice of the shipdate domain — a range predicate then skips whole row
+    * groups on footer min/max stats instead of scanning the table
+    * (ClusteredLayoutSpec asserts the per-file disjointness that makes the
+    * skipping near-perfect, and that the range filter is pushed to the
+    * scan). At 100 TB this is the difference between a date-range query
+    * reading ~1/50th of the files and reading all of them. The oracle
+    * proves the queried range's content survives the round trip. */
+  val sinkClusteredLayout: Op = Op(
+    "sink_clustered_layout",
+    (s, d) => {
+      val out = Housekeeping.tempDirBounded("graft_clustered",
+        Files.createTempDirectory("graft_clustered")).toString
+      writeClustered(s, d, out)
+      s.read.parquet(out)
+        .where(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+        .groupBy(date_trunc("month", col("l_shipdate")).as("m"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("m")
+    },
+    Some("SELECT date_trunc('month', l_shipdate) AS m, COUNT(*) AS cnt, " +
+      oSum("l_quantity") + " AS sum_qty, " + oSum("l_extendedprice") + " AS sum_price " +
+      "FROM lineitem WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01' " +
+      "GROUP BY 1 ORDER BY m"))
+
   /** The reference's load step is append + re-upload + idempotent rebuild —
     * the relational form is a latest-wins upsert (CDC merge): base rows ∪ a
     * correction batch, keep one row per key preferring (is_update, ts).
@@ -228,5 +269,6 @@ object SourceSinkOps {
       oSum("l_extendedprice") + " AS sum_price FROM lineitem GROUP BY 1 ORDER BY 1"))
 
   val all: Seq[Op] = Seq(csvLogIngest, sinkPartitionedParquet, sinkBucketedJoin,
-    mergeUpsertLatest, sinkCsvReport, sourceJsonlRoundtrip, sourceOrcRoundtrip)
+    sinkClusteredLayout, mergeUpsertLatest, sinkCsvReport, sourceJsonlRoundtrip,
+    sourceOrcRoundtrip)
 }
