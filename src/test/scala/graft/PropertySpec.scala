@@ -158,4 +158,89 @@ class PropertySpec extends AnyFunSuite {
       assert(twice.count() == once.count())
     }
   }
+
+  test("pii scrub is idempotent: a scrubbed text contains nothing left to scrub") {
+    import graft.ops.TextOps
+    import spark.implicits._
+    val word = Gen.oneOf("alpha", "beta", "report", "at", "noon", "server")
+    val email = Gen.oneOf("a.b+c@ex.com", "root@sub.host.io", "x_1@d-e.org")
+    val ip = Gen.oneOf("10.0.0.1", "192.168.255.3", "172.16.4.200")
+    val token = Gen.frequency(6 -> word, 2 -> email, 2 -> ip)
+    val g = Gen.listOfN(12, token).map(_.mkString(" "))
+    for (texts <- samples(Gen.listOfN(10, g), 5)) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val scrubbedText = regexp_replace(
+        regexp_replace(col("text"), TextOps.EmailRe, "<EMAIL>"), TextOps.Ipv4Re, "<IP>")
+      val rows = docs.select(col("doc_id"), scrubbedText.as("s1"),
+          regexp_replace(regexp_replace(scrubbedText, TextOps.EmailRe, "<EMAIL>"),
+            TextOps.Ipv4Re, "<IP>").as("s2"),
+          regexp_count(scrubbedText, lit(TextOps.EmailRe)).as("ne"),
+          regexp_count(scrubbedText, lit(TextOps.Ipv4Re)).as("ni"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getString(1) == r.getString(2), s"second scrub changed doc ${r.getLong(0)}")
+        assert(r.getInt(3) == 0 && r.getInt(4) == 0,
+          s"scrubbed text still matches a PII pattern: ${r.getString(1)}")
+      }
+    }
+  }
+
+  test("linear interpolation is exact at observation instants") {
+    import spark.implicits._
+    // per-user observations at exact hour marks, random 1-4 h apart: every
+    // grid point that coincides with an observation (except the last, which
+    // has no forward neighbor) must reproduce the observed value exactly —
+    // the bracket degenerates to Δ = 0
+    val obsGen = Gen.listOfN(6, Gen.zip(Gen.chooseNum(1, 4), Gen.chooseNum(0, 9999)))
+    for ((obs, sample) <- samples(obsGen, 6).zipWithIndex) {
+      val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+      var h = 0
+      val rows = obs.zipWithIndex.map { case ((gap, cents), i) =>
+        h += gap
+        (7L, new Timestamp(base + h.toLong * 3600 * 1000), cents / 100.0, i.toLong)
+      }
+      val e = rows.toDF("user_id", "ts", "value", "event_id")
+      val got = TimeSeriesOps.interpolateLinear(e).collect()
+        .map(r => r.getTimestamp(1).getTime -> Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+      rows.init.foreach { case (_, ts, v, _) =>
+        assert(got(ts.getTime).contains(v),
+          s"sample $sample: grid at observation $ts should be exactly $v, got ${got(ts.getTime)}")
+      }
+      // and the trailing observation's grid point stays null (no forward neighbor)
+      assert(got(rows.last._2.getTime).isEmpty)
+    }
+  }
+
+  test("incremental minhash equals the delta-corpus slice of the full near-dup join") {
+    import graft.ops.LlmOps
+    import spark.implicits._
+    val vocab = (0 until 2000).map(i => "w" + i)
+    def doc(seed: Int): Array[String] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(40)(vocab(rnd.nextInt(vocab.length)))
+    }
+    for (sample <- 0 until 3) {
+      val corpusRows = (0 until 60).map(i => (i.toLong, doc(9000 + 100 * sample + i).mkString(" ")))
+      // delta: 6 one-word edits of corpus docs + 2 fresh docs
+      val deltaRows = (0 until 6).map { i =>
+        val edited = doc(9000 + 100 * sample + i).clone()
+        edited(20) = if (edited(20) == "w5") "w6" else "w5"
+        (1000000L + i, edited.mkString(" "))
+      } ++ Seq((1000006L, doc(77000 + sample).mkString(" ")),
+        (1000007L, doc(78000 + sample).mkString(" ")))
+      val corpus = corpusRows.toDF("doc_id", "text")
+      val delta = deltaRows.toDF("doc_id", "text")
+      val inc = LlmOps.incrementalNearDupPairs(delta, corpus).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      graft.ops.Housekeeping.releaseAll()
+      // the full self-join over the union, sliced to (delta, corpus) pairs;
+      // nearDupPairs orients doc_a < doc_b, so corpus ids come first
+      val full = LlmOps.nearDupPairs(corpus.unionAll(delta)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter { case (a, b, _) => (a < 1000000L) != (b < 1000000L) }
+        .map { case (a, b, j) => if (a >= 1000000L) (a, b, j) else (b, a, j) }.toSet
+      graft.ops.Housekeeping.releaseAll()
+      assert(inc == full, s"sample $sample: incremental=$inc full-slice=$full")
+    }
+  }
 }
