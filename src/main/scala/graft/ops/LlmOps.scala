@@ -319,10 +319,21 @@ object LlmOps {
 
   /** Exploded (doc_id, shingle) rows — the shared shingling of every dedup
     * op, exposed (with [[NgramMaxDf]]) for DedupScaleSpec's work-count
-    * assertions over the shingle document-frequency table. */
+    * assertions over the shingle document-frequency table.
+    *
+    * CAUTION (measured in ngramPairs, §7.2): exploding an UNCACHED shingle
+    * array lets InferFiltersFromGenerate re-derive the whole O(words²)
+    * shingle tree inside the injected not-null/size filter. Consumers that
+    * explode more than trivially should cache [[shingleArrays]] first. */
   def shingleRows(docs: DataFrame): DataFrame =
     shingled(docs.select("doc_id", "text"))
       .select(col("doc_id"), explode(col("shingles")).as("s"))
+
+  /** Per-doc distinct shingle ARRAYS (doc_id, shingles) — the cache-barrier
+    * form consumers should materialize before exploding (see the
+    * InferFiltersFromGenerate note on [[shingleRows]]). */
+  def shingleArrays(docs: DataFrame): DataFrame =
+    shingled(docs.select("doc_id", "text")).select(col("doc_id"), col("shingles"))
 
   /** Exact n-gram Jaccard near-dedup — fully relational (shingle-array per
     * doc → explode → document-frequency cutoff → equi-join on shingle →

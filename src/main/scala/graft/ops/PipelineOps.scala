@@ -3,6 +3,7 @@ package graft.ops
 import graft.tables.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import Dets._
 
 /** Training-data pipeline staples beyond dedup/similarity: deterministic
   * sampling, leakage-safe dataset splitting, and sequence packing. All three
@@ -113,5 +114,84 @@ object PipelineOps {
       "FROM (SELECT vec_id, embedding, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs " +
       "FROM embeddings)) ORDER BY vec_id"))
 
-  val all: Seq[Op] = Seq(sampleStratified, splitTrainValTest, packSequences, embedQuantizeInt8)
+  /** The corpus-build job end to end — the composition every training
+    * pipeline actually runs, chained from stages this engine ships
+    * individually: quality gate (text_quality_filter's rules) → exact-dedup
+    * keep (min doc_id per content hash — an identical doc kept in the eval
+    * source correctly shadows its training copy) → eval-set exclusion +
+    * decontamination (dedup_decontaminate's ≥ 0.5 shingle-overlap rule
+    * against the src0 dictionary) → content-keyed split assignment
+    * (split_train_val_test's hex ranges) → per-split corpus stats.
+    *
+    * Scale shape: each stage keeps the shape it has standalone — the quality
+    * gate is scan-local; the dedup keep is one content-hash groupBy; the
+    * benchmark dictionary broadcasts; the split is a pure function of the
+    * content hash. The only additions over the standalone ops are two
+    * equi-joins on doc_id. Oracle: the same five stages as one DuckDB CTE
+    * chain. */
+  val pipelineCorpusBuild: Op = Op(
+    "pipeline_corpus_build",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val nTok = size(split(col("text"), " "))
+      // stage 1: quality gate (same predicate as text_quality_filter)
+      val q = Housekeeping.cacheBounded("pipeline_q",
+        docs.where(col("n_chars") >= 64 && col("n_chars") <= 4096 &&
+            nTok >= 10 && col("text").rlike("^[a-z ]+$"))
+          .select("doc_id", "source", "text", "n_chars"))
+      // stage 2: exact-dedup keep across ALL quality survivors
+      val keep = q.groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      // stage 3: training pool = survivors outside the eval source,
+      // decontaminated against the RAW src0 shingle dictionary
+      val pool = q.join(keep, "doc_id").where(col("source") =!= "src0")
+      // cache the shingle ARRAYS before exploding (the
+      // InferFiltersFromGenerate recompute trap — see LlmOps.shingleRows)
+      val poolArr = Housekeeping.cacheBounded("pipeline_sh",
+        graft.ops.LlmOps.shingleArrays(pool.select("doc_id", "text")))
+      val poolSh = poolArr.select(col("doc_id"), explode(col("shingles")).as("s"))
+      val benchArr = Housekeeping.cacheBounded("pipeline_bench_sh",
+        graft.ops.LlmOps.shingleArrays(
+          docs.where(col("source") === "src0").select("doc_id", "text")))
+      val bench = benchArr.select(explode(col("shingles")).as("s")).distinct()
+      val sz = poolSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val hits = poolSh.join(broadcast(bench), "s")
+        .groupBy("doc_id").agg(count(lit(1)).as("nh"))
+      val clean = pool.join(sz, "doc_id").join(hits, Seq("doc_id"), "left")
+        .where(coalesce(col("nh"), lit(0L)).cast("double") / col("n") < 0.5)
+      // stages 4+5: content-keyed split, per-split stats
+      val b = substring(md5(col("text")), 9, 4)
+      clean
+        .withColumn("split",
+          when(b < "cccc", "train").when(b < "e666", "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+          dsum(col("n_chars")).as("sum_chars"))
+        .orderBy("split")
+    },
+    Some("WITH q AS (SELECT doc_id, source, text, n_chars FROM documents " +
+      "WHERE n_chars >= 64 AND n_chars <= 4096 AND len(string_split(text, ' ')) >= 10 " +
+      "AND regexp_matches(text, '^[a-z ]+$')), " +
+      "keep AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)), " +
+      "pool AS (SELECT q.* FROM q JOIN keep USING (doc_id) WHERE source <> 'src0'), " +
+      "pw AS (SELECT doc_id, string_split(text, ' ') AS w FROM pool), " +
+      "g AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 2), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s FROM pw WHERE len(w) >= 3), " +
+      "bw AS (SELECT string_split(text, ' ') AS w FROM documents WHERE source = 'src0'), " +
+      "bench AS (SELECT DISTINCT unnest(list_distinct(list_transform(generate_series(1, len(w) - 2), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s FROM bw WHERE len(w) >= 3), " +
+      "sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1), " +
+      "hit AS (SELECT doc_id, COUNT(*) AS nh FROM g JOIN bench USING (s) GROUP BY 1), " +
+      "clean AS (SELECT pool.doc_id, pool.text, pool.n_chars FROM pool " +
+      "JOIN sz ON sz.doc_id = pool.doc_id LEFT JOIN hit ON hit.doc_id = pool.doc_id " +
+      "WHERE CAST(COALESCE(nh, 0) AS DOUBLE) / sz.n < 0.5) " +
+      "SELECT CASE WHEN substr(md5(text), 9, 4) < 'cccc' THEN 'train' " +
+      "WHEN substr(md5(text), 9, 4) < 'e666' THEN 'val' ELSE 'test' END AS split, " +
+      "COUNT(*) AS n_docs, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens, " +
+      oSum("n_chars") + " AS sum_chars " +
+      "FROM clean GROUP BY 1 ORDER BY split"))
+
+  val all: Seq[Op] = Seq(sampleStratified, splitTrainValTest, packSequences, embedQuantizeInt8,
+    pipelineCorpusBuild)
 }

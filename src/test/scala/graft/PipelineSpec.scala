@@ -55,4 +55,33 @@ class PipelineSpec extends AnyFunSuite {
       assert(gaps == 0L)
     } finally packed.unpersist()
   }
+
+  /** The composite corpus-build job must agree with its standalone stages:
+    * its total document count equals what the individual quality, dedup,
+    * and decontamination ops independently predict for the same corpus. */
+  test("pipeline_corpus_build totals equal the standalone stages' composition") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.tables.Tables.documents(spark, sf)
+    val quality = graft.ops.LlmOps.textQualityFilter.fn(spark, sf)
+      .where(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val meta = docs.select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // dedup keepers among quality survivors: min doc_id per content hash
+    val keepers = meta.filter(m => quality(m._1)).groupBy(_._3)
+      .map { case (_, ms) => ms.map(_._1).min }.toSet
+    // training pool: keepers outside the eval source
+    val pool = meta.filter(m => keepers(m._1) && m._2 != "src0").map(_._1).toSet
+    // contamination flags from the standalone op (per-doc fraction is
+    // doc-local given the src0 dictionary, so they transfer to the subset)
+    val contaminated = graft.ops.LlmOps.dedupDecontaminate.fn(spark, sf)
+      .where(col("contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    graft.ops.Housekeeping.releaseAll()
+    val expected = (pool -- contaminated).size.toLong
+    val got = PipelineOps.pipelineCorpusBuild.fn(spark, sf)
+      .agg(sum("n_docs")).first().getLong(0)
+    graft.ops.Housekeeping.releaseAll()
+    assert(got == expected, s"composite n_docs $got != standalone composition $expected")
+  }
 }
