@@ -74,6 +74,34 @@ object AggOps {
         .orderBy("event_type"),
     None)
 
+  /** MERGEABLE distinct-count sketches — the pre-aggregation pattern that
+    * makes distinct counts affordable at 100 TB: build one HLL sketch
+    * (Apache DataSketches binary) per day, then answer any date range by
+    * UNIONING the stored sketches instead of rescanning the facts. Emits the
+    * per-day estimates plus a 'total' row whose value is
+    * estimate(union(daily sketches)) — and because HLL union takes register
+    * maxima, the union of per-day sketches is STATE-IDENTICAL to one sketch
+    * over all days (HllMergeSpec asserts that equality exactly, alongside
+    * the ±5 % accuracy bar vs exact distinct). Deterministic: sketch state
+    * is a pure function of the input value set. At width the daily sketch
+    * table is what you persist; each increment touches one day. Rows-only
+    * driver check like agg_approx_hll (estimates are engine-specific by
+    * design — DuckDB's approx_distinct uses a different sketch). */
+  val aggHllMergeable: Op = Op(
+    "agg_hll_mergeable",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      val perDay = daily.select(col("day").cast("string").as("day"),
+        hll_sketch_estimate(col("sk")).as("approx_users"))
+      val total = daily.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("approx_users"))
+        .select(lit("total").as("day"), col("approx_users"))
+      perDay.unionAll(total).orderBy("day")
+    },
+    None)
+
   /** GROUPING SETS is SQL-only surface in Spark — exercised via spark.sql on a
     * temp view. grouping() flags emitted per column (cast int on both engines;
     * grouping_id bit-packing conventions are avoided). */
@@ -173,6 +201,6 @@ object AggOps {
         .orderBy("user_id", "event_type"),
     Some("SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type"))
 
-  val all: Seq[Op] = Seq(aggPricingSummary, aggCountDistinct, aggApproxHll, aggGroupingSets,
-    aggRollupTime, aggCube, aggCollectSorted, aggArgMax, aggPivot, distinctRows)
+  val all: Seq[Op] = Seq(aggPricingSummary, aggCountDistinct, aggApproxHll, aggHllMergeable,
+    aggGroupingSets, aggRollupTime, aggCube, aggCollectSorted, aggArgMax, aggPivot, distinctRows)
 }
