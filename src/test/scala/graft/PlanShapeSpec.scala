@@ -103,6 +103,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"incremental probe plans a cartesian product:\n$p")
   }
 
+  /** Runtime Bloom-filter join pruning — the row-level runtime filter that
+    * complements AQE skew handling on selective fact-fact joins: Spark
+    * builds a Bloom filter over the filtered build side's join keys and
+    * applies might_contain inside the probe side's scan stage, cutting
+    * shuffle volume BEFORE the join. The feature is on by default but gated
+    * on a 10 GB application-side scan — i.e. it activates at warehouse scale
+    * without tuning and is invisible at toy scale; the gate is scaled to the
+    * testbed here to assert the mechanism itself. */
+  test("runtime bloom filter prunes the probe side of a selective fact-fact join") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> scala.util.Try(spark.conf.get(k)).toOption }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(s"${TestSpark.sf001}/lineitem.parquet")
+      val o = spark.read.parquet(s"${TestSpark.sf001}/orders.parquet")
+        .where(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"), s"no runtime bloom filter in plan:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("pipeline sample/split are shuffle-free single scans") {
     assert(!plan(PipelineOps.sampleStratified).contains("Exchange hashpartitioning"),
       "sampling must not shuffle")
