@@ -81,9 +81,13 @@ object AggOps {
     * per-day estimates plus a 'total' row whose value is
     * estimate(union(daily sketches)) — and because HLL union takes register
     * maxima, the union of per-day sketches is STATE-IDENTICAL to one sketch
-    * over all days (HllMergeSpec asserts that equality exactly, alongside
-    * the ±5 % accuracy bar vs exact distinct). Deterministic: sketch state
-    * is a pure function of the input value set. At width the daily sketch
+    * over all days (HllMergeSpec asserts estimate equality with the
+    * estimator path pinned through hll_union_agg on both sides, alongside
+    * the ±5 % accuracy bar vs exact distinct). Determinism caveat: sketch
+    * STATE is a pure function of the input value set, but the ESTIMATE
+    * depends on which DataSketches estimator runs (HIP for a never-merged
+    * sketch, composite after a union) — this op's total row always goes
+    * through the union path, so its estimates are layout-independent. At width the daily sketch
     * table is what you persist; each increment touches one day. Rows-only
     * driver check like agg_approx_hll (estimates are engine-specific by
     * design — DuckDB's approx_distinct uses a different sketch). */

@@ -208,7 +208,11 @@ object LlmOps {
   private def candidatesBetween(deltaBase: DataFrame, corpusBase: DataFrame): DataFrame =
     bandBuckets(deltaBase).as("l")
       .join(bandBuckets(corpusBase).as("r"),
-        col("l.band") === col("r.band") && col("l.bh") === col("r.bh"))
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          // a doc present in BOTH delta and corpus (overlapping snapshots)
+          // would otherwise pair with itself at jaccard 1.0 — guard here so
+          // the public incremental API needs no disjointness precondition
+          col("l.doc_id") =!= col("r.doc_id"))
       .select(col("l.doc_id").as("doc_id"), col("r.doc_id").as("dup_of"))
       .distinct()
 

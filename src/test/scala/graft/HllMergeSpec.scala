@@ -22,11 +22,20 @@ class HllMergeSpec extends AnyFunSuite {
     val events = Tables.events(spark, d)
     val mergedEst = AggOps.aggHllMergeable.fn(spark, d)
       .where(col("day") === "total").first().getLong(1)
+    // The direct side is routed through a (trivial) hll_union_agg so BOTH
+    // estimates come from the DataSketches composite estimator: a never-
+    // merged sketch estimates via HIP, a union result via the composite
+    // estimator, and whether a plain hll_sketch_agg result counts as
+    // "merged" depends on Spark's partial-aggregation layout. Union takes
+    // per-register maxima, so union({all-days sketch}) is state-identical to
+    // union(daily sketches) — with the estimator path pinned, equality is
+    // exact and partition-layout-independent.
     val directEst = events
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("e"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("e"))
       .first().getLong(0)
     assert(mergedEst == directEst,
-      s"union-of-daily ($mergedEst) != direct all-days sketch ($directEst)")
+      s"union-of-daily ($mergedEst) != union-path all-days sketch ($directEst)")
 
     val exactTotal = events.select(countDistinct(col("user_id"))).first().getLong(0)
     assert(math.abs(mergedEst - exactTotal) <= 0.05 * exactTotal,
