@@ -230,7 +230,61 @@ object JoinOps {
       "FROM w JOIN iv i ON i.st < w.w_start + INTERVAL 6 HOUR AND w.w_start <= i.en " +
       "GROUP BY 1 ORDER BY w_start"))
 
+  /** SCD2 (slowly-changing dimension, type 2) built from a change stream,
+    * then an as-of-event-time fact join — the warehouse-classic versioned-
+    * dimension shape that merge_upsert_latest (latest-only) does not cover.
+    *
+    * Dimension build: profile-change events (every 97th event, a
+    * deterministic synthetic CDC stream) become validity intervals per
+    * user — effective_from = change ts, effective_to = lead(ts) over the
+    * user's changes (null = current version). One shuffle on user_id.
+    *
+    * Fact join: each event must see the version valid AT ITS EVENT TIME
+    * ([from, to) — a fact at exactly a change ts sees the NEW version).
+    * The naive spelling is an interval join (range predicate — at width a
+    * nested-loop hazard); the scale spelling used here is the same
+    * single-shuffle union trick as join_asof: union version rows and fact
+    * rows, sort within user by (ts, kind) with version rows first at equal
+    * ts, forward-fill the version attribute, keep fact rows. No range join,
+    * no second shuffle — both row kinds hash to the same user_id partition.
+    * The oracle is the naive interval LEFT JOIN; hash equality proves the
+    * rewrite. */
+  val dimScd2Asof: Op = Op(
+    "dim_scd2_asof",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      // synthetic CDC: every 97th event changes its user's tier; (user, ts)
+      // collisions collapse to max(tier) so versions are unique per instant
+      val versions = e.where(col("event_id") % 97 === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(concat(lit("tier_"), col("event_id") % 5)).as("tier"))
+        .select(col("user_id"), col("ts"), col("tier"), lit(0).as("kind"),
+          lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"))
+      val facts = e.select(col("user_id"), col("ts"),
+        lit(null).cast("string").as("tier"), lit(1).as("kind"),
+        col("event_id"), col("value"))
+      // kind asc puts the version row FIRST at an equal timestamp → the fact
+      // picks up the new version: exactly the [from, to) interval semantics
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")), col("kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      versions.unionAll(facts)
+        .withColumn("eff_tier", last(col("tier"), ignoreNulls = true).over(w))
+        .where(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("eff_tier").as("tier"))
+        .orderBy("event_id")
+    },
+    Some("WITH ch AS (SELECT user_id, ts, max('tier_' || (event_id % 5)) AS tier " +
+      "FROM events WHERE event_id % 97 = 0 GROUP BY 1, 2), " +
+      "v AS (SELECT user_id, ts AS eff_from, tier, " +
+      "lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS eff_to FROM ch) " +
+      "SELECT e.event_id, e.user_id, e.ts, e.value, v.tier " +
+      "FROM events e LEFT JOIN v ON e.user_id = v.user_id " +
+      "AND e.ts >= v.eff_from AND (v.eff_to IS NULL OR e.ts < v.eff_to) " +
+      "ORDER BY e.event_id"))
+
   val all: Seq[Op] = Seq(joinInnerHash, joinBroadcastDim, joinSortmergeBig, joinLeftOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinCrossSmall, joinRangeTheta, joinAsof,
-    joinIntervalBin)
+    joinIntervalBin, dimScd2Asof)
 }

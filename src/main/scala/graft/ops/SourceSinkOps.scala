@@ -28,15 +28,25 @@ object SourceSinkOps {
       |20120301120200,490.5,230.1,2.2,99136.4,517.4,520,232,2.3,0,229,0,0.95,1,50.00,493.5,0,60,feed01,MAINS,0.00
       |""".stripMargin
 
+  /** Fixed staging path for the golden log: the ingest query writes the file
+    * here BEFORE the driver's oracle pass runs, so DuckDB's `read_csv` can
+    * read the very same bytes. Deliberately NOT registered with
+    * [[Housekeeping]] (releaseAll() between Verify queries would delete it
+    * before the oracle ran); each invocation overwrites in place, so the
+    * footprint is one small file. */
+  val csvStagePath: String = "/tmp/graft_stage/solar_log.csv"
+
   /** CSV ingest with declared semantics: header-name binding, string-typed
     * read + cast (malformed numerics → null, the permissive path), compact
     * site-local timestamp parse, exact-duplicate drop (re-uploaded batches).
-    * No SQL oracle (input isn't one of the oracle parquet tables) — golden
-    * assertions live in CsvIngestSpec. */
+    * Oracle: DuckDB `read_csv` over the staged golden file with
+    * all_varchar=true (the same string-typed read), mirroring each TRY_CAST
+    * and the strptime parse, then DISTINCT — byte-identical semantics. */
   val csvLogIngest: Op = Op(
     "csv_log_ingest",
     (s, _) => {
-      val f = Files.createTempFile("solar_log", ".csv")
+      val f = java.nio.file.Paths.get(csvStagePath)
+      Files.createDirectories(f.getParent)
       Files.writeString(f, goldenSolarLog)
       val raw = s.read.option("header", "true").csv(f.toString)
       val parsed = raw.select(
@@ -55,7 +65,20 @@ object SourceSinkOps {
       parsed.distinct()
         .orderBy(col("machine_id"), col("ts").asc_nulls_first, col("watts").asc_nulls_first)
     },
-    None)
+    Some("WITH raw AS (SELECT * FROM read_csv('" + csvStagePath + "', header=true, all_varchar=true)), " +
+      "p AS (SELECT \"Machine ID\" AS machine_id, \"Type\" AS circuit_type, " +
+      "strptime(\"Time Stamp\", '%Y%m%d%H%M%S') AS ts, " +
+      "TRY_CAST(\"Watts\" AS DOUBLE) AS watts, " +
+      "TRY_CAST(\"Volts\" AS DOUBLE) AS volts, " +
+      "TRY_CAST(\"Amps\" AS DOUBLE) AS amps, " +
+      "TRY_CAST(\"Watt Hours SC20\" AS DOUBLE) AS wh_lifetime, " +
+      "TRY_CAST(\"Watt Hours Today\" AS DOUBLE) AS wh_today, " +
+      "TRY_CAST(\"Power Factor\" AS DOUBLE) AS power_factor, " +
+      "TRY_CAST(\"Frequency\" AS DOUBLE) AS frequency, " +
+      "TRY_CAST(\"Relay Not Closed\" AS INT) AS relay_open, " +
+      "TRY_CAST(\"Credit\" AS DECIMAL(12,2)) AS credit FROM raw) " +
+      "SELECT DISTINCT * FROM p " +
+      "ORDER BY machine_id, ts ASC NULLS FIRST, watts ASC NULLS FIRST"))
 
   /** The warehouse load step: facts written day-partitioned, read back
     * through partition discovery, aggregated per partition. The oracle
@@ -268,7 +291,116 @@ object SourceSinkOps {
     Some("SELECT l_returnflag, COUNT(*) AS cnt, " + oSum("l_quantity") + " AS sum_qty, " +
       oSum("l_extendedprice") + " AS sum_price FROM lineitem GROUP BY 1 ORDER BY 1"))
 
+  /** Fixed staging root for the schema-evolution generations — same
+    * rationale as [[csvStagePath]]: written by the Spark query, read by the
+    * DuckDB oracle afterwards, overwritten in place per invocation. */
+  val evolutionStagePath: String = "/tmp/graft_stage/evolution"
+
+  /** Writes the two parquet generations of the evolving corpus under `root`:
+    * gen1 with the NARROW schema (amount INT32, no source column; even
+    * event_ids), gen2 with amount widened to INT64 — values deliberately
+    * above Int.MaxValue so the width is load-bearing — plus an added source
+    * column (odd event_ids). Exposed for EvolutionSpec. */
+  def writeEvolutionGenerations(s: org.apache.spark.sql.SparkSession, d: String,
+      root: String): Unit = {
+    val events = Tables.events(s, d)
+    events.where(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"),
+        (col("event_id") % 1000).cast("int").as("amount"))
+      .write.mode("overwrite").parquet(s"$root/gen1")
+    events.where(col("event_id") % 2 =!= 0)
+      .select(col("event_id"), col("user_id"),
+        (col("event_id") % 1000 + 4000000000L).as("amount"),
+        col("event_type").as("source"))
+      .write.mode("overwrite").parquet(s"$root/gen2")
+  }
+
+  /** Schema evolution on a standing corpus — the first thing a 100 TB
+    * lakehouse user hits: a new ingest generation adds a column and widens a
+    * type, and the old files must stay readable WITHOUT a rewrite. The read
+    * is schema-pinned to the current (unified) table schema: Spark 4's
+    * parquet reader widens gen1's INT32 amount into the declared BIGINT and
+    * fills the missing source column with null — a pure footer/metadata
+    * operation (EvolutionSpec asserts gen1's files are byte-identical after
+    * the evolved read, that predicate pushdown still reaches the scan, and
+    * that option("mergeSchema") handles the added-column case). `mergeSchema`
+    * alone cannot express the widening (Spark schema-merge rejects
+    * int/bigint), which is exactly why production tables pin the unified
+    * schema at read — the same pattern as [[graft.tables.Tables]]. */
+  val sourceSchemaEvolution: Op = Op(
+    "source_schema_evolution",
+    (s, d) => {
+      Housekeeping.deleteRecursively(java.nio.file.Paths.get(evolutionStagePath))
+      writeEvolutionGenerations(s, d, evolutionStagePath)
+      s.read.schema("event_id BIGINT, user_id BIGINT, amount BIGINT, source STRING")
+        .parquet(s"$evolutionStagePath/gen1", s"$evolutionStagePath/gen2")
+        .orderBy("event_id")
+    },
+    Some("SELECT event_id, user_id, CAST(amount AS BIGINT) AS amount, source " +
+      s"FROM read_parquet(['$evolutionStagePath/gen1/*.parquet', " +
+      s"'$evolutionStagePath/gen2/*.parquet'], union_by_name=true) " +
+      "ORDER BY event_id"))
+
+  /** The compaction job itself: read a fragmented table, range-repartition
+    * to a byte-budgeted file count on the dominant filter key, sort within
+    * partitions (restoring the clustered layout's min/max row-group stats),
+    * write. Returns (filesBefore, filesAfter); exposed for CompactionSpec. */
+  def compactTable(s: org.apache.spark.sql.SparkSession, fragDir: String,
+      outDir: String, targetFileBytes: Long): (Int, Int) = {
+    def parquetFiles(dir: String): Seq[java.nio.file.Path] = {
+      val walk = Files.walk(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+      } finally walk.close()
+    }
+    val before = parquetFiles(fragDir)
+    val bytes = before.map(Files.size).sum
+    // ceil(bytes / target): the planner every lakehouse maintenance job runs.
+    // Parquet re-encodes (dictionary + RLE) so the output is usually smaller
+    // than the input sum — that makes the file count conservative, never
+    // pathological.
+    val nFiles = math.max(1, ((bytes + targetFileBytes - 1) / targetFileBytes).toInt)
+    s.read.parquet(fragDir)
+      .repartitionByRange(nFiles, col("l_orderkey"), col("l_linenumber"))
+      .sortWithinPartitions("l_orderkey", "l_linenumber")
+      .write.mode("overwrite").parquet(outDir)
+    (before.size, parquetFiles(outDir).size)
+  }
+
+  /** Small-file compaction — the layout-maintenance job every real lakehouse
+    * runs nightly: N tiny ingest files rewritten into range-clustered
+    * target-size files. The op deliberately fragments lineitem into 64
+    * shards (the many-small-appends pathology), compacts on
+    * (l_orderkey, l_linenumber), and reads the result back; the oracle
+    * proves content identity against the source table, and CompactionSpec
+    * asserts the mechanical claims (file count collapses; per-file key
+    * ranges are disjoint again, so row-group stat skipping survives). At
+    * 100 TB the same job runs per partition with targetFileBytes = 128 MB. */
+  val sinkCompactSmallFiles: Op = Op(
+    "sink_compact_small_files",
+    (s, d) => {
+      val out = Housekeeping.tempDirBounded("graft_compact",
+        Files.createTempDirectory("graft_compact"))
+      val frag = out.resolve("fragmented").toString
+      val compacted = out.resolve("compacted").toString
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+          "l_returnflag", "l_linestatus")
+        .repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      compactTable(s, frag, compacted, targetFileBytes = 512 * 1024)
+      s.read.parquet(compacted)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, " +
+      oSum("l_quantity") + " AS sum_qty, " + oSum("l_extendedprice") + " AS sum_price " +
+      "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"))
+
   val all: Seq[Op] = Seq(csvLogIngest, sinkPartitionedParquet, sinkBucketedJoin,
     sinkClusteredLayout, mergeUpsertLatest, sinkCsvReport, sourceJsonlRoundtrip,
-    sourceOrcRoundtrip)
+    sourceOrcRoundtrip, sourceSchemaEvolution, sinkCompactSmallFiles)
 }
