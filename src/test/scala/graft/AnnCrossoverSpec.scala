@@ -56,6 +56,31 @@ class AnnCrossoverSpec extends AnyFunSuite {
       // corpus size (work counting must not have replaced correctness).
       assert(LlmOps.simSearchAnnLsh.fn(spark, dir.toString).count() == 50L)
       assert(LlmOps.simSearchAnnIvf.fn(spark, dir.toString).count() == 50L)
+
+      // Pinned recall@5 floor vs brute-force ground truth — so a tuning
+      // change (bands, probes, K, NProbe) that silently degrades recall
+      // fails THIS test instead of a user. The fixture is deterministic, so
+      // these are regression bars, not statistical hopes: measured on this
+      // corpus lsh = 0.82 avg, ivf = probe = 0.48 avg (uniform-random
+      // embeddings are the documented WORST case for a coarse quantizer —
+      // no cluster structure; real embedding corpora sit far higher).
+      def top5(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+        df.collect().map(r => (r.getLong(0), r.getLong(2)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val exact = top5(LlmOps.simSearchKnnPerQuery.fn(spark, dir.toString))
+      def recall(got: Map[Long, Set[Long]]): Double = {
+        val per = exact.keys.toSeq.sorted
+          .map(q => (got.getOrElse(q, Set.empty) & exact(q)).size / 5.0)
+        per.sum / per.size
+      }
+      val lshR = recall(top5(LlmOps.simSearchAnnLsh.fn(spark, dir.toString)))
+      val ivfR = recall(top5(LlmOps.simSearchAnnIvf.fn(spark, dir.toString)))
+      val probeR = recall(top5(LlmOps.simSearchAnnProbe.fn(spark, dir.toString)))
+      info(f"recall@5 vs brute force: lsh=$lshR%.3f ivf=$ivfR%.3f probe=$probeR%.3f")
+      assert(lshR >= 0.80, f"lsh recall@5 $lshR%.3f fell below the 0.80 floor")
+      assert(ivfR >= 0.45, f"ivf recall@5 $ivfR%.3f fell below the 0.45 floor")
+      assert(probeR == ivfR,
+        f"probe recall $probeR%.3f != trainer recall $ivfR%.3f — the persisted index diverged")
     } finally graft.ops.Housekeeping.deleteRecursively(dir)
   }
 }
