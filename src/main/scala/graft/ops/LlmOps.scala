@@ -738,22 +738,50 @@ object LlmOps {
           cosine(col("vq"), col("vc"), col("nq"), col("nc")).as("sim"))
   }
 
+  /** Oracle for the ANN family (the persisted-intermediate playbook): the
+    * APPROXIMATION is the candidate set — staged to a fixed path by each op
+    * — and everything downstream is exact, so DuckDB re-ranks the staged
+    * (query_id, neighbor_id) pairs with ITS OWN cosine over the original
+    * embeddings table. A ranking/dedup/tie-break bug fails the hash; the
+    * candidate generation itself is covered by AnnCrossoverSpec's pinned
+    * recall floors and work counts. Ordering agreement between Spark's
+    * double cosine and DuckDB's list_cosine_similarity on this corpus is
+    * the same (already load-bearing) premise as sim_search_knn_per_query's
+    * oracle, on a subset of the same pairs. */
+  private def annRerankOracle(stagePath: String): String =
+    "SELECT query_id, rank, neighbor_id FROM (SELECT c.query_id, c.neighbor_id, " +
+      "CAST(row_number() OVER (PARTITION BY c.query_id ORDER BY " +
+      "list_cosine_similarity(a.embedding, b.embedding) DESC, c.neighbor_id) AS INT) AS rank " +
+      s"FROM read_parquet('$stagePath/*.parquet') c " +
+      "JOIN embeddings a ON a.vec_id = c.query_id " +
+      "JOIN embeddings b ON b.vec_id = c.neighbor_id) " +
+      "WHERE rank <= 5 ORDER BY query_id, rank"
+
+  val annLshStagePath = "/tmp/graft_stage/ann_lsh_cand"
+  val annIvfStagePath = "/tmp/graft_stage/ann_ivf_cand"
+  val annProbeStagePath = "/tmp/graft_stage/ann_probe_cand"
+
+  /** Materialize the deduped candidate set at `path` and rank the read-back
+    * rows: the stage doubles as the cache barrier (the candidate join
+    * computes once), doubles survive the parquet round trip bit-exactly,
+    * and the oracle re-ranks the very same pairs. */
+  private def stageAndRank(cand: DataFrame, path: String): DataFrame = {
+    cand.write.mode("overwrite").parquet(path)
+    rankCandidates(cand.sparkSession.read.parquet(path))
+  }
+
   val simSearchAnnLsh: Op = Op(
     "sim_search_ann_lsh",
     (s, d) => {
-      val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-      lshCandidates(s, d)
-        // a neighbor can match several probes/tables: per-pair max is the
-        // cheap dedup (partial-aggregates map-side; sim is identical across
-        // copies, so max == the value) — a distinct() here shuffled the
-        // whole candidate set on a double column for the same effect.
-        .groupBy("query_id", "neighbor_id").agg(max(col("sim")).as("sim"))
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= 5)
-        .select("query_id", "rank", "neighbor_id")
-        .orderBy("query_id", "rank")
+      // a neighbor can match several probes/tables: per-pair max is the
+      // cheap dedup (partial-aggregates map-side; sim is identical across
+      // copies, so max == the value) — a distinct() here shuffled the
+      // whole candidate set on a double column for the same effect.
+      stageAndRank(
+        lshCandidates(s, d).groupBy("query_id", "neighbor_id").agg(max(col("sim")).as("sim")),
+        annLshStagePath)
     },
-    None)
+    Some(annRerankOracle(annLshStagePath)))
 
   /** The other classic ANN family: IVF (inverted file). A coarse k-means
     * quantizer splits the corpus into K cells; a query probes only its
@@ -877,8 +905,8 @@ object LlmOps {
 
   val simSearchAnnIvf: Op = Op(
     "sim_search_ann_ivf",
-    (s, d) => rankCandidates(ivfCandidates(s, d)),
-    None)
+    (s, d) => stageAndRank(ivfCandidates(s, d), annIvfStagePath),
+    Some(annRerankOracle(annIvfStagePath)))
 
   /** The persisted IVF lifecycle the per-run trainer above deliberately skips:
     * BUILD ONCE — train the quantizer, write the inverted file as a
@@ -928,8 +956,8 @@ object LlmOps {
 
   val simSearchAnnProbe: Op = Op(
     "sim_search_ann_probe",
-    (s, d) => rankCandidates(ivfProbe(s, d, ivfIndexPath(s, d))),
-    None)
+    (s, d) => stageAndRank(ivfProbe(s, d, ivfIndexPath(s, d)), annProbeStagePath),
+    Some(annRerankOracle(annProbeStagePath)))
 
   // ------------------------------------------------------ similarity search
 

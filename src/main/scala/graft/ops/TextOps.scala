@@ -80,17 +80,31 @@ object TextOps {
       "CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(regexp_extract_all(text, '[a-z]{1,4}')) AS chars_per_subtoken " +
       "FROM documents ORDER BY doc_id"))
 
+  /** Fixed staging path for the positional rolling-hash table — written by
+    * the query, read by the DuckDB oracle (same lifecycle as
+    * LlmOps.simhashStagePath; deliberately outside Housekeeping). */
+  val fingerprintStagePath: String = "/tmp/graft_stage/fingerprint_hashes"
+
   /** Document fingerprinting by winnowing: rolling word-3-gram hashes, min
     * over each window of 4 consecutive hashes, distinct — the classic
     * near-dup sketch (identical docs ⇒ identical fingerprint sets; near-dups
-    * share most fingerprints). Hash values are xxhash64 (engine-specific) ⇒
-    * no SQL oracle; TextSpec asserts the set semantics. */
+    * share most fingerprints).
+    *
+    * Oracle note (the persisted-intermediate playbook, like dedup_simhash):
+    * the hash VALUES are xxhash64 — engine-specific, so they live in a
+    * staged (doc_id, pos, h) table the query writes; the WINNOWING — the
+    * part this op actually adds — is recomputed independently by DuckDB as
+    * a relational sliding min (window min over pos, full windows only,
+    * distinct) over the same hashes. A fused-expression bug in
+    * [[graft.functions.WinnowMins]] therefore fails the hash compare;
+    * TextSpec additionally asserts the fused expression equals the
+    * relational array spelling in-engine. */
   val textFingerprint: Op = Op(
     "text_fingerprint",
     (s, d) => {
       graft.functions.GraftFunctions.register(s)
       val words = split(col("text"), " ")
-      Tables.documents(s, d)
+      val base = Tables.documents(s, d)
         .withColumn("words", words)
         // >= 6 words ⇒ exactly size(words)-2 >= 4 shingle hashes, so no
         // post-hs size filter: a second consumer of `hs` would get the whole
@@ -101,14 +115,22 @@ object TextOps {
           sequence(lit(0), size(col("words")) - 3),
           i => xxhash64(concat_ws(" ", element_at(col("words"), i + 1),
             element_at(col("words"), i + 2), element_at(col("words"), i + 3)))))
-        // fused sliding-min ([[graft.functions.WinnowMins]]) — same values as
-        // the array_distinct(transform(...array_min(slice)...)) spelling,
-        // asserted equivalent in TextSpec
+      base.select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+        .write.mode("overwrite").parquet(fingerprintStagePath)
+      // fused sliding-min ([[graft.functions.WinnowMins]]) — same values as
+      // the array_distinct(transform(...array_min(slice)...)) spelling,
+      // asserted equivalent in TextSpec
+      base
         .withColumn("fp", explode(graft.functions.GraftFunctions.winnowMins(col("hs"), 4)))
         .select("doc_id", "fp")
         .orderBy("doc_id", "fp")
     },
-    None)
+    Some("WITH h AS (SELECT doc_id, pos, h FROM " +
+      s"read_parquet('$fingerprintStagePath/*.parquet')), " +
+      "m AS (SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos " +
+      "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp, " +
+      "count(*) OVER (PARTITION BY doc_id) AS n FROM h) " +
+      "SELECT DISTINCT doc_id, fp FROM m WHERE pos + 4 <= n ORDER BY doc_id, fp"))
 
   /** Tokenizer-vocabulary induction, step one of BPE: the most frequent
     * ADJACENT CHARACTER PAIR across the corpus, weighted by word frequency —

@@ -79,7 +79,13 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("sim_search_ann_probe probes the persisted index without retraining") {
-    val p = plan(LlmOps.simSearchAnnProbe)
+    // the op itself now stages its candidate set for the DuckDB re-rank
+    // oracle and ranks the read-back rows, so the probe stage's plan is
+    // asserted on the probe frame directly (the stage whose shape matters)
+    val probeDf = LlmOps.ivfProbe(spark, TestSpark.sf0001,
+      LlmOps.ivfIndexPath(spark, TestSpark.sf0001))
+    probeDf.collect() // force AQE to finalize the adaptive plan
+    val p = probeDf.queryExecution.executedPlan.toString
     // no k-means stages: training's argmax aggregate shuffles on neighbor_id
     // (and its centroid means on (cell, pos)) — neither may appear in a probe
     assert(!p.contains("Exchange hashpartitioning(neighbor_id"),
