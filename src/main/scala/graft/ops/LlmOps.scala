@@ -761,13 +761,19 @@ object LlmOps {
   val annIvfStagePath = "/tmp/graft_stage/ann_ivf_cand"
   val annProbeStagePath = "/tmp/graft_stage/ann_probe_cand"
 
-  /** Materialize the deduped candidate set at `path` and rank the read-back
-    * rows: the stage doubles as the cache barrier (the candidate join
-    * computes once), doubles survive the parquet round trip bit-exactly,
-    * and the oracle re-ranks the very same pairs. */
-  private def stageAndRank(cand: DataFrame, path: String): DataFrame = {
-    cand.write.mode("overwrite").parquet(path)
-    rankCandidates(cand.sparkSession.read.parquet(path))
+  /** Materialize the deduped candidate set (cache barrier — the candidate
+    * join computes once for the staged write AND the ranking), stage it at
+    * `path` for the DuckDB re-rank, and rank the cached rows. Doubles
+    * survive the parquet round trip bit-exactly, so ranking the cache and
+    * re-ranking the file are over identical values. */
+  private def stageAndRank(key: String, cand: DataFrame, path: String): DataFrame = {
+    val cached = Housekeeping.cacheBounded(key, cand)
+    // one file, not shuffle-partition-many: the candidate set is a
+    // probe-BATCH artifact (queries × probed candidates, ~10³ rows here),
+    // never corpus-sized — 32 tiny files cost more in task/file overhead
+    // than the whole write
+    cached.coalesce(1).write.mode("overwrite").parquet(path)
+    rankCandidates(cached)
   }
 
   val simSearchAnnLsh: Op = Op(
@@ -777,7 +783,7 @@ object LlmOps {
       // cheap dedup (partial-aggregates map-side; sim is identical across
       // copies, so max == the value) — a distinct() here shuffled the
       // whole candidate set on a double column for the same effect.
-      stageAndRank(
+      stageAndRank("ann_lsh_cand",
         lshCandidates(s, d).groupBy("query_id", "neighbor_id").agg(max(col("sim")).as("sim")),
         annLshStagePath)
     },
@@ -905,7 +911,7 @@ object LlmOps {
 
   val simSearchAnnIvf: Op = Op(
     "sim_search_ann_ivf",
-    (s, d) => stageAndRank(ivfCandidates(s, d), annIvfStagePath),
+    (s, d) => stageAndRank("ann_ivf_cand", ivfCandidates(s, d), annIvfStagePath),
     Some(annRerankOracle(annIvfStagePath)))
 
   /** The persisted IVF lifecycle the per-run trainer above deliberately skips:
@@ -956,7 +962,7 @@ object LlmOps {
 
   val simSearchAnnProbe: Op = Op(
     "sim_search_ann_probe",
-    (s, d) => stageAndRank(ivfProbe(s, d, ivfIndexPath(s, d)), annProbeStagePath),
+    (s, d) => stageAndRank("ann_probe_cand", ivfProbe(s, d, ivfIndexPath(s, d)), annProbeStagePath),
     Some(annRerankOracle(annProbeStagePath)))
 
   // ------------------------------------------------------ similarity search

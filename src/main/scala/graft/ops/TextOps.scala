@@ -104,17 +104,22 @@ object TextOps {
     (s, d) => {
       graft.functions.GraftFunctions.register(s)
       val words = split(col("text"), " ")
-      val base = Tables.documents(s, d)
+      // The hash-array base now has TWO consumers (the staged positional
+      // table and the fp explode), so it MUST be materialized: an uncached
+      // posexplode lets InferFiltersFromGenerate re-derive the whole
+      // O(words²) hash tree inside the injected not-null/size filter — the
+      // same trap documented on LlmOps.shingleRows (measured here: 0.4 s →
+      // 4.1 s at sf0.1 when the cache barrier was briefly dropped).
+      val base = Housekeeping.cacheBounded("fp_base", Tables.documents(s, d)
         .withColumn("words", words)
         // >= 6 words ⇒ exactly size(words)-2 >= 4 shingle hashes, so no
-        // post-hs size filter: a second consumer of `hs` would get the whole
-        // transform tree inlined again by projection collapse (measured 3×
-        // the compute for the same output)
+        // post-hs size filter needed
         .where(size(col("words")) >= 6)
         .withColumn("hs", transform(
           sequence(lit(0), size(col("words")) - 3),
           i => xxhash64(concat_ws(" ", element_at(col("words"), i + 1),
             element_at(col("words"), i + 2), element_at(col("words"), i + 3)))))
+        .select(col("doc_id"), col("hs")))
       base.select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
         .write.mode("overwrite").parquet(fingerprintStagePath)
       // fused sliding-min ([[graft.functions.WinnowMins]]) — same values as
