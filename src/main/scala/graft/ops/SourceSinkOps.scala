@@ -400,7 +400,75 @@ object SourceSinkOps {
       oSum("l_quantity") + " AS sum_qty, " + oSum("l_extendedprice") + " AS sum_price " +
       "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"))
 
+  /** 32-bit Morton (Z-order) value: each dimension scaled to a 16-bit cell
+    * over its [min, max] domain (integer arithmetic — deterministic), bits
+    * interleaved. Pure Column spelling (32 shift/mask/or terms) — folds into
+    * whole-stage codegen, no UDF, no custom expression needed. */
+  def zValue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+      xMin: Long, xMax: Long, yMin: Long, yMax: Long): org.apache.spark.sql.Column = {
+    val sx = (x.cast("long") - lit(xMin)) * 65536L / lit(xMax - xMin + 1)
+    val sy = (y.cast("long") - lit(yMin)) * 65536L / lit(yMax - yMin + 1)
+    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc.bitwiseOR(shiftleft(shiftrightunsigned(sx, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftrightunsigned(sy, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Z-order-clustered write of lineitem on (l_partkey, l_suppkey): the
+    * stats pass (per-dim min/max — one collected row, the same pass every
+    * OPTIMIZE ZORDER implementation runs), the Morton value, one range
+    * repartition + within-partition sort on it. Returns the collected
+    * (pkMax, skMax) for the caller's bound computation; exposed for
+    * ZorderSpec. */
+  def writeZorder(s: org.apache.spark.sql.SparkSession, d: String,
+      out: String): (Long, Long) = {
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_returnflag")
+    val st = li.agg(min(col("l_partkey")).cast("long"), max(col("l_partkey")).cast("long"),
+      min(col("l_suppkey")).cast("long"), max(col("l_suppkey")).cast("long")).first()
+    val (pkMin, pkMax, skMin, skMax) = (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+    li.withColumn("z",
+        zValue(col("l_partkey"), col("l_suppkey"), pkMin, pkMax, skMin, skMax))
+      .repartitionByRange(16, col("z"))
+      .sortWithinPartitions("z")
+      .drop("z")
+      .write.mode("overwrite").parquet(out)
+    (pkMax, skMax)
+  }
+
+  /** The FOURTH layout decision beside day-partitioning, bucketing, and
+    * range-clustering: Z-ORDER clustering on two filter dimensions.
+    * Range-clustering on (l_partkey, …) makes partkey predicates skip files
+    * but leaves every file spanning the whole suppkey domain; the Morton
+    * interleave gives every file a small rectangle in BOTH dimensions, so
+    * footer min/max stats prune on either dim — the multi-dimensional
+    * file-skipping layout (ZorderSpec asserts both per-file span claims
+    * against a linear layout, plus the pushed filters). The op's query is
+    * the corner case Z-order exists for: a selective predicate on BOTH dims
+    * (lowest ~10 % of each domain, bounds spelled scale-free so the oracle
+    * is sf-independent). At 100 TB this is the OPTIMIZE ZORDER job run
+    * after compaction. */
+  val sinkZorderLayout: Op = Op(
+    "sink_zorder_layout",
+    (s, d) => {
+      val out = Housekeeping.tempDirBounded("graft_zorder",
+        Files.createTempDirectory("graft_zorder")).toString
+      val (pkMax, skMax) = writeZorder(s, d, out)
+      s.read.parquet(out)
+        .where(col("l_partkey") <= lit(pkMax / 10) && col("l_suppkey") <= lit(skMax / 10))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag")
+    },
+    Some("SELECT l_returnflag, COUNT(*) AS cnt, " + oSum("l_quantity") + " AS sum_qty, " +
+      oSum("l_extendedprice") + " AS sum_price FROM lineitem " +
+      "WHERE l_partkey <= (SELECT max(l_partkey) // 10 FROM lineitem) " +
+      "AND l_suppkey <= (SELECT max(l_suppkey) // 10 FROM lineitem) " +
+      "GROUP BY 1 ORDER BY 1"))
+
   val all: Seq[Op] = Seq(csvLogIngest, sinkPartitionedParquet, sinkBucketedJoin,
     sinkClusteredLayout, mergeUpsertLatest, sinkCsvReport, sourceJsonlRoundtrip,
-    sourceOrcRoundtrip, sourceSchemaEvolution, sinkCompactSmallFiles)
+    sourceOrcRoundtrip, sourceSchemaEvolution, sinkCompactSmallFiles, sinkZorderLayout)
 }
