@@ -205,6 +205,47 @@ object AggOps {
         .orderBy("user_id", "event_type"),
     Some("SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type"))
 
+  /** The standing daily rollup (day, cnt, decimal sum) over events STRICTLY
+    * BEFORE `splitDay`, and the same partial over the rest — the two halves
+    * of the incremental maintenance job, exposed for IncrementalRollupSpec's
+    * split-invariance property. Partial sums stay DECIMAL (never cast to
+    * double before the merge) so re-aggregation is exact and associative. */
+  def rollupPartial(df: org.apache.spark.sql.DataFrame,
+      cond: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+    df.where(cond).groupBy("day")
+      .agg(count(lit(1)).as("cnt"), sum(d2(col("value"))).as("sv"))
+
+  /** Incremental materialized-rollup maintenance — how a 100 TB pipeline
+    * keeps a daily aggregate table current: the standing rollup (all days
+    * before the newest) is PERSISTED; when the new day's delta arrives, only
+    * the delta is scanned and its partial aggregate is MERGED with the
+    * standing table by re-aggregation (decimal sums and counts are
+    * associative, so merged ≡ full recompute EXACTLY — and the oracle is the
+    * full recompute, so the hash compare proves it). Cost per increment =
+    * delta scan + standing-table-sized merge, never a full-history rescan.
+    * The same pattern as agg_hll_mergeable, for exact aggregates. */
+  val aggIncrementalRollup: Op = Op(
+    "agg_incremental_rollup",
+    (s, d) => {
+      import java.nio.file.Files
+      val e = Tables.events(s, d).withColumn("day", to_date(col("ts")))
+      // the newest day is "today", arriving as the delta (one collected
+      // scalar — the boundary the job scheduler knows anyway)
+      val split = e.agg(max(col("day"))).first().getDate(0)
+      val standingDir = Housekeeping.tempDirBounded("graft_rollup",
+        Files.createTempDirectory("graft_rollup")).toString
+      rollupPartial(e, col("day") < lit(split))
+        .write.mode("overwrite").parquet(standingDir)
+      s.read.parquet(standingDir)
+        .unionAll(rollupPartial(e, col("day") >= lit(split)))
+        .groupBy("day")
+        .agg(sum(col("cnt")).as("cnt"), sum(col("sv")).cast("double").as("sum_value"))
+        .orderBy("day")
+    },
+    Some("SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt, " + oSum("value") +
+      " AS sum_value FROM events GROUP BY 1 ORDER BY day"))
+
   val all: Seq[Op] = Seq(aggPricingSummary, aggCountDistinct, aggApproxHll, aggHllMergeable,
-    aggGroupingSets, aggRollupTime, aggCube, aggCollectSorted, aggArgMax, aggPivot, distinctRows)
+    aggGroupingSets, aggRollupTime, aggCube, aggCollectSorted, aggArgMax, aggPivot, distinctRows,
+    aggIncrementalRollup)
 }

@@ -468,7 +468,81 @@ object SourceSinkOps {
       "AND l_suppkey <= (SELECT max(l_suppkey) // 10 FROM lineitem) " +
       "GROUP BY 1 ORDER BY 1"))
 
+  /** Targeted delete over a standing clustered table: rewrite ONLY the files
+    * whose footer min/max intersect the delete predicate, carry every other
+    * file over untouched (a filesystem move/copy — the logical equivalent of
+    * a Delta/Iceberg remove+add commit, where untouched files are shared by
+    * reference). Returns (touched, untouched) file counts; exposed for
+    * TargetedDeleteSpec, which also proves the carried-over files are
+    * byte-identical. */
+  def targetedDelete(s: org.apache.spark.sql.SparkSession, standing: String,
+      out: String, deleteLo: Long, deleteHi: Long): (Int, Int) = {
+    // the stats read a manifest would serve at 100 TB: per-file key min/max,
+    // gathered in ONE job (grouping by input_file_name) — per-file scans
+    // would pay one Spark-job constant per file (measured: 16 files ≈ +1.5 s)
+    val stats = s.read.parquet(standing)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("l_orderkey")).cast("long").as("mn"),
+        max(col("l_orderkey")).cast("long").as("mx"))
+      .collect()
+      .map(r => (java.nio.file.Paths.get(new java.net.URI(r.getString(0)).getPath),
+        r.getLong(1), r.getLong(2)))
+      .sortBy(_._1.toString)
+    val (touched, untouched) = stats.partition { case (_, mn, mx) =>
+      mn <= deleteHi && deleteLo <= mx
+    }
+    Files.createDirectories(java.nio.file.Paths.get(out))
+    untouched.foreach { case (p, _, _) =>
+      Files.copy(p, java.nio.file.Paths.get(out).resolve(p.getFileName))
+    }
+    if (touched.nonEmpty) {
+      // the rewrite job reads ONLY the touched files
+      s.read.parquet(touched.map(_._1.toString).toIndexedSeq: _*)
+        .where(col("l_orderkey") < deleteLo || col("l_orderkey") > deleteHi)
+        .coalesce(math.max(1, touched.length))
+        .write.mode("append").parquet(out)
+    }
+    (touched.length, untouched.length)
+  }
+
+  /** The GDPR/bad-batch delete job — the write-path op every standing corpus
+    * needs: delete a contiguous l_orderkey slice (the lowest ~5 % of the
+    * domain: "that ingest batch was bad") from a range-clustered table
+    * WITHOUT rewriting the table. Because the standing layout is clustered
+    * on the delete key, the per-file stats confine the rewrite to the
+    * file(s) covering the slice; everything else moves by reference.
+    * Bounds spelled scale-free (fractions of max) so the oracle is
+    * sf-independent. At 100 TB this is the difference between rewriting
+    * ~1/20th of the files and rewriting the table. */
+  val sinkTargetedDelete: Op = Op(
+    "sink_targeted_delete",
+    (s, d) => {
+      val root = Housekeeping.tempDirBounded("graft_delete",
+        Files.createTempDirectory("graft_delete"))
+      val standing = root.resolve("standing").toString
+      val after = root.resolve("after").toString
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+      li.repartitionByRange(16, col("l_orderkey"), col("l_linenumber"))
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+        .write.mode("overwrite").parquet(standing)
+      val mx = li.agg(max(col("l_orderkey")).cast("long")).first().getLong(0)
+      // delete the lowest ~5% slice of the key domain (keys start at 0 in
+      // this testdata — the slice is [0, max/20], matching the oracle's > cut)
+      targetedDelete(s, standing, after, deleteLo = 0L, deleteHi = mx / 20)
+      s.read.parquet(after)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag")
+    },
+    Some("SELECT l_returnflag, COUNT(*) AS cnt, " + oSum("l_quantity") + " AS sum_qty, " +
+      oSum("l_extendedprice") + " AS sum_price FROM lineitem " +
+      "WHERE l_orderkey > (SELECT max(l_orderkey) // 20 FROM lineitem) " +
+      "GROUP BY 1 ORDER BY 1"))
+
   val all: Seq[Op] = Seq(csvLogIngest, sinkPartitionedParquet, sinkBucketedJoin,
     sinkClusteredLayout, mergeUpsertLatest, sinkCsvReport, sourceJsonlRoundtrip,
-    sourceOrcRoundtrip, sourceSchemaEvolution, sinkCompactSmallFiles, sinkZorderLayout)
+    sourceOrcRoundtrip, sourceSchemaEvolution, sinkCompactSmallFiles, sinkZorderLayout,
+    sinkTargetedDelete)
 }
