@@ -44,8 +44,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Staged-intermediate oracles carry Stage.token until the sfDir is
+    // known; resolve it here so the dumped oracle_sql.json — the only oracle
+    // artifact the driver reads — holds the concrete sf-scoped paths this
+    // run's queries actually wrote to.
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(graft.ops.Stage.resolve(v, sfDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -318,11 +318,11 @@ object LlmOps {
     simhashPairsFromSigs(
       Housekeeping.cacheBounded("simhash_base", simhashSignatures(docs)))
 
-  /** Fixed staging path for the persisted signature table — written by the
-    * query, read by both the banding and the DuckDB oracle; deliberately
+  /** sf-scoped staging path for the persisted signature table — written by
+    * the query, read by both the banding and the DuckDB oracle; deliberately
     * outside Housekeeping so Verify's releaseAll() can't delete it before
-    * the oracle pass (same pattern as SourceSinkOps.csvStagePath). */
-  val simhashStagePath: String = "/tmp/graft_stage/simhash_sigs"
+    * the oracle pass (same [[Stage]] pattern as SourceSinkOps.csvStagePath). */
+  def simhashStagePath(sfDir: String): String = Stage.root(sfDir) + "/simhash_sigs"
 
   /** Oracle note (the round-7 minhash playbook, adapted): the emitted pairs
     * are EXACT given the signatures — every pair is verified by
@@ -341,11 +341,11 @@ object LlmOps {
     "dedup_simhash",
     (s, d) => {
       simhashSignatures(Tables.documents(s, d))
-        .write.mode("overwrite").parquet(simhashStagePath)
-      simhashPairsFromSigs(s.read.parquet(simhashStagePath))
+        .write.mode("overwrite").parquet(simhashStagePath(d))
+      simhashPairsFromSigs(s.read.parquet(simhashStagePath(d)))
     },
     Some("WITH s AS (SELECT doc_id, sig FROM " +
-      s"read_parquet('$simhashStagePath/*.parquet')) " +
+      s"read_parquet('${Stage.token}/simhash_sigs/*.parquet')) " +
       "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
       "CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming " +
       "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
@@ -757,9 +757,9 @@ object LlmOps {
       "JOIN embeddings b ON b.vec_id = c.neighbor_id) " +
       "WHERE rank <= 5 ORDER BY query_id, rank"
 
-  val annLshStagePath = "/tmp/graft_stage/ann_lsh_cand"
-  val annIvfStagePath = "/tmp/graft_stage/ann_ivf_cand"
-  val annProbeStagePath = "/tmp/graft_stage/ann_probe_cand"
+  def annLshStagePath(sfDir: String): String = Stage.root(sfDir) + "/ann_lsh_cand"
+  def annIvfStagePath(sfDir: String): String = Stage.root(sfDir) + "/ann_ivf_cand"
+  def annProbeStagePath(sfDir: String): String = Stage.root(sfDir) + "/ann_probe_cand"
 
   /** Materialize the deduped candidate set (cache barrier — the candidate
     * join computes once for the staged write AND the ranking), stage it at
@@ -785,9 +785,9 @@ object LlmOps {
       // whole candidate set on a double column for the same effect.
       stageAndRank("ann_lsh_cand",
         lshCandidates(s, d).groupBy("query_id", "neighbor_id").agg(max(col("sim")).as("sim")),
-        annLshStagePath)
+        annLshStagePath(d))
     },
-    Some(annRerankOracle(annLshStagePath)))
+    Some(annRerankOracle(Stage.token + "/ann_lsh_cand")))
 
   /** The other classic ANN family: IVF (inverted file). A coarse k-means
     * quantizer splits the corpus into K cells; a query probes only its
@@ -911,8 +911,8 @@ object LlmOps {
 
   val simSearchAnnIvf: Op = Op(
     "sim_search_ann_ivf",
-    (s, d) => stageAndRank("ann_ivf_cand", ivfCandidates(s, d), annIvfStagePath),
-    Some(annRerankOracle(annIvfStagePath)))
+    (s, d) => stageAndRank("ann_ivf_cand", ivfCandidates(s, d), annIvfStagePath(d)),
+    Some(annRerankOracle(Stage.token + "/ann_ivf_cand")))
 
   /** The persisted IVF lifecycle the per-run trainer above deliberately skips:
     * BUILD ONCE — train the quantizer, write the inverted file as a
@@ -962,8 +962,8 @@ object LlmOps {
 
   val simSearchAnnProbe: Op = Op(
     "sim_search_ann_probe",
-    (s, d) => stageAndRank("ann_probe_cand", ivfProbe(s, d, ivfIndexPath(s, d)), annProbeStagePath),
-    Some(annRerankOracle(annProbeStagePath)))
+    (s, d) => stageAndRank("ann_probe_cand", ivfProbe(s, d, ivfIndexPath(s, d)), annProbeStagePath(d)),
+    Some(annRerankOracle(Stage.token + "/ann_probe_cand")))
 
   // ------------------------------------------------------ similarity search
 

@@ -11,6 +11,35 @@ import org.apache.spark.sql.types._
   */
 final case class Op(key: String, fn: (SparkSession, String) => DataFrame, oracle: Option[String])
 
+/** sf-scoped staging root for the persisted-intermediate oracle playbook:
+  * a query writes an engine-specific intermediate (staged CSV, signature
+  * table, ANN candidate set) BEFORE the driver's oracle pass, and the oracle
+  * SQL reads the very same bytes back. The root is derived from the CANONICAL
+  * sfDir, so concurrent Verify/Bench/test runs at different scale factors
+  * never clobber each other's staged files, and a stale artifact from a
+  * prior run at a different sf can never be silently consumed. Oracle SQL
+  * strings embed [[Stage.token]]; [[graft.Verify]] resolves it against its
+  * sfDir at dump time, so `oracle_sql.json` — the only oracle artifact the
+  * driver reads — always carries concrete paths matching what this run's
+  * queries wrote. Staged files are deliberately NOT registered with
+  * [[Housekeeping]] (releaseAll() between Verify queries would delete them
+  * before the oracle pass runs); each run overwrites its own sf's files in
+  * place, so the footprint stays one small artifact set per sf. */
+object Stage {
+  /** Placeholder the oracle strings carry until Verify knows the sfDir. */
+  val token: String = "__GRAFT_STAGE__"
+
+  def root(sfDir: String): String = {
+    val canon = java.nio.file.Paths.get(if (sfDir.isEmpty) "." else sfDir)
+      .toAbsolutePath.normalize.toString
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"/tmp/graft_stage/$tag"
+  }
+
+  def resolve(sql: String, sfDir: String): String = sql.replace(token, root(sfDir))
+}
+
 /** Shared determinism policy (SURVEY.md §7.2). The hash-oracle only matches if
   * every value is bit-identical between Spark and DuckDB, so:
   *

@@ -28,24 +28,26 @@ object SourceSinkOps {
       |20120301120200,490.5,230.1,2.2,99136.4,517.4,520,232,2.3,0,229,0,0.95,1,50.00,493.5,0,60,feed01,MAINS,0.00
       |""".stripMargin
 
-  /** Fixed staging path for the golden log: the ingest query writes the file
-    * here BEFORE the driver's oracle pass runs, so DuckDB's `read_csv` can
-    * read the very same bytes. Deliberately NOT registered with
-    * [[Housekeeping]] (releaseAll() between Verify queries would delete it
-    * before the oracle ran); each invocation overwrites in place, so the
-    * footprint is one small file. */
-  val csvStagePath: String = "/tmp/graft_stage/solar_log.csv"
+  /** sf-scoped staging path for the golden log ([[Stage]] lifecycle): the
+    * ingest query writes the file here BEFORE the driver's oracle pass runs,
+    * so DuckDB's `read_csv` can read the very same bytes. */
+  def csvStagePath(sfDir: String): String = Stage.root(sfDir) + "/solar_log.csv"
 
   /** CSV ingest with declared semantics: header-name binding, string-typed
     * read + cast (malformed numerics → null, the permissive path), compact
     * site-local timestamp parse, exact-duplicate drop (re-uploaded batches).
     * Oracle: DuckDB `read_csv` over the staged golden file with
     * all_varchar=true (the same string-typed read), mirroring each TRY_CAST
-    * and the strptime parse, then DISTINCT — byte-identical semantics. */
+    * and the strptime parse, then DISTINCT — byte-identical semantics.
+    * Every gauge is typed DECIMAL(12,2) on BOTH sides: the golden log's
+    * values carry ≤ 2 decimal places by construction, so the decimal read is
+    * exact AND no float (or null-double) cell ever reaches a cross-engine
+    * hash canonicalizer — doubles stringify differently across engines even
+    * when bit-identical. */
   val csvLogIngest: Op = Op(
     "csv_log_ingest",
-    (s, _) => {
-      val f = java.nio.file.Paths.get(csvStagePath)
+    (s, d) => {
+      val f = java.nio.file.Paths.get(csvStagePath(d))
       Files.createDirectories(f.getParent)
       Files.writeString(f, goldenSolarLog)
       val raw = s.read.option("header", "true").csv(f.toString)
@@ -53,28 +55,28 @@ object SourceSinkOps {
         col("Machine ID").as("machine_id"),
         col("Type").as("circuit_type"),
         to_timestamp(col("Time Stamp"), "yyyyMMddHHmmss").as("ts"),
-        col("Watts").try_cast("double").as("watts"),
-        col("Volts").try_cast("double").as("volts"),
-        col("Amps").try_cast("double").as("amps"),
-        col("Watt Hours SC20").try_cast("double").as("wh_lifetime"),
-        col("Watt Hours Today").try_cast("double").as("wh_today"),
-        col("Power Factor").try_cast("double").as("power_factor"),
-        col("Frequency").try_cast("double").as("frequency"),
+        col("Watts").try_cast("decimal(12,2)").as("watts"),
+        col("Volts").try_cast("decimal(12,2)").as("volts"),
+        col("Amps").try_cast("decimal(12,2)").as("amps"),
+        col("Watt Hours SC20").try_cast("decimal(12,2)").as("wh_lifetime"),
+        col("Watt Hours Today").try_cast("decimal(12,2)").as("wh_today"),
+        col("Power Factor").try_cast("decimal(12,2)").as("power_factor"),
+        col("Frequency").try_cast("decimal(12,2)").as("frequency"),
         col("Relay Not Closed").try_cast("int").as("relay_open"),
         col("Credit").try_cast("decimal(12,2)").as("credit"))
       parsed.distinct()
         .orderBy(col("machine_id"), col("ts").asc_nulls_first, col("watts").asc_nulls_first)
     },
-    Some("WITH raw AS (SELECT * FROM read_csv('" + csvStagePath + "', header=true, all_varchar=true)), " +
+    Some("WITH raw AS (SELECT * FROM read_csv('" + Stage.token + "/solar_log.csv', header=true, all_varchar=true)), " +
       "p AS (SELECT \"Machine ID\" AS machine_id, \"Type\" AS circuit_type, " +
       "strptime(\"Time Stamp\", '%Y%m%d%H%M%S') AS ts, " +
-      "TRY_CAST(\"Watts\" AS DOUBLE) AS watts, " +
-      "TRY_CAST(\"Volts\" AS DOUBLE) AS volts, " +
-      "TRY_CAST(\"Amps\" AS DOUBLE) AS amps, " +
-      "TRY_CAST(\"Watt Hours SC20\" AS DOUBLE) AS wh_lifetime, " +
-      "TRY_CAST(\"Watt Hours Today\" AS DOUBLE) AS wh_today, " +
-      "TRY_CAST(\"Power Factor\" AS DOUBLE) AS power_factor, " +
-      "TRY_CAST(\"Frequency\" AS DOUBLE) AS frequency, " +
+      "TRY_CAST(\"Watts\" AS DECIMAL(12,2)) AS watts, " +
+      "TRY_CAST(\"Volts\" AS DECIMAL(12,2)) AS volts, " +
+      "TRY_CAST(\"Amps\" AS DECIMAL(12,2)) AS amps, " +
+      "TRY_CAST(\"Watt Hours SC20\" AS DECIMAL(12,2)) AS wh_lifetime, " +
+      "TRY_CAST(\"Watt Hours Today\" AS DECIMAL(12,2)) AS wh_today, " +
+      "TRY_CAST(\"Power Factor\" AS DECIMAL(12,2)) AS power_factor, " +
+      "TRY_CAST(\"Frequency\" AS DECIMAL(12,2)) AS frequency, " +
       "TRY_CAST(\"Relay Not Closed\" AS INT) AS relay_open, " +
       "TRY_CAST(\"Credit\" AS DECIMAL(12,2)) AS credit FROM raw) " +
       "SELECT DISTINCT * FROM p " +
@@ -291,10 +293,10 @@ object SourceSinkOps {
     Some("SELECT l_returnflag, COUNT(*) AS cnt, " + oSum("l_quantity") + " AS sum_qty, " +
       oSum("l_extendedprice") + " AS sum_price FROM lineitem GROUP BY 1 ORDER BY 1"))
 
-  /** Fixed staging root for the schema-evolution generations — same
-    * rationale as [[csvStagePath]]: written by the Spark query, read by the
-    * DuckDB oracle afterwards, overwritten in place per invocation. */
-  val evolutionStagePath: String = "/tmp/graft_stage/evolution"
+  /** sf-scoped staging root for the schema-evolution generations — same
+    * [[Stage]] lifecycle as [[csvStagePath]]: written by the Spark query,
+    * read by the DuckDB oracle afterwards, overwritten in place per run. */
+  def evolutionStagePath(sfDir: String): String = Stage.root(sfDir) + "/evolution"
 
   /** Writes the two parquet generations of the evolving corpus under `root`:
     * gen1 with the NARROW schema (amount INT32, no source column; even
@@ -330,15 +332,16 @@ object SourceSinkOps {
   val sourceSchemaEvolution: Op = Op(
     "source_schema_evolution",
     (s, d) => {
-      Housekeeping.deleteRecursively(java.nio.file.Paths.get(evolutionStagePath))
-      writeEvolutionGenerations(s, d, evolutionStagePath)
+      val root = evolutionStagePath(d)
+      Housekeeping.deleteRecursively(java.nio.file.Paths.get(root))
+      writeEvolutionGenerations(s, d, root)
       s.read.schema("event_id BIGINT, user_id BIGINT, amount BIGINT, source STRING")
-        .parquet(s"$evolutionStagePath/gen1", s"$evolutionStagePath/gen2")
+        .parquet(s"$root/gen1", s"$root/gen2")
         .orderBy("event_id")
     },
     Some("SELECT event_id, user_id, CAST(amount AS BIGINT) AS amount, source " +
-      s"FROM read_parquet(['$evolutionStagePath/gen1/*.parquet', " +
-      s"'$evolutionStagePath/gen2/*.parquet'], union_by_name=true) " +
+      s"FROM read_parquet(['${Stage.token}/evolution/gen1/*.parquet', " +
+      s"'${Stage.token}/evolution/gen2/*.parquet'], union_by_name=true) " +
       "ORDER BY event_id"))
 
   /** The compaction job itself: read a fragmented table, range-repartition
@@ -368,6 +371,26 @@ object SourceSinkOps {
     (before.size, parquetFiles(outDir).size)
   }
 
+  /** Manifest-committed compaction: same rewrite as [[compactTable]], but the
+    * input is the table's CURRENT manifest snapshot and the output lands as a
+    * new file generation + one rename-commit — concurrent readers see the
+    * fragmented or the compacted table, never a mix ([[TableManifest]]).
+    * Superseded fragments stay on disk until vacuum. */
+  def compactCommit(s: org.apache.spark.sql.SparkSession, root: java.nio.file.Path,
+      targetFileBytes: Long): (Int, Int) = {
+    val (version, live) = TableManifest.read(root)
+    val bytes = live.map(Files.size).sum
+    val nFiles = math.max(1, ((bytes + targetFileBytes - 1) / targetFileBytes).toInt)
+    val gen = root.resolve(s"compact-v${version + 1}")
+    s.read.parquet(live.map(_.toString): _*)
+      .repartitionByRange(nFiles, col("l_orderkey"), col("l_linenumber"))
+      .sortWithinPartitions("l_orderkey", "l_linenumber")
+      .write.mode("overwrite").parquet(gen.toString)
+    val out = TableManifest.parquetFiles(gen)
+    TableManifest.commit(root, version + 1, out)
+    (live.size, out.size)
+  }
+
   /** Small-file compaction — the layout-maintenance job every real lakehouse
     * runs nightly: N tiny ingest files rewritten into range-clustered
     * target-size files. The op deliberately fragments lineitem into 64
@@ -383,14 +406,14 @@ object SourceSinkOps {
       val out = Housekeeping.tempDirBounded("graft_compact",
         Files.createTempDirectory("graft_compact"))
       val frag = out.resolve("fragmented").toString
-      val compacted = out.resolve("compacted").toString
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
           "l_returnflag", "l_linestatus")
         .repartition(64)
         .write.mode("overwrite").parquet(frag)
-      compactTable(s, frag, compacted, targetFileBytes = 512 * 1024)
-      s.read.parquet(compacted)
+      TableManifest.commit(out, 1, TableManifest.parquetFiles(java.nio.file.Paths.get(frag)))
+      compactCommit(s, out, targetFileBytes = 512 * 1024)
+      TableManifest.readTable(s, out)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_price"))
@@ -468,19 +491,22 @@ object SourceSinkOps {
       "AND l_suppkey <= (SELECT max(l_suppkey) // 10 FROM lineitem) " +
       "GROUP BY 1 ORDER BY 1"))
 
-  /** Targeted delete over a standing clustered table: rewrite ONLY the files
-    * whose footer min/max intersect the delete predicate, carry every other
-    * file over untouched (a filesystem move/copy — the logical equivalent of
-    * a Delta/Iceberg remove+add commit, where untouched files are shared by
-    * reference). Returns (touched, untouched) file counts; exposed for
-    * TargetedDeleteSpec, which also proves the carried-over files are
-    * byte-identical. */
-  def targetedDelete(s: org.apache.spark.sql.SparkSession, standing: String,
-      out: String, deleteLo: Long, deleteHi: Long): (Int, Int) = {
+  /** Targeted delete over a standing manifest-committed clustered table:
+    * rewrite ONLY the files whose footer min/max intersect the delete
+    * predicate; every other file is retained BY REFERENCE in the next
+    * manifest version (the remove+add commit a Delta/Iceberg delete records
+    * — nothing is copied or re-encoded). The commit is one atomic rename
+    * ([[TableManifest.commit]]), so a concurrent reader sees the pre- or
+    * post-delete snapshot, never a torn mix; superseded files stay on disk
+    * for old snapshots until vacuum. Returns (touched, untouched) file
+    * counts; exposed for TargetedDeleteSpec/ManifestCommitSpec. */
+  def targetedDeleteCommit(s: org.apache.spark.sql.SparkSession, root: java.nio.file.Path,
+      deleteLo: Long, deleteHi: Long): (Int, Int) = {
+    val (version, live) = TableManifest.read(root)
     // the stats read a manifest would serve at 100 TB: per-file key min/max,
     // gathered in ONE job (grouping by input_file_name) — per-file scans
     // would pay one Spark-job constant per file (measured: 16 files ≈ +1.5 s)
-    val stats = s.read.parquet(standing)
+    val stats = s.read.parquet(live.map(_.toString): _*)
       .groupBy(input_file_name().as("f"))
       .agg(min(col("l_orderkey")).cast("long").as("mn"),
         max(col("l_orderkey")).cast("long").as("mx"))
@@ -491,17 +517,18 @@ object SourceSinkOps {
     val (touched, untouched) = stats.partition { case (_, mn, mx) =>
       mn <= deleteHi && deleteLo <= mx
     }
-    Files.createDirectories(java.nio.file.Paths.get(out))
-    untouched.foreach { case (p, _, _) =>
-      Files.copy(p, java.nio.file.Paths.get(out).resolve(p.getFileName))
-    }
-    if (touched.nonEmpty) {
-      // the rewrite job reads ONLY the touched files
+    val rewritten = if (touched.nonEmpty) {
+      // the rewrite job reads ONLY the touched files; output is a fresh file
+      // generation, invisible until the commit rename below
+      val gen = root.resolve(s"delete-v${version + 1}")
       s.read.parquet(touched.map(_._1.toString).toIndexedSeq: _*)
         .where(col("l_orderkey") < deleteLo || col("l_orderkey") > deleteHi)
         .coalesce(math.max(1, touched.length))
-        .write.mode("append").parquet(out)
-    }
+        .write.mode("overwrite").parquet(gen.toString)
+      TableManifest.parquetFiles(gen)
+    } else Nil
+    TableManifest.commit(root, version + 1,
+      untouched.map(_._1).toIndexedSeq ++ rewritten)
     (touched.length, untouched.length)
   }
 
@@ -520,17 +547,18 @@ object SourceSinkOps {
       val root = Housekeeping.tempDirBounded("graft_delete",
         Files.createTempDirectory("graft_delete"))
       val standing = root.resolve("standing").toString
-      val after = root.resolve("after").toString
       val li = Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
       li.repartitionByRange(16, col("l_orderkey"), col("l_linenumber"))
         .sortWithinPartitions("l_orderkey", "l_linenumber")
         .write.mode("overwrite").parquet(standing)
+      TableManifest.commit(root, 1,
+        TableManifest.parquetFiles(java.nio.file.Paths.get(standing)))
       val mx = li.agg(max(col("l_orderkey")).cast("long")).first().getLong(0)
       // delete the lowest ~5% slice of the key domain (keys start at 0 in
       // this testdata — the slice is [0, max/20], matching the oracle's > cut)
-      targetedDelete(s, standing, after, deleteLo = 0L, deleteHi = mx / 20)
-      s.read.parquet(after)
+      targetedDeleteCommit(s, root, deleteLo = 0L, deleteHi = mx / 20)
+      TableManifest.readTable(s, root)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_price"))

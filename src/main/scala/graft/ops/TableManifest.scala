@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Minimal rename-commit manifest — the transactional half of the layout
+  * family (`sink_targeted_delete`, `sink_compact_small_files`). The table's
+  * live file set is whatever `_manifest.json` lists; mutations follow the
+  * table-format protocol every lakehouse implements:
+  *
+  *   1. write NEW data files (old files untouched — retained by reference),
+  *   2. atomically rename a freshly-written manifest onto `_manifest.json`.
+  *
+  * A reader that listed the manifest before the rename keeps reading the old
+  * file set (all files still exist — snapshot isolation); a reader after the
+  * rename sees the new set. There is no instant at which a reader can observe
+  * a torn mix, because the only mutation readers key off is one atomic
+  * rename (ManifestCommitSpec interleaves a reader loop with a live commit to
+  * prove exactly this). Orphaned files from superseded versions are removed
+  * only by an explicit [[vacuum]] — the same split Delta/Iceberg make, and
+  * why concurrent readers are safe without locks. At 100 TB the manifest
+  * becomes a manifest *tree* plus a catalog swap, but the commit primitive —
+  * write-new-then-rename — is exactly this one.
+  */
+object TableManifest {
+
+  val fileName = "_manifest.json"
+
+  /** Data-file listing for a directory tree (part files only). */
+  def parquetFiles(dir: Path): Seq[Path] = {
+    val walk = Files.walk(dir)
+    try walk.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList.sortBy(_.toString)
+    finally walk.close()
+  }
+
+  /** Rename-commit: serialize (version, files), write beside the live
+    * manifest, then one atomic rename. The rename is the COMMIT — everything
+    * before it is invisible to readers. */
+  def commit(root: Path, version: Long, files: Seq[Path]): Unit = {
+    Files.createDirectories(root)
+    val body = files.map(f => "\"" + f.toAbsolutePath.toString + "\"")
+      .mkString(s"""{"version":$version,"files":[""", ",", "]}")
+    val tmp = root.resolve(s"$fileName.tmp-$version")
+    Files.writeString(tmp, body)
+    Files.move(tmp, root.resolve(fileName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Current snapshot: (version, live file paths). Parser is deliberately
+    * matched to [[commit]]'s writer (absolute paths, no quotes/escapes in
+    * file names — we generate every name). */
+  def read(root: Path): (Long, Seq[Path]) = {
+    val txt = Files.readString(root.resolve(fileName))
+    val version = """"version":(\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
+    val files = """"(/[^"]+)"""".r.findAllMatchIn(txt).map(m => Paths.get(m.group(1))).toList
+    (version, files)
+  }
+
+  /** Read the table AS OF the current manifest — the only sanctioned read
+    * path for a manifest-committed table. An empty live set is a legal state
+    * (fully-deleted table); Spark can't scan zero files, so it must carry
+    * the schema — callers that can hit it pass `emptySchema`. */
+  def readTable(s: SparkSession, root: Path): DataFrame = {
+    val (_, files) = read(root)
+    s.read.parquet(files.map(_.toString): _*)
+  }
+
+  /** Remove data files no longer referenced by the current manifest (the
+    * explicit, reader-visible-state-preserving cleanup). Returns the number
+    * of orphans removed. */
+  def vacuum(root: Path): Int = {
+    val (_, live) = read(root)
+    val liveSet = live.map(_.toAbsolutePath.toString).toSet
+    val orphans = parquetFiles(root).filterNot(f => liveSet.contains(f.toAbsolutePath.toString))
+    orphans.foreach(Files.delete)
+    orphans.size
+  }
+}

@@ -80,10 +80,11 @@ object TextOps {
       "CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(regexp_extract_all(text, '[a-z]{1,4}')) AS chars_per_subtoken " +
       "FROM documents ORDER BY doc_id"))
 
-  /** Fixed staging path for the positional rolling-hash table — written by
-    * the query, read by the DuckDB oracle (same lifecycle as
+  /** sf-scoped staging path for the positional rolling-hash table — written
+    * by the query, read by the DuckDB oracle (same [[Stage]] lifecycle as
     * LlmOps.simhashStagePath; deliberately outside Housekeeping). */
-  val fingerprintStagePath: String = "/tmp/graft_stage/fingerprint_hashes"
+  def fingerprintStagePath(sfDir: String): String =
+    Stage.root(sfDir) + "/fingerprint_hashes"
 
   /** Document fingerprinting by winnowing: rolling word-3-gram hashes, min
     * over each window of 4 consecutive hashes, distinct — the classic
@@ -121,7 +122,7 @@ object TextOps {
             element_at(col("words"), i + 2), element_at(col("words"), i + 3)))))
         .select(col("doc_id"), col("hs")))
       base.select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
-        .write.mode("overwrite").parquet(fingerprintStagePath)
+        .write.mode("overwrite").parquet(fingerprintStagePath(d))
       // fused sliding-min ([[graft.functions.WinnowMins]]) — same values as
       // the array_distinct(transform(...array_min(slice)...)) spelling,
       // asserted equivalent in TextSpec
@@ -131,7 +132,7 @@ object TextOps {
         .orderBy("doc_id", "fp")
     },
     Some("WITH h AS (SELECT doc_id, pos, h FROM " +
-      s"read_parquet('$fingerprintStagePath/*.parquet')), " +
+      s"read_parquet('${Stage.token}/fingerprint_hashes/*.parquet')), " +
       "m AS (SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos " +
       "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp, " +
       "count(*) OVER (PARTITION BY doc_id) AS n FROM h) " +

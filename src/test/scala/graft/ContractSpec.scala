@@ -20,6 +20,18 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("stage-token lifecycle: resolve substitutes every token, roots are sf-scoped") {
+    import graft.ops.Stage
+    SparkEntry.oracleSql.foreach { case (k, sql) =>
+      val resolved = Stage.resolve(sql, "/root/testdata/sf0.01")
+      assert(!resolved.contains(Stage.token), s"$k oracle keeps unresolved stage token")
+    }
+    // distinct sfDirs must never share a staging root (the clobber guard)
+    assert(Stage.root("/root/testdata/sf0.01") != Stage.root("/root/testdata/sf0.1"))
+    // same sfDir through a non-canonical spelling maps to the same root
+    assert(Stage.root("/root/testdata/sf0.01") == Stage.root("/root/testdata/../testdata/sf0.01"))
+  }
+
   test("query keys are unique and well-formed") {
     val keys = SparkEntry.queries.keys.toSeq
     assert(keys.size == keys.distinct.size)

@@ -1,0 +1,113 @@
+package graft
+
+import graft.ops.{SourceSinkOps, TableManifest}
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicBoolean
+
+/** The transactional claims of [[TableManifest]] — the rename-commit half
+  * the round-8 layout ops were missing:
+  *
+  *  1. SNAPSHOT ISOLATION: a reader that captured the manifest before a
+  *     delete commit still reads the full old content afterwards (old files
+  *     stay on disk until vacuum).
+  *  2. NO TORN READS: a reader loop running concurrently with a live commit
+  *     only ever observes the old row count or the new row count — never a
+  *     mix (the only reader-visible mutation is one atomic rename).
+  *  3. VACUUM: removes exactly the orphaned generation, leaves the current
+  *     snapshot untouched.
+  */
+class ManifestCommitSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("manifest commit: snapshot isolation, atomic swap under a concurrent reader, vacuum") {
+    val root = Files.createTempDirectory("manifest_commit_spec")
+    try {
+      val standing = root.resolve("standing")
+      val li = Tables.lineitem(spark, TestSpark.sf0001)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+      li.repartitionByRange(16, col("l_orderkey"), col("l_linenumber"))
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+        .write.mode("overwrite").parquet(standing.toString)
+      TableManifest.commit(root, 1, TableManifest.parquetFiles(standing))
+
+      val mx = li.agg(max(col("l_orderkey")).cast("long")).first().getLong(0)
+      val hi = mx / 20
+      val oldCount = li.count()
+      val newCount = li.where(col("l_orderkey") > hi).count()
+      assert(newCount < oldCount, "fixture must actually delete something")
+
+      // a reader pins the v1 snapshot (file list) before the commit
+      val (v1, v1Files) = TableManifest.read(root)
+      assert(v1 == 1)
+
+      // concurrent reader: loop read-manifest → count rows while the commit
+      // runs; every observation must be exactly the old or the new count
+      val stop = new AtomicBoolean(false)
+      val observed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val readerFailure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val reader = new Thread(() => {
+        try {
+          while (!stop.get()) {
+            val (_, files) = TableManifest.read(root)
+            files.foreach(f => assert(Files.exists(f), s"manifest lists missing file $f"))
+            observed.add(spark.read.parquet(files.map(_.toString): _*).count())
+          }
+        } catch { case t: Throwable => readerFailure.set(t) }
+      })
+      reader.start()
+      try SourceSinkOps.targetedDeleteCommit(spark, root, 0L, hi)
+      finally { stop.set(true); reader.join(60000) }
+      if (readerFailure.get() != null) throw readerFailure.get()
+      import scala.jdk.CollectionConverters._
+      val counts = observed.asScala.toSet
+      assert(counts.nonEmpty, "concurrent reader never completed a read")
+      assert(counts.subsetOf(Set(oldCount, newCount)),
+        s"torn read: observed $counts, legal = {$oldCount, $newCount}")
+      info(s"concurrent reader made ${observed.size} reads, observed counts $counts")
+
+      // snapshot isolation: the pinned v1 file list still reads in full
+      assert(spark.read.parquet(v1Files.map(_.toString): _*).count() == oldCount,
+        "pre-commit snapshot broken after the delete commit")
+
+      // the committed table is the delete result
+      assert(TableManifest.readTable(spark, root).count() == newCount)
+
+      // vacuum drops only the superseded generation; current snapshot intact
+      val (_, live) = TableManifest.read(root)
+      val removed = TableManifest.vacuum(root)
+      assert(removed == v1Files.map(_.toString).toSet.diff(live.map(_.toString).toSet).size)
+      live.foreach(f => assert(Files.exists(f), s"vacuum removed a live file $f"))
+      assert(TableManifest.readTable(spark, root).count() == newCount)
+    } finally graft.ops.Housekeeping.deleteRecursively(root)
+  }
+
+  test("compaction commit swaps the fragmented generation atomically") {
+    val root = Files.createTempDirectory("manifest_compact_spec")
+    try {
+      val frag = root.resolve("fragmented")
+      Tables.lineitem(spark, TestSpark.sf0001)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+          "l_returnflag", "l_linestatus")
+        .repartition(64)
+        .write.mode("overwrite").parquet(frag.toString)
+      TableManifest.commit(root, 1, TableManifest.parquetFiles(frag))
+      val rows = TableManifest.readTable(spark, root).count()
+
+      val (before, after) = SourceSinkOps.compactCommit(spark, root, 512 * 1024)
+      assert(before >= 32 && after < before)
+      // content preserved, version advanced, old fragments still on disk
+      // (snapshot) until vacuum
+      assert(TableManifest.readTable(spark, root).count() == rows)
+      val (v2, live) = TableManifest.read(root)
+      assert(v2 == 2)
+      assert(TableManifest.parquetFiles(root).size == before + after)
+      assert(TableManifest.vacuum(root) == before)
+      assert(TableManifest.parquetFiles(root).map(_.toString).sorted ==
+        live.map(_.toString).sorted)
+    } finally graft.ops.Housekeeping.deleteRecursively(root)
+  }
+}

@@ -46,11 +46,18 @@ class Scd2Spec extends AnyFunSuite {
       assert(got == expected(r.getLong(0)),
         s"event ${r.getLong(0)}: got $got expected ${expected(r.getLong(0))}")
     }
-    // the fixture must actually exercise both boundary classes
-    val changeInstantFacts = events.filter { case (id, u, ts) =>
-      id % 97 != 0 && changes.exists(c => c._1 == u && c._2 == ts) }
+    // the fixture must actually exercise both boundary classes. A
+    // change-instant fact is any fact at a NON-FIRST version's eff_from —
+    // there the [from, to) inclusion is live (old tier loses, new tier
+    // wins, and the per-row check above verifies the op picked NEW). The
+    // version-source events themselves qualify: they are facts too.
+    val changeInstantFacts = events.filter { case (_, u, ts) =>
+      byUser.get(u).exists(vs =>
+        vs.head._2.getTime < ts.getTime && vs.exists(_._2.getTime == ts.getTime)) }
     val preHistoryNulls = rows.count(_.isNullAt(4))
     assert(preHistoryNulls > 0, "fixture has no pre-first-version facts")
+    assert(changeInstantFacts.nonEmpty,
+      "fixture has no fact at exactly a version-change instant ([from,to) boundary unexercised)")
     info(s"facts=${rows.length} versions=${changes.size} " +
       s"change-instant facts=${changeInstantFacts.size} pre-history nulls=$preHistoryNulls")
   }
