@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Table/column statistics collection — the ANALYZE-equivalent that feeds
+  * cost-based planning. SURVEY §4.2's `CostBasedJoinReorder` (and Spark's
+  * stats-informed broadcast decision) only fire when per-table rowCount and
+  * per-column NDV/min/max exist; this op IS that collection pass, persisted
+  * as a stats table the way a catalog would store it.
+  */
+object StatsOps {
+
+  /** (table, stat columns) inventory the collector walks: the join keys the
+    * relational core actually joins on, plus one categorical per table so
+    * string min/max is exercised (ASCII values — binary collation agrees
+    * across engines). */
+  val statCols: Seq[(String, Seq[String])] = Seq(
+    "customer" -> Seq("c_custkey", "c_mktsegment", "c_nationkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "orders" -> Seq("o_custkey", "o_orderkey", "o_orderpriority"))
+
+  private def load(s: SparkSession, d: String, table: String): DataFrame = table match {
+    case "customer" => Tables.customer(s, d)
+    case "lineitem" => Tables.lineitem(s, d)
+    case "orders" => Tables.orders(s, d)
+  }
+
+  /** ONE aggregation job per table computes rowCount + per-column
+    * (ndv, min, max); stack() melts the single wide row into the long
+    * (table, column) stats shape a catalog stores. NDV here is exact
+    * `count_distinct` — right at these scan sizes, and exactly oracle-able;
+    * at 100 TB the same pass swaps in the mergeable HLL sketches of
+    * `agg_hll_mergeable` (StatsCboSpec pins the sketch estimate within 5 %
+    * of this exact NDV on the same columns, so the swap is a plug-in).
+    * min/max emit as strings so one schema carries every column type;
+    * integer/ASCII renderings are engine-identical. */
+  def tableStats(s: SparkSession, d: String, table: String, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("row_cnt") +: cols.flatMap(c => Seq(
+      count_distinct(col(c)).as(s"ndv_$c"),
+      min(col(c)).cast("string").as(s"min_$c"),
+      max(col(c)).cast("string").as(s"max_$c")))
+    val stackArgs = cols.map(c => s"'$c', ndv_$c, min_$c, max_$c").mkString(", ")
+    load(s, d, table).agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"'$table' AS table_name", "row_cnt",
+        s"stack(${cols.size}, $stackArgs) AS (column_name, ndv, min_v, max_v)")
+      .select("table_name", "column_name", "row_cnt", "ndv", "min_v", "max_v")
+  }
+
+  /** The collection pass end to end: per-table single-job stats, persisted
+    * as one stats table (the catalog artifact), read back. Each table's scan
+    * reads ONLY its stat columns (column pruning reaches the parquet scan);
+    * the exact-distinct Expand is per table and map-side partial. Oracle:
+    * DuckDB recomputes every row from the source tables. */
+  val statsCollect: Op = Op(
+    "stats_collect",
+    (s, d) => {
+      val out = Housekeeping.tempDirBounded("graft_stats",
+        Files.createTempDirectory("graft_stats")).toString
+      statCols.map { case (t, cols) => tableStats(s, d, t, cols) }
+        .reduce(_.unionAll(_))
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      s.read.parquet(out).orderBy("table_name", "column_name")
+    },
+    Some(statCols.flatMap { case (t, cols) =>
+      cols.map(c =>
+        s"SELECT '$t' AS table_name, '$c' AS column_name, " +
+          s"(SELECT COUNT(*) FROM $t) AS row_cnt, COUNT(DISTINCT $c) AS ndv, " +
+          s"CAST(MIN($c) AS VARCHAR) AS min_v, CAST(MAX($c) AS VARCHAR) AS max_v FROM $t")
+    }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY table_name, column_name")))
+
+  val all: Seq[Op] = Seq(statsCollect)
+}

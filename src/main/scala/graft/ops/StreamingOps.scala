@@ -433,7 +433,81 @@ object StreamingOps {
     Some("SELECT user_id, COUNT(*) AS cnt, " + oSum("value") + " AS sum_value " +
       "FROM events GROUP BY user_id ORDER BY user_id"))
 
+  /** Stage `df` into the streaming source dir as ONE parquet file named
+    * `name` (the file source tails the dir; a Spark write's part-file is
+    * moved in so each staged delivery is exactly one file = one micro-batch
+    * under AvailableNow). Exposed for StreamRestartSpec. */
+  def stageDelivery(df: DataFrame, srcDir: java.nio.file.Path, name: String): Unit = {
+    val tmpD = Files.createTempDirectory("st_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(tmpD.toString)
+    val part = {
+      val walk = Files.walk(tmpD)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+      } finally walk.close()
+    }
+    Files.move(part, srcDir.resolve(name))
+    Housekeeping.deleteRecursively(tmpD)
+  }
+
+  /** Checkpoint recovery — the crash/restart semantic the J family never
+    * exercised before round 9. Two deliveries arrive around an outage:
+    * delivery 1 (early half by event time) is drained and the query STOPS
+    * (the job "dies" with its checkpoint committed); delivery 2 — the late
+    * half PLUS a re-upload of part of delivery 1 (the duplicated-gateway
+    * reality) — arrives while the job is down; the query restarts from the
+    * SAME checkpoint + sink and drains again. Exactly-once across the
+    * restart means the final sink holds every event exactly once: the
+    * re-uploaded rows are dropped by dropDuplicates STATE RESTORED FROM THE
+    * CHECKPOINT — a fresh query would re-emit them (StreamRestartSpec
+    * proves both directions, plus that run 2 resumed the batch sequence
+    * rather than starting at 0). The watermark delay (30 days) covers the
+    * whole staged span, so no row can be dropped as merely-late: only
+    * recovered state can dedup. Oracle: batch distinct = the events table
+    * itself (ids unique). At 100 TB this is the nightly reality of any
+    * long-running ingest: executors die, the driver restarts, and the
+    * checkpoint + idempotent sink are what make the output a table instead
+    * of a guess. */
+  val streamRestartExactlyOnce: Op = Op(
+    "stream_restart_exactly_once",
+    (s, d) => {
+      val out = Housekeeping.tempDirBounded("st_restart_out",
+        Files.createTempDirectory("st_restart_out")).toString
+      val srcDir = Files.createTempDirectory("st_restart_src")
+      val ckpt = tmp("st_restart_ckpt")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$d/events.parquet") // ts = raw nanos long
+      val bounds = raw.agg(min(col("ts")), max(col("ts"))).first()
+      val cut = bounds.getLong(0) / 2 + bounds.getLong(1) / 2
+      val d1 = raw.where(col("ts") <= cut)
+      // re-upload slice: every 10th event of delivery 1, resent in delivery 2
+      val d2 = raw.where(col("ts") > cut)
+        .unionAll(d1.where(col("event_id") % 10 === 0))
+      def drain(): Unit = withStatePartitions(s, 8) {
+        val q = s.readStream.schema(graft.tables.Tables.rawEventsSchema)
+          .parquet(srcDir.toString)
+          .withColumn("ts", graft.tables.Tables.nsColToTimestamp("ts"))
+          .withWatermark("ts", "30 days")
+          .dropDuplicates("event_id")
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      cleanupAfter(Seq(srcDir.toString, ckpt)) {
+        stageDelivery(d1, srcDir, "delivery1.parquet")
+        drain() // run 1: processes delivery 1, commits, stops
+        stageDelivery(d2, srcDir, "delivery2.parquet")
+        drain() // restart: recovers offsets + dedup state from the checkpoint
+        s.read.parquet(out)
+          .select("event_id", "user_id", "event_type", "value")
+          .orderBy("event_id")
+      }
+    },
+    Some("SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id"))
+
   val all: Seq[Op] = Seq(streamTumblingWatermark, streamDedup, streamSessionStateful,
     streamLateData, streamStatefulCounter, streamStatefulCounterTws, streamJoinFollows,
-    streamEnrichDim)
+    streamEnrichDim, streamRestartExactlyOnce)
 }
