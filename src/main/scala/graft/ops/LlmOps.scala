@@ -290,16 +290,27 @@ object LlmOps {
     val rawBuckets = base
       .select(col("doc_id"), col("sig"), explode(array(chunkCols: _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    // Hot-bucket cap: a homogeneous corpus makes SimHash chunks cluster, and
-    // one hot (band, value) bucket goes quadratic. A bucket with > 64 members
-    // carries no near-dup evidence a cooler band wouldn't also carry (8
-    // independent chunks per pair), so drop it from candidate generation —
-    // the deterministic skew guard SCALE.md prescribes for 100 TB. The
-    // bucket-size table is ≤ 8×256 rows → broadcast.
-    val bucketSizes = rawBuckets.groupBy("band", "bh").agg(count(lit(1)).as("bsz"))
-    val buckets = rawBuckets
-      .join(broadcast(bucketSizes.where(col("bsz") <= 64)), Seq("band", "bh"))
-      .select("doc_id", "sig", "band", "bh")
+    // Hot-bucket guard (round-9 upgrade of the former >64-member cap, which
+    // silently DROPPED hot buckets — recall-unsound beyond the sfs where
+    // SimhashRecallSpec had proved the dropped set empty): the banding's
+    // join cost is Σ bsz·(bsz−1)/2 over (band, value) buckets, and a
+    // pathologically homogeneous corpus can make one bucket quadratic.
+    // Instead of losing recall, price the pair space at plan time from the
+    // ≤ 8×256-row bucket-size table (one tiny agg job) and refuse loudly
+    // over budget — the same `graft.pair.budget` contract as the
+    // declared-exact pair ops. Within budget the banding is EXACT by
+    // pigeonhole at EVERY sf, which is what licenses the all-pairs DuckDB
+    // oracle with no sf envelope.
+    val pairSpace = rawBuckets.groupBy("band", "bh").agg(count(lit(1)).as("bsz"))
+      .agg(coalesce(sum(expr("bsz * (bsz - 1) DIV 2")), lit(0L)).as("p"))
+      .first().getLong(0)
+    val budget = base.sparkSession.conf
+      .get(PairBudgetConf, PairBudgetDefault.toString).toLong
+    require(pairSpace <= budget,
+      s"simhash banding refused: bucket pair space $pairSpace exceeds $PairBudgetConf=" +
+        s"$budget (pathologically homogeneous corpus — hot buckets dominate). " +
+        "Pre-cluster or shard the corpus, or set the budget explicitly to accept the cost.")
+    val buckets = rawBuckets.select("doc_id", "sig", "band", "bh")
     buckets.as("l").join(buckets.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.doc_id") < col("r.doc_id"))
@@ -326,12 +337,15 @@ object LlmOps {
 
   /** Oracle note (the round-7 minhash playbook, adapted): the emitted pairs
     * are EXACT given the signatures — every pair is verified by
-    * bit_count(xor) ≤ 7, and the oracle recomputes the ground truth as the
-    * ALL-PAIRS Hamming join over the same persisted signature table, so it
-    * catches both banding misses (pigeonhole says there are none at ≤ 7)
-    * and hot-bucket-cap drops (SimhashRecallSpec proves the cap loses
-    * nothing on every test sf: banded == exact at sf0.001/0.01/0.1,
-    * measured 25/22/234 pairs). The signature FUNCTION itself (xxhash64 +
+    * bit_count(xor) ≤ 7, the banding loses nothing by pigeonhole (≤ 7
+    * flipped bits cannot touch all 8 chunks), and since round 9 no bucket
+    * is ever dropped: a hot-bucket pair-space budget guard refuses a
+    * pathological corpus loudly instead of silently capping (see
+    * [[simhashPairsFromSigs]]), so the ALL-PAIRS Hamming oracle is valid at
+    * every sf that runs, not just the spec-proven ones
+    * (SimhashRecallSpec keeps the parity proof as a regression:
+    * banded == exact at sf0.001/0.01/0.1, measured 25/22/234 pairs).
+    * The signature FUNCTION itself (xxhash64 +
     * bit voting) is engine-specific and therefore inside the staged table,
     * not re-derived by DuckDB — it is covered by FunctionsSpec unit tests;
     * what the oracle independently verifies is everything downstream of the
@@ -739,22 +753,25 @@ object LlmOps {
   }
 
   /** Oracle for the ANN family (the persisted-intermediate playbook): the
-    * APPROXIMATION is the candidate set — staged to a fixed path by each op
-    * — and everything downstream is exact, so DuckDB re-ranks the staged
-    * (query_id, neighbor_id) pairs with ITS OWN cosine over the original
-    * embeddings table. A ranking/dedup/tie-break bug fails the hash; the
-    * candidate generation itself is covered by AnnCrossoverSpec's pinned
-    * recall floors and work counts. Ordering agreement between Spark's
-    * double cosine and DuckDB's list_cosine_similarity on this corpus is
-    * the same (already load-bearing) premise as sim_search_knn_per_query's
-    * oracle, on a subset of the same pairs. */
+    * APPROXIMATION is the candidate set — staged (with its Spark-computed
+    * sim) by each op — and everything downstream is exact. DuckDB ranks by
+    * the STAGED sim (identical on both sides — doubles round-trip parquet
+    * bit-exactly), so ranks can never flip on cross-engine floating-point
+    * accumulation order; what DuckDB independently verifies is (a) the whole
+    * rank/dedup/top-k pipeline and (b) that ITS OWN
+    * list_cosine_similarity agrees with the staged sim within 1e-5 on every
+    * ranked pair — a candidate whose sim drifts beyond the epsilon is
+    * EXCLUDED by the WHERE, so a real cosine bug surfaces as a loud
+    * row-count/hash mismatch. Candidate generation itself is covered by
+    * AnnCrossoverSpec's pinned recall floors and work counts. */
   private def annRerankOracle(stagePath: String): String =
     "SELECT query_id, rank, neighbor_id FROM (SELECT c.query_id, c.neighbor_id, " +
       "CAST(row_number() OVER (PARTITION BY c.query_id ORDER BY " +
-      "list_cosine_similarity(a.embedding, b.embedding) DESC, c.neighbor_id) AS INT) AS rank " +
+      "c.sim DESC, c.neighbor_id) AS INT) AS rank " +
       s"FROM read_parquet('$stagePath/*.parquet') c " +
       "JOIN embeddings a ON a.vec_id = c.query_id " +
-      "JOIN embeddings b ON b.vec_id = c.neighbor_id) " +
+      "JOIN embeddings b ON b.vec_id = c.neighbor_id " +
+      "WHERE abs(list_cosine_similarity(a.embedding, b.embedding) - c.sim) <= 1e-5) " +
       "WHERE rank <= 5 ORDER BY query_id, rank"
 
   def annLshStagePath(sfDir: String): String = Stage.root(sfDir) + "/ann_lsh_cand"

@@ -11,12 +11,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * all-pairs Hamming join on every test sf makes the exact all-pairs DuckDB
   * query a valid hash oracle.
   *
-  * Two ways a true pair could escape the banding, both must lose nothing:
-  *  - pigeonhole says NO pair at Hamming ≤ 7 escapes the 8×8-bit chunks
-  *    themselves (≤ 7 flipped bits cannot touch all 8 chunks);
-  *  - the hot-bucket cap (buckets > 64 members dropped) COULD drop a pair
-  *    whose every equal chunk is hot — this spec proves that set is empty
-  *    on each corpus (deterministic: fixed hash, fixed corpus).
+  * Pigeonhole says NO pair at Hamming ≤ 7 escapes the 8×8-bit chunks (≤ 7
+  * flipped bits cannot touch all 8 chunks), and since round 9 no bucket is
+  * ever dropped (the former >64-member hot-bucket cap became a plan-time
+  * pair-space budget guard — refuse loudly, never lose recall), so parity
+  * holds by construction at every sf that runs; this spec keeps the
+  * empirical proof as a regression against any future banding change.
   */
 class SimhashRecallSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -33,7 +33,7 @@ class SimhashRecallSpec extends AnyFunSuite {
       .where(col("h") <= 7)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert((exact -- banded).isEmpty,
-      s"$sfDir: banding (incl. hot-bucket cap) missed true pairs: ${exact -- banded}")
+      s"$sfDir: banding missed true pairs: ${exact -- banded}")
     assert((banded -- exact).isEmpty,
       s"$sfDir: banding emitted false pairs: ${banded -- exact}")
     (banded.size, exact.size)
