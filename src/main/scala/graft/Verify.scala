@@ -14,6 +14,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Adversarial-sweep hook (driver never sets it): semicolon-separated
+    // k=v runtime SQL confs, e.g. disabling the vectorized parquet reader
+    // to shake out float/ordering dependence on the read path.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
     new java.io.File(outDir).mkdirs()
     // Local-iteration escape hatch (driver never sets it): run a subset.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
