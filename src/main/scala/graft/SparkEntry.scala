@@ -17,7 +17,7 @@ object SparkEntry {
 
   private def allOps: Seq[Op] =
     ScanFilterOps.all ++ SourceSinkOps.all ++ AggOps.all ++ JoinOps.all ++ StarOps.all ++
-      SubqueryOps.all ++ WindowOps.all ++
+      SubqueryOps.all ++ WindowOps.all ++ SkewOps.all ++
       TimeSeriesOps.all ++ AnalyticsOps.all ++ SortSetOps.all ++ FuncOps.all ++ LlmOps.all ++
       TextOps.all ++ PipelineOps.all ++ MultimodalOps.all ++ StreamingOps.all ++ StatsOps.all
 

@@ -383,7 +383,102 @@ object TimeSeriesOps {
       "FROM events e JOIN customer c ON c.c_custkey = e.user_id " +
       "GROUP BY 1, 2 ORDER BY site_id, d"))
 
+  /** Monitoring-dashboard downsample: one representative point per
+    * (series, 6-hour bucket), chosen by largest-triangle-one-bucket — the
+    * point forming the largest triangle with its immediate neighbors (the
+    * per-bucket-independent variant of LTTB, so it stays a pure window
+    * computation with no sequential dependency between buckets). Area is the
+    * cross-product magnitude |(px−nx)(y−py) − (px−x)(ny−py)| — identical
+    * fixed-order IEEE arithmetic on both engines, so ranking on it is
+    * deterministic; series endpoints (null neighbors) rank NULLS LAST with a
+    * ts tie-break.
+    *
+    * Scale notes (100 TB): one shuffle on user_id for the neighbor window,
+    * then a per-(user, bucket) row_number — no global sort, no driver
+    * participation; the output is |buckets| rows, the 1000×-smaller relation
+    * a dashboard actually plots. */
+  val tsDownsampleLtob: Op = Op(
+    "ts_downsample_ltob",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val neigh = Tables.events(s, d)
+        .withColumn("x", col("ts").cast("double"))
+        .withColumn("px", lag(col("ts").cast("double"), 1).over(w))
+        .withColumn("py", lag(col("value"), 1).over(w))
+        .withColumn("nx", lead(col("ts").cast("double"), 1).over(w))
+        .withColumn("ny", lead(col("value"), 1).over(w))
+        .withColumn("bucket", window(col("ts"), "6 hours").getField("start"))
+        .withColumn("area", abs((col("px") - col("nx")) * (col("value") - col("py")) -
+          (col("px") - col("x")) * (col("ny") - col("py"))))
+      val pick = Window.partitionBy("user_id", "bucket")
+        .orderBy(col("area").desc_nulls_last, col("ts"))
+      neigh.withColumn("rn", row_number().over(pick))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("bucket"), col("ts"), col("value"))
+        .orderBy("user_id", "bucket")
+    },
+    Some("WITH n AS (SELECT user_id, ts, event_id, value, epoch(ts) AS x, " +
+      "time_bucket(INTERVAL 6 HOURS, ts) AS bucket, " +
+      "lag(epoch(ts)) OVER w AS px, lag(value) OVER w AS py, " +
+      "lead(epoch(ts)) OVER w AS nx, lead(value) OVER w AS ny FROM events " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+      "a AS (SELECT *, abs((px - nx)*(value - py) - (px - x)*(ny - py)) AS area FROM n), " +
+      "r AS (SELECT *, row_number() OVER (PARTITION BY user_id, bucket " +
+      "ORDER BY area DESC NULLS LAST, ts) AS rn FROM a) " +
+      "SELECT user_id, bucket, ts, value FROM r WHERE rn = 1 ORDER BY user_id, bucket"))
+
+  /** Robust sensor-outlier flagging: per event_type exact median and exact
+    * MAD (median absolute deviation), flag readings with |v − med| >
+    * 3.5·MAD. Both medians are computed RELATIONALLY — rank + pick the
+    * middle one-or-two rows + single-addition average — never an engine
+    * median builtin, whose interpolation formula differs between engines
+    * (`lo + (hi−lo)·f` vs `(lo+hi)/2` are different IEEE expressions). The
+    * middle-row average is one double addition and one division on both
+    * sides, so `med`/`mad` are bit-identical and safe to emit.
+    *
+    * Scale notes (100 TB): exact median of a 100 TB column is a sort — here
+    * it is a per-group window sort (one shuffle per median pass, group
+    * cardinality × 2 rows collected by nobody); for hot single groups the
+    * approx-percentile key is the estimator alternative. The two join-backs
+    * broadcast a |event_type|-row relation. */
+  val tsOutlierMad: Op = Op(
+    "ts_outlier_mad",
+    (s, d) => {
+      val v = Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
+      def medianOf(df: org.apache.spark.sql.DataFrame, c: String, out: String) = {
+        val w = Window.partitionBy("event_type").orderBy(col(c), col("event_id"))
+        val cw = Window.partitionBy("event_type")
+        df.withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(cw))
+          .filter(col("rn") === floor((col("cnt") + 1) / 2) ||
+            col("rn") === floor((col("cnt") + 2) / 2))
+          .groupBy("event_type")
+          .agg((sum(col(c)) / count(lit(1))).as(out))
+      }
+      val med = medianOf(v, "value", "med")
+      val dev = v.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mad = medianOf(dev.select(col("event_id"), col("event_type"), col("dev")), "dev", "mad")
+      dev.join(broadcast(mad), Seq("event_type"))
+        .filter(col("dev") > lit(3.5) * col("mad"))
+        .select(col("event_id"), col("event_type"), col("value"), col("med"), col("mad"))
+        .orderBy("event_id")
+    },
+    Some("WITH v AS (SELECT event_id, event_type, value FROM events), " +
+      "r AS (SELECT v.*, row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn, " +
+      "COUNT(*) OVER (PARTITION BY event_type) AS cnt FROM v), " +
+      "m AS (SELECT event_type, SUM(value)/COUNT(*) AS med FROM r " +
+      "WHERE rn = floor((cnt+1)/2) OR rn = floor((cnt+2)/2) GROUP BY 1), " +
+      "dv AS (SELECT v.event_id, v.event_type, v.value, m.med, abs(v.value - m.med) AS dev " +
+      "FROM v JOIN m USING (event_type)), " +
+      "r2 AS (SELECT dv.*, row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn, " +
+      "COUNT(*) OVER (PARTITION BY event_type) AS cnt FROM dv), " +
+      "mad AS (SELECT event_type, SUM(dev)/COUNT(*) AS mad FROM r2 " +
+      "WHERE rn = floor((cnt+1)/2) OR rn = floor((cnt+2)/2) GROUP BY 1) " +
+      "SELECT dv.event_id, dv.event_type, dv.value, dv.med, mad.mad " +
+      "FROM dv JOIN mad USING (event_type) WHERE dv.dev > 3.5 * mad.mad ORDER BY dv.event_id"))
+
   val all: Seq[Op] = Seq(tsTumblingHourly, tsSlidingWindow, tsSessionWindow, tsGapDetection,
     tsCounterDelta, tsCounterDailyReset, tsDailyProfile, tsResampleFfill, tsInterpolateLinear,
-    creditEventDetect, siteCircuitRollup)
+    creditEventDetect, siteCircuitRollup, tsDownsampleLtob, tsOutlierMad)
 }
