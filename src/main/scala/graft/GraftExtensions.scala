@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, HyperplaneBuckets, MinHashSig, SimHash64, SpaceSavingTopK, WinnowMins}
+import graft.functions.{BloomMightContain, DotProduct, HyperplaneBuckets, MinHashSig, SimHash64, SpaceSavingTopK, WinnowMins}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -17,7 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * DataFrame API) without the per-session `GraftFunctions.register` call
   * the operators use as a fallback. No custom optimizer rules or strategies
   * are injected — SURVEY §4.3's audit holds: Catalyst's built-in planning
-  * covers the whole declared surface, and the engine's extensions are five
+  * covers the whole declared surface, and the engine's extensions are six
   * scalar expressions plus one native aggregate (the Space-Saving
   * heavy-hitters sketch, a TypedImperativeAggregate).
   */
@@ -39,6 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SpaceSavingTopK].getName, "graft_heavy_hitters"),
       (args: Seq[Expression]) => SpaceSavingTopK(args(0),
         graft.functions.GraftFunctions.intParam(args(1), "graft_heavy_hitters"))))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_might_contain"),
+      (args: Seq[Expression]) => BloomMightContain(args(0), args(1))))
     ext.injectFunction((FunctionIdentifier("graft_hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
       (args: Seq[Expression]) => HyperplaneBuckets(args(0),

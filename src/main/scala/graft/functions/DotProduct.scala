@@ -100,6 +100,9 @@ object GraftFunctions {
       (args: Seq[Expression]) =>
         SpaceSavingTopK(args(0), intParam(args(1), "graft_heavy_hitters")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_might_contain",
+      (args: Seq[Expression]) => BloomMightContain(args(0), args(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hyperplane_buckets",
       (args: Seq[Expression]) =>
         HyperplaneBuckets(args(0), intParam(args(1), "graft_hyperplane_buckets"),
@@ -133,4 +136,10 @@ object GraftFunctions {
     call_function("graft_hyperplane_buckets", vec,
       org.apache.spark.sql.functions.lit(numTables),
       org.apache.spark.sql.functions.lit(numBits))
+
+  /** Requires register(spark) on the session first. `filterBytes` is the
+    * `spark.util.sketch.BloomFilter` wire format (`writeTo`). */
+  def bloomMightContain(key: Column, filterBytes: Array[Byte]): Column =
+    call_function("graft_bloom_might_contain", key,
+      org.apache.spark.sql.functions.lit(filterBytes))
 }

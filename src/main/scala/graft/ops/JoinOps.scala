@@ -284,7 +284,40 @@ object JoinOps {
       "AND e.ts >= v.eff_from AND (v.eff_to IS NULL OR e.ts < v.eff_to) " +
       "ORDER BY e.event_id"))
 
+  /** Explicit Bloom-prefiltered join: the selective dim predicate
+    * (c_acctbal > 9000 keeps ~10 % of customers) becomes a key-set sketch
+    * probed INSIDE the fact scan stage, so ~90 % of fact rows never enter
+    * the join shuffle. One bounded driver job builds the sketch
+    * (`stat.bloomFilter` — sized by expectedNumItems, never fact volume);
+    * the exact join that follows removes Bloom false positives, so the
+    * result — and the oracle — is exactly the plain filtered join. This is
+    * the manual counterpart to Catalyst's `InjectRuntimeFilter`, for the
+    * cases the optimizer cannot see: a filter built in one job and applied
+    * in another (BloomPrefilterSpec asserts the probe sits codegen'd below
+    * the exchange and actually prunes). */
+  val joinBloomPrefilter: Op = Op(
+    "join_bloom_prefilter",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val c = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+      val bf = c.stat.bloomFilter("c_custkey", 200000, 0.01)
+      val bytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        bos.toByteArray
+      }
+      val o = Tables.orders(s, d)
+      val pre = o.filter(graft.functions.GraftFunctions.bloomMightContain(col("o_custkey"), bytes))
+      pre.join(c.hint("merge"), pre("o_custkey") === c("c_custkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some("SELECT o_orderpriority, COUNT(*) AS cnt, " + oSum("o_totalprice") + " AS sum_price " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey WHERE c_acctbal > 9000 " +
+      "GROUP BY 1 ORDER BY o_orderpriority"))
+
   val all: Seq[Op] = Seq(joinInnerHash, joinBroadcastDim, joinSortmergeBig, joinLeftOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinCrossSmall, joinRangeTheta, joinAsof,
-    joinIntervalBin, dimScd2Asof)
+    joinIntervalBin, dimScd2Asof, joinBloomPrefilter)
 }
