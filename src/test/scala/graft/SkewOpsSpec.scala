@@ -52,6 +52,22 @@ class SkewOpsSpec extends AnyFunSuite {
       s"hot keys must occupy all $salts salt slices, min occupied = $spread")
   }
 
+  test("two-phase distinct is invariant across salt fan-outs (1, 3, 16, 64)") {
+    val e = Tables.events(spark, TestSpark.sf001)
+    val direct = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("uniq_users"), count(lit(1)).as("cnt"))
+      .orderBy("event_type").collect().toSeq
+    for (salts <- Seq(1, 3, 16, 64)) {
+      val got = e.withColumn("salt", pmod(col("user_id"), lit(salts)).cast("int"))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(countDistinct(col("user_id")).as("part_uniq"), count(lit(1)).as("part_cnt"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("part_uniq")).as("uniq_users"), sum(col("part_cnt")).as("cnt"))
+        .orderBy("event_type").collect().toSeq
+      assert(got == direct, s"salts=$salts must not change the result")
+    }
+  }
+
   test("salted two-phase distinct equals direct COUNT(DISTINCT)") {
     val salted = SkewOps.aggDistinctSalted.fn(spark, TestSpark.sf001)
     val direct = Tables.events(spark, TestSpark.sf001)
