@@ -245,7 +245,45 @@ object AggOps {
     Some("SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt, " + oSum("value") +
       " AS sum_value FROM events GROUP BY 1 ORDER BY day"))
 
+  /** Exact grouped percentiles by NEAREST-RANK (value at rank ⌈p·n⌉) — the
+    * monitoring staple (p50/p95/p99 per sensor class) with ZERO
+    * interpolation: the answer is a value that exists in the data, picked by
+    * an integer rank, so nothing engine-specific (percentile interpolation
+    * formulas, float accumulation) can reach the result. Rank order is
+    * (value, event_id) so duplicate readings break ties identically on both
+    * engines; `agg_approx_percentile` is the sketch substitute when a single
+    * group outgrows a sort.
+    *
+    * Scale notes (100 TB): one shuffle on the group key for the rank window
+    * (a per-group sort — the price of EXACT order statistics), then the
+    * rank-pick collapses in the same partitioning; output is |groups| rows. */
+  val aggPercentileExact: Op = Op(
+    "agg_percentile_exact",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      val cw = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(cw))
+        .groupBy(col("event_type"))
+        .agg(
+          max(when(col("rn") === ceil(lit(0.50) * col("cnt")), col("value"))).as("p50"),
+          max(when(col("rn") === ceil(lit(0.95) * col("cnt")), col("value"))).as("p95"),
+          max(when(col("rn") === ceil(lit(0.99) * col("cnt")), col("value"))).as("p99"))
+        .orderBy("event_type")
+    },
+    Some("WITH r AS (SELECT event_type, value, " +
+      "row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn, " +
+      "COUNT(*) OVER (PARTITION BY event_type) AS cnt FROM events) " +
+      "SELECT event_type, " +
+      "MAX(CASE WHEN rn = ceil(0.50*cnt) THEN value END) AS p50, " +
+      "MAX(CASE WHEN rn = ceil(0.95*cnt) THEN value END) AS p95, " +
+      "MAX(CASE WHEN rn = ceil(0.99*cnt) THEN value END) AS p99 " +
+      "FROM r GROUP BY 1 ORDER BY event_type"))
+
   val all: Seq[Op] = Seq(aggPricingSummary, aggCountDistinct, aggApproxHll, aggHllMergeable,
     aggGroupingSets, aggRollupTime, aggCube, aggCollectSorted, aggArgMax, aggPivot, distinctRows,
-    aggIncrementalRollup)
+    aggIncrementalRollup, aggPercentileExact)
 }

@@ -478,7 +478,46 @@ object TimeSeriesOps {
       "SELECT dv.event_id, dv.event_type, dv.value, dv.med, mad.mad " +
       "FROM dv JOIN mad USING (event_type) WHERE dv.dev > 3.5 * mad.mad ORDER BY dv.event_id"))
 
+  /** Rolling z-score anomaly flagging — the streaming-adjacent per-sensor
+    * monitor: each reading scored against the mean/stddev of its own
+    * trailing 24-sample frame, |z| > 3 flagged. The frame sums follow the
+    * exact-decimal policy ([[Dets]]): sum(v) and sum(v²) accumulate as
+    * exact decimals (560² × 24 sits far inside (24,4)), so the window's
+    * partial-order can't change them; mean/variance/z are then fixed-order
+    * IEEE arithmetic on identical doubles — bit-equal across engines. The
+    * strict `variance > 0` gate drops constant frames before the division
+    * on both sides identically.
+    *
+    * Scale notes (100 TB): one shuffle on user_id; the rolling frame is
+    * O(frame) state per row in the window operator, no self-join; output is
+    * only the anomalies. */
+  val tsZscoreRolling: Op = Op(
+    "ts_zscore_rolling",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-23, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("s1", sum(d2(col("value"))).over(w).cast("double"))
+        .withColumn("s2", sum(d2(col("value")) * d2(col("value"))).over(w).cast("double"))
+        .withColumn("n", count(lit(1)).over(w).cast("double"))
+        .withColumn("mean", col("s1") / col("n"))
+        .withColumn("variance", (col("s2") - col("s1") * col("s1") / col("n")) / col("n"))
+        .filter(col("variance") > 0)
+        .withColumn("z", (col("value") - col("mean")) / sqrt(col("variance")))
+        .filter(abs(col("z")) > 3)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"), col("mean"), col("z"))
+        .orderBy("event_id")
+    },
+    Some("WITH r AS (SELECT event_id, user_id, ts, value, " +
+      "CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS s1, " +
+      "CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS s2, " +
+      "CAST(COUNT(*) OVER w AS DOUBLE) AS n FROM events " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)), " +
+      "v AS (SELECT *, s1/n AS mean, (s2 - s1*s1/n)/n AS variance FROM r) " +
+      "SELECT event_id, user_id, ts, value, mean, (value - mean)/sqrt(variance) AS z " +
+      "FROM v WHERE variance > 0 AND abs((value - mean)/sqrt(variance)) > 3 ORDER BY event_id"))
+
   val all: Seq[Op] = Seq(tsTumblingHourly, tsSlidingWindow, tsSessionWindow, tsGapDetection,
     tsCounterDelta, tsCounterDailyReset, tsDailyProfile, tsResampleFfill, tsInterpolateLinear,
-    creditEventDetect, siteCircuitRollup, tsDownsampleLtob, tsOutlierMad)
+    creditEventDetect, siteCircuitRollup, tsDownsampleLtob, tsOutlierMad, tsZscoreRolling)
 }

@@ -181,4 +181,20 @@ class CoreOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(2)))
     assert(sessions.sameElements(Array((1L, 2L), (2L, 1L), (2L, 1L))))
   }
+
+  test("agg_percentile_exact matches a driver-side nearest-rank recompute") {
+    val got = graft.ops.AggOps.aggPercentileExact.fn(spark, TestSpark.sf001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val rows = graft.tables.Tables.events(spark, TestSpark.sf001)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val expected = rows.groupBy(_._2).map { case (t, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._1)).map(_._3).toIndexedSeq
+      def nr(p: Double) = sorted(math.ceil(p * sorted.length).toInt - 1)
+      t -> (nr(0.50), nr(0.95), nr(0.99))
+    }
+    assert(got == expected)
+    // order statistics: p50 <= p95 <= p99 per group
+    got.values.foreach { case (a, b, c) => assert(a <= b && b <= c) }
+  }
 }

@@ -69,6 +69,31 @@ class DownsampleOutlierSpec extends AnyFunSuite {
     assert(got == expected, "per-bucket argmax must match the driver recompute")
   }
 
+  test("rolling z-score flags match a driver-side recompute") {
+    val rows = Tables.events(spark, TestSpark.sf001)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+    val expected = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      val s = rs.sortBy(r => (r._3.getTime, r._1)).toIndexedSeq
+      s.indices.flatMap { i =>
+        val frame = s.slice(math.max(0, i - 23), i + 1).map(_._4)
+        // mirror the op's exact-decimal frame sums: 2-dp values ARE exact
+        val n = frame.length.toDouble
+        val s1 = frame.map(v => BigDecimal(v).setScale(2)).sum.toDouble
+        val s2 = frame.map(v => BigDecimal(v).setScale(2).pow(2)).sum.toDouble
+        val mean = s1 / n
+        val variance = (s2 - s1 * s1 / n) / n
+        if (variance > 0 && math.abs((s(i)._4 - mean) / math.sqrt(variance)) > 3)
+          Some(s(i)._1)
+        else None
+      }
+    }.toSet
+    val got = TimeSeriesOps.tsZscoreRolling.fn(spark, TestSpark.sf001)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected, "rolling z-score flag set must match the driver recompute")
+    assert(got.nonEmpty && got.size < rows.length)
+  }
+
   test("mad outliers match a driver-side recompute") {
     val rows = Tables.events(spark, TestSpark.sf001)
       .select(col("event_id"), col("event_type"), col("value"))
