@@ -19,7 +19,8 @@ object SparkEntry {
     ScanFilterOps.all ++ SourceSinkOps.all ++ AggOps.all ++ JoinOps.all ++ StarOps.all ++
       SubqueryOps.all ++ WindowOps.all ++ SkewOps.all ++
       TimeSeriesOps.all ++ AnalyticsOps.all ++ SortSetOps.all ++ FuncOps.all ++ LlmOps.all ++
-      TextOps.all ++ PipelineOps.all ++ MultimodalOps.all ++ StreamingOps.all ++ StatsOps.all
+      TextOps.all ++ PipelineOps.all ++ MultimodalOps.all ++ StreamingOps.all ++ StatsOps.all ++
+      DqOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -192,6 +192,35 @@ object PipelineOps {
       oSum("n_chars") + " AS sum_chars " +
       "FROM clean GROUP BY 1 ORDER BY split"))
 
+  /** Deterministic fixed-k-per-group sampling — the reservoir-sample
+    * equivalent for a distributed engine: exactly k = 10 documents per
+    * language, selected by rank over a content hash (md5(text), doc_id as
+    * the unique tiebreak), so the "random" order is a pure function of the
+    * data. Where [[sampleStratified]] draws a RATE per stratum, this draws
+    * an exact COUNT per stratum — the eval-set / spot-check shape ("give me
+    * 10 docs per language") that a true random reservoir can't reproduce
+    * across reruns. sample_rank is emitted so the consumer can take any
+    * prefix (rank ≤ 3) without resampling.
+    *
+    * Scale notes (100 TB): one shuffle on the group key; the per-group sort
+    * is bounded by a rank-k window (Spark's WindowGroupLimit pushes the
+    * k-limit into the sort at execution — each task keeps a k-row heap, not
+    * the group). Output is |groups| × k rows regardless of corpus size. */
+  val sampleReservoirGroup: Op = Op(
+    "sample_reservoir_group",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy(md5(col("text")), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("sample_rank", row_number().over(w))
+        .where(col("sample_rank") <= 10)
+        .select(col("doc_id"), col("lang"), col("sample_rank"))
+        .orderBy("lang", "sample_rank")
+    },
+    Some("SELECT doc_id, lang, sample_rank FROM (" +
+      "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS sample_rank " +
+      "FROM documents) WHERE sample_rank <= 10 ORDER BY lang, sample_rank"))
+
   val all: Seq[Op] = Seq(sampleStratified, splitTrainValTest, packSequences, embedQuantizeInt8,
-    pipelineCorpusBuild)
+    pipelineCorpusBuild, sampleReservoirGroup)
 }

@@ -569,8 +569,96 @@ object SourceSinkOps {
       "WHERE l_orderkey > (SELECT max(l_orderkey) // 20 FROM lineitem) " +
       "GROUP BY 1 ORDER BY 1"))
 
+  /** The daily-restatement write path: a partitioned standing table gets a
+    * correcting batch that touches ONLY some partitions, written with
+    * `partitionOverwriteMode=dynamic` — the batch's partitions are replaced
+    * atomically per partition, every untouched partition survives verbatim.
+    * Base load = all orders (batch r1) partitioned by priority class;
+    * restatement = the even-orderkey half of classes 1 and 2 (batch r2).
+    * The read-back proves BOTH halves of the contract: classes 1–2 hold
+    * only r2 rows at half the count, classes 3–5 hold their full r1 rows
+    * (a static overwrite would have dropped them — the per-class counts
+    * would scream).
+    *
+    * Scale notes (100 TB): this is how a 100 TB day-partitioned fact table
+    * takes corrections — rewrite cost ∝ restated partitions, not the table;
+    * both writes repartition by the partition column first so each
+    * partition dir gets one file, not tasks × partitions fragments. */
+  val sinkDynamicPartitionOverwrite: Op = Op(
+    "sink_dynamic_partition_overwrite",
+    (s, d) => {
+      val out = Housekeeping.tempDirBounded("graft_dynpo",
+        Files.createTempDirectory("graft_dynpo")).toString
+      val orders = Tables.orders(s, d)
+        .select(substring(col("o_orderpriority"), 1, 1).as("prio"),
+          col("o_orderkey"), col("o_totalprice"))
+      orders.withColumn("batch", lit("r1"))
+        .repartition(col("prio"))
+        .write.partitionBy("prio").mode("overwrite").parquet(out)
+      orders.where(col("prio").isin("1", "2") && col("o_orderkey") % 2 === 0)
+        .withColumn("batch", lit("r2"))
+        .repartition(col("prio"))
+        .write.partitionBy("prio").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(out)
+      s.read.parquet(out)
+        // partition discovery type-infers prio as INT; pin it back to the
+        // written string so the result schema matches the oracle's VARCHAR
+        .withColumn("prio", col("prio").cast("string"))
+        .groupBy("prio")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"),
+          min(col("batch")).as("batch_lo"), max(col("batch")).as("batch_hi"))
+        .orderBy("prio")
+    },
+    Some("WITH fin AS (" +
+      "SELECT substr(o_orderpriority,1,1) AS prio, o_totalprice, 'r1' AS batch FROM orders " +
+      "WHERE substr(o_orderpriority,1,1) NOT IN ('1','2') " +
+      "UNION ALL " +
+      "SELECT substr(o_orderpriority,1,1) AS prio, o_totalprice, 'r2' AS batch FROM orders " +
+      "WHERE substr(o_orderpriority,1,1) IN ('1','2') AND o_orderkey % 2 = 0) " +
+      "SELECT prio, COUNT(*) AS cnt, " + oSum("o_totalprice") + " AS sum_price, " +
+      "MIN(batch) AS batch_lo, MAX(batch) AS batch_hi " +
+      "FROM fin GROUP BY 1 ORDER BY prio"))
+
+  /** CDC log compaction with delete tombstones — the missing half of
+    * [[mergeUpsertLatest]] (which is pure latest-wins upsert): the events
+    * stream is read as an ordered change log per user (`error` rows are
+    * DELETE tombstones, everything else an upsert), and compacted to final
+    * state in one pass. A user whose LAST change is a tombstone has no row
+    * in the output — the apply is order-sensitive, not just latest-wins,
+    * which is exactly what makes CDC apply harder than upsert. Change order
+    * is (ts, event_id): event_id breaks same-microsecond ties identically
+    * on both engines.
+    *
+    * Scale notes (100 TB): one shuffle on the key; the window computes last
+    * change + change count in a single per-key sort, output is |live keys|
+    * rows. This is the log-structured "compact the changelog into a
+    * snapshot" job every CDC-fed warehouse table runs; an incremental
+    * variant would merge a delta log against the prior snapshot with the
+    * identical window (the [[mergeUpsertLatest]] shape). */
+  val cdcApplyChanges: Op = Op(
+    "cdc_apply_changes",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      val cw = Window.partitionBy("user_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_changes", count(lit(1)).over(cw))
+        .where(col("rn") === 1 && col("event_type") =!= "error")
+        .select(col("user_id"), col("ts").as("last_ts"), col("value").as("last_value"),
+          col("n_changes"))
+        .orderBy("user_id")
+    },
+    Some("SELECT user_id, ts AS last_ts, value AS last_value, n_changes FROM (" +
+      "SELECT user_id, ts, event_type, value, " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn, " +
+      "COUNT(*) OVER (PARTITION BY user_id) AS n_changes FROM events) " +
+      "WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id"))
+
   val all: Seq[Op] = Seq(csvLogIngest, sinkPartitionedParquet, sinkBucketedJoin,
     sinkClusteredLayout, mergeUpsertLatest, sinkCsvReport, sourceJsonlRoundtrip,
     sourceOrcRoundtrip, sourceSchemaEvolution, sinkCompactSmallFiles, sinkZorderLayout,
-    sinkTargetedDelete)
+    sinkTargetedDelete, sinkDynamicPartitionOverwrite, cdcApplyChanges)
 }
