@@ -147,6 +147,20 @@ class PlanShapeSpec extends AnyFunSuite {
       "splitting must not shuffle")
   }
 
+  test("sample_reservoir_group pushes the rank limit below the shuffle (partial WindowGroupLimit)") {
+    val p = plan(PipelineOps.sampleReservoirGroup)
+    // map-side k-row heap BEFORE the exchange, final prune after — each task
+    // ships at most k rows per group instead of its whole partition
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
+    assert(p.contains("Final"), p)
+  }
+
+  test("dq referential-integrity rule plans as a broadcast left-anti join, not a per-row probe") {
+    val p = plan(DqOps.dqExpectations)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   /** AQE skew-join splitting — the runtime answer to skewed fact-fact joins
     * claimed in SCALE.md. Synthesize a join where one key owns ~100× the
     * median partition volume and assert AQE marks the sort-merge join as
