@@ -8,11 +8,17 @@ import org.apache.spark.sql.functions._
   * metadata, decode / feature-extract / frame-sample as partition-batched
   * typed transforms.
   *
-  * The decode step is STUBBED (no image/audio codecs in this container): a
-  * deterministic fake derives "features" from the payload bytes. Everything
-  * around the stub — the binary column model, the mapPartitions batch shape,
-  * the output schema, the partitioning — is real and tested
-  * (MultimodalSpec). Swapping the stub for a real codec changes one function.
+  * The decode step runs a REAL image codec: [[graft.media.Png]], a pure-JVM
+  * PNG implementation (chunk framing + CRC32 verification, zlib inflate via
+  * `java.util.zip`, all five scanline filters, color types 0/2/6). The
+  * sandbox testdata ships no media files, so the payload column is
+  * synthesized — each doc gets a REAL deflate-compressed PNG whose pixels
+  * are a closed-form function of doc_id — and the operator then decodes
+  * those bytes the hard way: signature check, CRC walk, inflate, unfilter.
+  * The oracle recomputes the expected features from the pixel formula alone,
+  * so any decoder defect (wrong filter inverse, bad stride, CRC skip)
+  * hash-mismatches. MultimodalSpec additionally cross-validates the codec
+  * against the JDK's independent ImageIO decoder byte-for-byte.
   *
   * Scale notes (100 TB): media rows are large — the mapPartitions transform
   * streams one partition at a time (never collects), metadata-only queries
@@ -21,45 +27,72 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalOps {
 
-  /** (doc_id, payload) — the testdata has no real media, so the document
-    * text bytes stand in as the opaque payload. */
+  /** (doc_id, payload) — the media-column row model. */
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
 
-  /** STUB — deterministic fake decode. A real build links an image codec
-    * here; the fake derives stable pseudo-features from the bytes so tests
-    * and the rows-only driver check are reproducible. */
-  def stubDecode(payload: Array[Byte]): (Int, Int, Int, Double) = {
-    var h = 1125899906842597L
-    var i = 0
-    var sum = 0L
-    while (i < payload.length) { h = 31 * h + payload(i); sum += payload(i) & 0xff; i += 1 }
-    val width = 64 + (math.abs(h) % 512).toInt        // fake decoded width
-    val height = 64 + (math.abs(h >> 16) % 512).toInt // fake decoded height
-    val channels = 3
-    val meanLum = if (payload.isEmpty) 0.0 else sum.toDouble / payload.length
-    (width, height, channels, meanLum)
+  /** Deterministic media fixture: the PNG payload for a doc — dimensions,
+    * color type and every pixel are closed-form in doc_id (the oracle's
+    * ground truth), scanline filters cycle 0-4 so each row of the image
+    * exercises a different filter through the decoder. */
+  def syntheticPng(docId: Long): Array[Byte] = {
+    val w = (8 + docId % 8).toInt
+    val h = (8 + docId % 5).toInt
+    val ch = (docId % 3) match { case 0 => 1; case 1 => 3; case _ => 4 }
+    val samples = new Array[Int](w * h * ch)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < ch) {
+          samples((y * w + x) * ch + c) = ((x * 3 + y * 7 + c * 11 + docId) % 256).toInt
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    graft.media.Png.encode(w, h, ch, samples, filterForRow = y2 => y2 % 5)
   }
 
   /** Decode + feature-extract over the binary column, partition-batched
     * (the Scala analog of a pandas-batched UDF: one iterator per partition,
-    * streaming, no driver collect). Rows-only driver check + MultimodalSpec. */
+    * streaming, no driver collect). The decode is [[graft.media.Png]] — real
+    * inflate + unfilter work per row; features (dimensions, channel count,
+    * mean sample) come from the DECODED pixels, and the exact-integer sum /
+    * single IEEE division keeps the mean bit-identical to the oracle's. */
   val multimodalDecodeFeatures: Op = Op(
     "multimodal_decode_features",
     (s, d) => {
       import s.implicits._
       Tables.documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[MediaRow]
+        .select(col("doc_id"))
+        .as[Long]
         .mapPartitions { batch => // one batch per partition — streaming shape
-          batch.map { m =>
-            val (w, h, c, lum) = stubDecode(m.payload)
-            (m.doc_id, m.payload.length, w, h, c, lum)
+          batch.map { id =>
+            val png = syntheticPng(id)
+            val img = graft.media.Png.decode(png)
+            var sum = 0L
+            img.samples.foreach(sum += _)
+            (id, img.width, img.height, img.channels,
+              sum.toDouble / img.samples.length)
           }
         }
-        .toDF("doc_id", "n_bytes", "width", "height", "channels", "mean_lum")
+        .toDF("doc_id", "width", "height", "channels", "mean_sample")
         .orderBy("doc_id")
     },
-    None)
+    Some("SELECT doc_id, width, height, channels, " +
+      "CAST(SUM(val) AS DOUBLE) / COUNT(*) AS mean_sample FROM (" +
+      "SELECT d.doc_id, d.width, d.height, d.channels, " +
+      "(x.x * 3 + y.y * 7 + c.c * 11 + d.doc_id) % 256 AS val " +
+      "FROM (SELECT doc_id, CAST(8 + doc_id % 8 AS INT) AS width, " +
+      "CAST(8 + doc_id % 5 AS INT) AS height, " +
+      "CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INT) AS channels " +
+      "FROM documents) d, " +
+      "LATERAL (SELECT unnest(generate_series(0, d.width - 1)) AS x) x, " +
+      "LATERAL (SELECT unnest(generate_series(0, d.height - 1)) AS y) y, " +
+      "LATERAL (SELECT unnest(generate_series(0, d.channels - 1)) AS c) c) " +
+      "GROUP BY 1, 2, 3, 4 ORDER BY doc_id"))
 
   /** Frame sampling: the payload split into fixed 16-byte "frames" with
     * their index — the flatMap/UDTF shape of video frame extraction. The

@@ -3,26 +3,90 @@ package graft
 import graft.ops.MultimodalOps
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The multimodal plumbing is real even though the decode is a stub: schema,
-  * batch shape, determinism, and frame-sampling alignment. */
+/** The multimodal path runs a REAL codec ([[graft.media.Png]]): round-trip
+  * per filter/color-type, cross-validation against the JDK's independent
+  * ImageIO decoder, corruption rejection, and frame-sampling alignment. */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  test("decode_features: schema, one row per doc, deterministic") {
+  private def testImage(w: Int, h: Int, ch: Int): Array[Int] = {
+    val px = new Array[Int](w * h * ch)
+    var i = 0
+    while (i < px.length) { px(i) = (i * 37 + (i * i) % 251) % 256; i += 1 }
+    px
+  }
+
+  test("png codec: encode/decode round-trips every filter type and color type") {
+    for (ch <- Seq(1, 3, 4); f <- 0 to 4) {
+      val (w, h) = (13, 7) // deliberately asymmetric, not byte-aligned to 4
+      val px = testImage(w, h, ch)
+      val bytes = graft.media.Png.encode(w, h, ch, px, _ => f)
+      val img = graft.media.Png.decode(bytes)
+      assert((img.width, img.height, img.channels) == ((w, h, ch)), s"ch=$ch f=$f")
+      assert(img.samples.sameElements(px), s"pixel mismatch ch=$ch filter=$f")
+    }
+  }
+
+  test("png codec: agrees byte-for-byte with the JDK's independent ImageIO decoder") {
+    val (w, h, ch) = (11, 9, 3)
+    val px = testImage(w, h, ch)
+    val bytes = graft.media.Png.encode(w, h, ch, px, y => y % 5) // all filters in one file
+    val jdk = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(jdk != null, "ImageIO must accept our encoder's output as a valid PNG")
+    assert((jdk.getWidth, jdk.getHeight) == ((w, h)))
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = jdk.getRGB(x, y)
+      val expected = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+      val got = (px((y * w + x) * ch), px((y * w + x) * ch + 1), px((y * w + x) * ch + 2))
+      assert(expected == got, s"pixel ($x,$y): ImageIO=$expected ours=$got")
+    }
+    // and the reverse: ImageIO-encoded bytes decode identically through ours
+    val img2 = java.awt.image.BufferedImage
+      .TYPE_3BYTE_BGR
+    val buf = new java.awt.image.BufferedImage(w, h, img2)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * ch
+      buf.setRGB(x, y, (px(i) << 16) | (px(i + 1) << 8) | px(i + 2))
+    }
+    val out = new java.io.ByteArrayOutputStream
+    javax.imageio.ImageIO.write(buf, "png", out)
+    val ours = graft.media.Png.decode(out.toByteArray)
+    assert((ours.width, ours.height, ours.channels) == ((w, h, 3)))
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      assert((ours.samples(i), ours.samples(i + 1), ours.samples(i + 2)) ==
+        ((px(i), px(i + 1), px(i + 2))), s"reverse pixel ($x,$y)")
+    }
+  }
+
+  test("png codec: rejects corrupted bytes (CRC, signature, truncation)") {
+    val px = testImage(5, 4, 3)
+    val good = graft.media.Png.encode(5, 4, 3, px)
+    val badSig = good.clone(); badSig(1) = 'Q'.toByte
+    assertThrows[IllegalArgumentException](graft.media.Png.decode(badSig))
+    val badCrc = good.clone(); badCrc(20) = (badCrc(20) ^ 0x01).toByte // inside IHDR data
+    assertThrows[IllegalArgumentException](graft.media.Png.decode(badCrc))
+    assertThrows[IllegalArgumentException](graft.media.Png.decode(good.take(good.length - 6)))
+  }
+
+  test("decode_features: REAL decode matches the pixel-formula ground truth per doc") {
     val df = MultimodalOps.multimodalDecodeFeatures.fn(spark, TestSpark.sf0001)
     assert(df.columns.sameElements(
-      Array("doc_id", "n_bytes", "width", "height", "channels", "mean_lum")))
+      Array("doc_id", "width", "height", "channels", "mean_sample")))
     val rows = df.collect()
-    val nDocs = graft.tables.Tables.documents(spark, TestSpark.sf0001).count()
-    assert(rows.length == nDocs)
-    // stub invariants: n_bytes = text length (ASCII), channels fixed,
-    // features within declared ranges
-    assert(rows.forall(r => r.getInt(4) == 3))
-    assert(rows.forall(r => r.getInt(2) >= 64 && r.getInt(2) < 576))
-    assert(rows.forall(r => r.getDouble(5) > 0))
-    val again = MultimodalOps.multimodalDecodeFeatures.fn(spark, TestSpark.sf0001)
-      .collect().map(_.toString)
-    assert(again.sameElements(rows.map(_.toString)))
+    val ids = graft.tables.Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(rows.length == ids.length)
+    rows.zip(ids).foreach { case (r, id) =>
+      assert(r.getLong(0) == id)
+      val (w, h) = ((8 + id % 8).toInt, (8 + id % 5).toInt)
+      val ch = (id % 3) match { case 0 => 1; case 1 => 3; case _ => 4 }
+      assert((r.getInt(1), r.getInt(2), r.getInt(3)) == ((w, h, ch)))
+      var sum = 0L
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+        sum += (x * 3 + y * 7 + c * 11 + id) % 256
+      assert(r.getDouble(4) == sum.toDouble / (w.toLong * h * ch))
+    }
   }
 
   test("parse_png: a real PNG header parses byte-for-byte (golden fixture)") {
