@@ -63,16 +63,40 @@ object AggOps {
       "COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_days " +
       "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment"))
 
-  /** HLL++ sketch — engine-specific, so no hash oracle (ScalaTest asserts
-    * ±5% of exact instead). This is the 100 TB substitute for exact distinct. */
+  def hllStagePath(sfDir: String): String = Stage.root(sfDir) + "/hll_est"
+  def hllDailyStagePath(sfDir: String): String = Stage.root(sfDir) + "/hll_daily_est"
+
+  /** HLL++ sketch — the 100 TB substitute for exact distinct. The estimate
+    * is engine-specific (DuckDB's approx_distinct is a different sketch), so
+    * the hash oracle is an ACCURACY-ENVELOPE check via the staged-
+    * intermediate playbook: the engine's estimates are staged to parquet,
+    * and the oracle reads them back while independently recomputing the
+    * EXACT distinct counts in DuckDB — its WHERE keeps only estimates
+    * within ±5 % of ITS exact, so an out-of-tolerance sketch (or an exact
+    * count the engines disagree on) drops rows and fails the compare loudly.
+    * rsd = 0.02, so the 5 % envelope is 2.5σ — deterministic per dataset and
+    * green across the whole sf/parallelism matrix (BASELINE.md). */
   val aggApproxHll: Op = Op(
     "agg_approx_hll",
-    (s, d) =>
-      Tables.events(s, d)
+    (s, d) => {
+      val est = Tables.events(s, d)
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
-        .orderBy("event_type"),
-    None)
+      est.coalesce(1).write.mode("overwrite").parquet(hllStagePath(d))
+      val exact = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      s.read.parquet(hllStagePath(d))
+        .join(exact, "event_type")
+        .select(col("event_type"), col("approx_users"), col("exact_users"))
+        .orderBy("event_type")
+    },
+    Some("SELECT s.event_type, s.approx_users, e.exact_users " +
+      "FROM read_parquet('" + Stage.token + "/hll_est/*.parquet') s " +
+      "JOIN (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users " +
+      "FROM events GROUP BY 1) e USING (event_type) " +
+      "WHERE abs(s.approx_users - e.exact_users) <= 0.05 * e.exact_users " +
+      "ORDER BY event_type"))
 
   /** MERGEABLE distinct-count sketches — the pre-aggregation pattern that
     * makes distinct counts affordable at 100 TB: build one HLL sketch
@@ -88,9 +112,13 @@ object AggOps {
     * depends on which DataSketches estimator runs (HIP for a never-merged
     * sketch, composite after a union) — this op's total row always goes
     * through the union path, so its estimates are layout-independent. At width the daily sketch
-    * table is what you persist; each increment touches one day. Rows-only
-    * driver check like agg_approx_hll (estimates are engine-specific by
-    * design — DuckDB's approx_distinct uses a different sketch). */
+    * table is what you persist; each increment touches one day. Oracle =
+    * the accuracy-envelope pattern (see [[aggApproxHll]]): the staged per-day
+    * + union-total estimates must each sit within ±5 % of DuckDB's own exact
+    * distinct counts (per day, and across all days for the union row —
+    * which also independently verifies the MERGE: a union bug that loses a
+    * day's registers overshoots the envelope), or the oracle drops the row
+    * and the compare fails. lgK=12 → ~1.6 % relative error, well inside. */
   val aggHllMergeable: Op = Op(
     "agg_hll_mergeable",
     (s, d) => {
@@ -102,9 +130,27 @@ object AggOps {
       val total = daily.agg(
         hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("approx_users"))
         .select(lit("total").as("day"), col("approx_users"))
-      perDay.unionAll(total).orderBy("day")
+      val est = perDay.unionAll(total)
+      est.coalesce(1).write.mode("overwrite").parquet(hllDailyStagePath(d))
+      val exactDay = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).cast("string").as("day"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      val exactTotal = Tables.events(s, d)
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+        .select(lit("total").as("day"), col("exact_users"))
+      s.read.parquet(hllDailyStagePath(d))
+        .join(exactDay.unionAll(exactTotal), "day")
+        .select(col("day"), col("approx_users"), col("exact_users"))
+        .orderBy("day")
     },
-    None)
+    Some("WITH e AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, " +
+      "COUNT(DISTINCT user_id) AS exact_users FROM events GROUP BY 1 " +
+      "UNION ALL SELECT 'total', COUNT(DISTINCT user_id) FROM events) " +
+      "SELECT s.day, s.approx_users, e.exact_users " +
+      "FROM read_parquet('" + Stage.token + "/hll_daily_est/*.parquet') s " +
+      "JOIN e USING (day) " +
+      "WHERE abs(s.approx_users - e.exact_users) <= 0.05 * e.exact_users " +
+      "ORDER BY day"))
 
   /** GROUPING SETS is SQL-only surface in Spark — exercised via spark.sql on a
     * temp view. grouping() flags emitted per column (cast int on both engines;

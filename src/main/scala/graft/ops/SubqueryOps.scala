@@ -53,21 +53,48 @@ object SubqueryOps {
       "WHERE o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM orders) " +
       "ORDER BY o_orderkey"))
 
+  def pctStagePath(sfDir: String): String = Stage.root(sfDir) + "/pct_est"
+
   /** Approximate percentiles (GK sketch) — the warehouse staple for latency/
-    * load distributions. Sketch internals are engine-specific ⇒ no hash
-    * oracle; PercentileSpec asserts the results bracket the exact quantiles
-    * within the accuracy bound. */
+    * load distributions. Sketch internals are engine-specific, so the hash
+    * oracle is a RANK-ENVELOPE check (the accuracy-envelope playbook, see
+    * agg_approx_hll): the engine's p50/p95 are staged to parquet; the oracle
+    * reads them back and independently derives, from its own sorted copy of
+    * each group, the data values at ranks p ± 2/accuracy — the WHERE keeps
+    * an estimate only if it lies inside that bracket, so a sketch whose
+    * rank error exceeds twice its guarantee (GK bound: n/accuracy) drops
+    * the row and fails the compare. Group counts are recomputed exactly on
+    * both sides. PercentileSpec keeps the tighter 1/accuracy assertion. */
   val aggApproxPercentile: Op = Op(
     "agg_approx_percentile",
-    (s, d) =>
-      Tables.orders(s, d)
+    (s, d) => {
+      val est = Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))
         .agg(
           percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50"),
-          percentile_approx(col("o_totalprice"), lit(0.95), lit(1000)).as("p95"),
-          count(lit(1)).as("cnt"))
-        .orderBy("o_orderpriority"),
-    None)
+          percentile_approx(col("o_totalprice"), lit(0.95), lit(1000)).as("p95"))
+      est.coalesce(1).write.mode("overwrite").parquet(pctStagePath(d))
+      val cnt = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("cnt"))
+      s.read.parquet(pctStagePath(d))
+        .join(cnt, "o_orderpriority")
+        .select(col("o_orderpriority"), col("p50"), col("p95"), col("cnt"))
+        .orderBy("o_orderpriority")
+    },
+    Some("WITH v AS (SELECT o_orderpriority, o_totalprice, " +
+      "row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn, " +
+      "COUNT(*) OVER (PARTITION BY o_orderpriority) AS n FROM orders), " +
+      "b AS (SELECT o_orderpriority, MAX(n) AS cnt, " +
+      "MAX(CASE WHEN rn = GREATEST(1, CAST(floor((0.5 - 0.002) * n) AS BIGINT)) THEN o_totalprice END) AS lo50, " +
+      "MAX(CASE WHEN rn = LEAST(n, CAST(ceil((0.5 + 0.002) * n) AS BIGINT)) THEN o_totalprice END) AS hi50, " +
+      "MAX(CASE WHEN rn = GREATEST(1, CAST(floor((0.95 - 0.002) * n) AS BIGINT)) THEN o_totalprice END) AS lo95, " +
+      "MAX(CASE WHEN rn = LEAST(n, CAST(ceil((0.95 + 0.002) * n) AS BIGINT)) THEN o_totalprice END) AS hi95 " +
+      "FROM v GROUP BY 1) " +
+      "SELECT s.o_orderpriority, s.p50, s.p95, b.cnt " +
+      "FROM read_parquet('" + Stage.token + "/pct_est/*.parquet') s " +
+      "JOIN b USING (o_orderpriority) " +
+      "WHERE s.p50 BETWEEN b.lo50 AND b.hi50 AND s.p95 BETWEEN b.lo95 AND b.hi95 " +
+      "ORDER BY o_orderpriority"))
 
   val all: Seq[Op] = Seq(subqueryCorrelated, subqueryScalar, aggApproxPercentile)
 }
