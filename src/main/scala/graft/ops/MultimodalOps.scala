@@ -94,6 +94,78 @@ object MultimodalOps {
       "LATERAL (SELECT unnest(generate_series(0, d.channels - 1)) AS c) c) " +
       "GROUP BY 1, 2, 3, 4 ORDER BY doc_id"))
 
+  /** Resize (2× box downscale) over DECODED pixels — the third member of the
+    * decode / feature-extract / resize / frame-sample quartet, and real work
+    * end to end: each doc's PNG is decoded ([[graft.media.Png]] — inflate +
+    * unfilter), every 2×2 block (1×2/2×1/1×1 at odd edges) is box-averaged
+    * with EXACT integer arithmetic (floor(sum/count) — no float accumulation
+    * anywhere near the hash), and the feature row reports the resized
+    * dimensions plus the mean resized sample (exact integer sum, one IEEE
+    * division). The oracle recomputes the same downscale relationally from
+    * the pixel formula — a decoder or block-indexing bug hash-mismatches.
+    *
+    * Scale notes (100 TB): identical shape to decode — partition-streamed
+    * mapPartitions, no shuffle, no driver collect; at width the resized
+    * payloads (not features) would be re-encoded and written columnar. */
+  val multimodalResize: Op = Op(
+    "multimodal_resize",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions { batch =>
+          batch.map { id =>
+            val img = graft.media.Png.decode(syntheticPng(id))
+            val (w, h, ch) = (img.width, img.height, img.channels)
+            val (rw, rh) = ((w + 1) / 2, (h + 1) / 2)
+            var total = 0L
+            var by = 0
+            while (by < rh) {
+              var bx = 0
+              while (bx < rw) {
+                var c = 0
+                while (c < ch) {
+                  var sum = 0L; var n = 0L
+                  var y = by * 2
+                  while (y < math.min(by * 2 + 2, h)) {
+                    var x = bx * 2
+                    while (x < math.min(bx * 2 + 2, w)) {
+                      sum += img.samples((y * w + x) * ch + c); n += 1
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  total += sum / n // floor — exact integer box mean
+                  c += 1
+                }
+                bx += 1
+              }
+              by += 1
+            }
+            (id, rw, rh, ch, total.toDouble / (rw.toLong * rh * ch))
+          }
+        }
+        .toDF("doc_id", "r_width", "r_height", "channels", "mean_resized")
+        .orderBy("doc_id")
+    },
+    Some("WITH d AS (SELECT doc_id, CAST(8 + doc_id % 8 AS INT) AS w, " +
+      "CAST(8 + doc_id % 5 AS INT) AS h, " +
+      "CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INT) AS ch " +
+      "FROM documents), " +
+      "px AS (SELECT d.doc_id, d.w, d.h, d.ch, x.x, y.y, c.c, " +
+      "(x.x * 3 + y.y * 7 + c.c * 11 + d.doc_id) % 256 AS val FROM d, " +
+      "LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) x, " +
+      "LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) y, " +
+      "LATERAL (SELECT unnest(generate_series(0, d.ch - 1)) AS c) c), " +
+      "blk AS (SELECT doc_id, w, h, ch, x // 2 AS bx, y // 2 AS by, c, " +
+      "CAST(SUM(val) // COUNT(*) AS BIGINT) AS rv " +
+      "FROM px GROUP BY doc_id, w, h, ch, bx, by, c) " +
+      "SELECT doc_id, CAST((w + 1) // 2 AS INT) AS r_width, " +
+      "CAST((h + 1) // 2 AS INT) AS r_height, ch AS channels, " +
+      "CAST(SUM(rv) AS DOUBLE) / COUNT(*) AS mean_resized " +
+      "FROM blk GROUP BY doc_id, w, h, ch ORDER BY doc_id"))
+
   /** Frame sampling: the payload split into fixed 16-byte "frames" with
     * their index — the flatMap/UDTF shape of video frame extraction. The
     * payload is ASCII here, so the oracle can express the same chunking with
@@ -165,5 +237,6 @@ object MultimodalOps {
       "CAST(64 + (doc_id * 7) % 480 AS INT) AS height, CAST(8 AS INT) AS bit_depth, " +
       "CAST(6 AS INT) AS color_type FROM documents ORDER BY doc_id"))
 
-  val all: Seq[Op] = Seq(multimodalDecodeFeatures, multimodalFrameSample, multimodalParsePng)
+  val all: Seq[Op] = Seq(multimodalDecodeFeatures, multimodalResize,
+    multimodalFrameSample, multimodalParsePng)
 }

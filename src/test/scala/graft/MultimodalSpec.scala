@@ -89,6 +89,28 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resize: box downscale matches a codec-free recompute on every doc") {
+    val rows = MultimodalOps.multimodalResize.fn(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4)))).toMap
+    val ids = graft.tables.Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(rows.keySet == ids.toSet)
+    ids.foreach { id =>
+      // independent reference: straight from the pixel formula, no codec
+      val (w, h) = ((8 + id % 8).toInt, (8 + id % 5).toInt)
+      val ch = (id % 3) match { case 0 => 1; case 1 => 3; case _ => 4 }
+      val (rw, rh) = ((w + 1) / 2, (h + 1) / 2)
+      var total = 0L
+      for (by <- 0 until rh; bx <- 0 until rw; c <- 0 until ch) {
+        val xs = (bx * 2) until math.min(bx * 2 + 2, w)
+        val ys = (by * 2) until math.min(by * 2 + 2, h)
+        val block = for (y <- ys; x <- xs) yield (x * 3 + y * 7 + c * 11 + id) % 256
+        total += block.sum / block.size
+      }
+      assert(rows(id) == ((rw, rh, ch, total.toDouble / (rw.toLong * rh * ch))), s"doc $id")
+    }
+  }
+
   test("parse_png: a real PNG header parses byte-for-byte (golden fixture)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
