@@ -94,6 +94,65 @@ object MultimodalOps {
       "LATERAL (SELECT unnest(generate_series(0, d.channels - 1)) AS c) c) " +
       "GROUP BY 1, 2, 3, 4 ORDER BY doc_id"))
 
+  /** Deterministic audio fixture: a REAL PCM16 RIFF/WAVE file per doc —
+    * frame count, channel layout, sample rate and every sample are
+    * closed-form in doc_id (the oracle's ground truth). */
+  def syntheticWav(docId: Long): Array[Byte] = {
+    val frames = (256 + docId % 256).toInt
+    val ch = (1 + docId % 2).toInt
+    val rate = (docId % 3) match { case 0 => 8000; case 1 => 16000; case _ => 44100 }
+    val samples = new Array[Int](frames * ch)
+    var i = 0
+    while (i < frames) {
+      var c = 0
+      while (c < ch) {
+        samples(i * ch + c) = (((i * 37L + c * 1009L + docId * 13L) % 65536L) - 32768L).toInt
+        c += 1
+      }
+      i += 1
+    }
+    graft.media.Wav.encode(rate, ch, samples)
+  }
+
+  /** Audio decode + feature-extract — the audio leg of the multimodal
+    * surface, real end to end: each doc's RIFF/WAVE bytes are decoded by
+    * [[graft.media.Wav]] (chunk walk, fmt field extraction, little-endian
+    * PCM16 sample parse) and the feature row reports rate/layout/duration
+    * plus mean amplitude (exact integer sum, one IEEE division) and peak
+    * |amplitude|. The oracle recomputes everything from the sample formula —
+    * an endianness or chunk-walk bug hash-mismatches. Same partition-
+    * streamed, shuffle-free shape as the image decode. */
+  val multimodalDecodeWav: Op = Op(
+    "multimodal_decode_wav",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions { batch =>
+          batch.map { id =>
+            val a = graft.media.Wav.decode(syntheticWav(id))
+            var sum = 0L; var peak = 0
+            a.samples.foreach { v => sum += v; if (math.abs(v) > peak) peak = math.abs(v) }
+            (id, a.sampleRate, a.channels, a.samples.length / a.channels,
+              sum.toDouble / a.samples.length, peak)
+          }
+        }
+        .toDF("doc_id", "sample_rate", "channels", "n_frames", "mean_amp", "peak")
+        .orderBy("doc_id")
+    },
+    Some("WITH d AS (SELECT doc_id, CAST(256 + doc_id % 256 AS INT) AS n_frames, " +
+      "CAST(1 + doc_id % 2 AS INT) AS channels, " +
+      "CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS INT) AS sample_rate " +
+      "FROM documents), " +
+      "sm AS (SELECT d.doc_id, d.sample_rate, d.channels, d.n_frames, " +
+      "(i.i * 37 + c.c * 1009 + d.doc_id * 13) % 65536 - 32768 AS val FROM d, " +
+      "LATERAL (SELECT unnest(generate_series(0, d.n_frames - 1)) AS i) i, " +
+      "LATERAL (SELECT unnest(generate_series(0, d.channels - 1)) AS c) c) " +
+      "SELECT doc_id, sample_rate, channels, n_frames, " +
+      "CAST(SUM(val) AS DOUBLE) / COUNT(*) AS mean_amp, CAST(MAX(abs(val)) AS INT) AS peak " +
+      "FROM sm GROUP BY 1, 2, 3, 4 ORDER BY doc_id"))
+
   /** Resize (2× box downscale) over DECODED pixels — the third member of the
     * decode / feature-extract / resize / frame-sample quartet, and real work
     * end to end: each doc's PNG is decoded ([[graft.media.Png]] — inflate +
@@ -238,5 +297,5 @@ object MultimodalOps {
       "CAST(6 AS INT) AS color_type FROM documents ORDER BY doc_id"))
 
   val all: Seq[Op] = Seq(multimodalDecodeFeatures, multimodalResize,
-    multimodalFrameSample, multimodalParsePng)
+    multimodalDecodeWav, multimodalFrameSample, multimodalParsePng)
 }

@@ -89,6 +89,68 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("wav codec: round-trips PCM16 mono and stereo, including extremes") {
+    for (ch <- Seq(1, 2)) {
+      val samples = Array.tabulate(97 * ch)(i => ((i * 1231) % 65536) - 32768)
+      samples(0) = Short.MinValue.toInt; samples(1) = Short.MaxValue.toInt
+      val bytes = graft.media.Wav.encode(22050, ch, samples)
+      val a = graft.media.Wav.decode(bytes)
+      assert((a.sampleRate, a.channels) == ((22050, ch)))
+      assert(a.samples.sameElements(samples), s"ch=$ch")
+    }
+  }
+
+  test("wav codec: agrees with the JDK's independent AudioSystem reader") {
+    val samples = Array.tabulate(64)(i => (i * 911 % 65536) - 32768)
+    val bytes = graft.media.Wav.encode(16000, 1, samples)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = in.getFormat
+    assert((fmt.getSampleRate.toInt, fmt.getChannels, fmt.getSampleSizeInBits) == ((16000, 1, 16)))
+    val raw = in.readAllBytes()
+    assert(raw.length == samples.length * 2)
+    val jdk = Array.tabulate(samples.length)(i =>
+      (((raw(2 * i) & 0xff) | ((raw(2 * i + 1) & 0xff) << 8)).toShort).toInt)
+    assert(jdk.sameElements(samples), "JDK-decoded PCM must equal our samples")
+  }
+
+  test("wav codec: skips ancillary chunks and rejects corruption") {
+    val samples = Array.tabulate(10)(_ * 100)
+    val good = graft.media.Wav.encode(8000, 1, samples)
+    // splice a LIST chunk (odd-sized, to exercise word alignment) between
+    // fmt and data: bytes 0..35 are RIFF+fmt, 36.. is the data chunk
+    val list = "LIST".getBytes("US-ASCII") ++ Array[Byte](5, 0, 0, 0) ++
+      "INFOx".getBytes("US-ASCII") ++ Array[Byte](0) // pad to even
+    val spliced = good.take(36) ++ list ++ good.drop(36)
+    // patch the RIFF size for the inserted bytes
+    val riffLen = good.length - 8 + list.length
+    spliced(4) = (riffLen & 0xff).toByte; spliced(5) = ((riffLen >> 8) & 0xff).toByte
+    spliced(6) = ((riffLen >> 16) & 0xff).toByte; spliced(7) = ((riffLen >> 24) & 0xff).toByte
+    val a = graft.media.Wav.decode(spliced)
+    assert(a.samples.sameElements(samples), "LIST chunk must be skipped")
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    assertThrows[IllegalArgumentException](graft.media.Wav.decode(badMagic))
+    assertThrows[IllegalArgumentException](graft.media.Wav.decode(good.take(30)))
+  }
+
+  test("decode_wav: REAL decode matches the sample-formula ground truth per doc") {
+    val rows = MultimodalOps.multimodalDecodeWav.fn(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4), r.getInt(5)))).toMap
+    val ids = graft.tables.Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(rows.keySet == ids.toSet)
+    ids.foreach { id =>
+      val frames = (256 + id % 256).toInt
+      val ch = (1 + id % 2).toInt
+      val rate = (id % 3) match { case 0 => 8000; case 1 => 16000; case _ => 44100 }
+      val vals = for (i <- 0 until frames; c <- 0 until ch)
+        yield (((i * 37L + c * 1009L + id * 13L) % 65536L) - 32768L).toInt
+      assert(rows(id) == ((rate, ch, frames,
+        vals.map(_.toLong).sum.toDouble / vals.length, vals.map(math.abs).max)), s"doc $id")
+    }
+  }
+
   test("resize: box downscale matches a codec-free recompute on every doc") {
     val rows = MultimodalOps.multimodalResize.fn(spark, TestSpark.sf0001)
       .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4)))).toMap

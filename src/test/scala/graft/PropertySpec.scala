@@ -147,6 +147,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("png codec round-trips arbitrary images (dims × channels × filters × pixels)") {
+    val gImg = for {
+      w <- Gen.chooseNum(1, 24)
+      h <- Gen.chooseNum(1, 24)
+      ch <- Gen.oneOf(1, 3, 4)
+      px <- Gen.listOfN(w * h * ch, Gen.chooseNum(0, 255))
+      fSeed <- Gen.chooseNum(0, 4)
+    } yield (w, h, ch, px.toArray, fSeed)
+    for ((w, h, ch, px, fSeed) <- samples(gImg, 25)) {
+      val bytes = graft.media.Png.encode(w, h, ch, px, y => (y + fSeed) % 5)
+      val img = graft.media.Png.decode(bytes)
+      assert((img.width, img.height, img.channels) == ((w, h, ch)))
+      assert(img.samples.sameElements(px), s"w=$w h=$h ch=$ch fSeed=$fSeed")
+    }
+  }
+
+  test("wav codec round-trips arbitrary PCM16 clips") {
+    val gClip = for {
+      frames <- Gen.chooseNum(1, 500)
+      ch <- Gen.oneOf(1, 2)
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      s <- Gen.listOfN(frames * ch, Gen.chooseNum(Short.MinValue.toInt, Short.MaxValue.toInt))
+    } yield (rate, ch, s.toArray)
+    for ((rate, ch, s) <- samples(gClip, 25)) {
+      val a = graft.media.Wav.decode(graft.media.Wav.encode(rate, ch, s))
+      assert((a.sampleRate, a.channels) == ((rate, ch)))
+      assert(a.samples.sameElements(s))
+    }
+  }
+
   test("exact dedup is idempotent") {
     import spark.implicits._
     for (texts <- samples(Gen.listOfN(30, Gen.oneOf("a b c", "d e f", "g h i", "j k l")), 5)
