@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Graph analytics over a link graph derived from the fact table — the
+  * iterative-algorithm family (PageRank et al.) that sits beside dedup's
+  * connected components ([[LlmOps.ccKeep]]) in any large-scale pipeline that
+  * ranks entities by link structure (web-corpus URL ranking, citation
+  * weighting, product affinity).
+  *
+  * The graph: directed part-transition edges — within each order, an edge
+  * from the part on line n to the part on line n+1 (dedup'd, self-loops
+  * dropped). This testdata's lineitem deliberately contains duplicate
+  * (orderkey, linenumber) rows (the planted DQ defect `dq_expectations`
+  * fires on), so the window orders by (l_linenumber, l_partkey): sort-key
+  * ties then always carry EQUAL part keys, making the part-key sequence —
+  * the only thing `lead` reads — deterministic on both engines.
+  *
+  * Determinism policy (SURVEY.md §7.2 applied to iterative float algorithms):
+  * PageRank is normally float arithmetic whose per-iteration summation order
+  * is engine- and partition-dependent. Here every rank is an INTEGER-SCALED
+  * BIGINT (SCALE = 1e12) and every step uses integer division (Spark `div` ≡
+  * DuckDB `//` on non-negatives), so partial-aggregation order cannot change
+  * any bit of the result and the hash oracle is exact. Dangling-node mass is
+  * deliberately dropped (documented variant; the teleport term keeps ranks
+  * positive), and floor-division remainders vanish rather than redistribute —
+  * both choices identical on both engines by construction.
+  *
+  * Scale (100 TB): each iteration is one equi-join of the edge list with the
+  * current rank vector (both hash-partitioned on the node key — a co-located
+  * join under bucketing) plus one map-side-combinable groupBy sum; no
+  * all-pairs stage, no driver-resident state beyond the single node count.
+  * `localCheckpoint(true)` truncates lineage each round exactly as
+  * [[LlmOps.ccKeep]] does, so the plan does not grow with iterations; on a
+  * real cluster the rank vector would be persisted/bucketed between rounds.
+  */
+object GraphOps {
+
+  /** Rank scale: 1e12 keeps six significant decimal digits after five rounds
+    * of 85/100 damping while 85·Σranks ≤ 8.5e13 stays far inside BIGINT. */
+  private val Scale = 1000000000000L
+  private val Damp = 85L // /100
+  private val Iters = 5
+
+  /** Part-transition edge list: consecutive-line transitions within an
+    * order, distinct, self-loops removed. Shared by both graph keys. */
+  private def edges(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    Tables.lineitem(s, d)
+      .select(col("l_partkey").as("src"),
+        lead(col("l_partkey"), 1).over(w).as("dst"))
+      .where(col("dst").isNotNull && col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** The oracle's spelling of the same edge list. */
+  private val edgeCtes =
+    "e0 AS (SELECT l_partkey AS src, lead(l_partkey) OVER " +
+      "(PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst FROM lineitem), " +
+      "edges AS (SELECT DISTINCT src, dst FROM e0 " +
+      "WHERE dst IS NOT NULL AND dst <> src), " +
+      "nodes AS (SELECT DISTINCT v FROM " +
+      "(SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)), " +
+      "outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1)"
+
+  /** Five fixed damped-PageRank rounds, bit-exact across engines.
+    *
+    * The DuckDB side runs the same recurrence as a recursive CTE. A node
+    * with no in-edges would drop out of a naive recursive step (its LEFT
+    * JOIN row carries a NULL iteration counter into the WHERE bound), so the
+    * edge set is augmented with zero-weight self-edges: every node then
+    * receives its own previous-round row, the iteration counter is always
+    * present, and the CASE keeps the self-edge out of the contribution sum.
+    */
+  val graphPagerank: Op = Op(
+    "graph_pagerank",
+    (s, d) => {
+      val e = Housekeeping.cacheBounded("graph_edges", edges(s, d))
+      val nodes = Housekeeping.cacheBounded("graph_nodes",
+        e.select(col("src").as("v")).union(e.select(col("dst"))).distinct())
+      val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      // The one driver-side scalar (cf. ccKeep's convergence aggregate):
+      // node count feeds the teleport constant, never row data.
+      val n = nodes.count()
+      val teleport = (Scale * 15L / 100L) / n
+      var ranks = nodes.withColumn("r", lit(Scale / n))
+      for (_ <- 1 to Iters) {
+        val contrib = e
+          .join(ranks.withColumnRenamed("v", "src"), "src")
+          .join(outdeg, "src")
+          .select(col("dst").as("v"), expr("r div d").as("c"))
+          .groupBy("v").agg(sum(col("c")).as("cs"))
+        ranks = nodes.join(contrib, Seq("v"), "left")
+          .select(col("v"),
+            (lit(teleport) +
+              expr(s"($Damp * coalesce(cs, CAST(0 AS BIGINT))) div 100")).as("r"))
+          .localCheckpoint(true)
+      }
+      ranks.select(col("v").as("part_id"), col("r").as("rank_scaled"))
+        .orderBy(desc("rank_scaled"), asc("part_id"))
+    },
+    Some("WITH RECURSIVE " + edgeCtes + ", " +
+      "e2(src, dst, w) AS (SELECT src, dst, 1 FROM edges " +
+      "UNION ALL SELECT v, v, 0 FROM nodes), " +
+      "pr(iter, v, r) AS (" +
+      s"SELECT 0, v, CAST($Scale // (SELECT COUNT(*) FROM nodes) AS BIGINT) FROM nodes " +
+      "UNION ALL " +
+      s"SELECT p.iter + 1, e.dst, CAST((${Scale * 15L / 100L} // (SELECT COUNT(*) FROM nodes)) " +
+      s"+ ($Damp * COALESCE(SUM(CASE WHEN e.w = 1 THEN p.r // od.d END), 0)) // 100 AS BIGINT) " +
+      "FROM pr p JOIN e2 e ON e.src = p.v LEFT JOIN outdeg od ON od.src = e.src " +
+      s"WHERE p.iter < $Iters GROUP BY 1, 2) " +
+      s"SELECT v AS part_id, r AS rank_scaled FROM pr WHERE iter = $Iters " +
+      "ORDER BY rank_scaled DESC, part_id"))
+
+  /** Degree distribution of the same graph — the profiling query run before
+    * any iterative algorithm (skew check: a power-law hub says salt or cap
+    * before you join). One window + two map-side-combinable aggregates. */
+  val graphDegreeHist: Op = Op(
+    "graph_degree_hist",
+    (s, d) => {
+      val e = Housekeeping.cacheBounded("graph_edges_hist", edges(s, d))
+      val out = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+        .withColumn("direction", lit("out"))
+      val in = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("degree"))
+        .withColumn("direction", lit("in"))
+      out.unionByName(in)
+        .groupBy(col("direction"), col("degree"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("direction", "degree")
+    },
+    Some("WITH " + edgeCtes + ", " +
+      "deg AS (SELECT 'out' AS direction, src AS node, COUNT(*) AS degree FROM edges GROUP BY 2 " +
+      "UNION ALL SELECT 'in', dst, COUNT(*) FROM edges GROUP BY 2) " +
+      "SELECT direction, degree, COUNT(*) AS n_nodes FROM deg " +
+      "GROUP BY 1, 2 ORDER BY direction, degree"))
+
+  val all: Seq[Op] = Seq(graphPagerank, graphDegreeHist)
+}

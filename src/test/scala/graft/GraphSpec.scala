@@ -1,0 +1,105 @@
+package graft
+
+import graft.ops.GraphOps
+import graft.tables.Tables
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The graph family against an INDEPENDENT pure-Scala model: edges are
+  * rebuilt here from the raw lineitem rows (per-order sort, consecutive
+  * pairs) and the integer PageRank recurrence is re-run in plain Scala maps —
+  * no Spark, no SQL — then compared rank-for-rank with the operator. Also
+  * pins the structural invariants the integer-scaling argument rests on.
+  */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val Scale = 1000000000000L
+  private val Iters = 5
+
+  /** Model edge list: same declared semantics, independent implementation. */
+  private def modelEdges(sfDir: String): Set[(Long, Long)] = {
+    val rows = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    rows.groupBy(_._1).valuesIterator.flatMap { lines =>
+      val seq = lines.sortBy(l => (l._2, l._3)).map(_._3)
+      seq.zip(seq.tail).filter(p => p._1 != p._2)
+    }.toSet
+  }
+
+  private def modelPagerank(edges: Set[(Long, Long)]): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val n = nodes.size
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val teleport = (Scale * 15L / 100L) / n
+    var ranks: Map[Long, Long] = nodes.iterator.map(_ -> Scale / n).toMap
+    for (_ <- 1 to Iters) {
+      val acc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (s, d) => acc(d) += ranks(s) / outdeg(s) }
+      ranks = nodes.iterator.map(v => v -> (teleport + (85L * acc(v)) / 100L)).toMap
+    }
+    ranks
+  }
+
+  test("graph_pagerank matches the independent integer model exactly") {
+    val edges = modelEdges(TestSpark.sf0001)
+    val model = modelPagerank(edges)
+
+    val got = GraphOps.graphPagerank.fn(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    assert(got.length == model.size, "one rank row per node")
+    got.foreach { case (v, r) =>
+      assert(r == model(v), s"rank mismatch for node $v")
+    }
+    // emitted order: rank desc, node asc — and ties actually occur (the
+    // teleport floor), so the secondary key is load-bearing
+    assert(got.toSeq == got.toSeq.sortBy(p => (-p._2, p._1)), "output ordering")
+  }
+
+  test("pagerank invariants: positive ranks, bounded mass, teleport floor") {
+    val edges = modelEdges(TestSpark.sf0001)
+    val n = edges.flatMap(e => Seq(e._1, e._2)).size
+    val teleport = (Scale * 15L / 100L) / n
+
+    val got = GraphOps.graphPagerank.fn(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    assert(got.forall(_._2 >= teleport), "every rank ≥ the teleport floor")
+    // floor division only ever LOSES mass vs the real-valued recurrence
+    assert(got.map(_._2).sum <= Scale, "total scaled mass cannot exceed 1.0")
+  }
+
+  test("recurrence edge cases: no-inbound node gets exactly teleport, dangling mass drops") {
+    // This corpus' graph has no zero-in-degree nodes, so pin the boundary
+    // semantics on a hand graph through the same model the operator is
+    // proven equal to above: 4 has no in-edges, 5 has no out-edges.
+    val g = Set((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L), (2L, 5L))
+    val n = 5
+    val teleport = (Scale * 15L / 100L) / n
+    val r = modelPagerank(g)
+    assert(r(4L) == teleport, "no-inbound node sits exactly on the teleport floor")
+    assert(r.valuesIterator.sum < Scale, "dangling node 5 leaks mass (declared variant)")
+    assert(r.valuesIterator.forall(_ >= teleport), "teleport floor holds everywhere")
+  }
+
+  test("graph_degree_hist is the degree distribution of the model edge set") {
+    val edges = modelEdges(TestSpark.sf0001)
+    val outHist = edges.groupBy(_._1).valuesIterator.map(_.size)
+      .toSeq.groupBy(identity).map { case (d, xs) => (d.toLong, xs.size.toLong) }
+    val inHist = edges.groupBy(_._2).valuesIterator.map(_.size)
+      .toSeq.groupBy(identity).map { case (d, xs) => (d.toLong, xs.size.toLong) }
+
+    val got = GraphOps.graphDegreeHist.fn(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+    val gotOut = got.filter(_._1 == "out").map(t => t._2 -> t._3).toMap
+    val gotIn = got.filter(_._1 == "in").map(t => t._2 -> t._3).toMap
+    assert(gotOut == outHist, "out-degree histogram")
+    assert(gotIn == inHist, "in-degree histogram")
+    // mass check: Σ degree·n_nodes = |edges| in both directions
+    assert(gotOut.map(p => p._1 * p._2).sum == edges.size)
+    assert(gotIn.map(p => p._1 * p._2).sum == edges.size)
+  }
+}
