@@ -306,6 +306,58 @@ object TextOps {
       s"'$Ipv4Re', '<IP>', 'g')) AS scrubbed_md5 " +
       "FROM documents ORDER BY doc_id"))
 
+  /** Per-document top-5 salient terms — the keyword-extraction pass feeding
+    * corpus search/tagging. TF-IDF made hash-exact: the usual `tf·ln(N/df)`
+    * ranks by a float whose last ulp differs across libm implementations, so
+    * this op declares the LOG-FREE variant `score = tf·N/df` as an
+    * integer-SCALED BIGINT (`tf · 1e6 · N div df` — Spark `div` ≡ DuckDB `//`
+    * on non-negatives). Ranking by tf·N/df preserves each term's idf
+    * monotonicity; the stopword role of log-damping is taken by an explicit
+    * df cap (terms in > 90 % of documents are suppressed — declared
+    * semantics, oracle applies the same cap; TextSpec's planted fixture
+    * drives the suppression positively, this corpus' 31-term vocabulary tops
+    * out at ~80 % df so every term survives here). N enters RELATIONALLY (a
+    * broadcast one-row aggregate, not a driver collect), so the whole op is
+    * two map-side-combinable aggregations + one dictionary join + one
+    * per-doc window: at 100 TB the term dictionary is the only shuffled side
+    * and the scale constant moves to the schema, not the plan. Ties (equal
+    * scaled scores) break on the term itself, so row_number is total. */
+  def tfidfTopk(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val nDf = docs.agg(count(lit(1)).as("n"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score_scaled").desc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDf))
+      .where(col("df") * 10 <= col("n") * 9)
+      .withColumn("score_scaled", expr("(tf * 1000000 * n) div df"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        col("score_scaled"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val textTfidfTopk: Op = Op(
+    "text_tfidf_topk",
+    (s, d) => tfidfTopk(Tables.documents(s, d).select("doc_id", "text")),
+    Some("WITH n AS (SELECT COUNT(*) AS n FROM documents), " +
+      "t AS (SELECT doc_id, term, COUNT(*) AS tf FROM " +
+      "(SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) " +
+      "WHERE length(term) > 0 GROUP BY 1, 2), " +
+      "d AS (SELECT term, COUNT(*) AS df FROM t GROUP BY 1), " +
+      "s AS (SELECT t.doc_id, t.term, t.tf, d.df, " +
+      "(t.tf * 1000000 * (SELECT n FROM n)) // d.df AS score_scaled " +
+      "FROM t JOIN d USING (term) WHERE d.df * 10 <= (SELECT n FROM n) * 9), " +
+      "r AS (SELECT *, CAST(row_number() OVER " +
+      "(PARTITION BY doc_id ORDER BY score_scaled DESC, term) AS INT) AS rank FROM s) " +
+      "SELECT doc_id, rank, term, tf, df, score_scaled FROM r " +
+      "WHERE rank <= 5 ORDER BY doc_id, rank"))
+
   val all: Seq[Op] = Seq(textLangId, textTokenStats, textFingerprint, textBpePairs,
-    textBpeApply, textHeavyHitters, textPiiScrub)
+    textBpeApply, textHeavyHitters, textPiiScrub, textTfidfTopk)
 }

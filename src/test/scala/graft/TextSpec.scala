@@ -138,6 +138,34 @@ class TextSpec extends AnyFunSuite {
     * the token — the invariant any tokenizer apply step must hold), n_pieces
     * consistent, and at least one learned merge must actually fire (some
     * token segments into a multi-char piece). */
+  test("tfidf topk: planted stopword suppressed, rare term outranks frequent common term") {
+    import spark.implicits._
+    // 'the' is in all 10 docs (df = 10 > 90% of N) → suppressed outright.
+    // 'zebra' is only in doc 0 (df = 1): its score tf·N/df = 1·10/1 = 10
+    // must outrank 'data' (df 10... kept at exactly 90%? no: df*10 <= 9*N
+    // → 100 <= 90 false → also suppressed). Use df-8 'data' docs instead.
+    val docs = (0L until 10L).map { i =>
+      val common = if (i < 8) "data data data" else "other words here"
+      val rare = if (i == 0) " zebra" else ""
+      (i, s"the $common$rare")
+    }.toDF("doc_id", "text")
+
+    val got = TextOps.tfidfTopk(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(5)))
+
+    assert(!got.exists(_._3 == "the"), "universal term is suppressed by the df cap")
+    val doc0 = got.filter(_._1 == 0L).sortBy(_._2)
+    assert(doc0.head._3 == "zebra",
+      s"rare term must rank first for doc 0 despite tf 1 < tf 3: ${doc0.toSeq}")
+    // zebra: tf=1 df=1 → 1·1e6·10/1 = 10_000_000; data: tf=3 df=8 → 3_750_000
+    assert(doc0.head._4 == 10000000L)
+    assert(doc0.find(_._3 == "data").get._4 == 3750000L)
+    // every rank sequence is 1..k dense per doc
+    got.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+  }
+
   test("bpe apply: lossless segmentation, consistent counts, merges fire") {
     val rows = graft.ops.TextOps.textBpeApply.fn(spark, TestSpark.sf0001).collect()
     assert(rows.nonEmpty)
