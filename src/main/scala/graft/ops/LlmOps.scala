@@ -1112,9 +1112,66 @@ object LlmOps {
     Some("SELECT doc_id, lang, n_chars, label, CAST(len(embedding) AS INT) AS dim " +
       "FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id"))
 
+  /** ASYMMETRIC containment dedup — the doc-inside-doc detector Jaccard
+    * misses: a short document fully quoted inside a long one has tiny
+    * Jaccard (union is dominated by the long doc) but containment
+    * C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| ≈ 1. The standard companion pass to
+    * near-dup in corpus curation (drop subset/quotation copies, keep the
+    * superset doc).
+    *
+    * Semantics (declared, oracle identical): 3-gram shingles, the same
+    * df ≤ [[NgramMaxDf]] cutoff as the Jaccard family (containment measured
+    * over the COOL shingle vocabulary on BOTH numerator and denominator —
+    * the cutoff is part of the metric, not a lossy shortcut), ordered pairs
+    * both directions, flag at containment ≥ 80 %. All integer arithmetic
+    * (`(100·inter) div nA`) — no float reaches the hash.
+    *
+    * Scale: identical cost shape to [[ngramPairs]] — shingle-inverted-index
+    * equi-join bounded by the df cutoff (≤ df² pair rows per shingle), one
+    * groupBy; never all-pairs. At 100 TB the cutoff is the skew guard and
+    * the join keys are the hashed shingles. */
+  /** The containment core over a (doc_id, text) frame — exposed so the spec
+    * can drive it with a planted subset-document fixture. */
+  def containmentPairs(docs: DataFrame, minPct: Long = 80L): DataFrame = {
+    val base = Housekeeping.cacheBounded("cont_shingles",
+      shingled(docs.select("doc_id", "text"))
+        .select(col("doc_id"), col("shingles")))
+    val exploded = base.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val sh = Housekeeping.cacheBounded("cont_cool",
+      exploded.join(
+        exploded.groupBy("s").agg(count(lit(1)).as("df"))
+          .where(col("df") <= NgramMaxDf).select("s"), "s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("na"))
+    sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("na")), "doc_a")
+      .withColumn("containment_pct", expr("(100 * inter) div na"))
+      .where(col("containment_pct") >= minPct)
+      .select(col("doc_a"), col("doc_b"), col("na"), col("inter"),
+        col("containment_pct"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupContainment: Op = Op(
+    "dedup_containment",
+    (s, d) => containmentPairs(Tables.documents(s, d)),
+    Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "g0 AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 2), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s FROM t WHERE len(w) >= 3), " +
+      s"g AS (SELECT doc_id, s FROM g0 WHERE s IN (SELECT s FROM g0 GROUP BY 1 HAVING COUNT(*) <= $NgramMaxDf)), " +
+      "sz AS (SELECT doc_id, COUNT(*) AS na FROM g GROUP BY 1), " +
+      "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter FROM g a " +
+      "JOIN g b ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY 1, 2) " +
+      "SELECT doc_a, doc_b, sz.na, inter, (100 * inter) // sz.na AS containment_pct " +
+      "FROM p JOIN sz ON sz.doc_id = doc_a " +
+      "WHERE (100 * inter) // sz.na >= 80 ORDER BY doc_a, doc_b"))
+
   val all: Seq[Op] = Seq(dedupExact, dedupIncrementalExact, dedupNearMinhash,
     dedupIncrementalMinhash, dedupSimhash,
     dedupNgramJaccard, dedupClusterKeep, dedupDecontaminate, dedupEmbeddingCosine,
+    dedupContainment,
     simSearchTopk, simSearchKnnPerQuery, simSearchAnnLsh, simSearchAnnIvf, simSearchAnnProbe,
     textLangStats, textQualityFilter, multimodalJoin)
 }

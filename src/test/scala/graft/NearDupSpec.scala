@@ -155,6 +155,35 @@ class NearDupSpec extends AnyFunSuite {
     }
   }
 
+  test("containment: subset doc flagged one-way where Jaccard stays silent") {
+    import spark.implicits._
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"        // 6 shingles
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")              // 58 unique shingles
+    val docs = Seq(
+      (1L, quote),                    // the short doc
+      (2L, s"$quote $filler"),        // long doc quoting it wholesale
+      (3L, "iota kappa lambda mu nu xi omicron pi")                    // unrelated
+    ).toDF("doc_id", "text")
+
+    val got = LlmOps.containmentPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    graft.ops.Housekeeping.releaseAll()
+
+    // 1 → 2: every one of doc 1's shingles appears in doc 2 (the join spans
+    // the quote/filler boundary with mixed shingles, still ⊂ doc 2's set)
+    val fwd = got.find(p => p._1 == 1L && p._2 == 2L)
+    assert(fwd.exists(_._3 == 100L), s"subset doc must be 100% contained: ${got.toSeq}")
+    // 2 → 1: only ~6 of doc 2's ~66 shingles land in doc 1 — below threshold
+    assert(!got.exists(p => p._1 == 2L && p._2 == 1L), "superset direction stays quiet")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc untouched")
+
+    // and Jaccard at its own 0.5 threshold does NOT see this pair
+    val jac = LlmOps.ngramPairs(docs).collect()
+    graft.ops.Housekeeping.releaseAll()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "the containment pair must be invisible to symmetric Jaccard")
+  }
+
   test("near-dedup is idempotent on the real documents table") {
     val docs = graft.tables.Tables.documents(spark, TestSpark.sf0001)
     val once = LlmOps.nearDupPairs(docs).collect().map(_.toString).toSeq
