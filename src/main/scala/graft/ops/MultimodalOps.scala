@@ -296,6 +296,67 @@ object MultimodalOps {
       "CAST(64 + (doc_id * 7) % 480 AS INT) AS height, CAST(8 AS INT) AS bit_depth, " +
       "CAST(6 AS INT) AS color_type FROM documents ORDER BY doc_id"))
 
+  /** Framed audio features over DECODED PCM — the windowed analysis step
+    * (VAD front-ends, audio quality gates, clip detection) that consumes
+    * [[multimodalDecodeWav]]'s output: the sample stream is cut into
+    * 256-sample frames per channel and each frame reports exact energy
+    * (BIGINT sum of squares — 256·32768² ≪ 2⁶³), a zero-crossing count
+    * (sign changes within the frame; sign(0) counts as non-negative), and
+    * mean-square power as ONE IEEE division of those two exact integers.
+    * The oracle recomputes every frame from the closed-form sample formula —
+    * a framing off-by-one, endianness slip, or crossing-at-frame-boundary
+    * bug hash-mismatches. Per-doc work is bounded by the decoded length;
+    * shuffle-free except the final global sort. */
+  val multimodalAudioFrames: Op = Op(
+    "multimodal_audio_frames",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions { batch =>
+          batch.flatMap { id =>
+            val a = graft.media.Wav.decode(syntheticWav(id))
+            val perCh = a.samples.length / a.channels
+            (0 until a.channels).iterator.flatMap { c =>
+              (0 until perCh by 256).map { start =>
+                val end = math.min(start + 256, perCh)
+                var sumSq = 0L; var zc = 0; var j = start
+                while (j < end) {
+                  val v = a.samples(j * a.channels + c).toLong
+                  sumSq += v * v
+                  if (j > start) {
+                    val p = a.samples((j - 1) * a.channels + c)
+                    if ((p < 0 && v >= 0) || (p >= 0 && v < 0)) zc += 1
+                  }
+                  j += 1
+                }
+                val n = end - start
+                (id, c, start / 256, n, sumSq, zc, sumSq.toDouble / n)
+              }
+            }
+          }
+        }
+        .toDF("doc_id", "channel", "frame_id", "n", "sum_sq", "zero_crossings", "mean_sq")
+        .orderBy("doc_id", "channel", "frame_id")
+    },
+    Some("WITH d AS (SELECT doc_id, CAST(256 + doc_id % 256 AS INT) AS nf, " +
+      "CAST(1 + doc_id % 2 AS INT) AS ch FROM documents), " +
+      "sm AS (SELECT d.doc_id, CAST(c.c AS INT) AS channel, i.i AS i, " +
+      "CAST(i.i // 256 AS INT) AS frame_id, " +
+      "(i.i * 37 + c.c * 1009 + d.doc_id * 13) % 65536 - 32768 AS val FROM d, " +
+      "LATERAL (SELECT unnest(generate_series(0, d.nf - 1)) AS i) i, " +
+      "LATERAL (SELECT unnest(generate_series(0, d.ch - 1)) AS c) c), " +
+      "x AS (SELECT doc_id, channel, frame_id, val, " +
+      "lag(val) OVER (PARTITION BY doc_id, channel, frame_id ORDER BY i) AS pv FROM sm) " +
+      "SELECT doc_id, channel, frame_id, CAST(COUNT(*) AS INT) AS n, " +
+      "CAST(SUM(val * val) AS BIGINT) AS sum_sq, " +
+      "CAST(SUM(CASE WHEN pv IS NOT NULL AND ((pv < 0 AND val >= 0) OR (pv >= 0 AND val < 0)) " +
+      "THEN 1 ELSE 0 END) AS INT) AS zero_crossings, " +
+      "CAST(SUM(val * val) AS DOUBLE) / COUNT(*) AS mean_sq " +
+      "FROM x GROUP BY 1, 2, 3 ORDER BY doc_id, channel, frame_id"))
+
   val all: Seq[Op] = Seq(multimodalDecodeFeatures, multimodalResize,
-    multimodalDecodeWav, multimodalFrameSample, multimodalParsePng)
+    multimodalDecodeWav, multimodalAudioFrames, multimodalFrameSample,
+    multimodalParsePng)
 }

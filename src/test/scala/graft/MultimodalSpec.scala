@@ -151,6 +151,36 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("audio_frames: features match a recompute from the JDK's independent decoder") {
+    val got = MultimodalOps.multimodalAudioFrames.fn(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) ->
+        ((r.getInt(3), r.getLong(4), r.getInt(5), r.getDouble(6)))).toMap
+    val ids = graft.tables.Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id").collect().map(_.getLong(0))
+
+    val expected = ids.flatMap { id =>
+      // independent path: JDK AudioSystem decodes the same bytes
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(MultimodalOps.syntheticWav(id)))
+      val ch = in.getFormat.getChannels
+      val raw = in.readAllBytes()
+      val all = Array.tabulate(raw.length / 2)(i =>
+        (((raw(2 * i) & 0xff) | ((raw(2 * i + 1) & 0xff) << 8)).toShort).toInt)
+      val perCh = all.length / ch
+      for (c <- 0 until ch; f <- 0 to (perCh - 1) / 256) yield {
+        val idx = (f * 256 until math.min((f + 1) * 256, perCh)).map(j => all(j * ch + c))
+        val zc = idx.sliding(2).count(p =>
+          p.length == 2 && ((p(0) < 0 && p(1) >= 0) || (p(0) >= 0 && p(1) < 0)))
+        val sumSq = idx.map(v => v.toLong * v).sum
+        (id, c, f) -> ((idx.length, sumSq, zc, sumSq.toDouble / idx.length))
+      }
+    }.toMap
+
+    assert(got.keySet == expected.keySet, "frame partition must cover exactly all frames")
+    expected.foreach { case (k, v) => assert(got(k) == v, s"frame $k") }
+  }
+
   test("resize: box downscale matches a codec-free recompute on every doc") {
     val rows = MultimodalOps.multimodalResize.fn(spark, TestSpark.sf0001)
       .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4)))).toMap
