@@ -128,7 +128,10 @@ object Png {
     while (pos + 8 <= png.length && !sawEnd) {
       val len = beInt(png, pos)
       val typ = new String(png, pos + 4, 4, "US-ASCII")
-      require(len >= 0 && pos + 12 + len <= png.length, s"truncated chunk $typ")
+      // long math: a hostile length near Int.MaxValue would wrap `pos+12+len`
+      // negative and sail past an int-math bound straight into CRC32/array
+      // reads — the classic parser overflow
+      require(len >= 0 && pos.toLong + 12L + len <= png.length, s"truncated chunk $typ")
       val crc = new CRC32
       crc.update(png, pos + 4, 4 + len)
       require(crc.getValue == (beInt(png, pos + 8 + len).toLong & 0xffffffffL),
@@ -149,17 +152,30 @@ object Png {
     require(width > 0 && height > 0 && channels > 0, "missing IHDR")
     require(sawEnd, "missing IEND")
     val bpp = channels
+    // Decompression-bomb guard: IHDR dimensions are attacker-controlled and
+    // a 33-byte file can declare a multi-GiB pixel buffer. Bound the DECODED
+    // size (checked in long math before any allocation); 1 GiB of samples is
+    // far above any fixture and far below heap-killing territory.
+    val rawLenL = height.toLong * (1L + width.toLong * channels)
+    require(rawLenL <= (1L << 30),
+      s"refusing ${rawLenL}B decoded pixel buffer (decompression-bomb guard)")
     val stride = width * channels
-    val raw = new Array[Byte](height * (1 + stride))
+    val raw = new Array[Byte](rawLenL.toInt)
     val inflater = new Inflater
     inflater.setInput(idat.toByteArray)
     var off = 0
-    while (off < raw.length && !inflater.finished()) {
-      val n = inflater.inflate(raw, off, raw.length - off)
-      require(n > 0 || inflater.finished(), "truncated IDAT stream")
-      off += n
-    }
-    inflater.end()
+    try {
+      while (off < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, off, raw.length - off)
+        require(n > 0 || inflater.finished(), "truncated IDAT stream")
+        off += n
+      }
+    } catch {
+      // malformed zlib must surface as the same contract violation as any
+      // other corrupt input, not a checked zip internal
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(s"corrupt IDAT zlib stream: ${e.getMessage}")
+    } finally inflater.end()
     require(off == raw.length, s"short pixel data: $off of ${raw.length}")
     val samples = new Array[Int](height * stride)
     var y = 0

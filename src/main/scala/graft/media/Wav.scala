@@ -56,16 +56,22 @@ object Wav {
     require(wav.length >= 12 && ascii(wav, 0) == "RIFF" && ascii(wav, 8) == "WAVE",
       "not a RIFF/WAVE file")
     val riffLen = leInt(wav, 4)
-    require(riffLen + 8 <= wav.length, "truncated RIFF payload")
+    require(riffLen >= 4 && riffLen.toLong + 8L <= wav.length, "truncated RIFF payload")
     var pos = 12
     var sampleRate = -1; var channels = -1; var bits = -1; var fmt = -1
     var samples: Array[Int] = null
     while (pos + 8 <= riffLen + 8 && (samples == null || sampleRate < 0)) {
       val id = ascii(wav, pos)
       val len = leInt(wav, pos + 4)
-      require(len >= 0 && pos + 8 + len <= wav.length, s"truncated chunk $id")
+      // long math: a declared length near Int.MaxValue would wrap the int
+      // bound negative and pass, then index past the array below
+      require(len >= 0 && pos.toLong + 8L + len <= wav.length, s"truncated chunk $id")
       id match {
         case "fmt " =>
+          // the PCM fmt payload is 16 bytes; a shorter declared chunk would
+          // let the field reads below run past the chunk into whatever
+          // follows (or off the end of the file)
+          require(len >= 16, s"fmt chunk too short: $len")
           fmt = leShort(wav, pos + 8)
           channels = leShort(wav, pos + 10)
           sampleRate = leInt(wav, pos + 12)
