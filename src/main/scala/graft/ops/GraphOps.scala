@@ -79,10 +79,13 @@ object GraphOps {
   val graphPagerank: Op = Op(
     "graph_pagerank",
     (s, d) => {
-      val e = Housekeeping.cacheBounded("graph_edges", edges(s, d))
+      val e0 = edges(s, d)
+      // outdeg is joined every round — attach it to the edge list ONCE so
+      // each iteration is a single equi-join + sum, not two joins
+      val e = Housekeeping.cacheBounded("graph_edges",
+        e0.join(e0.groupBy(col("src")).agg(count(lit(1)).as("d")), "src"))
       val nodes = Housekeeping.cacheBounded("graph_nodes",
         e.select(col("src").as("v")).union(e.select(col("dst"))).distinct())
-      val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
       // The one driver-side scalar (cf. ccKeep's convergence aggregate):
       // node count feeds the teleport constant, never row data.
       val n = nodes.count()
@@ -91,7 +94,6 @@ object GraphOps {
       for (_ <- 1 to Iters) {
         val contrib = e
           .join(ranks.withColumnRenamed("v", "src"), "src")
-          .join(outdeg, "src")
           .select(col("dst").as("v"), expr("r div d").as("c"))
           .groupBy("v").agg(sum(col("c")).as("cs"))
         ranks = nodes.join(contrib, Seq("v"), "left")

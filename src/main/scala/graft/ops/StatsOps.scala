@@ -72,5 +72,45 @@ object StatsOps {
           s"CAST(MIN($c) AS VARCHAR) AS min_v, CAST(MAX($c) AS VARCHAR) AS max_v FROM $t")
     }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY table_name, column_name")))
 
-  val all: Seq[Op] = Seq(statsCollect)
+  /** (table, money/measure column) inventory for the histogram pass. These
+    * columns are exact at 2 dp by construction (the Dets money policy), so
+    * integer CENTS carry every value exactly. */
+  val histCols: Seq[(String, String)] = Seq(
+    "lineitem" -> "l_extendedprice",
+    "lineitem" -> "l_quantity",
+    "orders" -> "o_totalprice")
+
+  /** Equi-width histograms — the distribution half of the catalog stats
+    * ([[statsCollect]] covers row counts/NDV/min-max): 10 equal-width bins
+    * per column, the artifact a skew-aware planner reads to pick salting or
+    * a broadcast cutoff. Hash-exact across engines because binning runs on
+    * integer CENTS (`cast(decimal(12,2)·100 as bigint)` — exact for 2 dp
+    * money) and the bin index is pure integer arithmetic
+    * `((c−min)·10) div (max−min+1)`; no float boundary ever decides a bin.
+    * One aggregate for min/max (broadcast back), one map-side-combinable
+    * groupBy per column; scans read only the histogrammed column. */
+  val statsHistogram: Op = Op(
+    "stats_histogram",
+    (s, d) => {
+      histCols.map { case (t, c) =>
+        val cents = load(s, d, t)
+          .select((col(c).cast(Dets.D12_2) * 100).cast("bigint").as("c"))
+        val mm = cents.agg(min(col("c")).as("mn"), max(col("c")).as("mx"))
+        cents.crossJoin(broadcast(mm))
+          .select(expr("((c - mn) * 10) div (mx - mn + 1)").as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as("n_rows"))
+          .selectExpr(s"'$t' AS table_name", s"'$c' AS column_name", "bin", "n_rows")
+      }.reduce(_.unionAll(_))
+        .orderBy("table_name", "column_name", "bin")
+    },
+    Some(histCols.map { case (t, c) =>
+      val cents = s"CAST(CAST($c AS DECIMAL(12,2)) * 100 AS BIGINT)"
+      s"SELECT '$t' AS table_name, '$c' AS column_name, " +
+        "((a.c - m.mn) * 10) // (m.mx - m.mn + 1) AS bin, COUNT(*) AS n_rows " +
+        s"FROM (SELECT $cents AS c FROM $t) a, " +
+        s"(SELECT MIN($cents) AS mn, MAX($cents) AS mx FROM $t) m " +
+        "GROUP BY 1, 2, 3"
+    }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY table_name, column_name, bin")))
+
+  val all: Seq[Op] = Seq(statsCollect, statsHistogram)
 }

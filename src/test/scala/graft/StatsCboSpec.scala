@@ -75,6 +75,22 @@ class StatsCboSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram bins conserve mass and stay inside [0, 9]") {
+    val rows = graft.ops.StatsOps.statsHistogram.fn(TestSpark.spark, TestSpark.sf001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    graft.ops.Housekeeping.releaseAll()
+
+    assert(rows.forall(r => r._3 >= 0 && r._3 <= 9), "bin index range")
+    val byCol = rows.groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._4).sum).toMap
+    graft.ops.StatsOps.histCols.foreach { case (t, c) =>
+      val n = (t match {
+        case "lineitem" => Tables.lineitem(TestSpark.spark, TestSpark.sf001)
+        case "orders" => Tables.orders(TestSpark.spark, TestSpark.sf001)
+      }).count()
+      assert(byCol((t, c)) == n, s"histogram of $t.$c must cover every row exactly once")
+    }
+  }
+
   test("HLL sketch NDV is within 5% of stats_collect's exact NDV") {
     import graft.ops.StatsOps
     val d = TestSpark.sf001
