@@ -35,8 +35,11 @@ import graft.tables.Tables
   * join under bucketing) plus one map-side-combinable groupBy sum; no
   * all-pairs stage, no driver-resident state beyond the single node count.
   * `localCheckpoint(true)` truncates lineage each round exactly as
-  * [[LlmOps.ccKeep]] does, so the plan does not grow with iterations; on a
-  * real cluster the rank vector would be persisted/bucketed between rounds.
+  * [[LlmOps.ccKeep]] does, so the plan does not grow with iterations (A/B:
+  * the checkpoint-free single-plan variant measured no faster at bench
+  * scale — the materialization barrier costs nothing here and buys bounded
+  * plans); on a real cluster the rank vector would be persisted/bucketed
+  * between rounds.
   */
 object GraphOps {
 
