@@ -143,5 +143,46 @@ object GraphOps {
       "SELECT direction, degree, COUNT(*) AS n_nodes FROM deg " +
       "GROUP BY 1, 2 ORDER BY direction, degree"))
 
-  val all: Seq[Op] = Seq(graphPagerank, graphDegreeHist)
+  /** Triangle census of the same graph (undirected reading) — the standard
+    * clustering-structure summary (a corpus link graph with near-zero
+    * triangles is tree/chain-like; a high count means dense communities,
+    * which changes how you shard any pairwise pass downstream).
+    *
+    * Shape: canonicalize each edge to (lo, hi), DISTINCT, then the textbook
+    * two-join triangle enumeration a<b<c — each triangle counted exactly
+    * once because every edge is stored low→high. Work is bounded by
+    * Σ_b deg(b)² (the two-path fan-out), the quantity
+    * [[graphDegreeHist]] profiles; at 100 TB the standard refinement is
+    * orienting edges from low- to high-degree endpoints before the join,
+    * which this layout already approximates. Output also carries node and
+    * undirected-edge counts so the one-row summary is self-describing. */
+  val graphTriangleCount: Op = Op(
+    "graph_triangle_count",
+    (s, d) => {
+      val e0 = edges(s, d)
+      val und = Housekeeping.cacheBounded("graph_und",
+        e0.select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct())
+      val tri = und.as("ab")
+        .join(und.as("bc"), col("ab.b") === col("bc.a"))
+        .join(und.as("ac"),
+          col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val nodes = und.select(col("a").as("v")).union(und.select(col("b"))).distinct()
+        .agg(count(lit(1)).as("n_nodes"))
+      nodes.crossJoin(und.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+    },
+    Some("WITH " + edgeCtes + ", " +
+      "u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges), " +
+      "tri AS (SELECT COUNT(*) AS n_triangles FROM u ab " +
+      "JOIN u bc ON ab.b = bc.a JOIN u ac ON ac.a = ab.a AND ac.b = bc.b), " +
+      "nn AS (SELECT COUNT(*) AS n_nodes FROM (SELECT DISTINCT v FROM " +
+      "(SELECT a AS v FROM u UNION ALL SELECT b FROM u))), " +
+      "ne AS (SELECT COUNT(*) AS n_edges FROM u) " +
+      "SELECT n_nodes, n_edges, n_triangles FROM nn, ne, tri"))
+
+  val all: Seq[Op] = Seq(graphPagerank, graphDegreeHist, graphTriangleCount)
 }

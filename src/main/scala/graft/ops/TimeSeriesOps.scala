@@ -517,7 +517,58 @@ object TimeSeriesOps {
       "SELECT event_id, user_id, ts, value, mean, (value - mean)/sqrt(variance) AS z " +
       "FROM v WHERE variance > 0 AND abs((value - mean)/sqrt(variance)) > 3 ORDER BY event_id"))
 
+  /** Exponentially weighted moving average — THE recursive smoother every
+    * monitoring stack runs, and normally impossible to hash-oracle because
+    * e_t = α·x_t + (1−α)·e_{t−1} compounds float rounding differently under
+    * any reassociation. Made bit-exact the same way PageRank was: the whole
+    * recurrence runs in integer CENTS with integer division,
+    * `e_t = (20·c_t + 80·e_{t−1}) div 100` (α = 0.20), seeded e_1 = c_1 over
+    * each user's (ts, event_id)-ordered stream — a total order, so both
+    * engines fold the identical sequence. Spark evaluates the fold as ONE
+    * `aggregate()` higher-order function over each user's sorted event
+    * array (per-user state is a single BIGINT — the same state size the
+    * streaming `flatMapGroupsWithState` ops carry); the oracle replays the
+    * recurrence as a row-by-row recursive CTE. Emits the final smoothed
+    * value and sample count per user.
+    *
+    * Scale: one groupBy shuffle; per-user work linear in events, state O(1).
+    * A per-user event list too big for one array is the signal to move the
+    * fold into the streaming stateful op — same recurrence, same state. */
+  val tsEwmaScaled: Op = Op(
+    "ts_ewma_scaled",
+    (s, d) => {
+      Tables.events(s, d)
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"),
+            (col("value").cast(Dets.D12_2) * 100).cast("bigint").as("c")).as("ev"))
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(col("ev"))).as("evs"))
+        .select(col("user_id"),
+          size(col("evs")).as("n_samples"),
+          aggregate(col("evs"), lit(Long.MinValue),
+            (acc, x) => {
+              // (20c + 80e) div 100 spelled exactly: strip the remainder
+              // first so the double division is of an exact multiple of 100
+              // (always representable, always exact) — no `div` Column op
+              // exists inside a lambda
+              val s = lit(20L) * x.getField("c") + lit(80L) * acc
+              when(acc === Long.MinValue, x.getField("c"))
+                .otherwise(((s - s % 100L) / 100L).cast("bigint"))
+            }).as("ewma_cents"))
+        .orderBy("user_id")
+    },
+    Some("WITH RECURSIVE s AS (SELECT user_id, " +
+      "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn, " +
+      "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c FROM events), " +
+      "r(user_id, rn, e) AS (SELECT user_id, rn, c FROM s WHERE rn = 1 " +
+      "UNION ALL SELECT s.user_id, s.rn, (20 * s.c + 80 * r.e) // 100 " +
+      "FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1), " +
+      "f AS (SELECT user_id, MAX(rn) AS mx FROM r GROUP BY 1) " +
+      "SELECT r.user_id AS user_id, CAST(f.mx AS INT) AS n_samples, r.e AS ewma_cents " +
+      "FROM r JOIN f ON f.user_id = r.user_id AND r.rn = f.mx ORDER BY r.user_id"))
+
   val all: Seq[Op] = Seq(tsTumblingHourly, tsSlidingWindow, tsSessionWindow, tsGapDetection,
     tsCounterDelta, tsCounterDailyReset, tsDailyProfile, tsResampleFfill, tsInterpolateLinear,
-    creditEventDetect, siteCircuitRollup, tsDownsampleLtob, tsOutlierMad, tsZscoreRolling)
+    creditEventDetect, siteCircuitRollup, tsDownsampleLtob, tsOutlierMad, tsZscoreRolling,
+    tsEwmaScaled)
 }

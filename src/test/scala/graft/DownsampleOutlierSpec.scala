@@ -94,6 +94,34 @@ class DownsampleOutlierSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < rows.length)
   }
 
+  test("ewma matches an independent per-user fold, bounded by the value range") {
+    val events = Tables.events(TestSpark.spark, TestSpark.sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("value").cast(graft.ops.Dets.D12_2) * 100).cast("bigint").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getTimestamp(1), r.getLong(2), r.getLong(3))))
+
+    val model = events.groupBy(_._1).map { case (u, rows) =>
+      val cs = rows.map(_._2)
+        .sortBy(t => (t._1.toInstant.getEpochSecond, t._1.toInstant.getNano, t._2))
+        .map(_._3)
+      val e = cs.tail.foldLeft(cs.head)((acc, c) => (20L * c + 80L * acc) / 100L)
+      u -> ((cs.length, e, cs.min, cs.max))
+    }
+
+    val got = TimeSeriesOps.tsEwmaScaled.fn(TestSpark.spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.map(_._1).toSet == model.keySet, "one row per user")
+    got.foreach { case (u, n, e) =>
+      val (mn, me, lo, hi) = model(u)
+      assert(n == mn, s"sample count for user $u")
+      assert(e == me, s"ewma for user $u")
+      // smoothing can never escape the input range (floor loses ≤1 cent/step
+      // but the recurrence is a convex combination before flooring)
+      assert(e >= lo - 1 && e <= hi, s"range for user $u")
+    }
+  }
+
   test("mad outliers match a driver-side recompute") {
     val rows = Tables.events(spark, TestSpark.sf001)
       .select(col("event_id"), col("event_type"), col("value"))

@@ -84,6 +84,21 @@ class GraphSpec extends AnyFunSuite {
     assert(r.valuesIterator.forall(_ >= teleport), "teleport floor holds everywhere")
   }
 
+  test("graph_triangle_count matches a brute-force model census") {
+    val edges = modelEdges(TestSpark.sf0001)
+    val und = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+    val adj = und.groupBy(_._1).map { case (a, es) => a -> es.map(_._2) }
+    val triangles = und.iterator.map { case (a, b) =>
+      // count c > b with a–c and b–c edges; every edge stored low→high
+      adj.getOrElse(a, Set.empty).count(c => c > b && und.contains((b, c)))
+    }.sum
+
+    val row = GraphOps.graphTriangleCount.fn(spark, TestSpark.sf0001).collect().head
+    assert(row.getLong(0) == und.flatMap(e => Seq(e._1, e._2)).size, "node count")
+    assert(row.getLong(1) == und.size, "undirected edge count")
+    assert(row.getLong(2) == triangles, "triangle census")
+  }
+
   test("graph_degree_hist is the degree distribution of the model edge set") {
     val edges = modelEdges(TestSpark.sf0001)
     val outHist = edges.groupBy(_._1).valuesIterator.map(_.size)
