@@ -356,7 +356,100 @@ object MultimodalOps {
       "CAST(SUM(val * val) AS DOUBLE) / COUNT(*) AS mean_sq " +
       "FROM x GROUP BY 1, 2, 3 ORDER BY doc_id, channel, frame_id"))
 
+  /** Difference-hash core over a decoded image — split out so the spec can
+    * drive it with JDK-decoded pixels and planted near-duplicate images.
+    * Canonical dHash: map pixels onto a 9×8 grid (cell = floor box average
+    * of integer luma; luma = (299R+587G+114B) div 1000, alpha ignored,
+    * greyscale passthrough), set bit gy·8+gx when cell[gy][gx] <
+    * cell[gy][gx+1]. Returned as (hi, lo) 32-bit halves so neither engine
+    * touches the BIGINT sign bit. All integer arithmetic end to end. */
+  def dhash(img: graft.media.Png.Image): (Long, Long) = {
+    val (w, h, ch) = (img.width, img.height, img.channels)
+    val sums = Array.ofDim[Long](8, 9)
+    val counts = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val gy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val gx = x * 9 / w
+        val base = (y * w + x) * ch
+        val lum =
+          if (ch == 1) img.samples(base).toLong
+          else (299L * img.samples(base) + 587L * img.samples(base + 1) +
+            114L * img.samples(base + 2)) / 1000L
+        sums(gy)(gx) += lum; counts(gy)(gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hi = 0L; var lo = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (sums(gy)(gx) / counts(gy)(gx) < sums(gy)(gx + 1) / counts(gy)(gx + 1)) {
+          val b = gy * 8 + gx
+          if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+        }
+        gx += 1
+      }
+      gy += 1
+    }
+    (hi, lo)
+  }
+
+  /** Perceptual image hash — the image leg of the dedup story: dHash is the
+    * standard near-duplicate-image fingerprint (crop-resistant enough for
+    * bulk curation, 64 bits, Hamming-comparable exactly like
+    * `dedup_simhash`'s text signatures — at 100 TB the SAME banded
+    * Hamming-join machinery runs over these). Real work end to end: PNG
+    * decode (inflate + unfilter) → integer luma → 9×8 floor box grid →
+    * adjacent-cell comparison bits. The oracle rebuilds every bit from the
+    * closed-form pixel formula relationally (LATERAL pixel expansion → luma
+    * pivot → grid box-average → gx/gx+1 self-join → bit pack), so a
+    * decode, luma, grid-indexing, or bit-order bug flips the hash. */
+  val multimodalPhash: Op = Op(
+    "multimodal_phash",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions { batch =>
+          batch.map { id =>
+            val (hi, lo) = dhash(graft.media.Png.decode(syntheticPng(id)))
+            (id, hi, lo)
+          }
+        }
+        .toDF("doc_id", "dhash_hi", "dhash_lo")
+        .orderBy("doc_id")
+    },
+    Some("WITH d AS (SELECT doc_id, CAST(8 + doc_id % 8 AS INT) AS w, " +
+      "CAST(8 + doc_id % 5 AS INT) AS h, " +
+      "CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INT) AS ch " +
+      "FROM documents), " +
+      "px AS (SELECT d.doc_id, d.w, d.h, d.ch, x.x, y.y, c.c, " +
+      "(x.x * 3 + y.y * 7 + c.c * 11 + d.doc_id) % 256 AS val FROM d, " +
+      "LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) x, " +
+      "LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) y, " +
+      "LATERAL (SELECT unnest(generate_series(0, d.ch - 1)) AS c) c), " +
+      "lum AS (SELECT doc_id, w, h, x, y, CASE WHEN ch = 1 THEN MAX(val) " +
+      "ELSE SUM(CASE c WHEN 0 THEN 299 * val WHEN 1 THEN 587 * val " +
+      "WHEN 2 THEN 114 * val ELSE 0 END) // 1000 END AS lum " +
+      "FROM px GROUP BY doc_id, w, h, x, y, ch), " +
+      "cells AS (SELECT doc_id, (y * 8) // h AS gy, (x * 9) // w AS gx, " +
+      "SUM(lum) // COUNT(*) AS cv FROM lum GROUP BY 1, 2, 3), " +
+      "bits AS (SELECT a.doc_id, a.gy * 8 + a.gx AS b, " +
+      "CASE WHEN a.cv < n.cv THEN 1 ELSE 0 END AS bit FROM cells a " +
+      "JOIN cells n ON n.doc_id = a.doc_id AND n.gy = a.gy AND n.gx = a.gx + 1 " +
+      "WHERE a.gx < 8) " +
+      "SELECT doc_id, " +
+      "CAST(COALESCE(SUM(CASE WHEN bit = 1 AND b >= 32 THEN (CAST(1 AS BIGINT) << (b - 32)) END), 0) AS BIGINT) AS dhash_hi, " +
+      "CAST(COALESCE(SUM(CASE WHEN bit = 1 AND b < 32 THEN (CAST(1 AS BIGINT) << b) END), 0) AS BIGINT) AS dhash_lo " +
+      "FROM bits GROUP BY doc_id ORDER BY doc_id"))
+
   val all: Seq[Op] = Seq(multimodalDecodeFeatures, multimodalResize,
     multimodalDecodeWav, multimodalAudioFrames, multimodalFrameSample,
-    multimodalParsePng)
+    multimodalParsePng, multimodalPhash)
 }
