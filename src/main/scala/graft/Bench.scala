@@ -34,14 +34,13 @@ object Bench {
       import org.apache.spark.sql.functions._
       val warmDir = java.nio.file.Files.createTempDirectory("bench_warm_src")
       val ckpt = java.nio.file.Files.createTempDirectory("bench_warm_ckpt")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.schema(graft.tables.Tables.rawEventsSchema)
         .parquet(s"$sfDir/events.parquet").limit(512)
         .write.mode("overwrite").parquet(warmDir.toString)
       graft.ops.Housekeeping.withShufflePartitions(spark, 8) {
         val q = spark.readStream.schema(graft.tables.Tables.rawEventsSchema)
           .parquet(warmDir.toString)
-          .withColumn("ts", graft.tables.Tables.nsColToTimestamp("ts"))
+          .withColumn("ts", graft.tables.Tables.ntzColToTimestamp("ts"))
           .withWatermark("ts", "10 minutes")
           .groupBy(window(col("ts"), "1 hour")).count()
           .writeStream.format("memory").queryName("bench_warmup")

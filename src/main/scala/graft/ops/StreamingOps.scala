@@ -41,12 +41,11 @@ object StreamingOps {
     * SQL. If staging ever becomes multi-file, files must be ordered so event
     * time is monotone non-decreasing across batches. */
   private def eventStream(s: SparkSession, d: String): (DataFrame, java.nio.file.Path) = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val srcDir = Files.createTempDirectory("st_src")
     Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
       srcDir.resolve("events.parquet"))
     val df = s.readStream.schema(graft.tables.Tables.rawEventsSchema).parquet(srcDir.toString)
-      .withColumn("ts", graft.tables.Tables.nsColToTimestamp("ts"))
+      .withColumn("ts", graft.tables.Tables.ntzColToTimestamp("ts"))
     (df, srcDir)
   }
 
@@ -235,7 +234,7 @@ object StreamingOps {
       val (srcP, dirP) = eventStream(s, d)
       val srcF = s.readStream.schema(graft.tables.Tables.rawEventsSchema)
         .parquet(dirP.toString)
-        .withColumn("ts", graft.tables.Tables.nsColToTimestamp("ts"))
+        .withColumn("ts", graft.tables.Tables.ntzColToTimestamp("ts"))
       val ckpt = tmp("ckpt_join")
       withStatePartitions(s, 8) { cleanupAfter(Seq(dirP.toString, ckpt)) {
         val purchases = srcP.where(col("event_type") === "purchase")
@@ -476,18 +475,21 @@ object StreamingOps {
         Files.createTempDirectory("st_restart_out")).toString
       val srcDir = Files.createTempDirectory("st_restart_src")
       val ckpt = tmp("st_restart_ckpt")
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = s.read.parquet(s"$d/events.parquet") // ts = raw nanos long
-      val bounds = raw.agg(min(col("ts")), max(col("ts"))).first()
+      // split point computed on epoch-micros longs (exact integer midpoint;
+      // the NTZ→LTZ cast is value-identical under the pinned UTC session)
+      val raw = s.read.schema(graft.tables.Tables.rawEventsSchema)
+        .parquet(s"$d/events.parquet")
+        .withColumn("ts_us", unix_micros(graft.tables.Tables.ntzColToTimestamp("ts")))
+      val bounds = raw.agg(min(col("ts_us")), max(col("ts_us"))).first()
       val cut = bounds.getLong(0) / 2 + bounds.getLong(1) / 2
-      val d1 = raw.where(col("ts") <= cut)
+      val d1 = raw.where(col("ts_us") <= cut).drop("ts_us")
       // re-upload slice: every 10th event of delivery 1, resent in delivery 2
-      val d2 = raw.where(col("ts") > cut)
+      val d2 = raw.where(col("ts_us") > cut).drop("ts_us")
         .unionAll(d1.where(col("event_id") % 10 === 0))
       def drain(): Unit = withStatePartitions(s, 8) {
         val q = s.readStream.schema(graft.tables.Tables.rawEventsSchema)
           .parquet(srcDir.toString)
-          .withColumn("ts", graft.tables.Tables.nsColToTimestamp("ts"))
+          .withColumn("ts", graft.tables.Tables.ntzColToTimestamp("ts"))
           .withWatermark("ts", "30 days")
           .dropDuplicates("event_id")
           .writeStream.format("parquet").option("path", out)

@@ -36,34 +36,39 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = p(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = p(s, d, "embeddings")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * 4.1.2 rejects outright (PARQUET_TYPE_ILLEGAL). Verified shim (SURVEY.md
-    * §7.3): read the raw nanos as a long, then floor-divide to micros with
-    * *integer* division — `ts div 1000` — and rebuild a TimestampType.
+  /** `events.parquet` stores `ts` as parquet TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false), which Spark 4.1.2 infers as TIMESTAMP_NTZ.
+    * Downstream operators need TimestampType (LTZ) — watermarks,
+    * `unix_micros`, `window()` all require it — so the shared loader casts
+    * once here. The session timezone is pinned to UTC everywhere
+    * (GraftSession/Verify/Bench), making the NTZ→LTZ cast value-identical to
+    * the file's naive micros — exactly the naive values DuckDB reads from
+    * the same file, which is what the oracle compares against.
     *
-    * Integer division is load-bearing: epoch-nanos for 2024 is ~1.7e18, which
-    * does not fit a double's 53-bit mantissa, so a float path
-    * (`col/1000 cast long`) can round across a microsecond boundary. Floor
-    * division exactly matches DuckDB's own ns→µs truncation of the same file,
-    * which is what the oracle compares against.
+    * (Earlier testdata generations wrote TIMESTAMP(NANOS); the former
+    * nanosAsLong floor-division shim lived here. The driver's 2026-08-13
+    * regeneration moved the files to plain micros, so the shim is gone —
+    * this cast is the single events-specific read-path adaptation left.)
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    p(s, d, "events").withColumn("ts", nsColToTimestamp("ts"))
-  }
+  def events(s: SparkSession, d: String): DataFrame =
+    p(s, d, "events").withColumn("ts", ntzColToTimestamp("ts"))
 
-  /** events.parquet's physical schema under the nanosAsLong shim — shared
-    * with the streaming reader so the shim has exactly one definition. */
+  /** events.parquet's physical schema — shared with the schema-pinned
+    * streaming readers so the events read shape has exactly one definition.
+    * `ts` MUST be TimestampNTZType to match the file's isAdjustedToUTC=false
+    * annotation: pinning LongType here would silently read raw micros as
+    * longs, and pinning LTZ would re-interpret naive values through the JVM
+    * zone on non-UTC hosts. */
   val rawEventsSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
   }
 
-  /** The ns→µs rebuild (see [[events]] scaladoc — integer division is
-    * load-bearing). */
-  def nsColToTimestamp(colName: String): org.apache.spark.sql.Column =
-    timestamp_micros(expr(s"$colName div 1000"))
+  /** The NTZ→LTZ rebuild (see [[events]] scaladoc — UTC session timezone is
+    * load-bearing for value identity). */
+  def ntzColToTimestamp(colName: String): org.apache.spark.sql.Column =
+    col(colName).cast(org.apache.spark.sql.types.TimestampType)
 }

@@ -31,7 +31,7 @@ class StreamRestartSpec extends AnyFunSuite {
   private def drain(srcDir: String, out: String, ckpt: String): Unit = {
     val q = spark.readStream.schema(graft.tables.Tables.rawEventsSchema)
       .parquet(srcDir)
-      .withColumn("ts", graft.tables.Tables.nsColToTimestamp("ts"))
+      .withColumn("ts", graft.tables.Tables.ntzColToTimestamp("ts"))
       .withWatermark("ts", "30 days")
       .dropDuplicates("event_id")
       .writeStream.format("parquet").option("path", out)
@@ -46,13 +46,14 @@ class StreamRestartSpec extends AnyFunSuite {
       val srcDir = root.resolve("src"); Files.createDirectories(srcDir)
       val out = root.resolve("out").toString
       val ckpt = root.resolve("ckpt").toString
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
-      val bounds = raw.agg(min(col("ts")), max(col("ts"))).first()
+      val raw = spark.read.schema(graft.tables.Tables.rawEventsSchema)
+        .parquet(s"${TestSpark.sf0001}/events.parquet")
+        .withColumn("ts_us", unix_micros(graft.tables.Tables.ntzColToTimestamp("ts")))
+      val bounds = raw.agg(min(col("ts_us")), max(col("ts_us"))).first()
       val cut = bounds.getLong(0) / 2 + bounds.getLong(1) / 2
-      val d1 = raw.where(col("ts") <= cut)
+      val d1 = raw.where(col("ts_us") <= cut).drop("ts_us")
       val redelivered = d1.where(col("event_id") % 10 === 0)
-      val d2 = raw.where(col("ts") > cut).unionAll(redelivered)
+      val d2 = raw.where(col("ts_us") > cut).drop("ts_us").unionAll(redelivered)
       val (n1, nRedelivered, nTotal) = (d1.count(), redelivered.count(), raw.count())
       assert(n1 > 0 && nRedelivered > 0 && nTotal > n1, "fixture split degenerate")
 
@@ -78,7 +79,7 @@ class StreamRestartSpec extends AnyFunSuite {
         def drainLogless(ckptDir: String): Unit = {
           val q = spark.readStream.schema(graft.tables.Tables.rawEventsSchema)
             .parquet(srcDir.toString)
-            .withColumn("ts", graft.tables.Tables.nsColToTimestamp("ts"))
+            .withColumn("ts", graft.tables.Tables.ntzColToTimestamp("ts"))
             .withWatermark("ts", "30 days")
             .dropDuplicates("event_id")
             .writeStream
