@@ -358,37 +358,31 @@ object MultimodalOps {
 
   /** Difference-hash core over a decoded image — split out so the spec can
     * drive it with JDK-decoded pixels and planted near-duplicate images.
-    * Canonical dHash: map pixels onto a 9×8 grid (cell = floor box average
-    * of integer luma; luma = (299R+587G+114B) div 1000, alpha ignored,
-    * greyscale passthrough), set bit gy·8+gx when cell[gy][gx] <
-    * cell[gy][gx+1]. Returned as (hi, lo) 32-bit halves so neither engine
-    * touches the BIGINT sign bit. All integer arithmetic end to end. */
+    * dHash on a point-sampled 9×8 grid: cell[gy][gx] = integer luma of the
+    * pixel at (gx·w div 9, gy·h div 8) (nearest-neighbor downscale; luma =
+    * (299R+587G+114B) div 1000, alpha ignored, greyscale passthrough), set
+    * bit gy·8+gx when cell[gy][gx] < cell[gy][gx+1]. Point sampling instead
+    * of a box average is load-bearing for totality: with w < 9 a 9-column
+    * box partition must leave some box empty (pigeonhole), whereas the
+    * sample coordinate gx·w div 9 ≤ 8w/9 < w is in range for every w ≥ 1.
+    * Returned as (hi, lo) 32-bit halves so neither engine touches the
+    * BIGINT sign bit. All integer arithmetic end to end. */
   def dhash(img: graft.media.Png.Image): (Long, Long) = {
     val (w, h, ch) = (img.width, img.height, img.channels)
-    val sums = Array.ofDim[Long](8, 9)
-    val counts = Array.ofDim[Long](8, 9)
-    var y = 0
-    while (y < h) {
-      val gy = y * 8 / h
-      var x = 0
-      while (x < w) {
-        val gx = x * 9 / w
-        val base = (y * w + x) * ch
-        val lum =
-          if (ch == 1) img.samples(base).toLong
-          else (299L * img.samples(base) + 587L * img.samples(base + 1) +
-            114L * img.samples(base + 2)) / 1000L
-        sums(gy)(gx) += lum; counts(gy)(gx) += 1
-        x += 1
-      }
-      y += 1
+    require(w > 0 && h > 0, s"dhash needs a non-empty image, got ${w}x$h")
+    def luma(x: Int, y: Int): Long = {
+      val base = (y * w + x) * ch
+      if (ch == 1) img.samples(base).toLong
+      else (299L * img.samples(base) + 587L * img.samples(base + 1) +
+        114L * img.samples(base + 2)) / 1000L
     }
     var hi = 0L; var lo = 0L
     var gy = 0
     while (gy < 8) {
+      val sy = gy * h / 8
       var gx = 0
       while (gx < 8) {
-        if (sums(gy)(gx) / counts(gy)(gx) < sums(gy)(gx + 1) / counts(gy)(gx + 1)) {
+        if (luma(gx * w / 9, sy) < luma((gx + 1) * w / 9, sy)) {
           val b = gy * 8 + gx
           if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
         }
@@ -404,10 +398,10 @@ object MultimodalOps {
     * bulk curation, 64 bits, Hamming-comparable exactly like
     * `dedup_simhash`'s text signatures — at 100 TB the SAME banded
     * Hamming-join machinery runs over these). Real work end to end: PNG
-    * decode (inflate + unfilter) → integer luma → 9×8 floor box grid →
+    * decode (inflate + unfilter) → integer luma → point-sampled 9×8 grid →
     * adjacent-cell comparison bits. The oracle rebuilds every bit from the
     * closed-form pixel formula relationally (LATERAL pixel expansion → luma
-    * pivot → grid box-average → gx/gx+1 self-join → bit pack), so a
+    * pivot → grid point-sample join → gx/gx+1 self-join → bit pack), so a
     * decode, luma, grid-indexing, or bit-order bug flips the hash. */
   val multimodalPhash: Op = Op(
     "multimodal_phash",
@@ -438,8 +432,10 @@ object MultimodalOps {
       "ELSE SUM(CASE c WHEN 0 THEN 299 * val WHEN 1 THEN 587 * val " +
       "WHEN 2 THEN 114 * val ELSE 0 END) // 1000 END AS lum " +
       "FROM px GROUP BY doc_id, w, h, x, y, ch), " +
-      "cells AS (SELECT doc_id, (y * 8) // h AS gy, (x * 9) // w AS gx, " +
-      "SUM(lum) // COUNT(*) AS cv FROM lum GROUP BY 1, 2, 3), " +
+      "cells AS (SELECT doc_id, gy.gy AS gy, gx.gx AS gx, lum AS cv FROM lum, " +
+      "LATERAL (SELECT unnest(generate_series(0, 7)) AS gy) gy, " +
+      "LATERAL (SELECT unnest(generate_series(0, 8)) AS gx) gx " +
+      "WHERE x = (gx.gx * w) // 9 AND y = (gy.gy * h) // 8), " +
       "bits AS (SELECT a.doc_id, a.gy * 8 + a.gx AS b, " +
       "CASE WHEN a.cv < n.cv THEN 1 ELSE 0 END AS bit FROM cells a " +
       "JOIN cells n ON n.doc_id = a.doc_id AND n.gy = a.gy AND n.gx = a.gx + 1 " +

@@ -243,4 +243,44 @@ class MultimodalSpec extends AnyFunSuite {
       .filter(_._3.length != 16)
     assert(bad.isEmpty)
   }
+
+  test("dhash: total over every synthetic size, including w=8 (9-col pigeonhole)") {
+    // doc_id % 8 == 0 gives w=8 — a 9-column box partition would leave an
+    // empty column; the point-sampled grid must still produce a hash.
+    for (id <- 0L to 120L) {
+      val (hi, lo) = MultimodalOps.dhash(graft.media.Png.decode(MultimodalOps.syntheticPng(id)))
+      assert(hi >= 0L && hi < (1L << 32), s"hi half out of u32 range for doc $id")
+      assert(lo >= 0L && lo < (1L << 32), s"lo half out of u32 range for doc $id")
+    }
+  }
+
+  test("dhash: matches a direct model recomputation on JDK-decoded pixels") {
+    val (w, h, ch) = (40, 25, 3)
+    val px = testImage(w, h, ch)
+    val img = graft.media.Png.decode(graft.media.Png.encode(w, h, ch, px, _ % 5))
+    def luma(x: Int, y: Int): Long =
+      (299L * px((y * w + x) * ch) + 587L * px((y * w + x) * ch + 1) +
+        114L * px((y * w + x) * ch + 2)) / 1000L
+    var expHi = 0L; var expLo = 0L
+    for (gy <- 0 until 8; gx <- 0 until 8) {
+      val sy = gy * h / 8
+      if (luma(gx * w / 9, sy) < luma((gx + 1) * w / 9, sy)) {
+        val b = gy * 8 + gx
+        if (b < 32) expLo |= 1L << b else expHi |= 1L << (b - 32)
+      }
+    }
+    assert(MultimodalOps.dhash(img) == ((expHi, expLo)))
+  }
+
+  test("dhash: invariant under uniform brightness shift, sensitive to content") {
+    val (w, h, ch) = (30, 20, 1)
+    val px = testImage(w, h, ch).map(v => 20 + v % 200) // headroom for +20 shift
+    val base = MultimodalOps.dhash(graft.media.Png.Image(w, h, ch, px))
+    val brighter = MultimodalOps.dhash(graft.media.Png.Image(w, h, ch, px.map(_ + 20)))
+    assert(base == brighter, "uniform brightness shift must not change a dHash")
+    // hashes across the synthetic corpus are not degenerate (not all equal)
+    val hashes = (0L to 40L)
+      .map(id => MultimodalOps.dhash(graft.media.Png.decode(MultimodalOps.syntheticPng(id))))
+    assert(hashes.distinct.size > 1, "corpus dHashes must not collapse to one value")
+  }
 }
