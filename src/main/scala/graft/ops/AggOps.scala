@@ -329,7 +329,36 @@ object AggOps {
       "MAX(CASE WHEN rn = ceil(0.99*cnt) THEN value END) AS p99 " +
       "FROM r GROUP BY 1 ORDER BY event_type"))
 
+  /** Exact per-group mode — the order statistic `agg_percentile_exact`
+    * doesn't cover: each user's most frequent event_type, tie-broken
+    * lexicographically so the pick is total (every (cnt DESC, event_type)
+    * pair is unique within a user — no engine-dependent row wins).
+    *
+    * Scale notes (100 TB): the candidate table after the first groupBy is
+    * |users| × |event types| — tiny relative to events — so the rank window
+    * sorts per-user groups of ≤ |event types| rows; both shuffles key on
+    * user_id and AQE coalesces. The same shape swapped onto a
+    * high-cardinality value column is where `text_heavy_hitters`' sketch
+    * takes over. */
+  val aggModeExact: Op = Op(
+    "agg_mode_exact",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("cnt").desc, col("event_type"))
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_event"), col("cnt").as("n_mode"))
+        .orderBy("user_id")
+    },
+    Some("SELECT user_id, event_type AS mode_event, cnt AS n_mode FROM (" +
+      "SELECT user_id, event_type, COUNT(*) AS cnt, " +
+      "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type) AS rn " +
+      "FROM events GROUP BY user_id, event_type) WHERE rn = 1 ORDER BY user_id"))
+
   val all: Seq[Op] = Seq(aggPricingSummary, aggCountDistinct, aggApproxHll, aggHllMergeable,
     aggGroupingSets, aggRollupTime, aggCube, aggCollectSorted, aggArgMax, aggPivot, distinctRows,
-    aggIncrementalRollup, aggPercentileExact)
+    aggIncrementalRollup, aggPercentileExact, aggModeExact)
 }

@@ -445,7 +445,92 @@ object MultimodalOps {
       "CAST(COALESCE(SUM(CASE WHEN bit = 1 AND b < 32 THEN (CAST(1 AS BIGINT) << b) END), 0) AS BIGINT) AS dhash_lo " +
       "FROM bits GROUP BY doc_id ORDER BY doc_id"))
 
+  /** Staged dHash signature table (doc_id, sig) shared by the op and its
+    * all-pairs oracle — same staged-intermediate playbook as dedup_simhash. */
+  def imagePhashStagePath(sfDir: String): String =
+    Stage.root(sfDir) + "/image_phash_sigs"
+
+  /** Image fixture for the NEAR-DUP pass, distinct from [[syntheticPng]]:
+    * that family varies between docs only by a brightness constant within
+    * each (w,h,ch) size class, so dHash (deliberately brightness-invariant)
+    * collapses it to a few signatures and ~58 % of ALL pairs read as
+    * near-dups — a quadratic, unrealistic dedup corpus. Here every doc gets
+    * its own hash-noise pixels (seed-mixed, structurally unique), and ~2 %
+    * of docs (doc_id ≡ 1 mod 50) are a planted near-duplicate of their
+    * predecessor: same noise, +8 brightness — exactly what dHash must
+    * catch. Pair volume is therefore linear in the corpus, like a real
+    * curation run. Pixel-level hash correctness is `multimodal_phash`'s
+    * oracle; this op's oracle verifies the BANDING against exact all-pairs
+    * over the staged signatures, so the generator only needs to be
+    * deterministic, not closed-form in SQL. */
+  def syntheticPngDiverse(docId: Long): Array[Byte] = {
+    val seedId = if (docId % 50 == 1) docId - 1 else docId
+    val m = seedId * 2654435761L // Knuth multiplicative mix
+    val w = (9 + ((m >>> 8) % 8)).toInt
+    val h = (8 + ((m >>> 16) % 5)).toInt
+    val ch = ((m >>> 24) % 3) match { case 0 => 1; case 1 => 3; case _ => 4 }
+    val bias = if (docId % 50 == 1) 8L else 0L
+    val samples = new Array[Int](w * h * ch)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < ch) {
+          // hash-noise pixels: each non-planted doc's dHash is effectively a
+          // uniform random 64-bit value, so accidental ≤7-bit pairs have
+          // probability ~4·10⁻¹¹ — the op finds exactly the planted dups.
+          // Base range 0..199 leaves headroom so the +8 near-dup bias never
+          // wraps — a wrap would break dHash's brightness-shift invariance
+          // and the planted pair would not read as near-duplicate.
+          val n = x * 73856093L ^ y * 19349663L ^ c * 83492791L ^ m
+          samples((y * w + x) * ch + c) = ((n >>> 17) % 200 + bias).toInt
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    graft.media.Png.encode(w, h, ch, samples, filterForRow = y2 => y2 % 5)
+  }
+
+  /** Image near-duplicate detection — the payoff of `multimodal_phash`:
+    * dHash signatures are 64-bit Hamming-comparable fingerprints, so the
+    * SAME banded machinery that powers `dedup_simhash` runs over them
+    * unchanged ([[LlmOps.simhashPairsFromSigs]]: 8 bands × 8 bits, pair
+    * space priced at plan time against `graft.pair.budget`, refuses loudly
+    * when a pathological corpus would fan out). Banding is EXACT by
+    * pigeonhole at the ≤ 7-bit threshold (any pair within 7 differing bits
+    * agrees on at least one of 8 bands), which licenses the all-pairs DuckDB
+    * oracle at every sf with no recall envelope. Real work end to end: PNG
+    * decode → point-sampled dHash → banded candidate join → verified
+    * Hamming. At 100 TB the signature table is ~16 bytes/image and the
+    * banded join shuffles only bucket-mates — the standard near-dup-image
+    * curation pass. Runs over [[syntheticPngDiverse]] (structurally unique
+    * images + ~2 % planted near-dups) so pair volume is linear, as in a
+    * real corpus. */
+  val dedupImagePhash: Op = Op(
+    "dedup_image_phash",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val (hi, lo) = dhash(graft.media.Png.decode(syntheticPngDiverse(id)))
+          (id, (hi << 32) | lo)
+        })
+        .toDF("doc_id", "sig")
+        .write.mode("overwrite").parquet(imagePhashStagePath(d))
+      LlmOps.simhashPairsFromSigs(s.read.parquet(imagePhashStagePath(d)))
+    },
+    Some("WITH s AS (SELECT doc_id, sig FROM " +
+      s"read_parquet('${Stage.token}/image_phash_sigs/*.parquet')) " +
+      "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming " +
+      "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.sig, b.sig)) <= 7 ORDER BY doc_a, doc_b"))
+
   val all: Seq[Op] = Seq(multimodalDecodeFeatures, multimodalResize,
     multimodalDecodeWav, multimodalAudioFrames, multimodalFrameSample,
-    multimodalParsePng, multimodalPhash)
+    multimodalParsePng, multimodalPhash, dedupImagePhash)
 }

@@ -221,6 +221,34 @@ object PipelineOps {
       "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS sample_rank " +
       "FROM documents) WHERE sample_rank <= 10 ORDER BY lang, sample_rank"))
 
+  /** Weight-proportional Bernoulli sampling with NO randomness — the
+    * third sampling shape beside the stratified and reservoir passes: each
+    * doc is kept with probability ∝ its n_chars (capped at 1), decided by
+    * comparing a 24-bit prefix of md5(text) against the weight mapped onto
+    * the same 24-bit space. Deterministic (same corpus → same sample, the
+    * property a reproducible training run needs), exact on both engines
+    * because the compare is between two zero-padded lowercase hex strings —
+    * the [[splitTrainValTest]] idiom, no hex→int conversion anywhere — and
+    * full-weight docs are kept by an explicit predicate rather than a
+    * threshold at the top of the hash range. Scan-local: zero shuffles at
+    * any corpus size, each executor decides its rows alone. */
+  val sampleWeightedHash: Op = Op(
+    "sample_weighted_hash",
+    (s, d) => {
+      val thr = expr(
+        "lpad(lower(hex((least(1000000, n_chars * 2000) * 16777216) div 1000000)), 6, '0')")
+      Tables.documents(s, d)
+        .where(col("n_chars") * 2000 >= 1000000 ||
+          substring(md5(col("text")), 1, 6) < thr)
+        .select(col("doc_id"),
+          least(lit(1000000L), col("n_chars") * 2000).as("weight_ppm"))
+        .orderBy("doc_id")
+    },
+    Some("SELECT doc_id, LEAST(1000000, n_chars * 2000) AS weight_ppm FROM documents " +
+      "WHERE n_chars * 2000 >= 1000000 OR substr(md5(text), 1, 6) < " +
+      "lpad(printf('%x', (LEAST(1000000, n_chars * 2000) * 16777216) // 1000000), 6, '0') " +
+      "ORDER BY doc_id"))
+
   val all: Seq[Op] = Seq(sampleStratified, splitTrainValTest, packSequences, embedQuantizeInt8,
-    pipelineCorpusBuild, sampleReservoirGroup)
+    pipelineCorpusBuild, sampleReservoirGroup, sampleWeightedHash)
 }

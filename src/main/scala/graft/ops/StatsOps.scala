@@ -112,5 +112,58 @@ object StatsOps {
         "GROUP BY 1, 2, 3"
     }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY table_name, column_name, bin")))
 
-  val all: Seq[Op] = Seq(statsCollect, statsHistogram)
+  /** (x, y) measure pairs the correlation pass covers — both 2-dp-exact by
+    * the Dets money policy, so integer cents carry every value. */
+  val corrPairs: Seq[(String, String)] = Seq(
+    "l_quantity" -> "l_extendedprice",
+    "l_discount" -> "l_tax")
+
+  /** Exact correlation components per group — the third leg of the catalog
+    * stats (NDV/min-max, distribution, now dependence): for each measure
+    * pair, per l_returnflag, the integer-exact moment sums a planner (or a
+    * feature-selection pass over training data) combines into covariance
+    * and Pearson r. Everything through the moment sums is pure integer
+    * arithmetic on cents — n·Σxy − Σx·Σy and the two variance numerators
+    * are emitted as DECIMAL(38,0) (Σx² alone reaches ~6·10¹⁹ at sf1, past
+    * BIGINT), so the hash compare is exact; the final r = cov/√(varx·vary)
+    * is deliberately left to the consumer — it is the ONLY step that needs
+    * a float, and these components are mergeable across shards/days exactly
+    * like the HLL sketches (sum the sums), which is what a 100 TB stats
+    * refresh actually ships. One map-side-combinable groupBy per pair;
+    * scans read only the three columns involved. */
+  val statsCorrExact: Op = Op(
+    "stats_corr_exact",
+    (s, d) => {
+      val dec = "decimal(38,0)"
+      corrPairs.map { case (xc, yc) =>
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"),
+            (col(xc).cast(Dets.D12_2) * 100).cast("bigint").cast(dec).as("x"),
+            (col(yc).cast(Dets.D12_2) * 100).cast("bigint").cast(dec).as("y"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("l_returnflag"), lit(s"$xc:$yc").as("pair"), col("n"),
+            (col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
+              .cast(dec).as("cov_num"),
+            (col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
+              .cast(dec).as("var_x_num"),
+            (col("n").cast(dec) * col("syy") - col("sy") * col("sy"))
+              .cast(dec).as("var_y_num"))
+      }.reduce(_.unionAll(_))
+        .orderBy("pair", "l_returnflag")
+    },
+    Some(corrPairs.map { case (xc, yc) =>
+      def cents(c: String) = s"CAST(CAST($c AS DECIMAL(12,2)) * 100 AS BIGINT)"
+      s"SELECT l_returnflag, '$xc:$yc' AS pair, COUNT(*) AS n, " +
+        "CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DECIMAL(38,0)) AS cov_num, " +
+        "CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DECIMAL(38,0)) AS var_x_num, " +
+        "CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS DECIMAL(38,0)) AS var_y_num " +
+        s"FROM (SELECT l_returnflag, ${cents(xc)} AS x, ${cents(yc)} AS y FROM lineitem) " +
+        "GROUP BY l_returnflag"
+    }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY pair, l_returnflag")))
+
+  val all: Seq[Op] = Seq(statsCollect, statsHistogram, statsCorrExact)
 }

@@ -358,6 +358,46 @@ object TextOps {
       "SELECT doc_id, rank, term, tf, df, score_scaled FROM r " +
       "WHERE rank <= 5 ORDER BY doc_id, rank"))
 
+  /** Corpus bigram language-model statistics — the n-gram counting job
+    * behind perplexity filtering and contamination scans: every adjacent
+    * token pair with its count and the integer-scaled conditional
+    * probability P(w2|w1) = n(w1,w2)·10⁶ div n(w1·) (denominator = the
+    * token's occurrences as a bigram HEAD, so probabilities per head sum to
+    * ~10⁶ exactly; no float anywhere). Both engines expand bigrams the same
+    * way — index the token list at i+1/i+2 over a generated 0..len−2
+    * series — rather than relying on either engine's window ordering. The
+    * ≥ 3 support floor keeps the emitted table the useful head of the
+    * distribution; counts below it are noise for any LM purpose.
+    *
+    * Scale notes (100 TB): rows out of the expansion ≈ corpus tokens; both
+    * groupBys are map-side partial (bigram space ≪ token instances), and
+    * the head-count join keys on w1 — the classic two-pass n-gram count
+    * MapReduce, no driver state. A boilerplate-heavy corpus skews w1
+    * ("the") — the salting of `agg_distinct_salted` drops in per head. */
+  val textNgramLm: Op = Op(
+    "text_ngram_lm",
+    (s, d) => {
+      val bigr = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("l"))
+        .where(size(col("l")) >= 2)
+        .select(explode(expr("sequence(0, size(l) - 2)")).as("i"), col("l"))
+        .select(expr("element_at(l, i + 1)").as("w1"), expr("element_at(l, i + 2)").as("w2"))
+      val heads = bigr.groupBy("w1").agg(count(lit(1)).as("head_n"))
+      bigr.groupBy("w1", "w2").agg(count(lit(1)).as("n_bigram"))
+        .join(heads, "w1")
+        .where(col("n_bigram") >= 3)
+        .select(col("w1"), col("w2"), col("n_bigram"),
+          expr("n_bigram * 1000000 div head_n").as("p_cond_ppm"))
+        .orderBy("w1", "w2")
+    },
+    Some("WITH t AS (SELECT string_split(text, ' ') AS l FROM documents), " +
+      "b AS (SELECT t.l[g.i + 1] AS w1, t.l[g.i + 2] AS w2 FROM t, " +
+      "LATERAL (SELECT unnest(generate_series(0, len(t.l) - 2)) AS i) g), " +
+      "u AS (SELECT w1, COUNT(*) AS head_n FROM b GROUP BY 1), " +
+      "c AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM b GROUP BY 1, 2) " +
+      "SELECT c.w1, c.w2, c.n_bigram, c.n_bigram * 1000000 // u.head_n AS p_cond_ppm " +
+      "FROM c JOIN u USING (w1) WHERE c.n_bigram >= 3 ORDER BY w1, w2"))
+
   val all: Seq[Op] = Seq(textLangId, textTokenStats, textFingerprint, textBpePairs,
-    textBpeApply, textHeavyHitters, textPiiScrub, textTfidfTopk)
+    textBpeApply, textHeavyHitters, textPiiScrub, textTfidfTopk, textNgramLm)
 }

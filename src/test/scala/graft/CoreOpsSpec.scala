@@ -197,4 +197,26 @@ class CoreOpsSpec extends AnyFunSuite {
     // order statistics: p50 <= p95 <= p99 per group
     got.values.foreach { case (a, b, c) => assert(a <= b && b <= c) }
   }
+
+  test("agg_mode_exact: modal event per user matches a brute-force recompute") {
+    import spark.implicits._
+    val got = AggOps.aggModeExact.fn(spark, TestSpark.sf0001)
+      .as[(Long, String, Long)].collect()
+    assert(got.map(_._1).distinct.length == got.length, "one mode row per user")
+    val events = Tables.events(spark, TestSpark.sf0001)
+      .select("user_id", "event_type").as[(Long, String)].collect()
+    val expected = events.groupBy(_._1).map { case (u, es) =>
+      val counts = es.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      // highest count wins; ties break to the lexicographically smallest type
+      val (ev, n) = counts.toSeq.minBy { case (t, c) => (-c, t) }
+      (u, ev, n)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == expected)
+    // the tie-break is actually exercised somewhere in the fixture
+    val tied = events.groupBy(_._1).values.exists { es =>
+      val cs = es.groupBy(_._2).values.map(_.length).toSeq
+      cs.count(_ == cs.max) > 1
+    }
+    assert(tied, "fixture degenerate: no user has a tied modal count")
+  }
 }

@@ -272,6 +272,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MultimodalOps.dhash(img) == ((expHi, expLo)))
   }
 
+  test("dedup_image_phash: banded pairs equal the brute-force all-pairs census") {
+    import spark.implicits._
+    val got = MultimodalOps.dedupImagePhash.fn(spark, TestSpark.sf0001)
+      .as[(Long, Long, Int)].collect().toSet
+    val sigs = graft.tables.Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id").as[Long].collect()
+      .map { id =>
+        val (hi, lo) =
+          MultimodalOps.dhash(graft.media.Png.decode(MultimodalOps.syntheticPngDiverse(id)))
+        id -> ((hi << 32) | lo)
+      }
+    val expected = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      ham = java.lang.Long.bitCount(sa ^ sb) if ham <= 7
+    } yield (a, b, ham)).toSet
+    assert(got == expected, "banded Hamming join must equal the exact all-pairs result")
+    assert(expected.nonEmpty, "fixture degenerate: no near-duplicate image pairs to find")
+    // the planted predecessor pairs (doc_id ≡ 1 mod 50) are all caught, and
+    // pair volume is linear-ish, not quadratic (a real curation corpus)
+    val planted = sigs.map(_._1).filter(id => id % 50 == 1 && sigs.exists(_._1 == id - 1))
+    assert(planted.nonEmpty && planted.forall(id => expected.exists(p => p._1 == id - 1 && p._2 == id)),
+      "a planted near-duplicate image escaped the banded join")
+    assert(expected.size < sigs.length * 4, s"pair volume ${expected.size} looks quadratic")
+  }
+
   test("dhash: invariant under uniform brightness shift, sensitive to content") {
     val (w, h, ch) = (30, 20, 1)
     val px = testImage(w, h, ch).map(v => 20 + v % 200) // headroom for +20 shift

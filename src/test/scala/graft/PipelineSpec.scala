@@ -84,4 +84,28 @@ class PipelineSpec extends AnyFunSuite {
     graft.ops.Housekeeping.releaseAll()
     assert(got == expected, s"composite n_docs $got != standalone composition $expected")
   }
+
+  test("sample_weighted_hash: deterministic, exact vs an MD5 recompute, full weights kept") {
+    import spark.implicits._
+    val sf = TestSpark.sf0001
+    val run1 = PipelineOps.sampleWeightedHash.fn(spark, sf).as[(Long, Long)].collect().toSeq
+    val run2 = PipelineOps.sampleWeightedHash.fn(spark, sf).as[(Long, Long)].collect().toSeq
+    assert(run1 == run2, "hash-thresholded sample must be bit-identical across runs")
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select("doc_id", "text", "n_chars").as[(Long, String, Long)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = docs.flatMap { case (id, text, nChars) =>
+      val ppm = math.min(1000000L, nChars * 2000)
+      val hex = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      val thr = f"${ppm * 16777216L / 1000000L}%06x".takeRight(6)
+      if (nChars * 2000 >= 1000000L || hex < thr) Some((id, ppm)) else None
+    }.toSeq.sortBy(_._1)
+    assert(run1 == expected)
+    // the sample is a real subset and every full-weight doc survives
+    assert(expected.size < docs.length, "fixture degenerate: nothing was sampled out")
+    val fullWeight = docs.collect { case (id, _, n) if n * 2000 >= 1000000L => id }.toSet
+    assert(fullWeight.subsetOf(run1.map(_._1).toSet), "full-weight docs must always be kept")
+    assert(fullWeight.nonEmpty && expected.size > fullWeight.size,
+      "fixture degenerate: sample adds nothing beyond full-weight docs")
+  }
 }

@@ -112,4 +112,36 @@ class StatsCboSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("stats_corr_exact components match a driver-side exact recompute") {
+    import spark.implicits._
+    val got = graft.ops.StatsOps.statsCorrExact.fn(spark, TestSpark.sf0001)
+      .select("l_returnflag", "pair", "n", "cov_num", "var_x_num", "var_y_num")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDecimal(3).toBigInteger, r.getDecimal(4).toBigInteger,
+          r.getDecimal(5).toBigInteger)).toMap
+    assert(got.nonEmpty)
+    for (((xc, yc)) <- graft.ops.StatsOps.corrPairs) {
+      val rows = Tables.lineitem(spark, TestSpark.sf0001)
+        .select(col("l_returnflag"),
+          (col(xc).cast(graft.ops.Dets.D12_2) * 100).cast("long"),
+          (col(yc).cast(graft.ops.Dets.D12_2) * 100).cast("long"))
+        .as[(String, Long, Long)].collect()
+      rows.groupBy(_._1).foreach { case (flag, grp) =>
+        val n = BigInt(grp.length)
+        val sx = grp.map(r => BigInt(r._2)).sum; val sy = grp.map(r => BigInt(r._3)).sum
+        val sxy = grp.map(r => BigInt(r._2) * BigInt(r._3)).sum
+        val sxx = grp.map(r => BigInt(r._2) * BigInt(r._2)).sum
+        val syy = grp.map(r => BigInt(r._3) * BigInt(r._3)).sum
+        val (gn, gcov, gvx, gvy) = got((flag, s"$xc:$yc"))
+        assert(BigInt(gn) == n, s"$flag $xc:$yc n")
+        assert(BigInt(gcov) == n * sxy - sx * sy, s"$flag $xc:$yc cov_num")
+        assert(BigInt(gvx) == n * sxx - sx * sx, s"$flag $xc:$yc var_x_num")
+        assert(BigInt(gvy) == n * syy - sy * sy, s"$flag $xc:$yc var_y_num")
+        // Cauchy–Schwarz: cov² ≤ varx·vary — violated only by an arithmetic bug
+        assert((n * sxy - sx * sy).pow(2) <= (n * sxx - sx * sx) * (n * syy - sy * sy))
+      }
+    }
+  }
 }

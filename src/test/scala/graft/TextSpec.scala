@@ -178,4 +178,24 @@ class TextSpec extends AnyFunSuite {
     assert(rows.exists(_.getString(3).split(" ").exists(_.length > 1)),
       "no merge fired anywhere — merge list not applied")
   }
+
+  test("text_ngram_lm matches a brute-force bigram recompute") {
+    import spark.implicits._
+    val got = graft.ops.TextOps.textNgramLm.fn(spark, TestSpark.sf0001)
+      .as[(String, String, Long, Long)].collect().toSet
+    val texts = graft.tables.Tables.documents(spark, TestSpark.sf0001)
+      .select("text").as[String].collect()
+    // split(" ", -1) keeps trailing empties — matches Spark/DuckDB split
+    val bigrams = texts.flatMap { t =>
+      val toks = t.split(" ", -1)
+      toks.dropRight(1).zip(toks.drop(1))
+    }
+    val heads = bigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val expected = bigrams.groupBy(identity).collect {
+      case ((w1, w2), hits) if hits.length >= 3 =>
+        (w1, w2, hits.length.toLong, hits.length.toLong * 1000000L / heads(w1))
+    }.toSet
+    assert(got == expected)
+    assert(expected.nonEmpty, "fixture degenerate: no bigram reaches the support floor")
+  }
 }
