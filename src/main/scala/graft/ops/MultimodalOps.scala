@@ -509,28 +509,54 @@ object MultimodalOps {
     * curation pass. Runs over [[syntheticPngDiverse]] (structurally unique
     * images + ~2 % planted near-dups) so pair volume is linear, as in a
     * real corpus. */
-  val dedupImagePhash: Op = Op(
-    "dedup_image_phash",
-    (s, d) => {
-      import s.implicits._
-      Tables.documents(s, d)
-        .select(col("doc_id")).as[Long]
-        .mapPartitions(_.map { id =>
-          val (hi, lo) = dhash(graft.media.Png.decode(syntheticPngDiverse(id)))
-          (id, (hi << 32) | lo)
-        })
-        .toDF("doc_id", "sig")
-        .write.mode("overwrite").parquet(imagePhashStagePath(d))
-      LlmOps.simhashPairsFromSigs(s.read.parquet(imagePhashStagePath(d)))
-    },
-    Some("WITH s AS (SELECT doc_id, sig FROM " +
-      s"read_parquet('${Stage.token}/image_phash_sigs/*.parquet')) " +
-      "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+  /** Stages the dHash signature table for the corpus, then returns the
+    * banded near-dup pairs — shared by `dedup_image_phash` (which emits the
+    * pairs) and `dedup_image_cluster_keep` (which clusters them). */
+  def imagePhashPairs(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (hi, lo) = dhash(graft.media.Png.decode(syntheticPngDiverse(id)))
+        (id, (hi << 32) | lo)
+      })
+      .toDF("doc_id", "sig")
+      .write.mode("overwrite").parquet(imagePhashStagePath(d))
+    LlmOps.simhashPairsFromSigs(s.read.parquet(imagePhashStagePath(d)))
+  }
+
+  private val imagePairSql =
+    "s AS (SELECT doc_id, sig FROM " +
+      s"read_parquet('${Stage.token}/image_phash_sigs/*.parquet')), " +
+      "j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
       "CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming " +
       "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
-      "WHERE bit_count(xor(a.sig, b.sig)) <= 7 ORDER BY doc_a, doc_b"))
+      "WHERE bit_count(xor(a.sig, b.sig)) <= 7)"
+
+  val dedupImagePhash: Op = Op(
+    "dedup_image_phash",
+    (s, d) => imagePhashPairs(s, d),
+    Some(s"WITH $imagePairSql " +
+      "SELECT doc_a, doc_b, hamming FROM j ORDER BY doc_a, doc_b"))
+
+  /** The keep-list half of image dedup — same composition the text side
+    * ships as `dedup_cluster_keep`: near-dup pairs form a graph, connected
+    * components are computed by min-label propagation ([[LlmOps.ccKeep]]:
+    * one equi-join + map-side min per round, convergence checked by a
+    * strictly-decreasing label sum, refuses rather than truncating), and
+    * each image maps to its component's minimum doc_id — the canonical copy
+    * a curation pass keeps. Oracle: the same components via DuckDB's
+    * recursive CTE over the staged signature pairs. */
+  val dedupImageClusterKeep: Op = Op(
+    "dedup_image_cluster_keep",
+    (s, d) => LlmOps.ccKeep(imagePhashPairs(s, d)),
+    Some(s"WITH RECURSIVE $imagePairSql, " +
+      "e AS (SELECT doc_a AS src, doc_b AS dst FROM j UNION ALL SELECT doc_b, doc_a FROM j), " +
+      "cc(node, label) AS (SELECT DISTINCT src, src FROM e " +
+      "UNION SELECT e.dst, cc.label FROM cc JOIN e ON e.src = cc.node) " +
+      "SELECT node AS doc_id, MIN(label) AS keep_id FROM cc GROUP BY 1 ORDER BY doc_id"))
 
   val all: Seq[Op] = Seq(multimodalDecodeFeatures, multimodalResize,
     multimodalDecodeWav, multimodalAudioFrames, multimodalFrameSample,
-    multimodalParsePng, multimodalPhash, dedupImagePhash)
+    multimodalParsePng, multimodalPhash, dedupImagePhash, dedupImageClusterKeep)
 }

@@ -297,6 +297,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(expected.size < sigs.length * 4, s"pair volume ${expected.size} looks quadratic")
   }
 
+  test("dedup_image_cluster_keep: components match a union-find over the exact pairs") {
+    import spark.implicits._
+    val got = MultimodalOps.dedupImageClusterKeep.fn(spark, TestSpark.sf0001)
+      .as[(Long, Long)].collect().toMap
+    val pairs = MultimodalOps.dedupImagePhash.fn(spark, TestSpark.sf0001)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = nodes.map(n => n -> nodes.filter(m => find(m) == find(n)).min).toMap
+    assert(got == expected)
+    // each image maps to its component minimum, and components are nontrivial
+    assert(got.nonEmpty && got.exists { case (id, keep) => id != keep })
+  }
+
   test("dhash: invariant under uniform brightness shift, sensitive to content") {
     val (w, h, ch) = (30, 20, 1)
     val px = testImage(w, h, ch).map(v => 20 + v % 200) // headroom for +20 shift
