@@ -317,7 +317,51 @@ object JoinOps {
       "FROM orders JOIN customer ON o_custkey = c_custkey WHERE c_acctbal > 9000 " +
       "GROUP BY 1 ORDER BY o_orderpriority"))
 
+  /** As-of join with a STALENESS TOLERANCE — `join_asof` bounded to a
+    * 1-hour lookback: a purchase matches its latest prior view only if that
+    * view is at most one hour old, else NULL (the point-in-time semantics a
+    * feature store enforces so a model never trains on stale features).
+    * Same single window pass as `join_asof`, with the RANGE frame's lower
+    * bound pinned at −1 hour in event-time micros instead of unbounded —
+    * the frame itself enforces the tolerance, so there is no post-hoc
+    * filter to get subtly wrong at the boundary (a view EXACTLY one hour
+    * old is admitted: closed lower bound, mirrored by the oracle's `>=`).
+    *
+    * Scale notes (100 TB): identical profile to `join_asof` — one shuffle
+    * on user_id, the bounded frame holds at most an hour of per-user events
+    * in the frame buffer (BETTER than unbounded at scale: frame memory is
+    * time-bounded, not history-bounded). */
+  val joinAsofTolerance: Op = Op(
+    "join_asof_tolerance",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, -1)
+      e.withColumn("pv",
+          max(when(col("event_type") === "view",
+            struct(unix_micros(col("ts")).as("us"), col("event_id").as("vid")))).over(w))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"),
+          timestamp_micros(col("pv.us")).as("prev_view_ts"),
+          col("pv.vid").as("prev_view_id"))
+        .orderBy("purchase_id")
+    },
+    Some("WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
+      "v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'), " +
+      "m AS (SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts, " +
+      "v.ts AS prev_view_ts, v.event_id AS prev_view_id, " +
+      "row_number() OVER (PARTITION BY p.event_id ORDER BY v.ts DESC, v.event_id DESC) AS rn " +
+      "FROM p JOIN v ON v.user_id = p.user_id AND v.ts < p.ts " +
+      "AND v.ts >= p.ts - INTERVAL 1 HOUR) " +
+      "SELECT purchase_id, user_id, purchase_ts, prev_view_ts, prev_view_id FROM m WHERE rn = 1 " +
+      "UNION ALL " +
+      "SELECT p.event_id, p.user_id, p.ts, NULL, NULL FROM p " +
+      "WHERE NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = p.user_id AND v.ts < p.ts " +
+      "AND v.ts >= p.ts - INTERVAL 1 HOUR) " +
+      "ORDER BY purchase_id"))
+
   val all: Seq[Op] = Seq(joinInnerHash, joinBroadcastDim, joinSortmergeBig, joinLeftOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinCrossSmall, joinRangeTheta, joinAsof,
-    joinIntervalBin, dimScd2Asof, joinBloomPrefilter)
+    joinIntervalBin, dimScd2Asof, joinBloomPrefilter, joinAsofTolerance)
 }

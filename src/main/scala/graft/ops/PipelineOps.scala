@@ -114,6 +114,51 @@ object PipelineOps {
       "FROM (SELECT vec_id, embedding, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs " +
       "FROM embeddings)) ORDER BY vec_id"))
 
+  /** Exact Gram matrix over the int8-quantized embeddings — the dependence
+    * structure of the embedding space (covariance/PCA input, the artifact a
+    * whitening or dimensionality-reduction pass consumes), computed with NO
+    * float accumulation: quantize each coordinate with [[embedQuantizeInt8]]'s
+    * exact formula (one IEEE multiply + floor, proven engine-identical by
+    * that op's oracle), then every Gram cell is a BIGINT sum of int8×int8
+    * products — associative, order-free, hash-exact. Upper triangle only
+    * (i ≤ j; the matrix is symmetric).
+    *
+    * Scale shape: coordinates explode to (vec, i, q) and self-join on
+    * vec_id — co-partitioned, fan-out d²/2 per vector, then a
+    * map-side-combinable aggregate onto d(d+1)/2 = 2 080 groups. At 100 TB
+    * the same math packs into a TypedImperativeAggregate accumulating a
+    * d×d long array per partition (the `text_heavy_hitters` pattern), which
+    * drops the join fan-out; the relational form here IS the semantics that
+    * aggregate must reproduce. */
+  val embedGramExact: Op = Op(
+    "embed_gram_exact",
+    (s, d) => {
+      val q = Tables.embeddings(s, d)
+        .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+        .withColumn("scale",
+          when(col("maxabs") === 0, lit(0.0)).otherwise(lit(127.0) / col("maxabs")))
+        .select(col("vec_id"),
+          posexplode(expr("transform(v, x -> cast(floor(x * scale + 0.5) as bigint))")))
+        .select(col("vec_id"), (col("pos") + 1).as("i"), col("col").as("q"))
+      q.as("a").join(q.as("b"),
+          col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
+        .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+        .agg(sum(col("a.q") * col("b.q")).as("dot"))
+        .orderBy("i", "j")
+    },
+    Some("WITH e AS (SELECT vec_id, embedding, " +
+      "CASE WHEN maxabs = 0 THEN 0.0 ELSE 127.0 / maxabs END AS scale " +
+      "FROM (SELECT vec_id, embedding, " +
+      "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs " +
+      "FROM embeddings)), " +
+      "q AS (SELECT vec_id, g.i AS i, " +
+      "CAST(floor(CAST(embedding[g.i] AS DOUBLE) * scale + 0.5) AS BIGINT) AS q " +
+      "FROM e, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g) " +
+      "SELECT a.i AS i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS dot " +
+      "FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"))
+
   /** The corpus-build job end to end — the composition every training
     * pipeline actually runs, chained from stages this engine ships
     * individually: quality gate (text_quality_filter's rules) → exact-dedup
@@ -250,5 +295,5 @@ object PipelineOps {
       "ORDER BY doc_id"))
 
   val all: Seq[Op] = Seq(sampleStratified, splitTrainValTest, packSequences, embedQuantizeInt8,
-    pipelineCorpusBuild, sampleReservoirGroup, sampleWeightedHash)
+    pipelineCorpusBuild, sampleReservoirGroup, sampleWeightedHash, embedGramExact)
 }

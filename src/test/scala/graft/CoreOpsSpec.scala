@@ -198,6 +198,35 @@ class CoreOpsSpec extends AnyFunSuite {
     got.values.foreach { case (a, b, c) => assert(a <= b && b <= c) }
   }
 
+  test("join_asof_tolerance: bounded lookback matches a brute-force recompute") {
+    import spark.implicits._
+    val events = Tables.events(spark, TestSpark.sf0001)
+      .select("event_id", "user_id", "event_type", "ts")
+      .as[(Long, Long, String, Timestamp)].collect()
+    val views = events.filter(_._3 == "view")
+    val hourUs = 3600L * 1000000L
+    def us(t: Timestamp) = t.getTime * 1000 + t.getNanos / 1000 % 1000
+    val expected = events.filter(_._3 == "purchase").map { case (pid, u, _, pts) =>
+      val cand = views.filter(v => v._2 == u && us(v._4) < us(pts) && us(v._4) >= us(pts) - hourUs)
+      val best = if (cand.isEmpty) None
+        else Some(cand.maxBy(v => (us(v._4), v._1)))
+      (pid, u, us(pts), best.map(v => us(v._4)), best.map(_._1))
+    }.sortBy(_._1).toSeq
+    val got = JoinOps.joinAsofTolerance.fn(spark, TestSpark.sf0001)
+      .as[(Long, Long, Timestamp, Option[Timestamp], Option[Long])].collect()
+      .map(r => (r._1, r._2, us(r._3), r._4.map(us), r._5)).toSeq
+    assert(got == expected)
+    // the tolerance actually bites: some purchase has a prior view but none within the hour
+    assert(expected.exists(_._4.isEmpty), "no purchase without a match — widen the fixture check")
+    assert(expected.exists(_._4.nonEmpty), "no purchase with a match")
+    val unbounded = events.filter(_._3 == "purchase").exists { case (_, u, _, pts) =>
+      val all = views.filter(v => v._2 == u && us(v._4) < us(pts))
+      val inTol = all.filter(v => us(v._4) >= us(pts) - hourUs)
+      all.nonEmpty && inTol.isEmpty
+    }
+    assert(unbounded, "tolerance never excluded a stale view — fixture degenerate")
+  }
+
   test("agg_mode_exact: modal event per user matches a brute-force recompute") {
     import spark.implicits._
     val got = AggOps.aggModeExact.fn(spark, TestSpark.sf0001)

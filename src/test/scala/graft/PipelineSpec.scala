@@ -108,4 +108,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(fullWeight.nonEmpty && expected.size > fullWeight.size,
       "fixture degenerate: sample adds nothing beyond full-weight docs")
   }
+
+  test("embed_gram_exact matches a driver-side integer recompute and Cauchy-Schwarz") {
+    import spark.implicits._
+    val got = PipelineOps.embedGramExact.fn(spark, TestSpark.sf0001)
+      .as[(Int, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val vecs = graft.tables.Tables.embeddings(spark, TestSpark.sf0001)
+      .select("embedding").as[Seq[Float]].collect()
+    val dim = vecs.head.length
+    val quant = vecs.map { v =>
+      val d = v.map(_.toDouble).toArray
+      val maxabs = d.map(math.abs).max
+      val scale = if (maxabs == 0) 0.0 else 127.0 / maxabs
+      d.map(x => math.floor(x * scale + 0.5).toLong)
+    }
+    val expected = (for (i <- 1 to dim; j <- i to dim) yield
+      (i, j) -> quant.map(q => q(i - 1) * q(j - 1)).sum).toMap
+    assert(got == expected)
+    assert(got.size == dim * (dim + 1) / 2)
+    for (i <- 1 to dim; j <- i to dim) {
+      val (dii, djj, dij) = (got((i, i)), got((j, j)), got((i, j)))
+      assert(dij.toDouble * dij <= dii.toDouble * djj * (1 + 1e-12), s"CS violated at ($i,$j)")
+    }
+  }
 }

@@ -145,6 +145,20 @@ class PlanShapeSpec extends AnyFunSuite {
       "sampling must not shuffle")
     assert(!plan(PipelineOps.splitTrainValTest).contains("Exchange hashpartitioning"),
       "splitting must not shuffle")
+    assert(!plan(PipelineOps.sampleWeightedHash).contains("Exchange hashpartitioning"),
+      "weighted sampling must not shuffle")
+  }
+
+  test("stats_corr_exact aggregates map-side before the group exchange") {
+    val p = plan(StatsOps.statsCorrExact)
+    assert(p.contains("partial_sum"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("embed_gram_exact self-joins co-partitioned on vec_id, then combines map-side") {
+    val p = plan(PipelineOps.embedGramExact)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), p) // Gram cells combine before the d² exchange
   }
 
   test("sample_reservoir_group pushes the rank limit below the shuffle (partial WindowGroupLimit)") {
