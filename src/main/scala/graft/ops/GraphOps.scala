@@ -184,5 +184,54 @@ object GraphOps {
       "ne AS (SELECT COUNT(*) AS n_edges FROM u) " +
       "SELECT n_nodes, n_edges, n_triangles FROM nn, ne, tri"))
 
-  val all: Seq[Op] = Seq(graphPagerank, graphDegreeHist, graphTriangleCount)
+  /** Bounded BFS depth — seeds' reach radius. */
+  private val MaxDepth = 6
+
+  /** Multi-source BFS levels: every node's hop distance (≤ 6) from the seed
+    * set (nodes with key ≡ 0 mod 97 — a deterministic ~1 % sample), the
+    * frontier-expansion algorithm the iterative family was missing beside
+    * PageRank (weighted fixpoint) and ccKeep (label propagation). Used at
+    * scale for influence radii, contamination blast-zones, and
+    * "within-k-hops-of-flagged" joins. All-integer levels, so the recursive
+    * CTE oracle (UNION-dedup'd (node, lvl) pairs, MIN per node) compares
+    * exact.
+    *
+    * Scale notes (100 TB): each round is one frontier⋈edges equi-join (both
+    * sides keyed on the node — co-located under bucketing) + distinct +
+    * anti-join against the visited set; frontier size is bounded by |nodes|,
+    * rounds bounded by MaxDepth, lineage truncated per round like the other
+    * iterative ops. The per-round isEmpty() early-exit reads one Boolean,
+    * not data, to the driver. */
+  val graphBfsLevels: Op = Op(
+    "graph_bfs_levels",
+    (s, d) => {
+      val e = Housekeeping.cacheBounded("bfs_edges", edges(s, d))
+      val nodes = e.select(col("src").as("v"))
+        .union(e.select(col("dst").as("v"))).distinct()
+      var labels = nodes.where(col("v") % 97 === 0)
+        .select(col("v").as("node"), lit(0).as("level"))
+        .localCheckpoint(true)
+      var frontier = labels
+      var depth = 0
+      while (depth < MaxDepth && !frontier.isEmpty) {
+        depth += 1
+        val next = frontier.join(e, frontier("node") === e("src"))
+          .select(col("dst").as("node"), lit(depth).as("level"))
+          .distinct()
+          .join(labels, Seq("node"), "left_anti")
+          .localCheckpoint(true)
+        labels = labels.union(next).localCheckpoint(true)
+        frontier = next
+      }
+      labels.orderBy("node")
+    },
+    Some(s"WITH RECURSIVE $edgeCtes, " +
+      "seeds AS (SELECT v AS node FROM nodes WHERE v % 97 = 0), " +
+      "reach(node, lvl) AS (SELECT node, 0 FROM seeds " +
+      "UNION SELECT e.dst, r.lvl + 1 FROM reach r " +
+      s"JOIN edges e ON e.src = r.node WHERE r.lvl < $MaxDepth) " +
+      "SELECT node, CAST(MIN(lvl) AS INT) AS level FROM reach " +
+      "GROUP BY 1 ORDER BY node"))
+
+  val all: Seq[Op] = Seq(graphPagerank, graphDegreeHist, graphTriangleCount, graphBfsLevels)
 }

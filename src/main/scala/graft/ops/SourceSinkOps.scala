@@ -569,6 +569,48 @@ object SourceSinkOps {
       "WHERE l_orderkey > (SELECT max(l_orderkey) // 20 FROM lineitem) " +
       "GROUP BY 1 ORDER BY 1"))
 
+  /** TIME TRAVEL over the manifest-committed table — the read-side payoff
+    * of the commit log ([[TableManifest.commit]] leaves an immutable
+    * `_manifest-v{N}.json` per version): build the standing table (v1), run
+    * the targeted-delete commit (v2), then read BOTH snapshots AS OF their
+    * versions and aggregate each. The v1 read happens AFTER the v2 commit —
+    * proving superseded files are retained by reference and a past snapshot
+    * stays exactly reproducible until vacuum, which is what makes audits,
+    * rollbacks and reproducible training runs possible on a mutating
+    * corpus. Oracle: both versions recomputed closed-form from the source
+    * table (v1 = everything, v2 = the post-delete predicate). At 100 TB the
+    * version log is a manifest tree + catalog pointer, but the read path —
+    * resolve version → file list → scan — is exactly this one. */
+  val sinkTimeTravelRead: Op = Op(
+    "sink_time_travel_read",
+    (s, d) => {
+      val root = Housekeeping.tempDirBounded("graft_tt",
+        Files.createTempDirectory("graft_tt"))
+      val standing = root.resolve("standing").toString
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      li.repartitionByRange(8, col("l_orderkey"), col("l_linenumber"))
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+        .write.mode("overwrite").parquet(standing)
+      TableManifest.commit(root, 1,
+        TableManifest.parquetFiles(java.nio.file.Paths.get(standing)))
+      val mx = li.agg(max(col("l_orderkey")).cast("long")).first().getLong(0)
+      targetedDeleteCommit(s, root, deleteLo = 0L, deleteHi = mx / 20)
+      Seq(1, 2).map { v =>
+        TableManifest.readTableAsOf(s, root, v)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+          .select(lit(v).as("version"), col("l_returnflag"), col("cnt"), col("sum_qty"))
+      }.reduce(_.unionAll(_))
+        .orderBy("version", "l_returnflag")
+    },
+    Some("SELECT CAST(1 AS INT) AS version, l_returnflag, COUNT(*) AS cnt, " +
+      oSum("l_quantity") + " AS sum_qty FROM lineitem GROUP BY 1, 2 " +
+      "UNION ALL SELECT CAST(2 AS INT), l_returnflag, COUNT(*), " +
+      oSum("l_quantity") + " FROM lineitem " +
+      "WHERE l_orderkey > (SELECT max(l_orderkey) // 20 FROM lineitem) " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"))
+
   /** The daily-restatement write path: a partitioned standing table gets a
     * correcting batch that touches ONLY some partitions, written with
     * `partitionOverwriteMode=dynamic` — the batch's partitions are replaced
@@ -660,5 +702,5 @@ object SourceSinkOps {
   val all: Seq[Op] = Seq(csvLogIngest, sinkPartitionedParquet, sinkBucketedJoin,
     sinkClusteredLayout, mergeUpsertLatest, sinkCsvReport, sourceJsonlRoundtrip,
     sourceOrcRoundtrip, sourceSchemaEvolution, sinkCompactSmallFiles, sinkZorderLayout,
-    sinkTargetedDelete, sinkDynamicPartitionOverwrite, cdcApplyChanges)
+    sinkTargetedDelete, sinkDynamicPartitionOverwrite, cdcApplyChanges, sinkTimeTravelRead)
 }

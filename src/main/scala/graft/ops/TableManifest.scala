@@ -37,11 +37,16 @@ object TableManifest {
 
   /** Rename-commit: serialize (version, files), write beside the live
     * manifest, then one atomic rename. The rename is the COMMIT — everything
-    * before it is invisible to readers. */
+    * before it is invisible to readers. Each commit also leaves an immutable
+    * `_manifest-v{N}.json` snapshot behind (written BEFORE the rename, so
+    * the version log is complete the instant the version is visible) — the
+    * version log that makes [[readTableAsOf]] time travel possible, exactly
+    * the Delta/Iceberg commit-log shape in miniature. */
   def commit(root: Path, version: Long, files: Seq[Path]): Unit = {
     Files.createDirectories(root)
     val body = files.map(f => "\"" + f.toAbsolutePath.toString + "\"")
       .mkString(s"""{"version":$version,"files":[""", ",", "]}")
+    Files.writeString(root.resolve(s"_manifest-v$version.json"), body)
     val tmp = root.resolve(s"$fileName.tmp-$version")
     Files.writeString(tmp, body)
     Files.move(tmp, root.resolve(fileName),
@@ -65,6 +70,14 @@ object TableManifest {
   def readTable(s: SparkSession, root: Path): DataFrame = {
     val (_, files) = read(root)
     s.read.parquet(files.map(_.toString): _*)
+  }
+
+  /** Snapshot AS OF a past version, from its immutable `_manifest-v{N}`
+    * log entry. Valid until [[vacuum]] reclaims the version's files. */
+  def readTableAsOf(s: SparkSession, root: Path, version: Long): DataFrame = {
+    val txt = Files.readString(root.resolve(s"_manifest-v$version.json"))
+    val files = """"(/[^"]+)"""".r.findAllMatchIn(txt).map(_.group(1)).toList
+    s.read.parquet(files: _*)
   }
 
   /** Remove data files no longer referenced by the current manifest (the

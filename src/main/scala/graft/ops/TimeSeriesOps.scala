@@ -567,8 +567,65 @@ object TimeSeriesOps {
       "SELECT r.user_id AS user_id, CAST(f.mx AS INT) AS n_samples, r.e AS ewma_cents " +
       "FROM r JOIN f ON f.user_id = r.user_id AND r.rn = f.mx ORDER BY r.user_id"))
 
+  /** One-sided CUSUM drift detection per user — the sequential
+    * change-detection statistic (S_t = max(0, S_{t-1} + x_t − target))
+    * monitoring stacks run beside the z-score/MAD outlier passes. The
+    * recurrence is NOT window-expressible (each step clips at zero), so the
+    * Spark side runs it as a stateful scan INSIDE the engine: per-user
+    * events collect into a (ts, event_id, v)-sorted array and a single
+    * higher-order `aggregate` folds the recurrence — the surface Spark
+    * offers for exactly this shape (bounded per-key sequences; for
+    * unbounded keys the same fold runs in
+    * `flatMapGroupsWithState`, the J-family machinery). All-integer:
+    * x_t = floor(value·10⁶) (one IEEE multiply + floor, the proven
+    * engine-identical quantization), target = per-user floor-mean, so the
+    * max-drift statistic hash-compares exactly against DuckDB's recursive
+    * CTE marching the identical recurrence row by row.
+    *
+    * Scale notes (100 TB): one shuffle on user_id; per-user state is one
+    * (s, mx) pair regardless of history length; collect_list is bounded by
+    * per-key event counts (33 events/user here — for million-event keys,
+    * switch to the stateful-streaming fold, same recurrence). */
+  val tsCusumDrift: Op = Op(
+    "ts_cusum_drift",
+    (s, d) => {
+      Tables.events(s, d)
+        .select(col("user_id"),
+          struct(unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+            floor(col("value") * 1000000).cast("long").as("v")).as("x"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(col("x"))).as("xs"),
+          count(lit(1)).as("n"), sum(col("x.v")).as("sv"))
+        .withColumn("target", expr("sv div n"))
+        .select(col("user_id"), col("n"), col("target"),
+          expr("aggregate(xs, named_struct('s', CAST(0 AS BIGINT), 'mx', CAST(0 AS BIGINT)), " +
+            "(acc, x) -> named_struct(" +
+            "'s', greatest(CAST(0 AS BIGINT), acc.s + x.v - target), " +
+            "'mx', greatest(acc.mx, greatest(CAST(0 AS BIGINT), acc.s + x.v - target))), " +
+            "acc -> acc.mx)").as("max_cusum"))
+        .orderBy("user_id")
+    },
+    Some("WITH RECURSIVE x AS (SELECT user_id, event_id, " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn, " +
+      "CAST(floor(value * 1000000) AS BIGINT) AS v FROM events), " +
+      "t AS (SELECT user_id, COUNT(*) AS n, " +
+      "CAST(SUM(v) AS BIGINT) // COUNT(*) AS target FROM x GROUP BY 1), " +
+      "rec AS (SELECT x.user_id, x.rn, " +
+      "GREATEST(CAST(0 AS BIGINT), x.v - t.target) AS s, " +
+      "GREATEST(CAST(0 AS BIGINT), x.v - t.target) AS mx " +
+      "FROM x JOIN t USING (user_id) WHERE x.rn = 1 " +
+      "UNION ALL " +
+      "SELECT r.user_id, x.rn, " +
+      "GREATEST(CAST(0 AS BIGINT), r.s + x.v - t.target), " +
+      "GREATEST(r.mx, GREATEST(CAST(0 AS BIGINT), r.s + x.v - t.target)) " +
+      "FROM rec r JOIN x ON x.user_id = r.user_id AND x.rn = r.rn + 1 " +
+      "JOIN t ON t.user_id = r.user_id) " +
+      "SELECT t.user_id AS user_id, t.n, t.target, CAST(MAX(r.mx) AS BIGINT) AS max_cusum " +
+      "FROM rec r JOIN t ON t.user_id = r.user_id " +
+      "GROUP BY 1, 2, 3 ORDER BY 1"))
+
   val all: Seq[Op] = Seq(tsTumblingHourly, tsSlidingWindow, tsSessionWindow, tsGapDetection,
     tsCounterDelta, tsCounterDailyReset, tsDailyProfile, tsResampleFfill, tsInterpolateLinear,
     creditEventDetect, siteCircuitRollup, tsDownsampleLtob, tsOutlierMad, tsZscoreRolling,
-    tsEwmaScaled)
+    tsEwmaScaled, tsCusumDrift)
 }

@@ -198,6 +198,28 @@ class CoreOpsSpec extends AnyFunSuite {
     got.values.foreach { case (a, b, c) => assert(a <= b && b <= c) }
   }
 
+  test("ts_cusum_drift matches a driver-side recurrence recompute") {
+    import spark.implicits._
+    val got = TimeSeriesOps.tsCusumDrift.fn(spark, TestSpark.sf0001)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val events = Tables.events(spark, TestSpark.sf0001)
+      .select("user_id", "event_id", "ts", "value")
+      .as[(Long, Long, Timestamp, Double)].collect()
+    val expected = events.groupBy(_._1).map { case (u, es) =>
+      val vs = es.sortBy(e => (e._3.getTime * 1000 + e._3.getNanos / 1000 % 1000, e._2))
+        .map(e => math.floor(e._4 * 1000000).toLong)
+      val n = vs.length.toLong
+      val target = vs.sum / n
+      var s = 0L; var mx = 0L
+      vs.foreach { v => s = math.max(0L, s + v - target); mx = math.max(mx, s) }
+      u -> (n, target, mx)
+    }
+    assert(got == expected)
+    // drift statistic is nontrivial somewhere (a flat series would be all zeros)
+    assert(expected.values.exists(_._3 > 0))
+  }
+
   test("join_asof_tolerance: bounded lookback matches a brute-force recompute") {
     import spark.implicits._
     val events = Tables.events(spark, TestSpark.sf0001)

@@ -117,4 +117,25 @@ class GraphSpec extends AnyFunSuite {
     assert(gotOut.map(p => p._1 * p._2).sum == edges.size)
     assert(gotIn.map(p => p._1 * p._2).sum == edges.size)
   }
+
+  test("graph_bfs_levels matches a model BFS from the same seed set") {
+    import spark.implicits._
+    val edges = modelEdges(TestSpark.sf0001)
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val seeds = nodes.filter(_ % 97 == 0)
+    var level = seeds.map(_ -> 0).toMap
+    var frontier = seeds
+    for (depth <- 1 to 6 if frontier.nonEmpty) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+        .filterNot(level.contains)
+      next.foreach(n => level += n -> depth)
+      frontier = next
+    }
+    val got = graft.ops.GraphOps.graphBfsLevels.fn(spark, TestSpark.sf0001)
+      .as[(Long, Int)].collect().toMap
+    assert(got == level)
+    // the fixture exercises real expansion: seeds exist and some node is >1 hop out
+    assert(seeds.nonEmpty && level.values.max >= 2, s"max level ${level.values.max}")
+  }
 }

@@ -110,4 +110,34 @@ class ManifestCommitSpec extends AnyFunSuite {
         live.map(_.toString).sorted)
     } finally graft.ops.Housekeeping.deleteRecursively(root)
   }
+
+  test("time travel: a past version stays byte-reproducible until vacuum") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("tt_spec")
+    try {
+      val v1 = (1L to 100L).map(i => (i, s"r$i")).toDF("k", "s")
+      val gen1 = root.resolve("gen1")
+      v1.repartition(4).write.parquet(gen1.toString)
+      TableManifest.commit(root, 1, TableManifest.parquetFiles(gen1))
+      // v2 drops half the rows into a fresh generation (v1 files retained)
+      val gen2 = root.resolve("gen2")
+      TableManifest.readTable(spark, root).where($"k" > 50)
+        .write.parquet(gen2.toString)
+      TableManifest.commit(root, 2, TableManifest.parquetFiles(gen2))
+      // AFTER the v2 commit, v1 is still exactly the original content
+      val asOf1 = TableManifest.readTableAsOf(spark, root, 1)
+        .as[(Long, String)].collect().toSet
+      assert(asOf1 == (1L to 100L).map(i => (i, s"r$i")).toSet)
+      val asOf2 = TableManifest.readTableAsOf(spark, root, 2)
+        .as[(Long, String)].collect().toSet
+      assert(asOf2 == (51L to 100L).map(i => (i, s"r$i")).toSet)
+      assert(TableManifest.read(root)._1 == 2L, "current version moved to 2")
+      // vacuum reclaims v1's files; the CURRENT snapshot must survive intact
+      assert(TableManifest.vacuum(root) > 0)
+      assert(TableManifest.readTable(spark, root)
+        .as[(Long, String)].collect().toSet == asOf2)
+      assertThrows[Exception](
+        TableManifest.readTableAsOf(spark, root, 1).collect())
+    } finally graft.ops.Housekeeping.deleteRecursively(root)
+  }
 }
