@@ -361,7 +361,48 @@ object JoinOps {
       "AND v.ts >= p.ts - INTERVAL 1 HOUR) " +
       "ORDER BY purchase_id"))
 
+  /** FIRST-touch attribution — the mirror of `join_asof_tolerance`'s
+    * last-touch: each purchase attributes to the EARLIEST view in the
+    * preceding 7 days (the marketing-attribution rule that credits the
+    * channel that STARTED the journey). Same single window pass; the frame
+    * keeps the 7-day lookback and `min(struct(us, vid))` picks the earliest
+    * view (ties impossible: event ids are unique, micros+id is a total
+    * order). Oracle ranks ascending where the tolerance oracle ranks
+    * descending.
+    *
+    * Scale notes (100 TB): identical to the tolerance op — one user_id
+    * shuffle, frame memory bounded by 7 days of per-user events. */
+  val joinFirstTouch: Op = Op(
+    "join_first_touch",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+        .rangeBetween(-7L * 86400L * 1000000L, -1)
+      e.withColumn("fv",
+          min(when(col("event_type") === "view",
+            struct(unix_micros(col("ts")).as("us"), col("event_id").as("vid")))).over(w))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"),
+          timestamp_micros(col("fv.us")).as("first_view_ts"),
+          col("fv.vid").as("first_view_id"))
+        .orderBy("purchase_id")
+    },
+    Some("WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
+      "v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'), " +
+      "m AS (SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts, " +
+      "v.ts AS first_view_ts, v.event_id AS first_view_id, " +
+      "row_number() OVER (PARTITION BY p.event_id ORDER BY v.ts, v.event_id) AS rn " +
+      "FROM p JOIN v ON v.user_id = p.user_id AND v.ts < p.ts " +
+      "AND v.ts >= p.ts - INTERVAL 7 DAY) " +
+      "SELECT purchase_id, user_id, purchase_ts, first_view_ts, first_view_id FROM m WHERE rn = 1 " +
+      "UNION ALL " +
+      "SELECT p.event_id, p.user_id, p.ts, NULL, NULL FROM p " +
+      "WHERE NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = p.user_id AND v.ts < p.ts " +
+      "AND v.ts >= p.ts - INTERVAL 7 DAY) " +
+      "ORDER BY purchase_id"))
+
   val all: Seq[Op] = Seq(joinInnerHash, joinBroadcastDim, joinSortmergeBig, joinLeftOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinCrossSmall, joinRangeTheta, joinAsof,
-    joinIntervalBin, dimScd2Asof, joinBloomPrefilter, joinAsofTolerance)
+    joinIntervalBin, dimScd2Asof, joinBloomPrefilter, joinAsofTolerance, joinFirstTouch)
 }

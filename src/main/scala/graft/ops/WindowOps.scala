@@ -157,6 +157,37 @@ object WindowOps {
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value " +
       "FROM events ORDER BY event_id"))
 
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands shape the window family was missing: distinct active
+    * days, island key = day-number − row_number (constant exactly along a
+    * run of consecutive days), island length by groupBy, max per user. All
+    * integer (day arithmetic against a fixed epoch), so the oracle compares
+    * exact; both engines read the NTZ timestamps as the same naive dates
+    * under the pinned UTC session.
+    *
+    * Scale notes (100 TB): distinct → window → two groupBys, all keyed on
+    * user_id (one shuffle, reused across every stage — the island groupBy
+    * includes user_id in its key, so AQE plans no second exchange). */
+  val windowStreakLongest: Op = Op(
+    "window_streak_longest",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("day")
+      Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .withColumn("grp",
+          datediff(col("day"), lit("2024-01-01")) - row_number().over(w))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max("len").as("longest_streak"), sum("len").as("n_active_days"))
+        .orderBy("user_id")
+    },
+    Some("WITH dd AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+      "g AS (SELECT user_id, day, (day - DATE '2024-01-01') - " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp FROM dd), " +
+      "st AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2) " +
+      "SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak, " +
+      "CAST(SUM(len) AS BIGINT) AS n_active_days FROM st GROUP BY 1 ORDER BY user_id"))
+
   val all: Seq[Op] = Seq(windowTopkPerGroup, windowRankDense, windowLagLead, windowMovingAvg,
-    windowRangeFrame, windowNtilePct, windowFirstLast, windowCumsum)
+    windowRangeFrame, windowNtilePct, windowFirstLast, windowCumsum, windowStreakLongest)
 }

@@ -198,6 +198,51 @@ class CoreOpsSpec extends AnyFunSuite {
     got.values.foreach { case (a, b, c) => assert(a <= b && b <= c) }
   }
 
+  test("join_first_touch: earliest view in 7 days matches a brute-force recompute") {
+    import spark.implicits._
+    val events = Tables.events(spark, TestSpark.sf0001)
+      .select("event_id", "user_id", "event_type", "ts")
+      .as[(Long, Long, String, Timestamp)].collect()
+    val views = events.filter(_._3 == "view")
+    val weekUs = 7L * 86400L * 1000000L
+    def us(t: Timestamp) = t.getTime * 1000 + t.getNanos / 1000 % 1000
+    val expected = events.filter(_._3 == "purchase").map { case (pid, u, _, pts) =>
+      val cand = views.filter(v => v._2 == u && us(v._4) < us(pts) && us(v._4) >= us(pts) - weekUs)
+      val best = if (cand.isEmpty) None else Some(cand.minBy(v => (us(v._4), v._1)))
+      (pid, u, us(pts), best.map(v => us(v._4)), best.map(_._1))
+    }.sortBy(_._1).toSeq
+    val got = JoinOps.joinFirstTouch.fn(spark, TestSpark.sf0001)
+      .as[(Long, Long, Timestamp, Option[Timestamp], Option[Long])].collect()
+      .map(r => (r._1, r._2, us(r._3), r._4.map(us), r._5)).toSeq
+    assert(got == expected)
+    // first-touch differs from last-touch somewhere (multiple views in window)
+    val differs = events.filter(_._3 == "purchase").exists { case (_, u, _, pts) =>
+      val cand = views.filter(v => v._2 == u && us(v._4) < us(pts) && us(v._4) >= us(pts) - weekUs)
+      cand.size > 1
+    }
+    assert(differs, "fixture degenerate: no purchase has more than one view in its window")
+  }
+
+  test("window_streak_longest matches a brute-force islands recompute") {
+    import spark.implicits._
+    val got = WindowOps.windowStreakLongest.fn(spark, TestSpark.sf0001)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val days = Tables.events(spark, TestSpark.sf0001)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct().as[(Long, java.sql.Date)].collect()
+    val expected = days.groupBy(_._1).map { case (u, ds) =>
+      val epochs = ds.map(_._2.toLocalDate.toEpochDay).sorted.toSeq
+      var longest = 1L; var cur = 1L
+      epochs.zip(epochs.drop(1)).foreach { case (a, b) =>
+        if (b == a + 1) { cur += 1; longest = math.max(longest, cur) } else cur = 1
+      }
+      u -> (longest, epochs.length.toLong)
+    }
+    assert(got == expected)
+    // the fixture has real streaks (some user active on consecutive days)
+    assert(expected.values.exists(_._1 >= 2))
+  }
+
   test("ts_cusum_drift matches a driver-side recurrence recompute") {
     import spark.implicits._
     val got = TimeSeriesOps.tsCusumDrift.fn(spark, TestSpark.sf0001)
