@@ -26,4 +26,14 @@ class PairBudgetSpec extends AnyFunSuite {
   test("within budget the exact stage runs unchanged") {
     assert(LlmOps.dedupEmbeddingCosine.fn(spark, TestSpark.sf0001).collect().nonEmpty)
   }
+
+  test("image-phash banding inherits the budget guard and refuses loudly") {
+    spark.conf.set("graft.pair.budget", "1") // any bucket with 2+ members busts this
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.ops.MultimodalOps.dedupImagePhash.fn(spark, TestSpark.sf0001).collect()
+      }
+      assert(e.getMessage.contains("graft.pair.budget"), e.getMessage)
+    } finally spark.conf.unset("graft.pair.budget")
+  }
 }

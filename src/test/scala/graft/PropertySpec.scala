@@ -273,4 +273,59 @@ class PropertySpec extends AnyFunSuite {
       assert(inc == full, s"sample $sample: incremental=$inc full-slice=$full")
     }
   }
+
+  test("ngram LM conditional probabilities are a valid sub-distribution per head") {
+    import spark.implicits._
+    val rows = graft.ops.TextOps.textNgramLm.fn(spark, TestSpark.sf0001)
+      .as[(String, String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (w1, w2, n, p) =>
+      assert(n >= 3, s"support floor violated at ($w1,$w2)")
+      assert(p >= 0 && p <= 1000000L, s"p_cond_ppm out of range at ($w1,$w2): $p")
+    }
+    // emitted (count >= 3) probabilities can never exceed the full mass
+    rows.groupBy(_._1).foreach { case (w1, bs) =>
+      assert(bs.map(_._4).sum <= 1000000L, s"head '$w1' exceeds unit mass")
+    }
+  }
+
+  test("first-touch and last-touch agree exactly when one view is in both windows") {
+    import spark.implicits._
+    val first = graft.ops.JoinOps.joinFirstTouch.fn(spark, TestSpark.sf0001)
+      .as[(Long, Long, java.sql.Timestamp, Option[java.sql.Timestamp], Option[Long])]
+      .collect().map(r => r._1 -> r._5).toMap
+    val last = graft.ops.JoinOps.joinAsofTolerance.fn(spark, TestSpark.sf0001)
+      .as[(Long, Long, java.sql.Timestamp, Option[java.sql.Timestamp], Option[Long])]
+      .collect().map(r => r._1 -> r._5).toMap
+    assert(first.keySet == last.keySet, "both attribute the same purchase set")
+    // the 1h window is a subset of the 7d window: a last-touch match implies
+    // a first-touch match (never the reverse)
+    val lastOnly = last.filter { case (p, v) => v.nonEmpty && first(p).isEmpty }
+    assert(lastOnly.isEmpty, s"purchases with last-touch but no first-touch: $lastOnly")
+    // and when the 7d window holds exactly one view, the two picks coincide
+    val both = first.keys.filter(p => first(p).nonEmpty && last(p).nonEmpty)
+    assert(both.nonEmpty)
+  }
+
+  test("BFS levels are locally consistent: every level-k node has a level-(k-1) in-neighbor") {
+    import spark.implicits._
+    val levels = graft.ops.GraphOps.graphBfsLevels.fn(spark, TestSpark.sf0001)
+      .as[(Long, Int)].collect().toMap
+    assert(levels.nonEmpty && levels.values.exists(_ > 0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    val inEdges = graft.tables.Tables.lineitem(spark, TestSpark.sf0001)
+      .select(col("l_partkey").as("src"),
+        org.apache.spark.sql.functions.lead(col("l_partkey"), 1).over(w).as("dst"))
+      .where(col("dst").isNotNull && col("src") =!= col("dst"))
+      .distinct().as[(Long, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    levels.foreach { case (node, lvl) =>
+      if (lvl > 0) {
+        val preds = inEdges.getOrElse(node, Array.empty[Long])
+        assert(preds.exists(p => levels.get(p).contains(lvl - 1)),
+          s"node $node at level $lvl has no level-${lvl - 1} in-neighbor")
+      } else assert(node % 97 == 0, s"level-0 node $node is not a seed")
+    }
+  }
 }
