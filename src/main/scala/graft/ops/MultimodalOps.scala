@@ -477,9 +477,11 @@ object MultimodalOps {
       while (x < w) {
         var c = 0
         while (c < ch) {
-          // hash-noise pixels: each non-planted doc's dHash is effectively a
-          // uniform random 64-bit value, so accidental ≤7-bit pairs have
-          // probability ~4·10⁻¹¹ — the op finds exactly the planted dups.
+          // hash-noise pixels: each non-planted doc's dHash is statistically
+          // independent of every other's, so accidental ≤7-bit pairs are the
+          // hash's designed FP rate (~3·10⁻⁵ per pair measured — dHash bits
+          // are locally correlated, effective entropy < 64 bits) and the
+          // planted dups dominate the output.
           // Base range 0..199 leaves headroom so the +8 near-dup bias never
           // wraps — a wrap would break dHash's brightness-shift invariance
           // and the planted pair would not read as near-duplicate.
