@@ -982,6 +982,138 @@ object LlmOps {
     (s, d) => stageAndRank("ann_probe_cand", ivfProbe(s, d, ivfIndexPath(s, d)), annProbeStagePath(d)),
     Some(annRerankOracle(Stage.token + "/ann_probe_cand")))
 
+  /** Product-quantization ANN (PQ + ADC re-rank) — the memory-compressed
+    * third leg of the ANN family: each vector is split into [[PqM]]
+    * subvectors and each subvector replaced by the id of its nearest
+    * per-subspace centroid ([[PqK]] per subspace; fixed-seed
+    * [[PqIters]]-iteration Lloyd's under the same determinism discipline as
+    * [[ivfTrained]] — exact-decimal centroid means, fixed-order-fold double
+    * distances, ties to the lowest cell id), collapsing the corpus to
+    * M·log₂K = 16 bits of code per vector plus its stored norm. Search is
+    * asymmetric distance computation: a query scores the M·K-row codebook
+    * once (partial dot per (sub, cell)), every corpus vector's approximate
+    * dot is then an M-term table lookup — spelled as a broadcast equi-join
+    * on (sub, cell) plus a FIXED-ORDER fold over the collected partials
+    * (array_sort by sub → aggregate), so the double sum is bit-stable under
+    * any partitioning. The ADC shortlist (top-[[PqShortlist]] per query by
+    * approximate sim, ties to the lowest neighbor id) pays exact cosine on
+    * full vectors and the usual top-5 window ranks it — the standard PQ
+    * re-rank lifecycle, oracled by the same persisted-candidate playbook as
+    * the other ANN keys (the approximation IS the staged shortlist;
+    * everything downstream is exact and DuckDB re-verifies every staged sim
+    * against its own cosine).
+    *
+    * Scale notes (100 TB): the codebook is M·K = 64 rows (driver-bounded
+    * exactly like the IVF centroid table); corpus-side cost is one scan
+    * emitting M code rows per vector and a broadcast join — no pair space,
+    * and nothing shuffles at corpus width except the code rows themselves.
+    * The codes table is ~1/128 of the raw vector bytes, which is the entire
+    * point: at 100 TB the ADC pass runs over codes that fit in cluster
+    * memory when raw vectors never could, and only shortlist·queries full
+    * vectors are ever fetched for the exact re-rank. AnnPqSpec pins the
+    * recall floor on the uniform-random corpus (PQ's worst case — no
+    * cluster structure for the codebooks to exploit) and the shortlist
+    * work bound. */
+  private val PqM = 4
+  private val PqK = 16
+  private val PqIters = 2
+  private val PqShortlist = 48
+
+  /** (id, sub, sv) subvector rows; dsub derives from the vector length so
+    * the split never hardcodes the embedding dim. */
+  private def pqSubrows(vec: DataFrame, idCol: String): DataFrame = {
+    val dsub = (size(col("v")) / PqM).cast("int")
+    vec.select(col(idCol), col("v"), explode(sequence(lit(0), lit(PqM - 1))).as("sub"))
+      .select(col(idCol), col("sub"), slice(col("v"), col("sub") * dsub + 1, dsub).as("sv"))
+  }
+
+  /** Per-subspace centroids of an assignment: exact-decimal per-dimension
+    * means keyed by (sub, cell); the ≤ M·K-row result is collected and
+    * re-seeded flat per Lloyd iteration (see [[ivfCentroidsOf]] for why the
+    * driver round-trip beats compounding the training lineage). */
+  private def pqCentroidsOf(s: org.apache.spark.sql.SparkSession,
+                            assigned: DataFrame): DataFrame = {
+    val computed = assigned
+      .select(col("sub"), col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy("sub", "cell", "pos")
+      .agg(avg(col("x").cast("decimal(27,12)")).cast("double").as("m"))
+      .groupBy("sub", "cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        p => p.getField("m")).as("cv"))
+    val rows = computed.collect().toSeq
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), computed.schema)
+  }
+
+  /** Nearest-centroid codes for subvector rows: L2 argmin
+    * (d² = |sv|² − 2·sv·cv + |cv|², all fixed-order dots), ties to the
+    * lowest cell id via the lexicographic struct-min. Keeps `sv` so the
+    * next Lloyd iteration can recompute means from the same rows. */
+  private def pqAssign(subrows: DataFrame, cents: DataFrame, idCol: String): DataFrame =
+    subrows.join(broadcast(cents), Seq("sub"))
+      .select(col(idCol), col("sub"), col("sv"), col("cell"),
+        (dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cv")) +
+          dot(col("cv"), col("cv"))).as("d2"))
+      .groupBy(idCol, "sub")
+      .agg(min(struct(col("d2"), col("cell"))).getField("cell").as("cell"),
+        first(col("sv")).as("sv"))
+
+  /** Fixed-seed, fixed-iteration per-subspace Lloyd's: (neighbor_id, sub,
+    * cell, sv) — deterministic, so every build of the same corpus yields
+    * bit-identical codes. */
+  private def pqTrained(s: org.apache.spark.sql.SparkSession,
+                        subrows: DataFrame): DataFrame = {
+    val seed = subrows.withColumn("cell",
+      ((col("neighbor_id") + col("sub")) % PqK).cast("int"))
+    (1 to PqIters).foldLeft(seed) { (assigned, _) =>
+      pqAssign(subrows, pqCentroidsOf(s, assigned), "neighbor_id")
+    }
+  }
+
+  /** ADC shortlist → exact-cosine candidate rows (query_id, neighbor_id,
+    * sim) for [[stageAndRank]]. Exposed for AnnPqSpec's recall/work
+    * assertions. */
+  def pqCandidates(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val corpus = Housekeeping.cacheBounded("pq_corpus",
+      withVec(Tables.embeddings(s, d), "neighbor_id", "vc", "nc"))
+    val subrows = Housekeeping.cacheBounded("pq_subrows",
+      pqSubrows(corpus.select(col("neighbor_id"), col("vc").as("v")), "neighbor_id"))
+    val trained = Housekeeping.cacheBounded("pq_codes", pqTrained(s, subrows))
+    val cents = pqCentroidsOf(s, trained)
+    val codes = trained.select("neighbor_id", "sub", "cell")
+    val queries = Housekeeping.cacheBounded("pq_queries",
+      withVec(Tables.embeddings(s, d), "query_id", "vq", "nq").where(col("query_id") < 10))
+    // queries×M×K ADC lookup table — one partial dot per (query, sub, cell)
+    val lut = pqSubrows(queries.select(col("query_id"), col("vq").as("v")), "query_id")
+      .join(broadcast(cents), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cell"), dot(col("sv"), col("cv")).as("pdot"))
+    val wShort = Window.partitionBy("query_id")
+      .orderBy(col("asim").desc, col("neighbor_id").asc)
+    val shortlist = codes.join(broadcast(lut), Seq("sub", "cell"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(aggregate(array_sort(collect_list(struct(col("sub"), col("pdot")))),
+        lit(0.0), (acc, x) => acc + x.getField("pdot")).as("adot"))
+      .join(corpus.select("neighbor_id", "nc"), "neighbor_id")
+      .join(broadcast(queries.select("query_id", "nq")), "query_id")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("asim", col("adot") / (col("nq") * col("nc")))
+      .withColumn("sr", row_number().over(wShort))
+      .where(col("sr") <= PqShortlist)
+    shortlist.select("query_id", "neighbor_id")
+      .join(corpus, "neighbor_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("vq"), col("vc"), col("nq"), col("nc")).as("sim"))
+  }
+
+  def annPqStagePath(sfDir: String): String = Stage.root(sfDir) + "/ann_pq_cand"
+
+  val simSearchAnnPq: Op = Op(
+    "sim_search_ann_pq",
+    (s, d) => stageAndRank("ann_pq_cand", pqCandidates(s, d), annPqStagePath(d)),
+    Some(annRerankOracle(Stage.token + "/ann_pq_cand")))
+
   // ------------------------------------------------------ similarity search
 
   /** Embedding vector as doubles + its L2 norm. The dot product is the
@@ -1112,6 +1244,48 @@ object LlmOps {
     Some("SELECT doc_id, lang, n_chars, label, CAST(len(embedding) AS INT) AS dim " +
       "FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id"))
 
+  /** Exact duplicate-SPAN detection — the substring-level complement of the
+    * doc-level dedup family (the pass LLM corpus curation runs after
+    * doc-level near-dup, per the "deduplicating training data" line of
+    * work): every sliding [[SpanW]]-word window of every document is
+    * hashed, and any span occurring in ≥ 2 DISTINCT documents is reported
+    * with its document frequency, total occurrence count, and the lowest
+    * doc_id that carries it (the canonical keeper — the copy other docs
+    * would be trimmed against).
+    *
+    * Scale (100 TB): the map side emits one hashed span per token position
+    * (rows ∝ total corpus tokens, a constant factor of the scan itself) and
+    * partial aggregation collapses within-partition repeats BEFORE the
+    * shuffle, so shuffle bytes ∝ distinct spans, not occurrences. No pair
+    * space exists anywhere — this is the linear shape substring dedup runs
+    * at corpus scale, and the md5 span key is uniform so no salting is
+    * needed. Deterministic: string hashing only, no floats. */
+  private val SpanW = 12
+
+  val dedupSubstringSpans: Op = Op(
+    "dedup_substring_spans",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= SpanW)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("w")) - (SpanW - 1)),
+            i => md5(array_join(slice(col("w"), i, lit(SpanW)), " ")))).as("span_hash"))
+        .groupBy("span_hash")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"),
+          min(col("doc_id")).as("keep_doc"))
+        .where(col("n_docs") >= 2)
+        .orderBy("span_hash")
+    },
+    Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      s"sp AS (SELECT doc_id, md5(array_to_string(w[i:i+${SpanW - 1}], ' ')) AS span_hash " +
+      s"FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - ${SpanW - 1})) AS i) g " +
+      s"WHERE len(w) >= $SpanW) " +
+      "SELECT span_hash, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ, " +
+      "MIN(doc_id) AS keep_doc FROM sp GROUP BY 1 " +
+      "HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY span_hash"))
+
   /** ASYMMETRIC containment dedup — the doc-inside-doc detector Jaccard
     * misses: a short document fully quoted inside a long one has tiny
     * Jaccard (union is dominated by the long doc) but containment
@@ -1171,7 +1345,8 @@ object LlmOps {
   val all: Seq[Op] = Seq(dedupExact, dedupIncrementalExact, dedupNearMinhash,
     dedupIncrementalMinhash, dedupSimhash,
     dedupNgramJaccard, dedupClusterKeep, dedupDecontaminate, dedupEmbeddingCosine,
-    dedupContainment,
+    dedupContainment, dedupSubstringSpans,
     simSearchTopk, simSearchKnnPerQuery, simSearchAnnLsh, simSearchAnnIvf, simSearchAnnProbe,
+    simSearchAnnPq,
     textLangStats, textQualityFilter, multimodalJoin)
 }

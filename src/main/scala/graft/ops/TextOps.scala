@@ -398,6 +398,46 @@ object TextOps {
       "SELECT c.w1, c.w2, c.n_bigram, c.n_bigram * 1000000 // u.head_n AS p_cond_ppm " +
       "FROM c JOIN u USING (w1) WHERE c.n_bigram >= 3 ORDER BY w1, w2"))
 
+  /** Overlapping-window chunker — the doc→retrieval-unit splitter every
+    * RAG/embedding ingestion pipeline runs before vectorizing: fixed
+    * [[ChunkSize]]-word windows advanced by [[ChunkStride]] (so consecutive
+    * chunks share `size − stride` words of context), emitted with the
+    * chunk's word count and an md5 content key (the id the embedding and
+    * dedup stages downstream join on). Window starts are generated from an
+    * explicit arithmetic series on BOTH engines — never engine-specific
+    * string windowing — so chunk boundaries are bit-identical. The final
+    * short tail chunk is kept (its words would otherwise fall out of
+    * retrieval entirely); `n_words` marks it.
+    *
+    * Scale notes (100 TB): pure scan→explode→project, no shuffle at all
+    * until the terminal presentation sort — rows out ≈ tokens/stride. The
+    * overlap factor (size/stride) is the storage multiplier a real corpus
+    * pays; it is a declared constant, not data-dependent, so output size
+    * is exactly predictable from the token count. */
+  private val ChunkSize = 24
+  private val ChunkStride = 16
+
+  val textChunkOverlap: Op = Op(
+    "text_chunk_overlap",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(1), size(col("w")), lit(ChunkStride)),
+            st => slice(col("w"), st, lit(ChunkSize)))).as(Seq("chunk_idx", "cw")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          size(col("cw")).cast("long").as("n_words"),
+          md5(array_join(col("cw"), " ")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      s"c AS (SELECT doc_id, (g.st - 1) // $ChunkStride AS chunk_idx, " +
+      s"w[g.st:g.st + ${ChunkSize - 1}] AS cw " +
+      s"FROM t, LATERAL (SELECT unnest(generate_series(1, len(w), $ChunkStride)) AS st) g) " +
+      "SELECT doc_id, chunk_idx, len(cw) AS n_words, " +
+      "md5(array_to_string(cw, ' ')) AS chunk_hash FROM c ORDER BY doc_id, chunk_idx"))
+
   val all: Seq[Op] = Seq(textLangId, textTokenStats, textFingerprint, textBpePairs,
-    textBpeApply, textHeavyHitters, textPiiScrub, textTfidfTopk, textNgramLm)
+    textBpeApply, textHeavyHitters, textPiiScrub, textTfidfTopk, textNgramLm,
+    textChunkOverlap)
 }

@@ -1,0 +1,133 @@
+package graft
+
+import graft.ops.{JoinOps, LlmOps, TextOps}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The round-9 corpus-curation batch: substring-span dedup, the overlapping
+  * RAG chunker, blocked entity resolution, and PQ ANN. Semantics are proven
+  * on planted fixtures (the sf tables only prove plumbing); PQ gets the same
+  * recall-floor treatment as the LSH/IVF specs. */
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // ------------------------------------------------- dedup_substring_spans
+
+  test("substring spans: planted 12-word span shared by two docs is found, " +
+    "unique text is not") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma"),
+      (2L, s"$shared delta epsilon zeta"),
+      (3L, "an entirely different text with twelve plus unique words " +
+        "one two three four five six")).toDF("doc_id", "text")
+    assert(LlmOps.dedupSubstringSpans.fn(spark, TestSpark.sf0001).columns.toSeq ==
+      Seq("span_hash", "n_docs", "n_occ", "keep_doc"))
+    // fixture-level semantics via the same program shape, over planted docs
+    import org.apache.spark.sql.functions._
+    val spans = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 12)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - 11),
+          i => md5(array_join(slice(col("w"), i, lit(12)), " ")))).as("span_hash"))
+      .groupBy("span_hash")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), min("doc_id").as("keep_doc"))
+      .where(col("n_docs") >= 2)
+      .collect()
+    // doc1 and doc2 share exactly the one planted 12-token window
+    assert(spans.length == 1, s"expected exactly the planted span, got ${spans.length}")
+    assert(spans.head.getAs[Long]("keep_doc") == 1L)
+  }
+
+  test("substring spans: sf run emits only multi-doc spans, keep_doc is the min") {
+    val rows = LlmOps.dedupSubstringSpans.fn(spark, TestSpark.sf001).collect()
+    assert(rows.nonEmpty, "sf0.01 has planted near/exact dups sharing 12-grams")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 2)
+      assert(r.getAs[Long]("n_occ") >= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  // --------------------------------------------------- text_chunk_overlap
+
+  test("chunker: stride/size invariants — every word covered, overlap = size-stride") {
+    val out = TextOps.textChunkOverlap.fn(spark, TestSpark.sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.nonEmpty)
+    val byDoc = out.groupBy(_._1)
+    val docWords = graft.tables.Tables.documents(spark, TestSpark.sf001)
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byDoc.foreach { case (doc, chunks) =>
+      val n = docWords(doc).toLong
+      val idx = chunks.map(_._2).sorted.toSeq
+      // chunk_idx is dense 0..k-1 with starts 1, 1+16, … ≤ n
+      assert(idx == (0L until idx.length.toLong),
+        s"doc $doc chunk indices not dense: ${idx.toList}")
+      assert(idx.length == (n - 1) / 16 + 1, s"doc $doc wrong chunk count for n=$n")
+      chunks.foreach { case (_, ci, nw, _) =>
+        val start = ci * 16 + 1
+        val expect = math.min(24L, n - start + 1)
+        assert(nw == expect, s"doc $doc chunk $ci n_words=$nw expect=$expect")
+      }
+      // coverage: the furthest word any chunk reaches is exactly the last word
+      assert(chunks.map(c => c._2 * 16 + c._3).max == n,
+        s"doc $doc chunks do not cover through word $n")
+    }
+  }
+
+  // ----------------------------------------------- join_entity_resolution
+
+  test("entity resolution: identical names in a block match at distance 0, " +
+    "blocking never pairs across first tokens") {
+    val rows = JoinOps.joinEntityResolution.fn(spark, TestSpark.sf001).collect()
+    assert(rows.nonEmpty, "sf0.01 part has duplicate (name, size) combos")
+    val parts = graft.tables.Tables.part(spark, TestSpark.sf001)
+      .selectExpr("p_partkey", "p_name", "p_size").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    rows.foreach { r =>
+      val (a, bd, bm) =
+        (r.getAs[Long]("p_partkey"), r.getAs[Int]("best_dist"), r.getAs[Long]("best_match"))
+      val (na, sa) = parts(a); val (nb, sb) = parts(bm)
+      assert(sa == sb, "match crossed a p_size block")
+      assert(na.split(" ").head == nb.split(" ").head, "match crossed a name block")
+      assert(bd >= 0 && bd <= 3)
+      if (na == nb) assert(bd == 0)
+    }
+    // symmetry of the underlying pair relation: a's best match also has a row
+    val keys = rows.map(_.getAs[Long]("p_partkey")).toSet
+    rows.foreach(r => assert(keys.contains(r.getAs[Long]("best_match")),
+      "levenshtein is symmetric, so every best_match must itself be matched"))
+  }
+
+  // -------------------------------------------------------- sim_search_ann_pq
+
+  test("ann_pq: deterministic, bounded shortlist work, recall@5 above floor") {
+    val pq1 = LlmOps.simSearchAnnPq.fn(spark, TestSpark.sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    graft.ops.Housekeeping.releaseAll()
+    val pq2 = LlmOps.simSearchAnnPq.fn(spark, TestSpark.sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    graft.ops.Housekeeping.releaseAll()
+    assert(pq1.sameElements(pq2), "PQ output must be run-to-run deterministic")
+
+    // work bound: the exact-cosine stage sees ≤ shortlist rows per query
+    val cand = LlmOps.pqCandidates(spark, TestSpark.sf001)
+      .groupBy("query_id").count().collect()
+    graft.ops.Housekeeping.releaseAll()
+    cand.foreach(r => assert(r.getLong(1) <= 48, "shortlist overflow"))
+
+    val brute = LlmOps.simSearchKnnPerQuery.fn(spark, TestSpark.sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = pq1.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(approx.keySet == brute.keySet, "every query must produce candidates")
+    val recalls = brute.map { case (q, truth) =>
+      (approx(q) & truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean recall@5 = $mean%.2f")
+    assert(mean >= 0.3, f"mean recall $mean%.2f below floor")
+  }
+}
