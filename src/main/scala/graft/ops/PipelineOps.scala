@@ -294,6 +294,43 @@ object PipelineOps {
       "lpad(printf('%x', (LEAST(1000000, n_chars * 2000) * 16777216) // 1000000), 6, '0') " +
       "ORDER BY doc_id"))
 
+  /** Quota-balanced mixture sampling — the "data mixing" step of a training
+    * corpus build: every source stratum is capped at 3/4 of the SMALLEST
+    * stratum's size (equal representation with guaranteed thinning — on a
+    * balanced corpus a pure min-quota keeps everything), and which documents fill each
+    * quota is content-keyed — docs rank within their source by md5(text)
+    * (doc_id tiebreak), so the selection is deterministic, re-runnable, and
+    * (unlike a rate-based sampler) lands EXACT per-source counts. The
+    * complement of [[sampleStratified]]: that thins by rate, this balances
+    * by quota.
+    *
+    * Scale notes (100 TB): one count aggregate (rows = #sources, broadcast
+    * back), one rank window partitioned by source — a single shuffle on the
+    * stratum key; a dominant source at corpus scale gets the same
+    * salt-then-restitch treatment as `join_skew_salted`, and the quota rank
+    * only ever needs the per-source top-quota rows (WindowGroupLimit pushes
+    * the cap below the sort at plan time). */
+  val sampleMixtureQuota: Op = Op(
+    "sample_mixture_quota",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val quota = docs.groupBy("source").agg(count(lit(1)).as("n"))
+        .agg(expr("(min(n) * 3) div 4").as("quota"))
+      val w = Window.partitionBy("source").orderBy(col("u"), col("doc_id"))
+      docs.select(col("doc_id"), col("source"), md5(col("text")).as("u"))
+        .withColumn("rk", row_number().over(w))
+        .crossJoin(broadcast(quota))
+        .where(col("rk") <= col("quota"))
+        .select(col("doc_id"), col("source"), col("rk"))
+        .orderBy("doc_id")
+    },
+    Some("WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1), " +
+      "q AS (SELECT (MIN(n) * 3) // 4 AS quota FROM c), " +
+      "r AS (SELECT doc_id, source, CAST(row_number() OVER " +
+      "(PARTITION BY source ORDER BY md5(text), doc_id) AS INT) AS rk FROM documents) " +
+      "SELECT doc_id, source, rk FROM r, q WHERE rk <= q.quota ORDER BY doc_id"))
+
   val all: Seq[Op] = Seq(sampleStratified, splitTrainValTest, packSequences, embedQuantizeInt8,
-    pipelineCorpusBuild, sampleReservoirGroup, sampleWeightedHash, embedGramExact)
+    pipelineCorpusBuild, sampleReservoirGroup, sampleWeightedHash, embedGramExact,
+    sampleMixtureQuota)
 }

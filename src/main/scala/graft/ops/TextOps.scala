@@ -398,6 +398,55 @@ object TextOps {
       "SELECT c.w1, c.w2, c.n_bigram, c.n_bigram * 1000000 // u.head_n AS p_cond_ppm " +
       "FROM c JOIN u USING (w1) WHERE c.n_bigram >= 3 ORDER BY w1, w2"))
 
+  /** LM-score quality filtering — the consumer of [[textNgramLm]]'s
+    * statistics: every document is scored by the mean conditional
+    * probability (ppm, integer-scaled) of its own bigrams under the corpus
+    * bigram LM (same ≥ 3 support floor; a bigram below the floor scores 0 —
+    * the OOV/low-support penalty), and flagged keep/drop against a fixed
+    * ppm threshold. This is the perplexity-filter shape of corpus curation
+    * with log-space float math replaced by exact integer ppm means, so the
+    * score — and the filter verdict — is bit-identical on both engines.
+    *
+    * Scale notes (100 TB): pass 1 is the n-gram count job (map-side
+    * combinable, bigram space ≪ token instances); the surviving LM head
+    * (support ≥ 3) is small enough to broadcast, so pass 2 — scoring — is a
+    * broadcast join onto the bigram stream plus one groupBy(doc). No pair
+    * space, no corpus-width shuffle beyond the doc-id aggregate. */
+  val textLmScoreFilter: Op = Op(
+    "text_lm_score_filter",
+    (s, d) => {
+      val bigr = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("l"))
+        .where(size(col("l")) >= 2)
+        .select(col("doc_id"), explode(expr("sequence(0, size(l) - 2)")).as("i"), col("l"))
+        .select(col("doc_id"),
+          expr("element_at(l, i + 1)").as("w1"), expr("element_at(l, i + 2)").as("w2"))
+      val heads = bigr.groupBy("w1").agg(count(lit(1)).as("head_n"))
+      val lm = bigr.groupBy("w1", "w2").agg(count(lit(1)).as("n_bigram"))
+        .where(col("n_bigram") >= 3)
+        .join(heads, "w1")
+        .select(col("w1"), col("w2"), expr("n_bigram * 1000000 div head_n").as("ppm"))
+      bigr.join(broadcast(lm), Seq("w1", "w2"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bi"), sum(coalesce(col("ppm"), lit(0L))).as("tot"))
+        .select(col("doc_id"), col("n_bi"), expr("tot div n_bi").as("score_ppm"),
+          when(expr("tot div n_bi") >= 1000, 1).otherwise(0).as("keep_flag"))
+        .orderBy("doc_id")
+    },
+    Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), " +
+      "b AS (SELECT doc_id, t.l[g.i + 1] AS w1, t.l[g.i + 2] AS w2 FROM t, " +
+      "LATERAL (SELECT unnest(generate_series(0, len(t.l) - 2)) AS i) g WHERE len(t.l) >= 2), " +
+      "u AS (SELECT w1, COUNT(*) AS head_n FROM b GROUP BY 1), " +
+      "c AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM b GROUP BY 1, 2), " +
+      "lm AS (SELECT c.w1, c.w2, c.n_bigram * 1000000 // u.head_n AS ppm " +
+      "FROM c JOIN u USING (w1) WHERE c.n_bigram >= 3), " +
+      "sc AS (SELECT b.doc_id, COUNT(*) AS n_bi, " +
+      "CAST(SUM(COALESCE(lm.ppm, 0)) AS BIGINT) AS tot " +
+      "FROM b LEFT JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2 GROUP BY 1) " +
+      "SELECT doc_id, n_bi, tot // n_bi AS score_ppm, " +
+      "CASE WHEN tot // n_bi >= 1000 THEN 1 ELSE 0 END AS keep_flag " +
+      "FROM sc ORDER BY doc_id"))
+
   /** Overlapping-window chunker — the doc→retrieval-unit splitter every
     * RAG/embedding ingestion pipeline runs before vectorizing: fixed
     * [[ChunkSize]]-word windows advanced by [[ChunkStride]] (so consecutive
@@ -439,5 +488,5 @@ object TextOps {
 
   val all: Seq[Op] = Seq(textLangId, textTokenStats, textFingerprint, textBpePairs,
     textBpeApply, textHeavyHitters, textPiiScrub, textTfidfTopk, textNgramLm,
-    textChunkOverlap)
+    textChunkOverlap, textLmScoreFilter)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{JoinOps, LlmOps, TextOps}
+import graft.ops.{JoinOps, LlmOps, PipelineOps, TextOps}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The round-9 corpus-curation batch: substring-span dedup, the overlapping
@@ -99,6 +99,47 @@ class CorpusOpsSpec extends AnyFunSuite {
     val keys = rows.map(_.getAs[Long]("p_partkey")).toSet
     rows.foreach(r => assert(keys.contains(r.getAs[Long]("best_match")),
       "levenshtein is symmetric, so every best_match must itself be matched"))
+  }
+
+  // ------------------------------------------------- text_lm_score_filter
+
+  test("lm score filter: scores bounded in [0, 1e6], flag consistent, " +
+    "identical texts score identically") {
+    val rows = TextOps.textLmScoreFilter.fn(spark, TestSpark.sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (doc, nBi, score, flag) =>
+      assert(nBi >= 1, s"doc $doc has no bigrams but was scored")
+      // mean of per-bigram ppm values, each ≤ 1e6 by construction
+      assert(score >= 0 && score <= 1000000L, s"doc $doc score $score out of range")
+      assert(flag == (if (score >= 1000) 1 else 0), s"doc $doc flag/score mismatch")
+    }
+    val texts = graft.tables.Tables.documents(spark, TestSpark.sf001)
+      .selectExpr("doc_id", "md5(text) AS h").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.groupBy { case (doc, _, _, _) => texts(doc) }.foreach { case (_, grp) =>
+      assert(grp.map(g => (g._2, g._3, g._4)).distinct.length == 1,
+        "byte-identical documents must receive identical LM scores")
+    }
+  }
+
+  // ------------------------------------------------- sample_mixture_quota
+
+  test("mixture quota: every source lands exactly 3·min/4 docs, content-keyed") {
+    val rows = PipelineOps.sampleMixtureQuota.fn(spark, TestSpark.sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val bySource = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    val counts = graft.tables.Tables.documents(spark, TestSpark.sf001)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val quota = counts.values.min * 3 / 4
+    assert(bySource.keySet == counts.keySet, "a source stratum vanished")
+    bySource.foreach { case (src, n) =>
+      assert(n.toLong == quota, s"source $src kept $n, quota is $quota")
+    }
+    // content-keyed: a rerun selects the identical doc set
+    val again = PipelineOps.sampleMixtureQuota.fn(spark, TestSpark.sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(rows.sameElements(again), "quota selection must be deterministic")
   }
 
   // -------------------------------------------------------- sim_search_ann_pq
