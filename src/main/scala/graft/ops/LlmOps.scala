@@ -1286,6 +1286,60 @@ object LlmOps {
       "MIN(doc_id) AS keep_doc FROM sp GROUP BY 1 " +
       "HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY span_hash"))
 
+  /** The TRIM pass over [[dedupSubstringSpans]]'s detections — the output a
+    * substring-dedup pipeline actually ships: for every document, how many
+    * word positions are covered by some ≥ 2-doc duplicated span whose
+    * canonical keeper is ANOTHER document (the keeper doc keeps its copy;
+    * everyone else trims theirs), and the resulting kept-word count.
+    * Overlapping duplicated spans are handled by marking POSITIONS and
+    * de-duplicating the marks — equivalent to interval-merging but with no
+    * order-dependent merge logic, so both engines agree trivially.
+    *
+    * Scale (100 TB): span emission is the same linear scan as the detector;
+    * the dup-span set (multi-doc hashes) is the only thing joined back, and
+    * that join is an equi-join on span_hash — shuffle ∝ duplicated content,
+    * not corpus size. Position marks explode ×[[SpanW]] only for rows that
+    * matched a duplicated span. All integers. */
+  val dedupSubstringTrim: Op = Op(
+    "dedup_substring_trim",
+    (s, d) => {
+      val spans = Housekeeping.cacheBounded("trim_spans",
+        Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= SpanW)
+          .select(col("doc_id"), size(col("w")).as("n_words"),
+            posexplode(transform(sequence(lit(1), size(col("w")) - (SpanW - 1)),
+              i => md5(array_join(slice(col("w"), i, lit(SpanW)), " "))))
+              .as(Seq("i0", "span_hash"))))
+      val dupOwners = spans.groupBy("span_hash")
+        .agg(countDistinct(col("doc_id")).as("n_docs"), min(col("doc_id")).as("keep_doc"))
+        .where(col("n_docs") >= 2)
+        .select("span_hash", "keep_doc")
+      val marks = spans.join(dupOwners, "span_hash")
+        .where(col("doc_id") =!= col("keep_doc"))
+        .select(col("doc_id"), col("n_words"),
+          explode(sequence(col("i0") + 1, col("i0") + SpanW)).as("pos"))
+        .distinct()
+      marks.groupBy("doc_id", "n_words")
+        .agg(count(lit(1)).as("n_dup_words"))
+        .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+          col("n_dup_words"), (col("n_words") - col("n_dup_words")).as("n_kept_words"))
+        .orderBy("doc_id")
+    },
+    Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      s"sp AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, g.i, " +
+      s"md5(array_to_string(w[g.i:g.i+${SpanW - 1}], ' ')) AS span_hash " +
+      s"FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - ${SpanW - 1})) AS i) g " +
+      s"WHERE len(w) >= $SpanW), " +
+      "du AS (SELECT span_hash, MIN(doc_id) AS keep_doc FROM sp GROUP BY 1 " +
+      "HAVING COUNT(DISTINCT doc_id) >= 2), " +
+      "mk AS (SELECT DISTINCT sp.doc_id, sp.n_words, sp.i + g2.o - 1 AS pos " +
+      "FROM sp JOIN du USING (span_hash), " +
+      s"LATERAL (SELECT unnest(generate_series(1, $SpanW)) AS o) g2 " +
+      "WHERE sp.doc_id <> du.keep_doc) " +
+      "SELECT doc_id, n_words, COUNT(*) AS n_dup_words, " +
+      "n_words - COUNT(*) AS n_kept_words FROM mk GROUP BY 1, 2 ORDER BY doc_id"))
+
   /** ASYMMETRIC containment dedup — the doc-inside-doc detector Jaccard
     * misses: a short document fully quoted inside a long one has tiny
     * Jaccard (union is dominated by the long doc) but containment
@@ -1345,7 +1399,7 @@ object LlmOps {
   val all: Seq[Op] = Seq(dedupExact, dedupIncrementalExact, dedupNearMinhash,
     dedupIncrementalMinhash, dedupSimhash,
     dedupNgramJaccard, dedupClusterKeep, dedupDecontaminate, dedupEmbeddingCosine,
-    dedupContainment, dedupSubstringSpans,
+    dedupContainment, dedupSubstringSpans, dedupSubstringTrim,
     simSearchTopk, simSearchKnnPerQuery, simSearchAnnLsh, simSearchAnnIvf, simSearchAnnProbe,
     simSearchAnnPq,
     textLangStats, textQualityFilter, multimodalJoin)

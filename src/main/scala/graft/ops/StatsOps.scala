@@ -165,5 +165,62 @@ object StatsOps {
         "GROUP BY l_returnflag"
     }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY pair, l_returnflag")))
 
-  val all: Seq[Op] = Seq(statsCollect, statsHistogram, statsCorrExact)
+  /** Count-Min sketch frequency estimation — the fixed-memory streaming
+    * counter behind heavy-key monitoring and frequency capping: [[CmsD]]
+    * independent hash rows × [[CmsW]] counter columns; every event
+    * increments one cell per row, and a key's estimate is the MIN over its
+    * [[CmsD]] cells — always ≥ the true count (cells only ever
+    * over-count), within ε·N with high probability. Emitted per key:
+    * (exact count, CMS estimate), so the over-estimate structure is fully
+    * visible and hash-verifiable.
+    *
+    * Oracle playbook (persisted claims): the only engine-specific piece is
+    * WHICH cell each key hashes to (xxhash64 — no DuckDB parity), so the op
+    * stages the (user_id, r, c) hash-claims table and DuckDB independently
+    * rebuilds the entire counter matrix from claims ⋈ raw events,
+    * recomputes every min-estimate, and hash-compares — the sketch MATH is
+    * verified end to end; only the labeling is taken from the stage.
+    * Counters built per-key×count are identical to per-event increments
+    * (every event of a key lands in the same cells) — that algebraic
+    * collapse is also what makes the counter build map-side partial.
+    *
+    * Scale notes (100 TB): the sketch is d·w = 256 cells — at corpus scale
+    * this drops into a `TypedImperativeAggregate` accumulating a long[]
+    * per partition (the `text_heavy_hitters` pattern) with ONE tiny merged
+    * artifact at the driver, no per-key state anywhere; the relational
+    * spelling here keeps every stage (counter build, estimate probe)
+    * oracle-able. Claims rows = distinct keys × d, broadcastable. */
+  private val CmsD = 4
+  private val CmsW = 64
+
+  def cmsStagePath(sfDir: String): String = Stage.root(sfDir) + "/cms_claims"
+
+  val statsCountminEstimate: Op = Op(
+    "stats_countmin_estimate",
+    (s, d) => {
+      val events = Tables.events(s, d)
+      val claims = events.select("user_id").distinct()
+        .select(col("user_id"), explode(sequence(lit(0), lit(CmsD - 1))).as("r"))
+        .withColumn("c", pmod(xxhash64(col("user_id"), col("r")), lit(CmsW)).cast("int"))
+      claims.coalesce(1).write.mode("overwrite").parquet(cmsStagePath(d))
+      val cl = s.read.parquet(cmsStagePath(d))
+      val exact = events.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      val ctr = cl.join(exact, "user_id").groupBy("r", "c").agg(sum("n_exact").as("cnt"))
+      val est = cl.join(ctr, Seq("r", "c")).groupBy("user_id").agg(min("cnt").as("n_est"))
+      exact.join(est, "user_id")
+        .select(col("user_id"), col("n_exact"), col("n_est"))
+        .orderBy("user_id")
+    },
+    Some("WITH cl AS (SELECT user_id, r, c FROM " +
+      s"read_parquet('${Stage.token}/cms_claims/*.parquet')), " +
+      "ex AS (SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY 1), " +
+      "ctr AS (SELECT cl.r, cl.c, CAST(SUM(ex.n_exact) AS BIGINT) AS cnt " +
+      "FROM cl JOIN ex USING (user_id) GROUP BY 1, 2), " +
+      "est AS (SELECT cl.user_id, MIN(ctr.cnt) AS n_est FROM cl " +
+      "JOIN ctr ON cl.r = ctr.r AND cl.c = ctr.c GROUP BY 1) " +
+      "SELECT ex.user_id, ex.n_exact, est.n_est FROM ex JOIN est USING (user_id) " +
+      "ORDER BY user_id"))
+
+  val all: Seq[Op] = Seq(statsCollect, statsHistogram, statsCorrExact,
+    statsCountminEstimate)
 }

@@ -101,6 +101,47 @@ class CorpusOpsSpec extends AnyFunSuite {
       "levenshtein is symmetric, so every best_match must itself be matched"))
   }
 
+  // ------------------------------------------------ dedup_substring_trim
+
+  test("substring trim: every trimmed doc loses >= one span width, " +
+    "kept = total - dup, and trims exist wherever multi-doc spans exist") {
+    val spans = LlmOps.dedupSubstringSpans.fn(spark, TestSpark.sf001).collect()
+    val trims = LlmOps.dedupSubstringTrim.fn(spark, TestSpark.sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.nonEmpty && trims.nonEmpty,
+      "sf0.01 plants duplicate content, so both detection and trim must fire")
+    trims.foreach { case (doc, nWords, nDup, nKept) =>
+      assert(nDup >= 12, s"doc $doc trims $nDup < one span width")
+      assert(nDup <= nWords, s"doc $doc trims more words than it has")
+      assert(nKept == nWords - nDup, s"doc $doc kept-count arithmetic broken")
+    }
+    // a span's canonical keeper is never trimmed below a NON-keeper of the
+    // same span: every keep_doc with a 2-doc span must leave >= 1 other doc
+    // trimmed, so trimmed docs exist outside the keeper set
+    val keepers = spans.map(_.getAs[Long]("keep_doc")).toSet
+    assert(trims.exists(t => !keepers.contains(t._1)),
+      "at least one trimmed doc must be a pure non-keeper")
+  }
+
+  // --------------------------------------------- stats_countmin_estimate
+
+  test("count-min: estimate >= exact always, collisions over-count within " +
+    "2N/w on the fixed corpus") {
+    val rows = graft.ops.StatsOps.statsCountminEstimate.fn(spark, TestSpark.sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val bigN = rows.map(_._2).sum
+    val bound = 2L * bigN / 64L
+    rows.foreach { case (u, exact, est) =>
+      assert(est >= exact, s"user $u: CMS under-counted ($est < $exact)")
+      assert(est - exact <= bound,
+        s"user $u: overestimate ${est - exact} above 2N/w = $bound")
+    }
+    // at 150 keys over 64 columns collisions are structural, not incidental
+    assert(rows.count { case (_, e, s0) => s0 > e } > 0,
+      "expected at least one colliding key at sf0.01")
+  }
+
   // ------------------------------------------------- text_lm_score_filter
 
   test("lm score filter: scores bounded in [0, 1e6], flag consistent, " +
