@@ -358,7 +358,46 @@ object AggOps {
       "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type) AS rn " +
       "FROM events GROUP BY user_id, event_type) WHERE rn = 1 ORDER BY user_id"))
 
+  /** EXACT distinct counting via bitmap rollup — the mergeable-but-exact
+    * alternative to HLL (`agg_hll_mergeable` trades exactness for fixed
+    * size; a bitmap index trades size for exactness): integer keys are
+    * bucketed into 32-bit words (`word = user_id div 32`), each word
+    * aggregated with BIT_OR — associative and order-free, so partials merge
+    * map-side and across any partitioning/day-split — and the distinct
+    * count is the sum of popcounts. Emitted beside `count_distinct` so the
+    * bitmap path is hash-proven equal to the built-in on every group.
+    *
+    * Scale notes (100 TB): the shuffle carries one word-row per POPULATED
+    * (group, word) — for dense key spaces that is keys/32 longs, far under
+    * the distinct-aggregate's per-key rows; daily bitmap partials OR
+    * together for any window (the same reuse story as the HLL sketches,
+    * without the error bar). Sparse/huge key spaces are where you flip back
+    * to HLL — the scaladoc'd tradeoff, not a silent one. */
+  val aggBitmapDistinct: Op = Op(
+    "agg_bitmap_distinct",
+    (s, d) => {
+      val words = Tables.events(s, d)
+        .select(col("event_type"), (col("user_id") / 32).cast("long").as("word"),
+          expr("shiftleft(1L, cast(pmod(user_id, 32) as int))").as("bit"))
+        .groupBy("event_type", "word")
+        .agg(bit_or(col("bit")).as("w"))
+      val viaBitmap = words.groupBy("event_type")
+        .agg(sum(bit_count(col("w"))).cast("long").as("n_bitmap"))
+      val exact = Tables.events(s, d).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      viaBitmap.join(exact, "event_type")
+        .select(col("event_type"), col("n_bitmap"), col("n_exact"))
+        .orderBy("event_type")
+    },
+    Some("WITH wd AS (SELECT event_type, user_id // 32 AS word, " +
+      "BIT_OR(1::BIGINT << CAST(user_id % 32 AS INT)) AS w FROM events GROUP BY 1, 2), " +
+      "b AS (SELECT event_type, CAST(SUM(bit_count(w)) AS BIGINT) AS n_bitmap " +
+      "FROM wd GROUP BY 1), " +
+      "e AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY 1) " +
+      "SELECT b.event_type, b.n_bitmap, e.n_exact FROM b JOIN e USING (event_type) " +
+      "ORDER BY event_type"))
+
   val all: Seq[Op] = Seq(aggPricingSummary, aggCountDistinct, aggApproxHll, aggHllMergeable,
     aggGroupingSets, aggRollupTime, aggCube, aggCollectSorted, aggArgMax, aggPivot, distinctRows,
-    aggIncrementalRollup, aggPercentileExact, aggModeExact)
+    aggIncrementalRollup, aggPercentileExact, aggModeExact, aggBitmapDistinct)
 }

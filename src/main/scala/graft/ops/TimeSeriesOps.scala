@@ -624,8 +624,42 @@ object TimeSeriesOps {
       "FROM rec r JOIN t ON t.user_id = r.user_id " +
       "GROUP BY 1, 2, 3 ORDER BY 1"))
 
+  /** Trailing-7-day DISTINCT actives per day (rolling DAU/WAU) — the
+    * windowed-distinct shape ordinary window frames cannot express (distinct
+    * doesn't compose with range frames): every event is fanned out to the 7
+    * window-END days it contributes to (an explode over a generated date
+    * sequence — pure map side), then ONE two-phase distinct aggregate per
+    * window day; a semi-join on observed days keeps the output on the data's
+    * own calendar (no phantom trailing windows). Exact and integer-only.
+    *
+    * Scale notes (100 TB): fan-out is a fixed ×7 of the scan — no pair
+    * space, no per-day self-join (the naive spelling joins the event table
+    * to itself once per window day); the distinct is the usual partial
+    * aggregate. For wider windows at corpus scale the same shape drops the
+    * exact distinct for [[AggOps.aggHllMergeable]]'s sketches — the fan-out
+    * then carries 1 sketch-update per (event, window) instead of a row. */
+  val tsSlidingDistinct: Op = Op(
+    "ts_sliding_distinct",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(to_date(col("ts")).as("d0"), col("user_id"))
+      val days = ev.select(col("d0").as("wday")).distinct()
+      ev.select(explode(expr("sequence(d0, date_add(d0, 6), interval 1 day)")).as("wday"),
+          col("user_id"))
+        .join(days, Seq("wday"), "left_semi")
+        .groupBy("wday")
+        .agg(countDistinct(col("user_id")).as("active_7d"))
+        .orderBy("wday")
+    },
+    Some("WITH e AS (SELECT CAST(ts AS DATE) AS d0, user_id FROM events), " +
+      "days AS (SELECT DISTINCT d0 AS wday FROM e), " +
+      "x AS (SELECT CAST(g.w AS DATE) AS wday, user_id FROM e, " +
+      "LATERAL (SELECT unnest(generate_series(CAST(d0 AS TIMESTAMP), " +
+      "CAST(d0 AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS w) g) " +
+      "SELECT x.wday, COUNT(DISTINCT user_id) AS active_7d FROM x " +
+      "JOIN days USING (wday) GROUP BY 1 ORDER BY 1"))
+
   val all: Seq[Op] = Seq(tsTumblingHourly, tsSlidingWindow, tsSessionWindow, tsGapDetection,
     tsCounterDelta, tsCounterDailyReset, tsDailyProfile, tsResampleFfill, tsInterpolateLinear,
     creditEventDetect, siteCircuitRollup, tsDownsampleLtob, tsOutlierMad, tsZscoreRolling,
-    tsEwmaScaled, tsCusumDrift)
+    tsEwmaScaled, tsCusumDrift, tsSlidingDistinct)
 }

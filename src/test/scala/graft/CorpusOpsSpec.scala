@@ -183,6 +183,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.sameElements(again), "quota selection must be deterministic")
   }
 
+  // --------------------------------------------------- agg_bitmap_distinct
+
+  test("bitmap distinct: popcount rollup equals count_distinct on every group") {
+    val rows = graft.ops.AggOps.aggBitmapDistinct.fn(spark, TestSpark.sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bitmap") == r.getAs[Long]("n_exact"),
+        s"bitmap distinct diverged on ${r.getString(0)}")
+    }
+  }
+
+  // --------------------------------------------------- ts_sliding_distinct
+
+  test("sliding distinct: equals the brute-force trailing-7-day model") {
+    val got = graft.ops.TimeSeriesOps.tsSlidingDistinct.fn(spark, TestSpark.sf0001)
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    val ev = graft.tables.Tables.events(spark, TestSpark.sf0001)
+      .selectExpr("CAST(ts AS DATE) AS d0", "user_id").distinct().collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val days = ev.map(_._1).distinct
+    val model = days.map { d =>
+      d -> ev.filter { case (ed, _) =>
+        !ed.isAfter(d) && !ed.isBefore(d.minusDays(6))
+      }.map(_._2).distinct.length.toLong
+    }.toMap
+    assert(got == model, "sliding distinct diverged from the brute-force model")
+  }
+
   // -------------------------------------------------------- sim_search_ann_pq
 
   test("ann_pq: deterministic, bounded shortlist work, recall@5 above floor") {
