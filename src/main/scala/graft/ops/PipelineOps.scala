@@ -307,9 +307,11 @@ object PipelineOps {
     * Scale notes (100 TB): one count aggregate (rows = #sources, broadcast
     * back), one rank window partitioned by source — a single shuffle on the
     * stratum key; a dominant source at corpus scale gets the same
-    * salt-then-restitch treatment as `join_skew_salted`, and the quota rank
-    * only ever needs the per-source top-quota rows (WindowGroupLimit pushes
-    * the cap below the sort at plan time). */
+    * salt-then-restitch treatment as `join_skew_salted`. (The rank cap is a
+    * runtime scalar, so WindowGroupLimit can NOT prune below the sort the
+    * way a literal top-k does — at 100 TB, feed the collected quota back in
+    * as a literal to buy that pushdown; here the dynamic spelling keeps the
+    * op a single self-contained query.) */
   val sampleMixtureQuota: Op = Op(
     "sample_mixture_quota",
     (s, d) => {
