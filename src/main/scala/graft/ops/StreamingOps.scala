@@ -509,7 +509,82 @@ object StreamingOps {
     },
     Some("SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id"))
 
+  /** foreachBatch UPSERT — the production streaming-sink pattern none of
+    * the append/update sinks above cover: each micro-batch MERGES into a
+    * keyed target table (latest event per user by (event time, event id)),
+    * written as a fresh table VERSION per batch (read-version-N → merge →
+    * write-version-N+1, the snapshot-isolation move of the manifest-commit
+    * layout ops — a reader never observes a half-merged table, and the
+    * self-overwrite hazard of rewriting a parquet dir that is also the
+    * batch's input never arises). Two staged deliveries with
+    * maxFilesPerTrigger=1 force a genuinely incremental multi-batch run;
+    * the upsert is associative (latest-of-latest = latest), so the final
+    * table is independent of how the planner batches the files — which is
+    * exactly WHY merge is the right streaming sink semantics, and why the
+    * batch SQL over all events is a valid oracle.
+    *
+    * Scale notes (100 TB): per batch the work is batchLatest (map-side
+    * struct-max per key in the batch) + one keyed merge against the
+    * standing table — cost ∝ delta + touched keys, the same incremental
+    * shape as `dedup_incremental_exact`; a real deployment swaps the
+    * full-table rewrite for the `sink_targeted_delete` file-level surgery
+    * plus manifest commit (both shipped), keeping the rewrite ∝ touched
+    * files. */
+  /** Batch count of the last `stream_upsert_foreachbatch` run — exposed so
+    * the spec can assert the run was genuinely multi-batch incremental
+    * (maxFilesPerTrigger=1 over two staged deliveries ⇒ ≥ 2 versions). */
+  @volatile var lastUpsertVersions: Int = 0
+
+  val streamUpsertForeachbatch: Op = Op(
+    "stream_upsert_foreachbatch",
+    (s, d) => {
+      val outRoot = Housekeeping.tempDirBounded("st_upsert_out",
+        Files.createTempDirectory("st_upsert_out")).toString
+      val srcDir = Files.createTempDirectory("st_upsert_src")
+      val ckpt = tmp("st_upsert_ckpt")
+      val raw = s.read.schema(graft.tables.Tables.rawEventsSchema)
+        .parquet(s"$d/events.parquet")
+        .withColumn("ts_us", unix_micros(graft.tables.Tables.ntzColToTimestamp("ts")))
+      val bounds = raw.agg(min(col("ts_us")), max(col("ts_us"))).first()
+      val cut = bounds.getLong(0) / 2 + bounds.getLong(1) / 2
+      val ver = new java.util.concurrent.atomic.AtomicInteger(0)
+      def latest(df: DataFrame): DataFrame = df
+        .groupBy("user_id")
+        .agg(max(struct(col("ts_us"), col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("m.ts_us").as("ts_us"),
+          col("m.event_id").as("event_id"), col("m.value").as("value"))
+      cleanupAfter(Seq(srcDir.toString, ckpt)) {
+        stageDelivery(raw.where(col("ts_us") <= cut).drop("ts_us"), srcDir, "delivery1.parquet")
+        stageDelivery(raw.where(col("ts_us") > cut).drop("ts_us"), srcDir, "delivery2.parquet")
+        val q = s.readStream.schema(graft.tables.Tables.rawEventsSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString)
+          .withColumn("ts_us", unix_micros(graft.tables.Tables.ntzColToTimestamp("ts")))
+          .select("user_id", "event_id", "value", "ts_us")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val v = ver.get()
+            val cur = if (v == 0) latest(batch).limit(0)
+              else s.read.parquet(s"$outRoot/v$v")
+            latest(cur.unionByName(latest(batch)))
+              .write.mode("overwrite").parquet(s"$outRoot/v${v + 1}")
+            ver.incrementAndGet()
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        lastUpsertVersions = ver.get()
+        s.read.parquet(s"$outRoot/v${ver.get()}")
+          .select(col("user_id"), col("event_id"), col("value"))
+          .orderBy("user_id")
+      }
+    },
+    Some("SELECT user_id, event_id, value FROM (SELECT user_id, event_id, value, " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+      "FROM events) WHERE rn = 1 ORDER BY user_id"))
+
   val all: Seq[Op] = Seq(streamTumblingWatermark, streamDedup, streamSessionStateful,
     streamLateData, streamStatefulCounter, streamStatefulCounterTws, streamJoinFollows,
-    streamEnrichDim, streamRestartExactlyOnce)
+    streamEnrichDim, streamRestartExactlyOnce, streamUpsertForeachbatch)
 }

@@ -211,6 +211,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == model, "sliding distinct diverged from the brute-force model")
   }
 
+  // --------------------------------------------- stream_upsert_foreachbatch
+
+  test("streaming upsert: multi-batch incremental merge equals the batch " +
+    "latest-per-user model") {
+    val got = graft.ops.StreamingOps.streamUpsertForeachbatch.fn(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(graft.ops.StreamingOps.lastUpsertVersions >= 2,
+      "expected a genuinely multi-batch run (maxFilesPerTrigger=1, two deliveries)")
+    val model = graft.tables.Tables.events(spark, TestSpark.sf0001)
+      .selectExpr("user_id", "event_id", "value",
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn")
+      .where("rn = 1").selectExpr("user_id", "event_id", "value")
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.sameElements(model), "incremental upsert diverged from batch merge")
+  }
+
   // -------------------------------------------------------- sim_search_ann_pq
 
   test("ann_pq: deterministic, bounded shortlist work, recall@5 above floor") {
