@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.tables.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Dets._
@@ -294,6 +295,122 @@ object PipelineOps {
       "lpad(printf('%x', (LEAST(1000000, n_chars * 2000) * 16777216) // 1000000), 6, '0') " +
       "ORDER BY doc_id"))
 
+  /** The INCREMENTAL corpus update — how a 100 TB pipeline actually runs
+    * [[pipelineCorpusBuild]] on day N+1: the standing half of the corpus
+    * (doc_id ≤ mid) is the already-built state; the delta half arrives and
+    * is pushed through the same stages AGAINST THE STANDING ARTIFACTS
+    * instead of a rebuild — quality gate on delta only; exact-dedup keep =
+    * min-per-hash WITHIN the delta, minus any hash already present in the
+    * standing quality-survivor index (prefix-stability of min-doc_id keep:
+    * a standing copy always beats a later delta copy, so the index lookup
+    * IS the full-rebuild outcome); decontamination of delta docs against
+    * the full eval dictionary; and — the subtle half — REVALIDATION of
+    * standing docs against only the shingles the delta ADDED to the eval
+    * source (benchNew = delta src0 shingles ∉ standing dictionary): a
+    * standing doc's full-rebuild hit count decomposes exactly as
+    * hits(standing dict) + hits(benchNew), so the re-check costs standing
+    * shingles ⋈ a small broadcast of NEW eval shingles, never a rescan of
+    * the eval set. Final per-split stats aggregate the union.
+    *
+    * The oracle is the FULL-REBUILD SQL over all documents — identical to
+    * `pipeline_corpus_build`'s — so the driver's hash compare IS the proof
+    * that the incremental algebra (index lookup + delta-only stages +
+    * additive contamination) reproduces the rebuild bit-for-bit.
+    *
+    * Scale notes (100 TB): with the standing artifacts persisted (hash
+    * index, eval dictionary, per-doc (shingle count, standing hits), split
+    * stats — all shipped shapes: `dedup_incremental_exact`'s index,
+    * `agg_incremental_rollup`'s re-aggregation), every delta-touching stage
+    * costs ∝ delta, and the standing revalidation costs ∝ standing-shingles
+    * ⋈ NEW eval shingles (broadcast, usually empty). This op recomputes the
+    * standing artifacts in-line to stay self-contained (the
+    * `dedup_incremental_*` convention), but the DELTA path never touches
+    * them except by equi-join/broadcast. */
+  val pipelineIncrementalUpdate: Op = Op(
+    "pipeline_incremental_update",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val mid = docs.agg(expr("max(doc_id) div 2")).first().getLong(0)
+      val nTok = size(split(col("text"), " "))
+      def gate(df: DataFrame): DataFrame =
+        df.where(col("n_chars") >= 64 && col("n_chars") <= 4096 &&
+            nTok >= 10 && col("text").rlike("^[a-z ]+$"))
+          .select("doc_id", "source", "text", "n_chars")
+      val qStd = Housekeeping.cacheBounded("inc_q_std", gate(docs.where(col("doc_id") <= mid)))
+      val qDel = Housekeeping.cacheBounded("inc_q_del", gate(docs.where(col("doc_id") > mid)))
+      // standing state: hash index over ALL standing quality survivors
+      val stdIndex = qStd.select(md5(col("text")).as("h")).distinct()
+      // keep decisions: standing keep = min-per-hash within standing;
+      // delta keep = min-per-hash within delta, hash not in standing index
+      val keepStd = qStd.groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val keepDel = qDel.withColumn("h", md5(col("text")))
+        .join(stdIndex, Seq("h"), "left_anti")
+        .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val poolStd = qStd.join(keepStd, "doc_id").where(col("source") =!= "src0")
+      val poolDel = qDel.join(keepDel, "doc_id").where(col("source") =!= "src0")
+      // eval dictionaries: standing, plus ONLY what the delta added
+      val benchStd = Housekeeping.cacheBounded("inc_bench_std",
+        graft.ops.LlmOps.shingleArrays(
+            docs.where(col("source") === "src0" && col("doc_id") <= mid).select("doc_id", "text"))
+          .select(explode(col("shingles")).as("s")).distinct())
+      val benchNew = Housekeeping.cacheBounded("inc_bench_new",
+        graft.ops.LlmOps.shingleArrays(
+            docs.where(col("source") === "src0" && col("doc_id") > mid).select("doc_id", "text"))
+          .select(explode(col("shingles")).as("s")).distinct()
+          .join(benchStd, Seq("s"), "left_anti"))
+      def contaminationClean(pool: DataFrame, tag: String, dicts: Seq[DataFrame]): DataFrame = {
+        val arr = Housekeeping.cacheBounded(s"inc_sh_$tag",
+          graft.ops.LlmOps.shingleArrays(pool.select("doc_id", "text")))
+        val sh = arr.select(col("doc_id"), explode(col("shingles")).as("s"))
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val hits = dicts.map(dict => sh.join(broadcast(dict), "s")
+          .groupBy("doc_id").agg(count(lit(1)).as("nh")))
+        val totalHits = hits.reduce(_.unionByName(_)).groupBy("doc_id")
+          .agg(sum(col("nh")).as("nh"))
+        pool.join(sz, "doc_id").join(totalHits, Seq("doc_id"), "left")
+          .where(coalesce(col("nh"), lit(0L)).cast("double") / col("n") < 0.5)
+          .select("doc_id", "text", "n_chars")
+      }
+      // standing docs revalidate on (standing dict) + (new shingles only);
+      // delta docs check against the full dictionary
+      val cleanStd = contaminationClean(poolStd, "std", Seq(benchStd, benchNew))
+      val cleanDel = contaminationClean(poolDel, "del", Seq(benchStd, benchNew))
+      val b = substring(md5(col("text")), 9, 4)
+      cleanStd.unionByName(cleanDel)
+        .withColumn("split",
+          when(b < "cccc", "train").when(b < "e666", "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+          dsum(col("n_chars")).as("sum_chars"))
+        .orderBy("split")
+    },
+    // the FULL-REBUILD oracle (== pipeline_corpus_build's): hash equality
+    // proves incremental ≡ rebuild
+    Some("WITH q AS (SELECT doc_id, source, text, n_chars FROM documents " +
+      "WHERE n_chars >= 64 AND n_chars <= 4096 AND len(string_split(text, ' ')) >= 10 " +
+      "AND regexp_matches(text, '^[a-z ]+$')), " +
+      "keep AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)), " +
+      "pool AS (SELECT q.* FROM q JOIN keep USING (doc_id) WHERE source <> 'src0'), " +
+      "pw AS (SELECT doc_id, string_split(text, ' ') AS w FROM pool), " +
+      "g AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 2), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s FROM pw WHERE len(w) >= 3), " +
+      "bw AS (SELECT string_split(text, ' ') AS w FROM documents WHERE source = 'src0'), " +
+      "bench AS (SELECT DISTINCT unnest(list_distinct(list_transform(generate_series(1, len(w) - 2), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s FROM bw WHERE len(w) >= 3), " +
+      "sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1), " +
+      "hit AS (SELECT doc_id, COUNT(*) AS nh FROM g JOIN bench USING (s) GROUP BY 1), " +
+      "clean AS (SELECT pool.doc_id, pool.text, pool.n_chars FROM pool " +
+      "JOIN sz ON sz.doc_id = pool.doc_id LEFT JOIN hit ON hit.doc_id = pool.doc_id " +
+      "WHERE CAST(COALESCE(nh, 0) AS DOUBLE) / sz.n < 0.5) " +
+      "SELECT CASE WHEN substr(md5(text), 9, 4) < 'cccc' THEN 'train' " +
+      "WHEN substr(md5(text), 9, 4) < 'e666' THEN 'val' ELSE 'test' END AS split, " +
+      "COUNT(*) AS n_docs, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens, " +
+      oSum("n_chars") + " AS sum_chars " +
+      "FROM clean GROUP BY 1 ORDER BY split"))
+
   /** Quota-balanced mixture sampling — the "data mixing" step of a training
     * corpus build: every source stratum is capped at 3/4 of the SMALLEST
     * stratum's size (equal representation with guaranteed thinning — on a
@@ -334,5 +451,5 @@ object PipelineOps {
 
   val all: Seq[Op] = Seq(sampleStratified, splitTrainValTest, packSequences, embedQuantizeInt8,
     pipelineCorpusBuild, sampleReservoirGroup, sampleWeightedHash, embedGramExact,
-    sampleMixtureQuota)
+    sampleMixtureQuota, pipelineIncrementalUpdate)
 }

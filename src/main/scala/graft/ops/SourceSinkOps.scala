@@ -611,6 +611,48 @@ object SourceSinkOps {
       "WHERE l_orderkey > (SELECT max(l_orderkey) // 20 FROM lineitem) " +
       "GROUP BY 1, 2 ORDER BY 1, 2"))
 
+  /** VACUUM — the retention end of the manifest lifecycle (commit →
+    * time-travel → vacuum): build the standing table (v1), run the
+    * targeted-delete commit (v2, superseded v1 files retained by
+    * reference), then explicitly reclaim every file the CURRENT manifest no
+    * longer references. The committed state is untouched by construction —
+    * vacuum never reads or rewrites live files, it only deletes orphans —
+    * and this op proves it by aggregating the live table AFTER the vacuum
+    * against the same closed-form oracle as the delete itself.
+    * VacuumSpec (CorpusOpsSpec) holds the destructive half: orphans > 0
+    * were physically removed, the v1 as-of read that worked before vacuum
+    * now fails loudly, and the live read is byte-identical pre/post.
+    *
+    * Scale notes (100 TB): vacuum is a file-listing diff against the
+    * manifest — no data is read, cost ∝ file count; retention windows
+    * (vacuum only versions older than N days) are a policy filter on the
+    * same diff. This is the piece that keeps a mutating 100 TB table from
+    * growing without bound once time travel exists. */
+  val sinkVacuumRetention: Op = Op(
+    "sink_vacuum_retention",
+    (s, d) => {
+      val root = Housekeeping.tempDirBounded("graft_vacuum",
+        Files.createTempDirectory("graft_vacuum"))
+      val standing = root.resolve("standing").toString
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      li.repartitionByRange(16, col("l_orderkey"), col("l_linenumber"))
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+        .write.mode("overwrite").parquet(standing)
+      TableManifest.commit(root, 1,
+        TableManifest.parquetFiles(java.nio.file.Paths.get(standing)))
+      val mx = li.agg(max(col("l_orderkey")).cast("long")).first().getLong(0)
+      targetedDeleteCommit(s, root, deleteLo = 0L, deleteHi = mx / 20)
+      TableManifest.vacuum(root)
+      TableManifest.readTable(s, root)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+    Some("SELECT l_returnflag, COUNT(*) AS cnt, " + oSum("l_quantity") + " AS sum_qty " +
+      "FROM lineitem WHERE l_orderkey > (SELECT max(l_orderkey) // 20 FROM lineitem) " +
+      "GROUP BY 1 ORDER BY 1"))
+
   /** The daily-restatement write path: a partitioned standing table gets a
     * correcting batch that touches ONLY some partitions, written with
     * `partitionOverwriteMode=dynamic` — the batch's partitions are replaced
@@ -702,5 +744,6 @@ object SourceSinkOps {
   val all: Seq[Op] = Seq(csvLogIngest, sinkPartitionedParquet, sinkBucketedJoin,
     sinkClusteredLayout, mergeUpsertLatest, sinkCsvReport, sourceJsonlRoundtrip,
     sourceOrcRoundtrip, sourceSchemaEvolution, sinkCompactSmallFiles, sinkZorderLayout,
-    sinkTargetedDelete, sinkDynamicPartitionOverwrite, cdcApplyChanges, sinkTimeTravelRead)
+    sinkTargetedDelete, sinkDynamicPartitionOverwrite, cdcApplyChanges, sinkTimeTravelRead,
+    sinkVacuumRetention)
 }

@@ -211,6 +211,54 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == model, "sliding distinct diverged from the brute-force model")
   }
 
+  // --------------------------------------------- pipeline_incremental_update
+
+  test("incremental corpus update: standing+delta two-phase run equals the " +
+    "one-shot full rebuild exactly") {
+    val inc = graft.ops.PipelineOps.pipelineIncrementalUpdate.fn(spark, TestSpark.sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    graft.ops.Housekeeping.releaseAll()
+    val full = graft.ops.PipelineOps.pipelineCorpusBuild.fn(spark, TestSpark.sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    graft.ops.Housekeeping.releaseAll()
+    assert(inc.sameElements(full),
+      "incremental algebra must reproduce the full rebuild bit-for-bit")
+    assert(inc.map(_._1).toSeq == Seq("test", "train", "val"))
+  }
+
+  // ------------------------------------------------- sink_vacuum_retention
+
+  test("vacuum: reclaims superseded files, kills the v1 snapshot, leaves " +
+    "the live read byte-identical") {
+    import graft.ops.TableManifest
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("vacuum_spec")
+    try {
+      val li = graft.tables.Tables.lineitem(spark, TestSpark.sf0001)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      li.repartitionByRange(8, col("l_orderkey"), col("l_linenumber"))
+        .write.mode("overwrite").parquet(root.resolve("standing").toString)
+      TableManifest.commit(root, 1, TableManifest.parquetFiles(root.resolve("standing")))
+      // v2: drop half the files from the manifest (a pure-reference delete)
+      val (v1, files) = TableManifest.read(root)
+      assert(v1 == 1L && files.size == 8)
+      TableManifest.commit(root, 2, files.take(4))
+      val before = TableManifest.readTable(spark, root)
+        .agg(count(lit(1)), sum(col("l_quantity"))).first()
+      assert(TableManifest.readTableAsOf(spark, root, 1).count() > 0,
+        "pre-vacuum, the v1 snapshot must still be readable")
+      val removed = TableManifest.vacuum(root)
+      assert(removed == 4, s"expected the 4 dropped files reclaimed, got $removed")
+      val after = TableManifest.readTable(spark, root)
+        .agg(count(lit(1)), sum(col("l_quantity"))).first()
+      assert(before == after, "vacuum changed the live table")
+      intercept[Exception] {
+        TableManifest.readTableAsOf(spark, root, 1).count()
+      }
+    } finally graft.ops.Housekeeping.deleteRecursively(root)
+  }
+
   // --------------------------------------------- stream_upsert_foreachbatch
 
   test("streaming upsert: multi-batch incremental merge equals the batch " +
