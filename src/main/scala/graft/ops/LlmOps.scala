@@ -1114,6 +1114,99 @@ object LlmOps {
     (s, d) => stageAndRank("ann_pq_cand", pqCandidates(s, d), annPqStagePath(d)),
     Some(annRerankOracle(Stage.token + "/ann_pq_cand")))
 
+  /** HYBRID retrieval with reciprocal-rank fusion — the two-channel search
+    * every production RAG stack runs: a LEXICAL channel (distinct-word
+    * overlap scored through an inverted-index equi-join — word → postings,
+    * never query×corpus) and a VECTOR channel (exact cosine, broadcast
+    * queries) each produce a per-query top-20; RRF fuses them as
+    * Σ 10⁶ div (60 + rank) over the channels a doc appears in (the
+    * standard k=60 constant) — ranks are INTEGERS, so the fusion needs no
+    * cross-engine float score calibration, which is exactly why RRF is the
+    * fusion rule of choice in practice. Final contract: top-5 per query by
+    * (fused score, doc id).
+    *
+    * Oracle: lexical ranks recompute exactly in SQL (integer overlap
+    * counts); the vector channel stages its top-20 with Spark sims and
+    * DuckDB re-ranks on the staged value with the 1e-5 cosine-parity guard
+    * per pair (the ANN-family playbook); fusion and the final window are
+    * recomputed end to end.
+    *
+    * Scale notes (100 TB): the lexical channel is the inverted-index join
+    * (rows ∝ postings of the query terms, with the usual df-cutoff guard
+    * available for stopword-heavy queries); the vector channel composes
+    * with ANY of the ANN keys — swap the exact scorer for
+    * `sim_search_ann_probe`'s cell-partitioned probe and fusion is
+    * unchanged, because RRF consumes only ranks. */
+  val simSearchHybridRrf: Op = Op(
+    "sim_search_hybrid_rrf",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, d)
+      val qText = docs.where(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("text"))
+      // lexical: inverted-index overlap → per-query top-20
+      val qw = qText.select(col("query_id"),
+        explode(array_distinct(split(col("text"), " "))).as("wd"))
+      val dwords = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("wd"))
+      val wLex = Window.partitionBy("query_id")
+        .orderBy(col("overlap").desc, col("doc_id").asc)
+      val lex = broadcast(qw).join(dwords, "wd")
+        .where(col("doc_id") =!= col("query_id"))
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("overlap"))
+        .withColumn("rank_lex", row_number().over(wLex))
+        .where(col("rank_lex") <= 20)
+        .select("query_id", "doc_id", "rank_lex")
+      // vector: exact cosine top-20, staged for the oracle's parity re-rank
+      val corpus = withVec(Tables.embeddings(s, d), "neighbor_id", "vc", "nc")
+      val queries = withVec(Tables.embeddings(s, d), "query_id", "vq", "nq")
+        .where(col("query_id") < 10)
+      val wVec = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+      val vecTop = Housekeeping.cacheBounded("hybrid_vec",
+        broadcast(queries).join(corpus, col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            cosine(col("vq"), col("vc"), col("nq"), col("nc")).as("sim"))
+          .withColumn("rank_vec", row_number().over(wVec))
+          .where(col("rank_vec") <= 20))
+      vecTop.select("query_id", "neighbor_id", "sim")
+        .coalesce(1).write.mode("overwrite").parquet(hybridStagePath(d))
+      val vec = vecTop.select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank_vec"))
+      // RRF fusion over the channel union; ranks are ints, fusion is exact
+      val wFuse = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id").asc)
+      lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(expr("cast(1000000 div (60 + rank_lex) as bigint)"), lit(0L)) +
+            coalesce(expr("cast(1000000 div (60 + rank_vec) as bigint)"), lit(0L)))
+        .withColumn("rank", row_number().over(wFuse))
+        .where(col("rank") <= 5)
+        .select("query_id", "rank", "doc_id", "rrf")
+        .orderBy("query_id", "rank")
+    },
+    Some("WITH qd AS (SELECT doc_id AS query_id, text FROM documents WHERE doc_id < 10), " +
+      "qw AS (SELECT query_id, unnest(list_distinct(string_split(text, ' '))) AS wd FROM qd), " +
+      "dw AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS wd FROM documents), " +
+      "ov AS (SELECT qw.query_id, dw.doc_id, COUNT(*) AS overlap FROM qw JOIN dw USING (wd) " +
+      "WHERE dw.doc_id <> qw.query_id GROUP BY 1, 2), " +
+      "lex AS (SELECT query_id, doc_id, rank_lex FROM (SELECT query_id, doc_id, " +
+      "CAST(row_number() OVER (PARTITION BY query_id ORDER BY overlap DESC, doc_id) AS INT) " +
+      "AS rank_lex FROM ov) WHERE rank_lex <= 20), " +
+      "vc AS (SELECT c.query_id, c.neighbor_id AS doc_id, c.sim FROM " +
+      s"read_parquet('${Stage.token}/hybrid_vec_top/*.parquet') c " +
+      "JOIN embeddings a ON a.vec_id = c.query_id JOIN embeddings b ON b.vec_id = c.neighbor_id " +
+      "WHERE abs(list_cosine_similarity(a.embedding, b.embedding) - c.sim) <= 1e-5), " +
+      "vec AS (SELECT query_id, doc_id, CAST(row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY sim DESC, doc_id) AS INT) AS rank_vec FROM vc), " +
+      "fused AS (SELECT COALESCE(lex.query_id, vec.query_id) AS query_id, " +
+      "COALESCE(lex.doc_id, vec.doc_id) AS doc_id, " +
+      "COALESCE(CAST(1000000 // (60 + rank_lex) AS BIGINT), 0) + " +
+      "COALESCE(CAST(1000000 // (60 + rank_vec) AS BIGINT), 0) AS rrf " +
+      "FROM lex FULL JOIN vec ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id) " +
+      "SELECT query_id, rank, doc_id, rrf FROM (SELECT query_id, doc_id, rrf, " +
+      "CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS INT) AS rank " +
+      "FROM fused) WHERE rank <= 5 ORDER BY query_id, rank"))
+
+  def hybridStagePath(sfDir: String): String = Stage.root(sfDir) + "/hybrid_vec_top"
+
   // ------------------------------------------------------ similarity search
 
   /** Embedding vector as doubles + its L2 norm. The dot product is the
@@ -1401,6 +1494,6 @@ object LlmOps {
     dedupNgramJaccard, dedupClusterKeep, dedupDecontaminate, dedupEmbeddingCosine,
     dedupContainment, dedupSubstringSpans, dedupSubstringTrim,
     simSearchTopk, simSearchKnnPerQuery, simSearchAnnLsh, simSearchAnnIvf, simSearchAnnProbe,
-    simSearchAnnPq,
+    simSearchAnnPq, simSearchHybridRrf,
     textLangStats, textQualityFilter, multimodalJoin)
 }

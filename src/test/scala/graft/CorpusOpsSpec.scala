@@ -211,6 +211,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == model, "sliding distinct diverged from the brute-force model")
   }
 
+  // --------------------------------------------- sim_search_hybrid_rrf
+
+  test("hybrid RRF: deterministic, positive fused scores, monotone in rank") {
+    val r1 = LlmOps.simSearchHybridRrf.fn(spark, TestSpark.sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    graft.ops.Housekeeping.releaseAll()
+    val r2 = LlmOps.simSearchHybridRrf.fn(spark, TestSpark.sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    graft.ops.Housekeeping.releaseAll()
+    assert(r1.sameElements(r2), "hybrid ranking must be deterministic")
+    r1.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length),
+        s"query $q ranks not dense")
+      assert(sorted.forall(_._4 > 0L), s"query $q has a zero fused score")
+      // rrf non-increasing with rank (ties broken by doc id, score ties legal)
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a._4 >= b._4, s"query $q fused score increased with rank")
+      case _ => ()
+      }
+    }
+  }
+
   // --------------------------------------------- pipeline_incremental_update
 
   test("incremental corpus update: standing+delta two-phase run equals the " +
