@@ -15,14 +15,19 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   * makes the graft_* functions available to every session (SQL and
   * DataFrame API) without the per-session `GraftFunctions.register` call
-  * the operators use as a fallback. No custom optimizer rules or strategies
-  * are injected — SURVEY §4.3's audit holds: Catalyst's built-in planning
-  * covers the whole declared surface, and the engine's extensions are six
-  * scalar expressions plus one native aggregate (the Space-Saving
-  * heavy-hitters sketch, a TypedImperativeAggregate).
+  * the operators use as a fallback. The injected surface is: six scalar
+  * expressions plus one native aggregate (the Space-Saving heavy-hitters
+  * sketch, a TypedImperativeAggregate), and ONE planner strategy — the
+  * native as-of join ([[graft.plans.AsofJoinStrategy]]; per-session
+  * fallback `graft.plans.Asof.ensureRegistered` uses the public
+  * `experimental.extraStrategies` hook). Everything else in SURVEY §2 plans
+  * through Catalyst's built-in operators — §4.3's audit still holds for the
+  * declarative surface; the strategy exists for the one operator shape
+  * (as-of) OSS Spark has no physical operator for.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))

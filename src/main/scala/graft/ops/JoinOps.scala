@@ -179,17 +179,44 @@ object JoinOps {
           col("pv.vid").as("prev_view_id"))
         .orderBy("purchase_id")
     },
-    Some("WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
-      "v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'), " +
-      "m AS (SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts, " +
-      "v.ts AS prev_view_ts, v.event_id AS prev_view_id, " +
-      "row_number() OVER (PARTITION BY p.event_id ORDER BY v.ts DESC, v.event_id DESC) AS rn " +
-      "FROM p JOIN v ON v.user_id = p.user_id AND v.ts < p.ts) " +
-      "SELECT purchase_id, user_id, purchase_ts, prev_view_ts, prev_view_id FROM m WHERE rn = 1 " +
-      "UNION ALL " +
-      "SELECT p.event_id, p.user_id, p.ts, NULL, NULL FROM p " +
-      "WHERE NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = p.user_id AND v.ts < p.ts) " +
-      "ORDER BY purchase_id"))
+    Some(JoinOps.asofOracleSql))
+
+  /** As-of join, NATIVE formulation — the same query as `join_asof` planned
+    * through graft's own Catalyst operator ([[graft.plans.AsofJoin]] logical
+    * node → [[graft.plans.AsofJoinStrategy]] → sort-merge
+    * [[graft.plans.AsofJoinExec]]), extension path (c) of the build
+    * contract. Purchases and views are separate inputs (here two filters of
+    * the same scan; in general two different tables — the case the windowed
+    * union-trick can't express without first conforming both schemas);
+    * equal-ts ties break to max event_id via the exec's explicit right-side
+    * tiebreak ordering, matching the oracle's `v.ts DESC, v.event_id DESC`
+    * rank exactly.
+    *
+    * Scale notes (100 TB): each side shuffles once on user_id (co-partitioned
+    * by `requireAllClusterKeys`), sorts by (user, ts[, id]), and the merge
+    * pass carries O(1) state per partition — a sort-merge join's cost
+    * envelope with no window buffer and no pair space. AsofNativeSpec asserts
+    * the plan shape (AsofJoinExec present, exactly two exchanges, no
+    * SortMergeJoin/BNLJ fallback) and result ≡ `join_asof` at every tested
+    * partitioning. */
+  val joinAsofNative: Op = Op(
+    "join_asof_native",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"))
+      val v = e.where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("prev_view_ts"),
+          col("event_id").as("prev_view_id"))
+      graft.plans.Asof.join(p, v, Seq("user_id" -> "v_user"),
+          "purchase_ts", "prev_view_ts", strict = true,
+          tiebreakCols = Seq("prev_view_id"))
+        .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+          col("prev_view_ts"), col("prev_view_id"))
+        .orderBy("purchase_id")
+    },
+    Some(JoinOps.asofOracleSql))
 
   /** Interval-overlap join by BIN EQUI-JOIN rewrite — the scale form of the
     * overlap join OSS Spark would otherwise plan as a nested-loop over the
@@ -449,6 +476,27 @@ object JoinOps {
 
   val all: Seq[Op] = Seq(joinInnerHash, joinBroadcastDim, joinSortmergeBig, joinLeftOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinCrossSmall, joinRangeTheta, joinAsof,
-    joinIntervalBin, dimScd2Asof, joinBloomPrefilter, joinAsofTolerance, joinFirstTouch,
-    joinEntityResolution)
+    joinAsofNative, joinIntervalBin, dimScd2Asof, joinBloomPrefilter, joinAsofTolerance,
+    joinFirstTouch, joinEntityResolution)
+
+  /** Shared by `join_asof` (windowed rewrite) and `join_asof_native` (native
+    * Catalyst operator): the naive ranked-join statement of as-of semantics —
+    * most recent strictly-prior view per purchase, ties to max event_id,
+    * unmatched purchases kept with nulls. Two independent formulations
+    * hash-matching ONE oracle is the strongest equivalence the driver can
+    * witness. */
+  // def, not val: referenced by Op vals declared ABOVE this point — a val
+  // would still be null during their object-initialization evaluation
+  private[ops] def asofOracleSql: String =
+    "WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
+      "v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'), " +
+      "m AS (SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts, " +
+      "v.ts AS prev_view_ts, v.event_id AS prev_view_id, " +
+      "row_number() OVER (PARTITION BY p.event_id ORDER BY v.ts DESC, v.event_id DESC) AS rn " +
+      "FROM p JOIN v ON v.user_id = p.user_id AND v.ts < p.ts) " +
+      "SELECT purchase_id, user_id, purchase_ts, prev_view_ts, prev_view_id FROM m WHERE rn = 1 " +
+      "UNION ALL " +
+      "SELECT p.event_id, p.user_id, p.ts, NULL, NULL FROM p " +
+      "WHERE NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = p.user_id AND v.ts < p.ts) " +
+      "ORDER BY purchase_id"
 }

@@ -1,0 +1,239 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graft.PlanBridge
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The native as-of join — SURVEY.md §2 C's as-of semantics as a first-class
+  * Catalyst operator instead of the union/forward-fill rewrite
+  * (ops/JoinOps.scala `join_asof`): custom [[LogicalPlan]] node → planner
+  * [[SparkStrategy]] → sort-merge [[AsofJoinExec]], the extension path (c)
+  * from the build contract.
+  *
+  * Semantics (LEFT OUTER AS-OF): for every left row, attach the single right
+  * row with equal join keys and the greatest right-time `< leftTime`
+  * (`<= leftTime` when `strict = false`); left rows with no such match keep
+  * nulls on the right. Right rows with a null key or null time can never
+  * match (SQL equi-join null semantics) and are discarded on first contact;
+  * left null-key rows pass through unmatched.
+  *
+  * Scale shape: each side shuffles ONCE on its join keys
+  * ([[ClusteredDistribution]] with `requireAllClusterKeys = true`, so the two
+  * children are co-partitioned exactly like a shuffled join) and sorts by
+  * (keys, time); the merge itself is a single forward pass per partition with
+  * O(1) carried state (one lookahead row + one best-so-far candidate). No
+  * window buffering, no union-schema widening, no pair space — the identical
+  * cost envelope to a sort-merge join at any corpus width, and both shuffles
+  * are AQE-coalesced like any other exchange.
+  */
+case class AsofJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    strict: Boolean,
+    rightTiebreak: Seq[Expression]) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner rule: [[AsofJoin]] logical node → [[AsofJoinExec]]. Registered
+  * per-session via [[Asof.ensureRegistered]] (`experimental.extraStrategies`,
+  * the public hook) and globally via [[graft.GraftExtensions]]
+  * (`injectPlannerStrategy`). */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoin(l, r, lk, rk, lt, rt, strict, tb) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict, tb) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical as-of join: children arrive hash-clustered on the join keys and
+  * sorted by (keys, time); one merge pass per partition emits every left row
+  * joined to its latest-prior right row. The right lookahead row and the
+  * per-key best candidate are the only copies made — everything else streams
+  * through the sort iterators. */
+case class AsofJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    strict: Boolean,
+    rightTiebreak: Seq[Expression]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  // Exactly a shuffled join's contract: both sides clustered on ALL their
+  // keys so partition i of the left can only ever need partition i of the
+  // right (requireAllClusterKeys pins the full-key hash, ruling out the
+  // subset-clustering mismatch).
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys, requireAllClusterKeys = true) ::
+      ClusteredDistribution(rightKeys, requireAllClusterKeys = true) :: Nil
+
+  // The right side additionally sorts by the caller's tiebreak columns, so
+  // among right rows tied on (keys, time) the LAST in sort order — i.e. the
+  // max tiebreak — deterministically wins the candidate slot. Without it a
+  // tie would surface whatever order the sort happened to leave.
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    (rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending)) ++
+      rightTiebreak.map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    // local copies: the closure must not capture the (non-serializable) plan
+    val lOut = left.output
+    val rOut = right.output
+    val lKeys = leftKeys
+    val rKeys = rightKeys
+    val lTime = leftTime
+    val rTime = rightTime
+    val strictLocal = strict
+    val allOut = output
+    val numOutputRows = longMetric("numOutputRows")
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTime), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
+      val keyOrd = GenerateOrdering.create(StructType(
+        lKeys.zipWithIndex.map { case (e, i) => StructField(s"k$i", e.dataType, e.nullable) }))
+      val timeOrd = GenerateOrdering.create(StructType(
+        Seq(StructField("t", lTime.dataType, lTime.nullable))))
+      val resultProj = UnsafeProjection.create(allOut, allOut)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.size)
+
+      new Iterator[InternalRow] {
+        // lookahead right row (copied — sort iterators reuse their buffers)
+        private var rRow: InternalRow = _
+        private var rKey: InternalRow = _
+        private var rTimeRow: InternalRow = _
+        // best match so far for the current left key
+        private var cand: InternalRow = _
+        private var candKey: InternalRow = _
+
+        private def fetchRight(): Unit = {
+          rRow = null
+          while (rRow == null && rIter.hasNext) {
+            val raw = rIter.next()
+            val k = rKeyProj(raw)
+            val t = rTimeProj(raw)
+            // null key or null time can never match anything: drop here so
+            // the merge below only ever reasons about comparable rows
+            if (!k.anyNull && !t.isNullAt(0)) {
+              rRow = raw.copy(); rKey = k.copy(); rTimeRow = t.copy()
+            }
+          }
+        }
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val lRow = lIter.next()
+          val lKey = lKeyProj(lRow)
+          if (lKey.anyNull) {
+            numOutputRows += 1
+            resultProj(joined(lRow, nullRight))
+          } else {
+            if (cand != null && keyOrd.compare(candKey, lKey) != 0) cand = null
+            val lTimeRow = lTimeProj(lRow)
+            var advancing = true
+            while (advancing) {
+              if (rRow == null) fetchRight()
+              if (rRow == null) advancing = false
+              else {
+                val cmp = keyOrd.compare(rKey, lKey)
+                if (cmp < 0) rRow = null // right is behind this key: discard
+                else if (cmp == 0) {
+                  val tCmp = timeOrd.compare(rTimeRow, lTimeRow)
+                  if (tCmp < 0 || (!strictLocal && tCmp == 0)) {
+                    // admissible and later than any previous admissible row
+                    // (right side is time-sorted) → new best candidate
+                    cand = rRow; candKey = rKey; rRow = null
+                  } else advancing = false
+                } else advancing = false // right is ahead: keep as lookahead
+              }
+            }
+            numOutputRows += 1
+            resultProj(joined(lRow, if (cand != null) cand else nullRight))
+          }
+        }
+      }
+    }
+  }
+}
+
+/** Public construction API for the native as-of join. */
+object Asof {
+  /** Idempotently adds [[AsofJoinStrategy]] to the session's planner via the
+    * public `experimental.extraStrategies` hook (the per-session fallback;
+    * `spark.sql.extensions=graft.GraftExtensions` is the production path). */
+  def ensureRegistered(s: SparkSession): Unit = synchronized {
+    if (!s.experimental.extraStrategies.contains(AsofJoinStrategy))
+      s.experimental.extraStrategies = s.experimental.extraStrategies :+ AsofJoinStrategy
+  }
+
+  /** left AS-OF JOIN right ON keys AND right.timeCol is the greatest value
+    * `<` (strict) / `<=` (non-strict) left.timeCol. Key pairs and the two
+    * time columns must be type-identical; right-side columns must not share
+    * a NAME with left-side ones (the output carries both sides' columns).
+    * Self-join inputs are safe: overlapping attribute ids on the right are
+    * re-aliased to fresh ids before the plan is assembled. */
+  def join(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
+           leftTimeCol: String, rightTimeCol: String,
+           strict: Boolean = true, tiebreakCols: Seq[String] = Nil): DataFrame = {
+    val spark = left.sparkSession
+    ensureRegistered(spark)
+    val lp = left.queryExecution.analyzed
+    // fresh exprIds on the right when both sides descend from the same scan
+    // (the analyzer's DeduplicateRelations never sees this plan)
+    val rightDeduped =
+      if (right.queryExecution.analyzed.outputSet.intersect(lp.outputSet).nonEmpty) {
+        import org.apache.spark.sql.functions.col
+        right.select(right.columns.toIndexedSeq.map(c => col(c).alias(c)): _*)
+      } else right
+    val rp = rightDeduped.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String, side: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"as-of join: no column '$n' on the $side side (have ${p.output.map(_.name).mkString(", ")})"))
+    val lks = keys.map(k => attr(lp, k._1, "left"))
+    val rks = keys.map(k => attr(rp, k._2, "right"))
+    lks.zip(rks).foreach { case (a, b) => require(a.dataType == b.dataType,
+      s"as-of join: key type mismatch ${a.name}:${a.dataType} vs ${b.name}:${b.dataType}") }
+    val lt = attr(lp, leftTimeCol, "left")
+    val rt = attr(rp, rightTimeCol, "right")
+    require(lt.dataType == rt.dataType,
+      s"as-of join: time type mismatch ${lt.dataType} vs ${rt.dataType}")
+    val tb = tiebreakCols.map(attr(rp, _, "right"))
+    PlanBridge.ofRows(spark, AsofJoin(lp, rp, lks, rks, lt, rt, strict, tb))
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.ops.JoinOps
+import graft.plans.{Asof, AsofJoinExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native Catalyst as-of join (graft.plans.AsofJoinPlan.scala): plan
+  * shape, exact equivalence with the windowed `join_asof` rewrite, strict vs
+  * inclusive semantics, multi-key grouping, and partitioning invariance. */
+class AsofNativeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def nativeDf = JoinOps.joinAsofNative.fn(spark, TestSpark.sf0001)
+
+  test("join_asof_native ≡ join_asof (windowed rewrite) row for row") {
+    val native = nativeDf.collect().map(_.toSeq).toSeq
+    val windowed = JoinOps.joinAsof.fn(spark, TestSpark.sf0001).collect().map(_.toSeq).toSeq
+    assert(native.nonEmpty)
+    assert(native == windowed)
+  }
+
+  test("plan: AsofJoinExec present, exactly two exchanges, no join fallback") {
+    val plan = nativeDf.queryExecution.executedPlan
+    assert(collectWithSubqueries(plan) { case e: AsofJoinExec => e }.nonEmpty,
+      "native as-of exec missing from the physical plan")
+    // one shuffle per side (purchases, views) — the sort-merge-join envelope;
+    // +1 is the final global orderBy's range exchange
+    val shuffles = collectWithSubqueries(plan) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 3, s"expected 2 join shuffles + 1 orderBy range shuffle, got ${shuffles.size}")
+    assert(collectWithSubqueries(plan) { case e: SortMergeJoinExec => e }.isEmpty)
+    assert(collectWithSubqueries(plan) { case e: BroadcastNestedLoopJoinExec => e }.isEmpty)
+  }
+
+  test("unmatched left rows survive with nulls (left-outer as-of)") {
+    val rows = nativeDf.collect()
+    assert(rows.exists(_.isNullAt(3)), "expected at least one purchase with no prior view")
+    // and every matched row is strictly prior
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      assert(r.getTimestamp(3).compareTo(r.getTimestamp(2)) < 0,
+        s"non-strict match: ${r.getTimestamp(3)} !< ${r.getTimestamp(2)}")
+    }
+  }
+
+  test("strict excludes equal timestamps; inclusive admits them; ties break to max tiebreak") {
+    val quotes = Seq(
+      // key, time, quote_id
+      ("AAA", 100L, 1L), ("AAA", 200L, 2L), ("AAA", 200L, 3L), ("AAA", 300L, 4L),
+      ("BBB", 150L, 5L)
+    ).toDF("sym_q", "t_q", "quote_id")
+    val trades = Seq(
+      ("AAA", 200L, 10L), // strict → quote@100; inclusive → quote@200 max id 3
+      ("AAA", 250L, 11L), // either → quote@200 max id 3
+      ("AAA", 50L, 12L),  // no prior quote
+      ("CCC", 500L, 13L)  // key with no quotes at all
+    ).toDF("sym", "t", "trade_id")
+
+    val strictRes = Asof.join(trades, quotes, Seq("sym" -> "sym_q"), "t", "t_q",
+        strict = true, tiebreakCols = Seq("quote_id"))
+      .select("trade_id", "quote_id").as[(Long, Option[Long])].collect().toMap
+    assert(strictRes == Map(10L -> Some(1L), 11L -> Some(3L), 12L -> None, 13L -> None))
+
+    val inclRes = Asof.join(trades, quotes, Seq("sym" -> "sym_q"), "t", "t_q",
+        strict = false, tiebreakCols = Seq("quote_id"))
+      .select("trade_id", "quote_id").as[(Long, Option[Long])].collect().toMap
+    assert(inclRes == Map(10L -> Some(3L), 11L -> Some(3L), 12L -> None, 13L -> None))
+  }
+
+  test("multi-key join groups on the full key; null keys never match") {
+    val right = Seq(
+      (1L, "x", 10L, 100L), (1L, "x", 20L, 101L), (1L, "y", 15L, 102L),
+      (2L, "x", 5L, 103L)
+    ).toDF("rk1", "rk2", "rt", "rid")
+    val left = Seq(
+      (Some(1L), "x", 25L, 1L),  // → rid 101
+      (Some(1L), "y", 25L, 2L),  // → rid 102
+      (Some(1L), "z", 25L, 3L),  // no such key pair
+      (Some(2L), "x", 5L, 4L),   // strict: 5 < 5 false → none
+      (Option.empty[Long], "x", 99L, 5L) // null key → never matches
+    ).toDF("lk1", "lk2", "lt", "lid")
+    val res = Asof.join(left, right, Seq("lk1" -> "rk1", "lk2" -> "rk2"), "lt", "rt")
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(res == Map(1L -> Some(101L), 2L -> Some(102L), 3L -> None, 4L -> None, 5L -> None))
+  }
+
+  test("result is invariant to shuffle partitioning (1 vs 7 vs 32)") {
+    val base = nativeDf.collect().map(_.toSeq).toSeq
+    for (p <- Seq("1", "7", "32")) {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", p)
+      try assert(nativeDf.collect().map(_.toSeq).toSeq == base, s"drift at partitions=$p")
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
+}
