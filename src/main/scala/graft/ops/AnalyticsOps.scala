@@ -79,5 +79,52 @@ object AnalyticsOps {
       "COUNT(DISTINCT a.user_id) AS n_users " +
       "FROM a JOIN f ON f.user_id = a.user_id GROUP BY 1, 2 ORDER BY cohort, offset_days"))
 
-  val all: Seq[Op] = Seq(funnelConversion, cohortRetention)
+  /** Ordered-event PATTERN MATCHING over per-user event streams — the
+    * MATCH_RECOGNIZE-class query (detect "view then click then purchase" in
+    * order) expressed scalably: each user's events collapse to one compact
+    * symbol string (one char per event, (ts, event_id)-ordered so the
+    * encoding is a total order → deterministic), then codegen'd regex
+    * counting runs scan-local on the aggregated string. Two patterns: the
+    * strict contiguous funnel `vcp`, and the relaxed `v[co]*p` (a view
+    * leading to a purchase across any clicks/other activity, no intervening
+    * signup). Patterns restricted to literals + character classes, which
+    * Java regex (Spark) and RE2 (DuckDB) match identically, with identical
+    * leftmost non-overlapping enumeration.
+    *
+    * Scale notes (100 TB): one user_id shuffle (the same key every
+    * sessionization op here uses); per-user state is the symbol string —
+    * bytes per event, not rows — and the regex pass is per-user-local, no
+    * second shuffle. A user with pathological event counts bounds at the
+    * string length; a production guard caps the collected sequence with a
+    * windowed tail exactly like `agg_collect_sorted`'s contract. */
+  val funnelPatternMatch: Op = Op(
+    "funnel_pattern_match",
+    (s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id"),
+        expr("CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c' " +
+          "WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'o' END").as("ch"))
+      e.groupBy("user_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("ch")))),
+          x => x.getField("ch")), "").as("seq"))
+        .select(col("user_id"),
+          length(col("seq")).cast("int").as("n_events"),
+          regexp_count(col("seq"), lit("vcp")).cast("int").as("strict_funnels"),
+          regexp_count(col("seq"), lit("v[co]*p")).cast("int").as("relaxed_funnels"),
+          instr(col("seq"), "vcp").cast("int").as("first_strict_pos"))
+        .where(col("relaxed_funnels") > 0)
+        .orderBy("user_id")
+    },
+    Some("WITH seqs AS (SELECT user_id, " +
+      "string_agg(CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c' " +
+      "WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'o' END, '' " +
+      "ORDER BY ts, event_id) AS seq FROM events GROUP BY user_id) " +
+      "SELECT user_id, CAST(len(seq) AS INT) AS n_events, " +
+      "CAST(len(regexp_extract_all(seq, 'vcp')) AS INT) AS strict_funnels, " +
+      "CAST(len(regexp_extract_all(seq, 'v[co]*p')) AS INT) AS relaxed_funnels, " +
+      "CAST(strpos(seq, 'vcp') AS INT) AS first_strict_pos " +
+      "FROM seqs WHERE len(regexp_extract_all(seq, 'v[co]*p')) > 0 " +
+      "ORDER BY user_id"))
+
+  val all: Seq[Op] = Seq(funnelConversion, cohortRetention, funnelPatternMatch)
 }
