@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BloomMightContain, DotProduct, HyperplaneBuckets, MinHashSig, SimHash64, SpaceSavingTopK, WinnowMins}
+import graft.functions.{BloomMightContain, DotProduct, HyperplaneBuckets, MinHashSig, SimHash64, SpaceSavingTopK, ThetaAnotBOp, ThetaEstimate, ThetaIntersectOp, ThetaSketchAgg, ThetaUnionOp, WinnowMins}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -15,9 +15,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   * makes the graft_* functions available to every session (SQL and
   * DataFrame API) without the per-session `GraftFunctions.register` call
-  * the operators use as a fallback. The injected surface is: six scalar
-  * expressions plus one native aggregate (the Space-Saving heavy-hitters
-  * sketch, a TypedImperativeAggregate), and ONE planner strategy — the
+  * the operators use as a fallback. The injected surface is: ten scalar
+  * expressions plus two native aggregates (the Space-Saving heavy-hitters
+  * sketch and the theta distinct-set sketch, both
+  * TypedImperativeAggregates), and ONE planner strategy — the
   * native as-of join ([[graft.plans.AsofJoinStrategy]]; per-session
   * fallback `graft.plans.Asof.ensureRegistered` uses the public
   * `experimental.extraStrategies` hook). Everything else in SURVEY §2 plans
@@ -52,5 +53,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => HyperplaneBuckets(args(0),
         graft.functions.GraftFunctions.intParam(args(1), "graft_hyperplane_buckets"),
         graft.functions.GraftFunctions.intParam(args(2), "graft_hyperplane_buckets"))))
+    ext.injectFunction((FunctionIdentifier("graft_theta_sketch"),
+      new ExpressionInfo(classOf[ThetaSketchAgg].getName, "graft_theta_sketch"),
+      (args: Seq[Expression]) => ThetaSketchAgg(args(0),
+        graft.functions.GraftFunctions.intParam(args(1), "graft_theta_sketch"))))
+    ext.injectFunction((FunctionIdentifier("graft_theta_estimate"),
+      new ExpressionInfo(classOf[ThetaEstimate].getName, "graft_theta_estimate"),
+      (args: Seq[Expression]) => ThetaEstimate(args(0))))
+    ext.injectFunction((FunctionIdentifier("graft_theta_union"),
+      new ExpressionInfo(classOf[ThetaUnionOp].getName, "graft_theta_union"),
+      (args: Seq[Expression]) => ThetaUnionOp(args(0), args(1),
+        graft.functions.GraftFunctions.intParam(args(2), "graft_theta_union"))))
+    ext.injectFunction((FunctionIdentifier("graft_theta_intersect"),
+      new ExpressionInfo(classOf[ThetaIntersectOp].getName, "graft_theta_intersect"),
+      (args: Seq[Expression]) => ThetaIntersectOp(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_theta_anotb"),
+      new ExpressionInfo(classOf[ThetaAnotBOp].getName, "graft_theta_anotb"),
+      (args: Seq[Expression]) => ThetaAnotBOp(args(0), args(1))))
   }
 }

@@ -107,6 +107,22 @@ object GraftFunctions {
       (args: Seq[Expression]) =>
         HyperplaneBuckets(args(0), intParam(args(1), "graft_hyperplane_buckets"),
           intParam(args(2), "graft_hyperplane_buckets")), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_theta_sketch",
+      (args: Seq[Expression]) =>
+        ThetaSketchAgg(args(0), intParam(args(1), "graft_theta_sketch")), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_theta_estimate", (args: Seq[Expression]) => ThetaEstimate(args(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_theta_union",
+      (args: Seq[Expression]) =>
+        ThetaUnionOp(args(0), args(1), intParam(args(2), "graft_theta_union")), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_theta_intersect",
+      (args: Seq[Expression]) => ThetaIntersectOp(args(0), args(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_theta_anotb",
+      (args: Seq[Expression]) => ThetaAnotBOp(args(0), args(1)), "built-in")
   }
 
   /** Requires register(spark) on the session first. */
@@ -142,4 +158,15 @@ object GraftFunctions {
   def bloomMightContain(key: Column, filterBytes: Array[Byte]): Column =
     call_function("graft_bloom_might_contain", key,
       org.apache.spark.sql.functions.lit(filterBytes))
+
+  /** Theta sketch family (distinct-set algebra). Requires register(spark). */
+  def thetaSketch(item: Column, lgK: Int): Column =
+    call_function("graft_theta_sketch", item, org.apache.spark.sql.functions.lit(lgK))
+  def thetaEstimate(sk: Column): Column = call_function("graft_theta_estimate", sk)
+  def thetaUnion(a: Column, b: Column, lgK: Int): Column =
+    call_function("graft_theta_union", a, b, org.apache.spark.sql.functions.lit(lgK))
+  def thetaIntersect(a: Column, b: Column): Column =
+    call_function("graft_theta_intersect", a, b)
+  def thetaAnotB(a: Column, b: Column): Column =
+    call_function("graft_theta_anotb", a, b)
 }

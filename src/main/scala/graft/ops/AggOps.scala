@@ -65,6 +65,7 @@ object AggOps {
 
   def hllStagePath(sfDir: String): String = Stage.root(sfDir) + "/hll_est"
   def hllDailyStagePath(sfDir: String): String = Stage.root(sfDir) + "/hll_daily_est"
+  def thetaStagePath(sfDir: String): String = Stage.root(sfDir) + "/theta_est"
 
   /** HLL++ sketch — the 100 TB substitute for exact distinct. The estimate
     * is engine-specific (DuckDB's approx_distinct is a different sketch), so
@@ -397,7 +398,78 @@ object AggOps {
       "SELECT b.event_type, b.n_bitmap, e.n_exact FROM b JOIN e USING (event_type) " +
       "ORDER BY event_type"))
 
+  /** Distinct-set ALGEBRA via theta sketches (graft's native
+    * `ThetaSketchAgg` + set-op expressions, functions/ThetaSketch.scala) —
+    * the capability HLL lacks: audience overlap (first active day ∩ last
+    * active day), churn (first \ last), and union, all answered from
+    * per-day sketches without ever re-touching the event stream. The
+    * estimates are staged to parquet and the oracle joins them to the EXACT
+    * set-op counts with a ±5 % envelope (at these sfs the sketches run in
+    * exact mode — lgK=14 ≫ 1 500 users — so the estimates are exactly the
+    * true counts; the envelope is the honest contract for the estimation
+    * regime beyond).
+    *
+    * Determinism: theta state is a pure function of the input set (KMV — k
+    * smallest fixed-seed hashes; ordered compact serialization), so unlike
+    * KLL/t-digest the result is bit-identical under any partitioning/merge
+    * order — safe for the hash oracle and the determinism matrix.
+    *
+    * Scale notes (100 TB): the event stream is touched ONCE by the
+    * map-side-combining sketch aggregate (same shape as agg_hll_mergeable);
+    * every set operation thereafter is sketch-local over per-day rows of
+    * ≤ 2^14 hashes. A year of audience-overlap queries against daily
+    * sketches never rescans a day. */
+  val aggThetaSetops: Op = Op(
+    "agg_theta_setops",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.{GraftFunctions => F}
+      val e = Tables.events(s, d).select(to_date(col("ts")).as("day"), col("user_id"))
+      // two bounded scalars — the range boundary the scheduler knows anyway
+      val bnd = e.agg(min(col("day")), max(col("day"))).first()
+      val (da, db) = (bnd.getDate(0), bnd.getDate(1))
+      val sks = e.where(col("day") === da || col("day") === db)
+        .groupBy("day").agg(F.thetaSketch(col("user_id"), 14).as("sk"))
+      val row = sks.agg(
+        first(when(col("day") === lit(da), col("sk")), ignoreNulls = true).as("ska"),
+        first(when(col("day") === lit(db), col("sk")), ignoreNulls = true).as("skb"))
+      val est = row.select(
+          F.thetaEstimate(col("ska")).as("a"),
+          F.thetaEstimate(col("skb")).as("b"),
+          F.thetaEstimate(F.thetaUnion(col("ska"), col("skb"), 14)).as("u"),
+          F.thetaEstimate(F.thetaIntersect(col("ska"), col("skb"))).as("i"),
+          F.thetaEstimate(F.thetaAnotB(col("ska"), col("skb"))).as("anb"))
+        .select(expr("stack(5, 'first_day', a, 'last_day', b, 'union', u, " +
+          "'intersect', i, 'first_not_last', anb) AS (metric, approx)"))
+      est.coalesce(1).write.mode("overwrite").parquet(thetaStagePath(d))
+      val ua = e.where(col("day") === lit(da)).select("user_id").distinct()
+      val ub = e.where(col("day") === lit(db)).select("user_id").distinct()
+      def cnt(df: org.apache.spark.sql.DataFrame, m: String) =
+        df.agg(count(lit(1)).as("exact")).select(lit(m).as("metric"), col("exact"))
+      val exact = cnt(ua, "first_day")
+        .unionAll(cnt(ub, "last_day"))
+        .unionAll(cnt(ua.union(ub).distinct(), "union"))
+        .unionAll(cnt(ua.intersect(ub), "intersect"))
+        .unionAll(cnt(ua.except(ub), "first_not_last"))
+      s.read.parquet(thetaStagePath(d)).join(exact, "metric")
+        .select(col("metric"), col("approx"), col("exact"))
+        .orderBy("metric")
+    },
+    Some("WITH dd AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events), " +
+      "bnd AS (SELECT min(day) AS da, max(day) AS db FROM dd), " +
+      "ua AS (SELECT DISTINCT user_id FROM dd, bnd WHERE day = da), " +
+      "ub AS (SELECT DISTINCT user_id FROM dd, bnd WHERE day = db), " +
+      "ex AS (SELECT 'first_day' AS metric, (SELECT COUNT(*) FROM ua) AS exact " +
+      "UNION ALL SELECT 'last_day', (SELECT COUNT(*) FROM ub) " +
+      "UNION ALL SELECT 'union', (SELECT COUNT(*) FROM (SELECT user_id FROM ua UNION SELECT user_id FROM ub)) " +
+      "UNION ALL SELECT 'intersect', (SELECT COUNT(*) FROM (SELECT user_id FROM ua INTERSECT SELECT user_id FROM ub)) " +
+      "UNION ALL SELECT 'first_not_last', (SELECT COUNT(*) FROM (SELECT user_id FROM ua EXCEPT SELECT user_id FROM ub))) " +
+      "SELECT s.metric, s.approx, ex.exact " +
+      "FROM read_parquet('" + Stage.token + "/theta_est/*.parquet') s JOIN ex USING (metric) " +
+      "WHERE abs(s.approx - ex.exact) <= 0.05 * greatest(ex.exact, 20) " +
+      "ORDER BY metric"))
+
   val all: Seq[Op] = Seq(aggPricingSummary, aggCountDistinct, aggApproxHll, aggHllMergeable,
     aggGroupingSets, aggRollupTime, aggCube, aggCollectSorted, aggArgMax, aggPivot, distinctRows,
-    aggIncrementalRollup, aggPercentileExact, aggModeExact, aggBitmapDistinct)
+    aggIncrementalRollup, aggPercentileExact, aggModeExact, aggBitmapDistinct, aggThetaSetops)
 }
