@@ -741,9 +741,53 @@ object SourceSinkOps {
       "COUNT(*) OVER (PARTITION BY user_id) AS n_changes FROM events) " +
       "WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id"))
 
+  /** File-level provenance audit — the lineage question every regulated /
+    * debugging 100 TB pipeline asks: "which physical files feed this table,
+    * and what does each contribute?". The warehouse table is staged
+    * day-partitioned (one file per day: `repartition(d)` before
+    * `partitionBy(d)`, the small-files guard), then audited per partition
+    * via `input_file_name()` — rows, files, distinct users, and the
+    * event-id span each day directory contributes (exactly the stats a
+    * table-format manifest records; `sink_targeted_delete` consumes the
+    * same stats to prune rewrites). Output keys on the PARTITION VALUE
+    * extracted from the path — not the full filename, whose task-uuid part
+    * is fresh every write — so the result is bit-stable across
+    * partitionings while still proving per-file accounting (`n_files`
+    * counts distinct physical files). Oracle: DuckDB `read_parquet(...,
+    * filename=true)` over the very same staged files.
+    *
+    * Scale notes (100 TB): one scan of the staged table; `input_file_name`
+    * is metadata already present at the scan, the rollup key (day) is the
+    * partition key so the groupBy state is one row per partition-dir — the
+    * audit costs a scan, never a re-shuffle of the corpus. */
+  val sourceProvenanceAudit: Op = Op(
+    "source_provenance_audit",
+    (s, d) => {
+      val out = Stage.root(d) + "/prov_tbl"
+      Tables.events(s, d).withColumn("d", to_date(col("ts")))
+        .repartition(col("d"))
+        .write.partitionBy("d").mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .select(regexp_extract(input_file_name(), "d=([0-9-]+)", 1).as("day"),
+          input_file_name().as("fname"), col("user_id"), col("event_id"))
+        .groupBy("day")
+        .agg(countDistinct(col("fname")).as("n_files"),
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+        .orderBy("day")
+    },
+    Some("SELECT regexp_extract(filename, 'd=([0-9-]+)', 1) AS day, " +
+      "COUNT(DISTINCT filename) AS n_files, COUNT(*) AS n_rows, " +
+      "COUNT(DISTINCT user_id) AS n_users, " +
+      "min(event_id) AS min_id, max(event_id) AS max_id " +
+      "FROM read_parquet('" + Stage.token + "/prov_tbl/*/*.parquet', filename=true) " +
+      "GROUP BY 1 ORDER BY day"))
+
   val all: Seq[Op] = Seq(csvLogIngest, sinkPartitionedParquet, sinkBucketedJoin,
     sinkClusteredLayout, mergeUpsertLatest, sinkCsvReport, sourceJsonlRoundtrip,
     sourceOrcRoundtrip, sourceSchemaEvolution, sinkCompactSmallFiles, sinkZorderLayout,
     sinkTargetedDelete, sinkDynamicPartitionOverwrite, cdcApplyChanges, sinkTimeTravelRead,
-    sinkVacuumRetention)
+    sinkVacuumRetention, sourceProvenanceAudit)
 }

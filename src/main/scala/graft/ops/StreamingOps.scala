@@ -584,7 +584,63 @@ object StreamingOps {
       "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
       "FROM events) WHERE rn = 1 ORDER BY user_id"))
 
+  /** HYBRID BACKFILL — the bootstrap move every streaming deployment makes
+    * against existing history: the bulk of the past is computed ONCE as a
+    * batch job (no replaying years of events through the stream engine),
+    * the recent tail runs through the real streaming query, and both write
+    * the SAME rollup schema so the serving table is their union. The split
+    * is a DAY boundary (midpoint of the event-time span), so each side owns
+    * only complete days and the union is exactly the full-history rollup —
+    * which is the oracle (plain batch daily rollup over all events): hash
+    * equality proves the handoff loses and duplicates nothing.
+    *
+    * Scale notes (100 TB): the batch half is one partition-pruned scan-agg
+    * over the historical days; the streaming half's state is only the tail
+    * days' windows. The anti-pattern this op exists to reject — replaying
+    * full history through the stream — would build (and checkpoint) state
+    * for every historical window. */
+  val streamBackfillHybrid: Op = Op(
+    "stream_backfill_hybrid",
+    (s, d) => {
+      val qn = s"st_backfill_${System.nanoTime()}"
+      Housekeeping.tempViewBounded("st_backfill", s, qn)
+      val raw = s.read.schema(graft.tables.Tables.rawEventsSchema)
+        .parquet(s"$d/events.parquet")
+        .withColumn("ts", graft.tables.Tables.ntzColToTimestamp("ts"))
+      // deterministic day-boundary split: midpoint of the event-time span,
+      // floored to a UTC day (two bounded scalars)
+      val bounds = raw.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).first()
+      val cutDay = java.time.Instant.ofEpochSecond(
+          (bounds.getLong(0) / 2 + bounds.getLong(1) / 2) / 1000000L)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+      val batchHalf = raw.where(to_date(col("ts")) < lit(cutDay))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+      val srcDir = Files.createTempDirectory("st_backfill_src")
+      val ckpt = tmp("st_backfill_ckpt")
+      withStatePartitions(s, 8) { cleanupAfter(Seq(srcDir.toString, ckpt)) {
+        stageDelivery(raw.where(to_date(col("ts")) >= lit(cutDay))
+          .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
+            col("user_id"), col("event_type"), col("value"), col("props")),
+          srcDir, "tail.parquet")
+        val q = s.readStream.schema(graft.tables.Tables.rawEventsSchema)
+          .parquet(srcDir.toString)
+          .withColumn("ts", graft.tables.Tables.ntzColToTimestamp("ts"))
+          .withWatermark("ts", "1 day")
+          .groupBy(window(col("ts"), "1 day"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+          .select(col("window.start").cast("date").as("day"), col("cnt"), col("sum_value"))
+          .writeStream.format("memory").queryName(qn).outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        batchHalf.unionAll(s.table(qn)).orderBy("day")
+      } }
+    },
+    Some("SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt, " + oSum("value") +
+      " AS sum_value FROM events GROUP BY 1 ORDER BY day"))
+
   val all: Seq[Op] = Seq(streamTumblingWatermark, streamDedup, streamSessionStateful,
     streamLateData, streamStatefulCounter, streamStatefulCounterTws, streamJoinFollows,
-    streamEnrichDim, streamRestartExactlyOnce, streamUpsertForeachbatch)
+    streamEnrichDim, streamRestartExactlyOnce, streamUpsertForeachbatch, streamBackfillHybrid)
 }
