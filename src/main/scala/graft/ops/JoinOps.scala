@@ -302,14 +302,37 @@ object JoinOps {
           col("eff_tier").as("tier"))
         .orderBy("event_id")
     },
-    Some("WITH ch AS (SELECT user_id, ts, max('tier_' || (event_id % 5)) AS tier " +
-      "FROM events WHERE event_id % 97 = 0 GROUP BY 1, 2), " +
-      "v AS (SELECT user_id, ts AS eff_from, tier, " +
-      "lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS eff_to FROM ch) " +
-      "SELECT e.event_id, e.user_id, e.ts, e.value, v.tier " +
-      "FROM events e LEFT JOIN v ON e.user_id = v.user_id " +
-      "AND e.ts >= v.eff_from AND (v.eff_to IS NULL OR e.ts < v.eff_to) " +
-      "ORDER BY e.event_id"))
+    Some(JoinOps.scd2OracleSql))
+
+  /** The SCD2 as-of fact join re-planned through the NATIVE as-of operator
+    * (graft.plans.AsofJoinExec) — the second consumer of the custom
+    * strategy, and the one that exercises what the windowed union-trick
+    * can't: genuinely different inputs (a tiny version table vs the fact
+    * stream) and NON-STRICT time matching (a fact at exactly a change
+    * instant sees the new version — the [from, to) interval convention,
+    * `strict = false`). Versions are unique per (user, instant) by
+    * construction, so no tiebreak column is needed. Shares the naive
+    * interval-join oracle with `dim_scd2_asof`: three formulations (window
+    * rewrite, native exec, naive SQL) against one hash.
+    *
+    * Scale notes (100 TB): same envelope as join_asof_native — one shuffle
+    * per side on user_id, sorted merge with O(1) state; the version side is
+    * dimension-sized, so its shuffle is negligible and the merge degenerates
+    * to a per-key pointer walk over the facts. */
+  val dimScd2AsofNative: Op = Op(
+    "dim_scd2_asof_native",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val versions = e.where(col("event_id") % 97 === 0)
+        .groupBy(col("user_id").as("v_user"), col("ts").as("eff_from"))
+        .agg(max(concat(lit("tier_"), col("event_id") % 5)).as("tier"))
+      val facts = e.select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      graft.plans.Asof.join(facts, versions,
+          Seq("user_id" -> "v_user"), "ts", "eff_from", strict = false)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"), col("tier"))
+        .orderBy("event_id")
+    },
+    Some(JoinOps.scd2OracleSql))
 
   /** Explicit Bloom-prefiltered join: the selective dim predicate
     * (c_acctbal > 9000 keeps ~10 % of customers) becomes a key-set sketch
@@ -476,8 +499,8 @@ object JoinOps {
 
   val all: Seq[Op] = Seq(joinInnerHash, joinBroadcastDim, joinSortmergeBig, joinLeftOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinCrossSmall, joinRangeTheta, joinAsof,
-    joinAsofNative, joinIntervalBin, dimScd2Asof, joinBloomPrefilter, joinAsofTolerance,
-    joinFirstTouch, joinEntityResolution)
+    joinAsofNative, joinIntervalBin, dimScd2Asof, dimScd2AsofNative, joinBloomPrefilter,
+    joinAsofTolerance, joinFirstTouch, joinEntityResolution)
 
   /** Shared by `join_asof` (windowed rewrite) and `join_asof_native` (native
     * Catalyst operator): the naive ranked-join statement of as-of semantics —
@@ -485,6 +508,19 @@ object JoinOps {
     * unmatched purchases kept with nulls. Two independent formulations
     * hash-matching ONE oracle is the strongest equivalence the driver can
     * witness. */
+  /** Shared by `dim_scd2_asof` (windowed union-trick) and
+    * `dim_scd2_asof_native` (native as-of operator): the naive
+    * validity-interval LEFT JOIN. */
+  private[ops] def scd2OracleSql: String =
+    "WITH ch AS (SELECT user_id, ts, max('tier_' || (event_id % 5)) AS tier " +
+      "FROM events WHERE event_id % 97 = 0 GROUP BY 1, 2), " +
+      "v AS (SELECT user_id, ts AS eff_from, tier, " +
+      "lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS eff_to FROM ch) " +
+      "SELECT e.event_id, e.user_id, e.ts, e.value, v.tier " +
+      "FROM events e LEFT JOIN v ON e.user_id = v.user_id " +
+      "AND e.ts >= v.eff_from AND (v.eff_to IS NULL OR e.ts < v.eff_to) " +
+      "ORDER BY e.event_id"
+
   // def, not val: referenced by Op vals declared ABOVE this point — a val
   // would still be null during their object-initialization evaluation
   private[ops] def asofOracleSql: String =

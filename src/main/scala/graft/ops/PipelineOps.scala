@@ -449,7 +449,46 @@ object PipelineOps {
       "(PARTITION BY source ORDER BY md5(text), doc_id) AS INT) AS rk FROM documents) " +
       "SELECT doc_id, source, rk FROM r, q WHERE rk <= q.quota ORDER BY doc_id"))
 
+  /** Dense sequential ID assignment WITHOUT a global sort — the
+    * dimension-key / training-example-numbering primitive every warehouse
+    * load and dataset build needs, in the shape that scales: a global
+    * `row_number() OVER (ORDER BY …)` funnels the corpus through ONE
+    * partition; instead the order key (md5 of content — identical on both
+    * engines) is range-bucketed by its first byte, per-bucket counts (256
+    * tiny rows) cumulative-sum into bucket base offsets, and each row's id
+    * is its bucket offset + its rank WITHIN the bucket. Because the bucket
+    * is a PREFIX of the order key, (bucket, key) ordering ≡ global key
+    * ordering — so the result is bit-identical to the global row_number,
+    * which is the oracle.
+    *
+    * Scale notes (100 TB): the corpus shuffles once on the bucket (256-way
+    * here; width is a knob), per-bucket ranking is partition-local, and the
+    * only global object is the 256-row offset table (broadcast). This is
+    * exactly how distributed sort assigns output positions — expressed
+    * relationally. */
+  val idsDenseAssign: Op = Op(
+    "ids_dense_assign",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .withColumn("b", substring(col("h"), 1, 2))
+      val offsets = docs.groupBy("b").agg(count(lit(1)).as("n"))
+        // 256-row driver-side-tiny table: the unpartitioned window is the
+        // point (offsets are inherently sequential); it never sees the corpus
+        .withColumn("base", coalesce(sum(col("n")).over(
+          Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("b", "base")
+      val w = Window.partitionBy("b").orderBy("h", "doc_id")
+      docs.join(broadcast(offsets), "b")
+        .withColumn("assigned_id", col("base") + row_number().over(w))
+        .select(col("doc_id"), col("assigned_id"))
+        .orderBy("doc_id")
+    },
+    Some("SELECT doc_id, row_number() OVER (ORDER BY md5(text), doc_id) AS assigned_id " +
+      "FROM documents ORDER BY doc_id"))
+
   val all: Seq[Op] = Seq(sampleStratified, splitTrainValTest, packSequences, embedQuantizeInt8,
     pipelineCorpusBuild, sampleReservoirGroup, sampleWeightedHash, embedGramExact,
-    sampleMixtureQuota, pipelineIncrementalUpdate)
+    sampleMixtureQuota, pipelineIncrementalUpdate, idsDenseAssign)
 }

@@ -87,6 +87,14 @@ class AsofNativeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(res == Map(1L -> Some(101L), 2L -> Some(102L), 3L -> None, 4L -> None, 5L -> None))
   }
 
+  test("dim_scd2_asof_native (non-strict, dim-sized right side) ≡ windowed dim_scd2_asof") {
+    val native = JoinOps.dimScd2AsofNative.fn(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq).toSeq
+    val windowed = JoinOps.dimScd2Asof.fn(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(native.nonEmpty && native == windowed)
+  }
+
   test("result is invariant to shuffle partitioning (1 vs 7 vs 32)") {
     val base = nativeDf.collect().map(_.toSeq).toSeq
     for (p <- Seq("1", "7", "32")) {
