@@ -211,7 +211,11 @@ object JoinOps {
           col("event_id").as("prev_view_id"))
       graft.plans.Asof.join(p, v, Seq("user_id" -> "v_user"),
           "purchase_ts", "prev_view_ts", strict = true,
-          tiebreakCols = Seq("prev_view_id"))
+          tiebreakCols = Seq("prev_view_id"),
+          // pinned to the SHUFFLED formulation: views are fact-sized (the
+          // broadcast path is dim_scd2_asof_native's job), and the plan
+          // shape stays sf-independent for the spec
+          broadcastRight = Some(false))
         .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
           col("prev_view_ts"), col("prev_view_id"))
         .orderBy("purchase_id")
@@ -315,10 +319,14 @@ object JoinOps {
     * interval-join oracle with `dim_scd2_asof`: three formulations (window
     * rewrite, native exec, naive SQL) against one hash.
     *
-    * Scale notes (100 TB): same envelope as join_asof_native — one shuffle
-    * per side on user_id, sorted merge with O(1) state; the version side is
-    * dimension-sized, so its shuffle is negligible and the merge degenerates
-    * to a per-key pointer walk over the facts. */
+    * Scale notes (100 TB): this one runs the BROADCAST physical as-of
+    * (graft.plans.BroadcastAsofJoinExec): the dimension-sized version table
+    * ships to every task, each task builds one key → time-sorted index and
+    * resolves facts by binary search — the facts are never shuffled for the
+    * join (map-only; the sole exchange in the plan is the final orderBy).
+    * Exactly the broadcast-hash vs sort-merge economics, for as-of
+    * semantics; the strategy makes the same threshold decision
+    * JoinSelection does when no explicit hint is passed. */
   val dimScd2AsofNative: Op = Op(
     "dim_scd2_asof_native",
     (s, d) => {
@@ -328,7 +336,11 @@ object JoinOps {
         .agg(max(concat(lit("tier_"), col("event_id") % 5)).as("tier"))
       val facts = e.select(col("event_id"), col("user_id"), col("ts"), col("value"))
       graft.plans.Asof.join(facts, versions,
-          Seq("user_id" -> "v_user"), "ts", "eff_from", strict = false)
+          Seq("user_id" -> "v_user"), "ts", "eff_from", strict = false,
+          // dimension-sized right → the BROADCAST physical as-of: versions
+          // ship to every task, facts never shuffle for the join (the only
+          // exchange left in the plan is the final orderBy)
+          broadcastRight = Some(true))
         .select(col("event_id"), col("user_id"), col("ts"), col("value"), col("tier"))
         .orderBy("event_id")
     },

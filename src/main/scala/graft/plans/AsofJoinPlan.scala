@@ -42,7 +42,8 @@ case class AsofJoin(
     leftTime: Expression,
     rightTime: Expression,
     strict: Boolean,
-    rightTiebreak: Seq[Expression]) extends BinaryNode {
+    rightTiebreak: Seq[Expression],
+    broadcastRight: Option[Boolean] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -50,14 +51,25 @@ case class AsofJoin(
     copy(left = newLeft, right = newRight)
 }
 
-/** Planner rule: [[AsofJoin]] logical node → [[AsofJoinExec]]. Registered
-  * per-session via [[Asof.ensureRegistered]] (`experimental.extraStrategies`,
-  * the public hook) and globally via [[graft.GraftExtensions]]
+/** Planner rule: [[AsofJoin]] logical node → physical as-of join, making
+  * the same broadcast-vs-shuffle decision Spark's `JoinSelection` makes for
+  * equi-joins: an explicit `broadcastRight` hint wins; otherwise the right
+  * side broadcasts when its estimated size fits
+  * `spark.sql.autoBroadcastJoinThreshold`, else both sides shuffle into the
+  * sort-merge [[AsofJoinExec]]. Registered per-session via
+  * [[Asof.ensureRegistered]] (`experimental.extraStrategies`, the public
+  * hook) and globally via [[graft.GraftExtensions]]
   * (`injectPlannerStrategy`). */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt, strict, tb) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict, tb) :: Nil
+    case j @ AsofJoin(l, r, lk, rk, lt, rt, strict, tb, bc) =>
+      val threshold = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val broadcast = bc.getOrElse(
+        threshold > 0 && r.stats.sizeInBytes >= 0 && r.stats.sizeInBytes <= threshold)
+      if (broadcast)
+        BroadcastAsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict, tb) :: Nil
+      else
+        AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict, tb) :: Nil
     case _ => Nil
   }
 }
@@ -192,6 +204,121 @@ case class AsofJoinExec(
   }
 }
 
+/** Broadcast as-of join: the ZERO-FACT-SHUFFLE path for dimension-sized
+  * right sides — the version/quote table ships to every task
+  * (IdentityBroadcastMode, the same exchange BroadcastNestedLoopJoin uses),
+  * each task builds one key → time-sorted-rows index from it, and every left
+  * row resolves by binary search. The fact side keeps its partitioning AND
+  * its ordering untouched — at 100 TB this is the difference between
+  * re-shuffling the corpus and a map-only pass, exactly as with
+  * broadcast-hash vs sort-merge equi-joins. */
+case class BroadcastAsofJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    strict: Boolean,
+    rightTiebreak: Seq[Expression]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution ::
+      org.apache.spark.sql.catalyst.plans.physical.BroadcastDistribution(
+        org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode) :: Nil
+
+  // map-only over the left: partitioning and ordering both survive
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeys = leftKeys
+    val rKeys = rightKeys
+    val lTime = leftTime
+    val rTime = rightTime
+    val tiebreak = rightTiebreak
+    val strictLocal = strict
+    val allOut = output
+    val numOutputRows = longMetric("numOutputRows")
+    val bcast = right.executeBroadcast[Array[InternalRow]]()
+
+    left.execute().mapPartitions { lIter =>
+      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+      val rSortProj = UnsafeProjection.create(rTime +: tiebreak, rOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTime), lOut)
+      val sortOrd = GenerateOrdering.create(StructType(
+        (rTime +: tiebreak).zipWithIndex.map { case (e, i) =>
+          StructField(s"s$i", e.dataType, e.nullable) }))
+      val timeOrd = GenerateOrdering.create(StructType(
+        Seq(StructField("t", lTime.dataType, lTime.nullable))))
+      val resultProj = UnsafeProjection.create(allOut, allOut)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.size)
+
+      // per-task index build from the broadcast rows: key → rows sorted by
+      // (time, tiebreak), plus the parallel array of time-only keys the
+      // binary search compares against — built once, dim-sized
+      val index = new scala.collection.mutable.HashMap[
+        InternalRow, scala.collection.mutable.ArrayBuffer[(InternalRow, InternalRow)]]()
+      bcast.value.foreach { r =>
+        val k = rKeyProj(r)
+        val t = rTimeProj(r)
+        if (!k.anyNull && !t.isNullAt(0)) {
+          index.getOrElseUpdate(k.copy(),
+            new scala.collection.mutable.ArrayBuffer[(InternalRow, InternalRow)]())
+            .append((rSortProj(r).copy(), r))
+        }
+      }
+      val built: Map[InternalRow, (Array[InternalRow], Array[InternalRow])] =
+        index.iterator.map { case (k, buf) =>
+          val sorted = buf.sortWith((a, b) => sortOrd.compare(a._1, b._1) < 0)
+          val rows = sorted.map(_._2).toArray
+          val times = rows.map(r => rTimeProj(r).copy(): InternalRow)
+          k -> (rows, times)
+        }.toMap
+
+      lIter.map { lRow =>
+        val lKey = lKeyProj(lRow)
+        val matched: InternalRow =
+          if (lKey.anyNull) nullRight
+          else built.get(lKey) match {
+            case None => nullRight
+            case Some((rows, times)) =>
+              val lt = lTimeProj(lRow)
+              // first index whose time is inadmissible (>= lt strict, > lt
+              // inclusive); the candidate is the element just before it —
+              // the max admissible time, max tiebreak within equal times
+              var lo = 0
+              var hi = rows.length
+              while (lo < hi) {
+                val mid = (lo + hi) >>> 1
+                val c = timeOrd.compare(times(mid), lt)
+                val admissible = c < 0 || (!strictLocal && c == 0)
+                if (admissible) lo = mid + 1 else hi = mid
+              }
+              if (lo > 0) rows(lo - 1) else nullRight
+          }
+        numOutputRows += 1
+        resultProj(joined(lRow, matched))
+      }
+    }
+  }
+}
+
 /** Public construction API for the native as-of join. */
 object Asof {
   /** Idempotently adds [[AsofJoinStrategy]] to the session's planner via the
@@ -210,7 +337,8 @@ object Asof {
     * re-aliased to fresh ids before the plan is assembled. */
   def join(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
            leftTimeCol: String, rightTimeCol: String,
-           strict: Boolean = true, tiebreakCols: Seq[String] = Nil): DataFrame = {
+           strict: Boolean = true, tiebreakCols: Seq[String] = Nil,
+           broadcastRight: Option[Boolean] = None): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lp = left.queryExecution.analyzed
@@ -234,6 +362,6 @@ object Asof {
     require(lt.dataType == rt.dataType,
       s"as-of join: time type mismatch ${lt.dataType} vs ${rt.dataType}")
     val tb = tiebreakCols.map(attr(rp, _, "right"))
-    PlanBridge.ofRows(spark, AsofJoin(lp, rp, lks, rks, lt, rt, strict, tb))
+    PlanBridge.ofRows(spark, AsofJoin(lp, rp, lks, rks, lt, rt, strict, tb, broadcastRight))
   }
 }

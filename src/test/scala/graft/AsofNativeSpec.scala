@@ -95,6 +95,48 @@ class AsofNativeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(native.nonEmpty && native == windowed)
   }
 
+  test("broadcast plan: BroadcastAsofJoinExec, facts never shuffle for the join") {
+    val plan = JoinOps.dimScd2AsofNative.fn(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan
+    assert(collectWithSubqueries(plan) {
+      case e: graft.plans.BroadcastAsofJoinExec => e }.nonEmpty)
+    assert(collectWithSubqueries(plan) { case e: AsofJoinExec => e }.isEmpty)
+    // the FACT side of the join is exchange-free (map-only); the only
+    // shuffles in the whole plan are the dim-sized version pre-aggregation
+    // (under the broadcast) and the final global orderBy
+    val bc = collectWithSubqueries(plan) {
+      case e: graft.plans.BroadcastAsofJoinExec => e }.head
+    assert(bc.left.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      "fact subtree of the broadcast as-of must not shuffle")
+    val shuffles = collectWithSubqueries(plan) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 2,
+      s"expected version-agg + orderBy exchanges only, got ${shuffles.size}")
+  }
+
+  test("broadcast ≡ sort-merge on the same inputs; auto mode follows the threshold") {
+    val quotes = Seq(("AAA", 100L, 1L), ("AAA", 200L, 2L), ("BBB", 150L, 5L))
+      .toDF("sym_q", "t_q", "quote_id")
+    val trades = Seq(("AAA", 250L, 11L), ("BBB", 100L, 12L), ("CCC", 500L, 13L))
+      .toDF("sym", "t", "trade_id")
+    def run(bc: Option[Boolean]) =
+      Asof.join(trades, quotes, Seq("sym" -> "sym_q"), "t", "t_q",
+        tiebreakCols = Seq("quote_id"), broadcastRight = bc)
+    val expected = run(Some(false)).select("trade_id", "quote_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(expected == Map(11L -> Some(2L), 12L -> None, 13L -> None))
+    assert(run(Some(true)).select("trade_id", "quote_id")
+      .as[(Long, Option[Long])].collect().toMap == expected)
+    // auto: tiny right side broadcasts under the default 10 MB threshold...
+    assert(collectWithSubqueries(run(None).queryExecution.executedPlan) {
+      case e: graft.plans.BroadcastAsofJoinExec => e }.nonEmpty)
+    // ...and falls back to sort-merge when broadcasting is disabled
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try assert(collectWithSubqueries(run(None).queryExecution.executedPlan) {
+      case e: AsofJoinExec => e }.nonEmpty)
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("result is invariant to shuffle partitioning (1 vs 7 vs 32)") {
     val base = nativeDf.collect().map(_.toSeq).toSeq
     for (p <- Seq("1", "7", "32")) {
