@@ -100,7 +100,47 @@ object StarOps {
       "FROM lineitem GROUP BY l_returnflag, l_linestatus " +
       "ORDER BY l_returnflag, l_linestatus"))
 
-  val all: Seq[Op] = Seq(starJoinQ5, starTopnQ3, sqlInterface)
+  /** DYNAMIC PARTITION PRUNING — the star-schema scan optimization the
+    * suite's static `PushedFilters` rows can't show: the fact table is
+    * day-partitioned, the filter lives on the DIM side (a 5-day calendar
+    * slice), and Catalyst injects the dim's qualifying day set into the
+    * fact scan's PARTITION FILTERS at runtime (a `dynamicpruning` subquery
+    * fed by the broadcast), so only ~5 of 30 day directories are read —
+    * without DPP every partition scans and the filter applies post-join.
+    * PlanShapeSpec-style assertion lives in DppSpec: the fact scan carries
+    * a `dynamicpruning` expression. Oracle: the plain filtered join.
+    *
+    * Scale notes (100 TB): THE mechanism that makes dim-predicated fact
+    * queries cheap on a partitioned lake — I/O ∝ qualifying partitions, not
+    * table size; works through the same broadcast the dim join already
+    * does, so it is free when the dim broadcasts. */
+  val joinDppPartitionPruning: Op = Op(
+    "join_dpp_partition_pruning",
+    (s, d) => {
+      val out = Stage.root(d) + "/dpp_facts"
+      val e = Tables.events(s, d).withColumn("day", to_date(col("ts")))
+      e.repartition(col("day"))
+        .write.partitionBy("day").mode("overwrite").parquet(out)
+      // dim: the calendar — qualifying rows are a 5-day slice chosen by a
+      // dim-side predicate (the fact side never sees a literal day filter)
+      val dim = e.select(col("day")).distinct()
+        .withColumn("rk", dense_rank().over(
+          org.apache.spark.sql.expressions.Window.orderBy("day")))
+        .where(col("rk") >= 11 && col("rk") <= 15)
+        .select("day")
+      s.read.parquet(out).join(broadcast(dim), "day")
+        .groupBy("day")
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .orderBy("day")
+    },
+    Some("WITH days AS (SELECT day, dense_rank() OVER (ORDER BY day) AS rk " +
+      "FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)), " +
+      "dim AS (SELECT day FROM days WHERE rk BETWEEN 11 AND 15) " +
+      "SELECT e.day, COUNT(*) AS cnt, " + oSum("value") + " AS sum_value " +
+      "FROM (SELECT CAST(ts AS DATE) AS day, value FROM events) e " +
+      "JOIN dim USING (day) GROUP BY e.day ORDER BY day"))
+
+  val all: Seq[Op] = Seq(starJoinQ5, starTopnQ3, sqlInterface, joinDppPartitionPruning)
 }
 
 /** Temp-view registration for the SQL surface: a user of the reference who
