@@ -409,19 +409,40 @@ object JoinOps {
           col("pv.vid").as("prev_view_id"))
         .orderBy("purchase_id")
     },
-    Some("WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
-      "v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'), " +
-      "m AS (SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts, " +
-      "v.ts AS prev_view_ts, v.event_id AS prev_view_id, " +
-      "row_number() OVER (PARTITION BY p.event_id ORDER BY v.ts DESC, v.event_id DESC) AS rn " +
-      "FROM p JOIN v ON v.user_id = p.user_id AND v.ts < p.ts " +
-      "AND v.ts >= p.ts - INTERVAL 1 HOUR) " +
-      "SELECT purchase_id, user_id, purchase_ts, prev_view_ts, prev_view_id FROM m WHERE rn = 1 " +
-      "UNION ALL " +
-      "SELECT p.event_id, p.user_id, p.ts, NULL, NULL FROM p " +
-      "WHERE NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = p.user_id AND v.ts < p.ts " +
-      "AND v.ts >= p.ts - INTERVAL 1 HOUR) " +
-      "ORDER BY purchase_id"))
+    Some(JoinOps.asofToleranceOracleSql))
+
+  /** The bounded-lookback as-of through the NATIVE operator — same
+    * semantics as `join_asof_tolerance` (latest strictly-prior view within
+    * one hour), third consumer of the custom strategy, exercising the
+    * `toleranceUs` bound in [[graft.plans.AsofJoinExec]]: the merge still
+    * carries ONE candidate (the max admissible time), and the window check
+    * on it alone is exhaustive — if the newest admissible row is stale,
+    * all are. Shares the windowed op's ranked-join oracle.
+    *
+    * Scale notes (100 TB): identical envelope to `join_asof_native`; the
+    * tolerance costs one long compare per emitted row — contrast the
+    * windowed rewrite, whose RANGE frame must BUFFER an hour of per-user
+    * events. Bounded-lookback is where the native exec's O(1) state
+    * actually beats the window formulation's O(window) frame. */
+  val joinAsofToleranceNative: Op = Op(
+    "join_asof_tolerance_native",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"))
+      val v = e.where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("prev_view_ts"),
+          col("event_id").as("prev_view_id"))
+      graft.plans.Asof.join(p, v, Seq("user_id" -> "v_user"),
+          "purchase_ts", "prev_view_ts", strict = true,
+          tiebreakCols = Seq("prev_view_id"), broadcastRight = Some(false),
+          toleranceMicros = Some(3600L * 1000000L))
+        .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+          col("prev_view_ts"), col("prev_view_id"))
+        .orderBy("purchase_id")
+    },
+    Some(JoinOps.asofToleranceOracleSql))
 
   /** FIRST-touch attribution — the mirror of `join_asof_tolerance`'s
     * last-touch: each purchase attributes to the EARLIEST view in the
@@ -512,7 +533,7 @@ object JoinOps {
   val all: Seq[Op] = Seq(joinInnerHash, joinBroadcastDim, joinSortmergeBig, joinLeftOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinCrossSmall, joinRangeTheta, joinAsof,
     joinAsofNative, joinIntervalBin, dimScd2Asof, dimScd2AsofNative, joinBloomPrefilter,
-    joinAsofTolerance, joinFirstTouch, joinEntityResolution)
+    joinAsofTolerance, joinAsofToleranceNative, joinFirstTouch, joinEntityResolution)
 
   /** Shared by `join_asof` (windowed rewrite) and `join_asof_native` (native
     * Catalyst operator): the naive ranked-join statement of as-of semantics —
@@ -520,6 +541,24 @@ object JoinOps {
     * unmatched purchases kept with nulls. Two independent formulations
     * hash-matching ONE oracle is the strongest equivalence the driver can
     * witness. */
+  /** Shared by `join_asof_tolerance` (windowed RANGE frame) and
+    * `join_asof_tolerance_native` (native operator, toleranceUs bound):
+    * the naive ranked join restricted to the 1-hour lookback. */
+  private[ops] def asofToleranceOracleSql: String =
+    "WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
+      "v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'), " +
+      "m AS (SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts, " +
+      "v.ts AS prev_view_ts, v.event_id AS prev_view_id, " +
+      "row_number() OVER (PARTITION BY p.event_id ORDER BY v.ts DESC, v.event_id DESC) AS rn " +
+      "FROM p JOIN v ON v.user_id = p.user_id AND v.ts < p.ts " +
+      "AND v.ts >= p.ts - INTERVAL 1 HOUR) " +
+      "SELECT purchase_id, user_id, purchase_ts, prev_view_ts, prev_view_id FROM m WHERE rn = 1 " +
+      "UNION ALL " +
+      "SELECT p.event_id, p.user_id, p.ts, NULL, NULL FROM p " +
+      "WHERE NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = p.user_id AND v.ts < p.ts " +
+      "AND v.ts >= p.ts - INTERVAL 1 HOUR) " +
+      "ORDER BY purchase_id"
+
   /** Shared by `dim_scd2_asof` (windowed union-trick) and
     * `dim_scd2_asof_native` (native as-of operator): the naive
     * validity-interval LEFT JOIN. */

@@ -43,7 +43,8 @@ case class AsofJoin(
     rightTime: Expression,
     strict: Boolean,
     rightTiebreak: Seq[Expression],
-    broadcastRight: Option[Boolean] = None) extends BinaryNode {
+    broadcastRight: Option[Boolean] = None,
+    toleranceUs: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -62,14 +63,14 @@ case class AsofJoin(
   * (`injectPlannerStrategy`). */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case j @ AsofJoin(l, r, lk, rk, lt, rt, strict, tb, bc) =>
+    case j @ AsofJoin(l, r, lk, rk, lt, rt, strict, tb, bc, tol) =>
       val threshold = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
       val broadcast = bc.getOrElse(
         threshold > 0 && r.stats.sizeInBytes >= 0 && r.stats.sizeInBytes <= threshold)
       if (broadcast)
-        BroadcastAsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict, tb) :: Nil
+        BroadcastAsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict, tb, tol) :: Nil
       else
-        AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict, tb) :: Nil
+        AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict, tb, tol) :: Nil
     case _ => Nil
   }
 }
@@ -87,7 +88,8 @@ case class AsofJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     strict: Boolean,
-    rightTiebreak: Seq[Expression]) extends BinaryExecNode {
+    rightTiebreak: Seq[Expression],
+    toleranceUs: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -128,6 +130,7 @@ case class AsofJoinExec(
     val lTime = leftTime
     val rTime = rightTime
     val strictLocal = strict
+    val tolLocal = toleranceUs
     val allOut = output
     val numOutputRows = longMetric("numOutputRows")
 
@@ -149,9 +152,12 @@ case class AsofJoinExec(
         private var rRow: InternalRow = _
         private var rKey: InternalRow = _
         private var rTimeRow: InternalRow = _
-        // best match so far for the current left key
+        // best match so far for the current left key (+ its time in micros
+        // for the bounded-lookback check; the time type is long-backed —
+        // enforced by Asof.join when a tolerance is set)
         private var cand: InternalRow = _
         private var candKey: InternalRow = _
+        private var candTimeUs: Long = 0L
 
         private def fetchRight(): Unit = {
           rRow = null
@@ -190,13 +196,20 @@ case class AsofJoinExec(
                   if (tCmp < 0 || (!strictLocal && tCmp == 0)) {
                     // admissible and later than any previous admissible row
                     // (right side is time-sorted) → new best candidate
-                    cand = rRow; candKey = rKey; rRow = null
+                    cand = rRow; candKey = rKey
+                    candTimeUs = rTimeRow.getLong(0)
+                    rRow = null
                   } else advancing = false
                 } else advancing = false // right is ahead: keep as lookahead
               }
             }
+            // bounded lookback: the kept candidate is the MAX admissible
+            // time for this key, so if IT is older than (leftTime - tol)
+            // every other admissible row is too — emit unmatched
+            val inWindow = cand != null && tolLocal.forall(t =>
+              candTimeUs >= lTimeRow.getLong(0) - t)
             numOutputRows += 1
-            resultProj(joined(lRow, if (cand != null) cand else nullRight))
+            resultProj(joined(lRow, if (inWindow) cand else nullRight))
           }
         }
       }
@@ -220,7 +233,8 @@ case class BroadcastAsofJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     strict: Boolean,
-    rightTiebreak: Seq[Expression]) extends BinaryExecNode {
+    rightTiebreak: Seq[Expression],
+    toleranceUs: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -250,6 +264,7 @@ case class BroadcastAsofJoinExec(
     val rTime = rightTime
     val tiebreak = rightTiebreak
     val strictLocal = strict
+    val tolLocal = toleranceUs
     val allOut = output
     val numOutputRows = longMetric("numOutputRows")
     val bcast = right.executeBroadcast[Array[InternalRow]]()
@@ -310,7 +325,12 @@ case class BroadcastAsofJoinExec(
                 val admissible = c < 0 || (!strictLocal && c == 0)
                 if (admissible) lo = mid + 1 else hi = mid
               }
-              if (lo > 0) rows(lo - 1) else nullRight
+              // bounded lookback mirrors the sort-merge path: the found row
+              // has the max admissible time, so the window check on it alone
+              // is exhaustive
+              if (lo > 0 && tolLocal.forall(t =>
+                times(lo - 1).getLong(0) >= lt.getLong(0) - t)) rows(lo - 1)
+              else nullRight
           }
         numOutputRows += 1
         resultProj(joined(lRow, matched))
@@ -338,7 +358,8 @@ object Asof {
   def join(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
            leftTimeCol: String, rightTimeCol: String,
            strict: Boolean = true, tiebreakCols: Seq[String] = Nil,
-           broadcastRight: Option[Boolean] = None): DataFrame = {
+           broadcastRight: Option[Boolean] = None,
+           toleranceMicros: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lp = left.queryExecution.analyzed
@@ -362,6 +383,14 @@ object Asof {
     require(lt.dataType == rt.dataType,
       s"as-of join: time type mismatch ${lt.dataType} vs ${rt.dataType}")
     val tb = tiebreakCols.map(attr(rp, _, "right"))
-    PlanBridge.ofRows(spark, AsofJoin(lp, rp, lks, rks, lt, rt, strict, tb, broadcastRight))
+    toleranceMicros.foreach { t =>
+      require(t >= 0, "as-of join: tolerance must be non-negative")
+      require(Seq(lt.dataType, rt.dataType).forall(d =>
+        d == org.apache.spark.sql.types.TimestampType ||
+          d == org.apache.spark.sql.types.LongType),
+        s"as-of join: tolerance requires timestamp/long time columns, got ${lt.dataType}")
+    }
+    PlanBridge.ofRows(spark,
+      AsofJoin(lp, rp, lks, rks, lt, rt, strict, tb, broadcastRight, toleranceMicros))
   }
 }

@@ -137,6 +137,30 @@ class AsofNativeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("tolerance bounds the lookback identically on both physical paths") {
+    val quotes = Seq(("AAA", 100L, 1L), ("AAA", 800L, 2L), ("BBB", 100L, 3L))
+      .toDF("sym_q", "t_q", "quote_id")
+    val trades = Seq(
+      ("AAA", 900L, 10L),  // quote@800 within 200 → match 2
+      ("AAA", 1500L, 11L), // newest quote@800 is 700 stale → none (and NOT quote@100)
+      ("BBB", 250L, 12L)   // quote@100 is 150 stale, inside the 200 window → match 3
+    ).toDF("sym", "t", "trade_id")
+    val expected = Map(10L -> Some(2L), 11L -> None, 12L -> Some(3L))
+    for (bc <- Seq(Some(false), Some(true))) {
+      val got = Asof.join(trades, quotes, Seq("sym" -> "sym_q"), "t", "t_q",
+          tiebreakCols = Seq("quote_id"), broadcastRight = bc,
+          toleranceMicros = Some(200L))
+        .select("trade_id", "quote_id").as[(Long, Option[Long])].collect().toMap
+      assert(got == expected, s"broadcastRight=$bc")
+    }
+    // native tolerance op ≡ windowed tolerance op on real data
+    val native = JoinOps.joinAsofToleranceNative.fn(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq).toSeq
+    val windowed = JoinOps.joinAsofTolerance.fn(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(native.nonEmpty && native == windowed)
+  }
+
   test("result is invariant to shuffle partitioning (1 vs 7 vs 32)") {
     val base = nativeDf.collect().map(_.toSeq).toSeq
     for (p <- Seq("1", "7", "32")) {
