@@ -469,7 +469,40 @@ object AggOps {
       "WHERE abs(s.approx - ex.exact) <= 0.05 * greatest(ex.exact, 20) " +
       "ORDER BY metric"))
 
+  /** MATERIALIZED-VIEW aggregate navigation (graft.plans.MvRewrite): the op
+    * refreshes the daily-rollup MV, registers it, and then runs the plain
+    * full-scan rollup over the BASE table — the injected optimizer rule
+    * rewrites that query to read the MV (MvRewriteSpec asserts the final
+    * plan scans mv_daily_rollup and never events.parquet; a filtered
+    * variant is asserted NOT to rewrite). The oracle recomputes the rollup
+    * from the base table in DuckDB, so hash equality proves MV-read ≡
+    * recompute exactly — both sides are the same exact-decimal arithmetic.
+    *
+    * Scale notes (100 TB): the MV costs one maintained rollup (here
+    * refreshed in-op; in production, `agg_incremental_rollup`'s
+    * delta-merge IS the maintenance job — the two compose); every
+    * navigated query then reads |days| rows instead of the corpus. This is
+    * the second Catalyst extension surface (optimizer rule) after the
+    * as-of family's planner strategy. */
+  val aggMvRewriteRollup: Op = Op(
+    "agg_mv_rewrite_rollup",
+    (s, d) => {
+      val mvPath = Stage.root(d) + "/mv_daily_rollup"
+      Tables.events(s, d).groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .coalesce(1).write.mode("overwrite").parquet(mvPath)
+      graft.plans.MvRewrite.register(s, s"$d/events.parquet", mvPath)
+      // the USER query: a plain rollup over the base table — navigation to
+      // the MV happens in the optimizer, invisibly to this code
+      Tables.events(s, d).groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .orderBy("day")
+    },
+    Some("SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt, " + oSum("value") +
+      " AS sum_value FROM events GROUP BY 1 ORDER BY day"))
+
   val all: Seq[Op] = Seq(aggPricingSummary, aggCountDistinct, aggApproxHll, aggHllMergeable,
     aggGroupingSets, aggRollupTime, aggCube, aggCollectSorted, aggArgMax, aggPivot, distinctRows,
-    aggIncrementalRollup, aggPercentileExact, aggModeExact, aggBitmapDistinct, aggThetaSetops)
+    aggIncrementalRollup, aggPercentileExact, aggModeExact, aggBitmapDistinct, aggThetaSetops,
+    aggMvRewriteRollup)
 }
