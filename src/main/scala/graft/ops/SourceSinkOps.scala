@@ -785,9 +785,46 @@ object SourceSinkOps {
       "FROM read_parquet('" + Stage.token + "/prov_tbl/*/*.parquet', filename=true) " +
       "GROUP BY 1 ORDER BY day"))
 
+  /** The raw-log format as a CUSTOM DataSource V2
+    * ([[graft.sources.SolarLogSource]]) — `TableProvider` → `ScanBuilder`
+    * with real COLUMN PRUNING (only requested fields parse) and FILTER
+    * PUSHDOWN (circuit-type equality applied on the raw line before any
+    * row materializes), one input partition per log file. Two staged log
+    * days exercise multi-file parallelism; the oracle reads the SAME
+    * staged bytes via DuckDB `read_csv` with the mirrored TRY_CASTs, so
+    * the whole custom reader — parse, prune, pushdown — is hash-verified.
+    * SolarLogSourceSpec additionally asserts the pruned read schema, the
+    * pushed-vs-residual filter split, and the per-file partitioning.
+    *
+    * Scale notes (100 TB): the reader shape is exactly Spark's own file
+    * sources' — parallelism = file count, pushdown/pruning cut parse work
+    * at the line level; a kiosk-upload directory of millions of log files
+    * scans as wide as the cluster. */
+  val sourceCustomV2Solarlog: Op = Op(
+    "source_custom_v2_solarlog",
+    (s, d) => {
+      val dir = java.nio.file.Paths.get(Stage.root(d) + "/v2log")
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve("day1.csv"), goldenSolarLog)
+      Files.writeString(dir.resolve("day2.csv"),
+        goldenSolarLog.replace("20120301", "20120302"))
+      s.read.format("graft.sources.SolarLogSource").option("path", dir.toString).load()
+        .where(col("circuit_type") === "PWR")
+        .select("machine_id", "ts", "watts", "wh_today", "credit")
+        .orderBy(col("machine_id"), col("ts"), col("watts").asc_nulls_first)
+    },
+    Some("SELECT \"Machine ID\" AS machine_id, " +
+      "strptime(\"Time Stamp\", '%Y%m%d%H%M%S') AS ts, " +
+      "TRY_CAST(\"Watts\" AS DECIMAL(12,2)) AS watts, " +
+      "TRY_CAST(\"Watt Hours Today\" AS DECIMAL(12,2)) AS wh_today, " +
+      "TRY_CAST(\"Credit\" AS DECIMAL(12,2)) AS credit " +
+      "FROM read_csv('" + Stage.token + "/v2log/*.csv', header=true, all_varchar=true) " +
+      "WHERE \"Type\" = 'PWR' " +
+      "ORDER BY machine_id, ts, watts NULLS FIRST"))
+
   val all: Seq[Op] = Seq(csvLogIngest, sinkPartitionedParquet, sinkBucketedJoin,
     sinkClusteredLayout, mergeUpsertLatest, sinkCsvReport, sourceJsonlRoundtrip,
     sourceOrcRoundtrip, sourceSchemaEvolution, sinkCompactSmallFiles, sinkZorderLayout,
     sinkTargetedDelete, sinkDynamicPartitionOverwrite, cdcApplyChanges, sinkTimeTravelRead,
-    sinkVacuumRetention, sourceProvenanceAudit)
+    sinkVacuumRetention, sourceProvenanceAudit, sourceCustomV2Solarlog)
 }
