@@ -822,9 +822,49 @@ object SourceSinkOps {
       "WHERE \"Type\" = 'PWR' " +
       "ORDER BY machine_id, ts, watts NULLS FIRST"))
 
+  /** The WRITE half of the custom V2 source: read the staged raw logs
+    * through [[graft.sources.SolarLogSource]], filter to power circuits,
+    * and write the result BACK in the published log format through the
+    * source's `BatchWrite` — per-task hidden `.tmp` files published by an
+    * atomic rename only at the driver's job commit (a failed/speculated
+    * task can never surface a half-written file), then read the committed
+    * files back through the same source. The oracle reads the WRITTEN
+    * files with DuckDB `read_csv`, so serializer, commit protocol, and
+    * schema-tolerant re-read are all inside the hash.
+    *
+    * Scale notes (100 TB): this is the file-sink commit protocol every
+    * production sink implements (and the manifest-commit layout ops mirror
+    * at the table level) — task parallelism = partition count, commit cost
+    * = one rename per task, abort leaves nothing visible. */
+  val sinkCustomV2Roundtrip: Op = Op(
+    "sink_custom_v2_roundtrip",
+    (s, d) => {
+      val inDir = java.nio.file.Paths.get(Stage.root(d) + "/v2log")
+      Files.createDirectories(inDir)
+      Files.writeString(inDir.resolve("day1.csv"), goldenSolarLog)
+      Files.writeString(inDir.resolve("day2.csv"),
+        goldenSolarLog.replace("20120301", "20120302"))
+      val outDir = java.nio.file.Paths.get(Stage.root(d) + "/v2log_out")
+      Housekeeping.deleteRecursively(outDir) // fresh commit target per run
+      s.read.format("graft.sources.SolarLogSource").option("path", inDir.toString).load()
+        .where(col("circuit_type") === "PWR")
+        .write.format("graft.sources.SolarLogSource")
+        .option("path", outDir.toString).mode("append").save()
+      s.read.format("graft.sources.SolarLogSource").option("path", outDir.toString).load()
+        .select("machine_id", "ts", "watts", "power_factor", "credit")
+        .orderBy(col("machine_id"), col("ts"), col("watts").asc_nulls_first)
+    },
+    Some("SELECT \"Machine ID\" AS machine_id, " +
+      "strptime(\"Time Stamp\", '%Y%m%d%H%M%S') AS ts, " +
+      "TRY_CAST(\"Watts\" AS DECIMAL(12,2)) AS watts, " +
+      "TRY_CAST(\"Power Factor\" AS DECIMAL(12,2)) AS power_factor, " +
+      "TRY_CAST(\"Credit\" AS DECIMAL(12,2)) AS credit " +
+      "FROM read_csv('" + Stage.token + "/v2log_out/*.csv', header=true, all_varchar=true) " +
+      "ORDER BY machine_id, ts, watts NULLS FIRST"))
+
   val all: Seq[Op] = Seq(csvLogIngest, sinkPartitionedParquet, sinkBucketedJoin,
     sinkClusteredLayout, mergeUpsertLatest, sinkCsvReport, sourceJsonlRoundtrip,
     sourceOrcRoundtrip, sourceSchemaEvolution, sinkCompactSmallFiles, sinkZorderLayout,
     sinkTargetedDelete, sinkDynamicPartitionOverwrite, cdcApplyChanges, sinkTimeTravelRead,
-    sinkVacuumRetention, sourceProvenanceAudit, sourceCustomV2Solarlog)
+    sinkVacuumRetention, sourceProvenanceAudit, sourceCustomV2Solarlog, sinkCustomV2Roundtrip)
 }

@@ -67,13 +67,18 @@ object SolarLogTable {
     "credit" -> "Credit")
 }
 
-class SolarLogTable(path: String) extends Table with SupportsRead {
+class SolarLogTable(path: String) extends Table
+  with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"solarlog($path)"
   override def schema(): StructType = SolarLogTable.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SolarLogScanBuilder(path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new SolarLogWriteBuilder(path, info.schema())
 }
 
 class SolarLogScanBuilder(path: String) extends ScanBuilder
@@ -140,12 +145,15 @@ class SolarLogPartitionReader(file: String, required: StructType, pushed: Array[
   private val header: Map[String, Int] =
     if (lines.hasNext) lines.next().split(",", -1).map(_.trim).zipWithIndex.toMap
     else Map.empty
-  // pushed filters as (source column index, expected value)
+  // pushed filters as (source column index, expected value); a filter on a
+  // column absent from this file can never match → sentinel index kills all
   private val pushedIdx: Array[(Int, String)] = pushed.collect {
-    case EqualTo(a, v: String) => header(SolarLogTable.headerOf(a)) -> v
+    case EqualTo(a, v: String) =>
+      header.getOrElse(SolarLogTable.headerOf(a), Int.MaxValue) -> v
   }
+  // -1 = column absent from this file (schema-tolerant read → null cells)
   private val fieldIdx: Array[Int] =
-    required.fields.map(f => header(SolarLogTable.headerOf(f.name)))
+    required.fields.map(f => header.getOrElse(SolarLogTable.headerOf(f.name), -1))
   private var current: InternalRow = _
 
   private def tryDecimal(s: String): org.apache.spark.sql.types.Decimal =
@@ -171,7 +179,7 @@ class SolarLogPartitionReader(file: String, required: StructType, pushed: Array[
           val values = new Array[Any](required.length)
           var i = 0
           while (i < required.length) {
-            val raw = if (fieldIdx(i) < cells.length) cells(fieldIdx(i)) else ""
+            val raw = if (fieldIdx(i) >= 0 && fieldIdx(i) < cells.length) cells(fieldIdx(i)) else ""
             values(i) = required.fields(i).dataType match {
               case StringType => UTF8String.fromString(raw)
               case TimestampType => parseTs(raw)
@@ -190,5 +198,102 @@ class SolarLogPartitionReader(file: String, required: StructType, pushed: Array[
   }
 
   override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+// ───────────────────────── write side ─────────────────────────
+
+/** V2 BatchWrite with the REAL two-phase commit protocol: each task writes
+  * its lines to a hidden `.tmp` file and reports it in its commit message;
+  * only the driver's job-level `commit()` renames the temporaries into
+  * place (rename = the atomic publish, the same move the manifest-commit
+  * layout ops use), and `abort()` deletes them — so a failed/speculated
+  * task can never leave a half-written file visible to readers. Cells
+  * serialize back to the published log format (compact timestamp, plain
+  * decimals, empty string for null) so the written files are themselves
+  * valid reader/oracle input — the round trip is hash-verified. */
+class SolarLogWriteBuilder(path: String, schema: StructType)
+  extends org.apache.spark.sql.connector.write.WriteBuilder {
+  import org.apache.spark.sql.connector.write.{BatchWrite, Write}
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new SolarLogBatchWrite(path, schema)
+  }
+}
+
+case class SolarLogCommitMessage(tmpFile: String, finalFile: String)
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class SolarLogBatchWrite(path: String, schema: StructType)
+  extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    SolarLogWriterFactory(path, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach { case SolarLogCommitMessage(tmp, fin) =>
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+        java.nio.file.Paths.get(fin),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case SolarLogCommitMessage(tmp, _) =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp))
+      case _ =>
+    }
+}
+
+case class SolarLogWriterFactory(path: String, schema: StructType)
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new SolarLogDataWriter(path, schema, partitionId, taskId)
+}
+
+class SolarLogDataWriter(path: String, schema: StructType,
+                         partitionId: Int, taskId: Long)
+  extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val dir = java.nio.file.Paths.get(path)
+  java.nio.file.Files.createDirectories(dir)
+  private val finalFile = dir.resolve(f"part-$partitionId%05d.csv")
+  private val tmpFile = dir.resolve(f".part-$partitionId%05d-$taskId.csv.tmp")
+  private val out = java.nio.file.Files.newBufferedWriter(tmpFile)
+  out.write(schema.fieldNames.map(SolarLogTable.headerOf).mkString(","))
+  out.newLine()
+
+  private val tsFmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss")
+
+  private def cell(row: InternalRow, i: Int): String = {
+    if (row.isNullAt(i)) ""
+    else schema.fields(i).dataType match {
+      case StringType => row.getUTF8String(i).toString
+      case TimestampType =>
+        java.time.LocalDateTime.ofEpochSecond(row.getLong(i) / 1000000L,
+          ((row.getLong(i) % 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC).format(tsFmt)
+      case d: DecimalType => row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal.toPlainString
+      case IntegerType => row.getInt(i).toString
+      case other => throw new IllegalStateException(s"unhandled type $other")
+    }
+  }
+
+  override def write(row: InternalRow): Unit = {
+    out.write(schema.indices.map(cell(row, _)).mkString(","))
+    out.newLine()
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    out.close()
+    SolarLogCommitMessage(tmpFile.toString, finalFile.toString)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    java.nio.file.Files.deleteIfExists(tmpFile)
+  }
+
   override def close(): Unit = ()
 }

@@ -42,6 +42,30 @@ class SolarLogSourceSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(residual.toSeq == Seq(GreaterThan("watts", java.math.BigDecimal.ONE)))
   }
 
+  test("write side: round trip commits atomically, no temporaries survive") {
+    val rows = SourceSinkOps.sinkCustomV2Roundtrip.fn(spark, TestSpark.sf0001).collect()
+    assert(rows.length == 10)
+    val outDir = java.nio.file.Paths.get(
+      graft.ops.Stage.root(TestSpark.sf0001) + "/v2log_out")
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.list(outDir).iterator().asScala.map(_.getFileName.toString).toSeq
+    assert(files.nonEmpty && files.forall(f => f.endsWith(".csv") && !f.startsWith(".")),
+      s"uncommitted temporaries visible: $files")
+  }
+
+  test("write side: an aborted task leaves nothing visible") {
+    val dir = java.nio.file.Files.createTempDirectory("v2abort")
+    val w = new graft.sources.SolarLogDataWriter(dir.toString,
+      graft.sources.SolarLogTable.schema, 0, 42L)
+    w.write(org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+      graft.sources.SolarLogTable.schema.map(_ => null).toIndexedSeq))
+    w.abort()
+    import scala.jdk.CollectionConverters._
+    val left = java.nio.file.Files.list(dir).iterator().asScala.toSeq
+    assert(left.isEmpty, s"abort left files: $left")
+    graft.ops.Housekeeping.deleteRecursively(dir)
+  }
+
   test("permissive parse: malformed numerics are null, duplicates survive") {
     val rows = opDf.collect()
     assert(rows.length == 10) // 5 PWR rows × 2 staged days
