@@ -488,6 +488,10 @@ object AggOps {
     "agg_mv_rewrite_rollup",
     (s, d) => {
       val mvPath = Stage.root(d) + "/mv_daily_rollup"
+      // deregister while refreshing: the MV-build query is ITSELF the
+      // navigable rollup shape — left registered, a second refresh would be
+      // rewritten to read the very files its overwrite is deleting
+      graft.plans.MvCatalog.clear()
       Tables.events(s, d).groupBy(to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
         .coalesce(1).write.mode("overwrite").parquet(mvPath)

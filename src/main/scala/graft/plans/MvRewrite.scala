@@ -95,9 +95,18 @@ class RollupMvRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 isExactDecimalSumOfValue(a2.child)
             case _ => false
           })
-        if (!shapeOk) agg
+        // an unreadable/vanished MV must never break the query — fall back
+        // to the base-table plan (navigation is an optimization, not a
+        // dependency)
+        val mvPlanOpt = if (!shapeOk) None else
+          try Some(spark.read.parquet(mvOpt.get).queryExecution.analyzed)
+          catch { case e: Exception =>
+            logWarning(s"RollupMvRule: MV ${mvOpt.get} unreadable, not navigating: $e")
+            None
+          }
+        if (mvPlanOpt.isEmpty) agg
         else {
-          val mvPlan = spark.read.parquet(mvOpt.get).queryExecution.analyzed
+          val mvPlan = mvPlanOpt.get
           val byName = mvPlan.output.map(a => a.name -> a).toMap
           if (!Seq("day", "cnt", "sum_value").forall(byName.contains)) agg
           else {
