@@ -103,5 +103,56 @@ object DqOps {
       "FROM lineitem WHERE l_quantity > 45.0 OR l_discount > 0.08 OR l_tax > 0.07 " +
       "ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_tax, reasons"))
 
-  val all: Seq[Op] = Seq(dqExpectations, dqQuarantineSplit)
+  /** CDC change-set GENERATION by snapshot diff — the inverse of
+    * [[SourceSinkOps.cdcApplyChanges]] (which consumes a change log): given
+    * two snapshots of a keyed table, emit the minimal insert/update/delete
+    * set that turns A into B. This is how CDC is bootstrapped for sources
+    * with no change log (nightly full dumps), and the audit that validates
+    * an incremental pipeline against a full rebuild. Snapshot B is derived
+    * deterministically from the customer table (every 17th key deleted,
+    * every 5th rebalanced +10.00, every 23rd re-keyed as an insert), so both
+    * engines diff identical inputs. Balances are DECIMAL(12,2) end to end —
+    * no float cell reaches the change-detection compare or the hasher.
+    *
+    * Scale notes (100 TB): ONE full-outer sort-merge equi-join on the key —
+    * the only shuffle; with both snapshots bucketed on the key (the layout
+    * [[SourceSinkOps.sinkBucketedJoin]] demonstrates) even that exchange
+    * disappears. Output is proportional to the churn, not the table. The
+    * unchanged majority is dropped before the presentation sort. */
+  val cdcSnapshotDiff: Op = Op(
+    "cdc_snapshot_diff",
+    (s, d) => {
+      val a = Tables.customer(s, d).select(col("c_custkey").cast("bigint").as("k"),
+        d2(col("c_acctbal")).as("bal"), col("c_mktsegment").as("seg"))
+      val b = a.where(col("k") % 17 =!= 0)
+        .select(col("k"),
+          when(col("k") % 5 === 0, (col("bal") + lit("10.00").cast(D12_2)).cast(D12_2))
+            .otherwise(col("bal")).as("bal"),
+          col("seg"))
+        .unionAll(a.where(col("k") % 23 === 0)
+          .select((col("k") + lit(10000000L)).as("k"), col("bal"), col("seg")))
+      a.as("a").join(b.as("b"), col("a.k") === col("b.k"), "full_outer")
+        .select(coalesce(col("a.k"), col("b.k")).as("cust_key"),
+          when(col("a.k").isNull, "I")
+            .when(col("b.k").isNull, "D")
+            .when(col("a.bal") =!= col("b.bal") || col("a.seg") =!= col("b.seg"), "U")
+            .as("op"),
+          col("a.bal").as("old_bal"), col("b.bal").as("new_bal"))
+        .where(col("op").isNotNull)
+        .orderBy("cust_key")
+    },
+    Some("WITH a AS (SELECT CAST(c_custkey AS BIGINT) AS k, " +
+      "CAST(c_acctbal AS DECIMAL(12,2)) AS bal, c_mktsegment AS seg FROM customer), " +
+      "b AS (SELECT k, CAST(CASE WHEN k % 5 = 0 THEN bal + 10.00 ELSE bal END " +
+      "AS DECIMAL(12,2)) AS bal, seg FROM a WHERE k % 17 <> 0 " +
+      "UNION ALL SELECT k + 10000000, bal, seg FROM a WHERE k % 23 = 0), " +
+      "df AS (SELECT COALESCE(a.k, b.k) AS cust_key, " +
+      "CASE WHEN a.k IS NULL THEN 'I' WHEN b.k IS NULL THEN 'D' " +
+      "WHEN a.bal <> b.bal OR a.seg <> b.seg THEN 'U' END AS op, " +
+      "a.bal AS old_bal, b.bal AS new_bal " +
+      "FROM a FULL OUTER JOIN b ON a.k = b.k) " +
+      "SELECT cust_key, op, old_bal, new_bal FROM df " +
+      "WHERE op IS NOT NULL ORDER BY cust_key"))
+
+  val all: Seq[Op] = Seq(dqExpectations, dqQuarantineSplit, cdcSnapshotDiff)
 }

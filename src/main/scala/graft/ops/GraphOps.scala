@@ -233,5 +233,101 @@ object GraphOps {
       "SELECT node, CAST(MIN(lvl) AS INT) AS level FROM reach " +
       "GROUP BY 1 ORDER BY node"))
 
-  val all: Seq[Op] = Seq(graphPagerank, graphDegreeHist, graphTriangleCount, graphBfsLevels)
+  /** Pointer-jumping rounds for [[graphConnectedComponents]]. Hash-min alone
+    * needs diameter rounds; adding the jump (label := label of label) halves
+    * the remaining pointer depth each round, so CcRounds rounds converge for
+    * any diameter up to ~2^CcRounds — far beyond what a transition graph
+    * can reach. CcConvergenceSpec asserts round CcRounds-1 ≡ CcRounds on the
+    * real data, so the fixed-round oracle below compares CONVERGED labels. */
+  private[graft] val CcRounds = 8
+
+  /** Labels after `rounds` combined hash-min + pointer-jump rounds — the
+    * shared kernel of the op and its convergence spec. All-integer (labels
+    * are node ids), so every round is bit-deterministic on both engines. */
+  private[graft] def ccLabels(s: SparkSession, d: String, rounds: Int): DataFrame = {
+    // The FREQUENT-transition subgraph (pair seen ≥ 2 times): the raw
+    // transition graph is one giant component (a 1-row census — verified at
+    // sf0.001/0.01/0.1), while repeated transitions fragment into real
+    // affinity clusters — the structure a component census is FOR. Same
+    // scale shape: the weighting is one extra map-side-combinable groupBy.
+    val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    val e0 = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("src"),
+        lead(col("l_partkey"), 1).over(w).as("dst"))
+      .where(col("dst").isNotNull && col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      .where(col("w") >= 2)
+      .select(col("src"), col("dst"))
+    val und = Housekeeping.cacheBounded("cc_und",
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    val nodes = und.select(col("src").as("v")).distinct()
+    var labels = nodes.withColumn("lbl", col("v")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      // hash-to-min aggregation: each node pulls the MIN label over its
+      // neighbours in ONE groupBy (never a pair-to-pair join) ...
+      val nbMin = und.join(labels, und("src") === labels("v"))
+        .groupBy(und("dst").as("v")).agg(min(col("lbl")).as("nb"))
+      val half = labels.join(nbMin, Seq("v"), "left")
+        .select(col("v"), least(col("lbl"), coalesce(col("nb"), col("lbl"))).as("lbl"))
+      // ... then the pointer jump: follow the label one hop (labels are node
+      // ids, so the self-join always matches) — the step that turns O(d)
+      // convergence into O(log d)
+      labels = half.as("h").join(half.as("j"), col("h.lbl") === col("j.v"))
+        .select(col("h.v").as("v"), least(col("h.lbl"), col("j.lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** Connected components of the undirected FREQUENT-transition graph via
+    * combined hash-min label propagation + pointer jumping — the scalable
+    * spelling of what [[LlmOps]]' dedup_cluster_keep does for candidate
+    * clusters, stated over a graph family where a reachability-closure
+    * oracle would explode (|component|² pairs on a giant component). Both
+    * engines run the SAME fixed [[CcRounds]] rounds — the oracle is the
+    * identical recurrence as chained MATERIALIZED CTEs, so the compare is
+    * exact whether or not converged, and GraphSpec proves convergence with
+    * ≥ 1 round of slack on this data.
+    *
+    * Scale notes (100 TB): per round, one equi-join of the edge list with
+    * the label vector (co-located under bucketing on the node key) feeding
+    * ONE hash-to-min groupBy (state = one (node, min) row per node — never
+    * the pair space), plus a label⋈label jump join of two |V|-sized sides;
+    * O(log diameter) rounds; lineage truncated per round. Output is the
+    * per-component census, |components| rows. */
+  val graphConnectedComponents: Op = Op(
+    "graph_connected_components",
+    (s, d) => {
+      ccLabels(s, d, CcRounds)
+        .groupBy(col("lbl").as("component"))
+        .agg(count(lit(1)).as("n_nodes"), max(col("v")).as("max_node"))
+        .orderBy("component")
+    },
+    Some {
+      // Every h_i / l_i is referenced twice downstream; DuckDB INLINES plain
+      // CTEs, so without MATERIALIZED the base scan fan-out is 4^rounds
+      // (observed as fd exhaustion). Materializing pins each round to one
+      // evaluation — the same thing localCheckpoint does on the Spark side.
+      val rounds = (1 to CcRounds).map { i =>
+        val prev = s"l${i - 1}"
+        s"nb$i AS (SELECT u.dst AS v, MIN(l.lbl) AS nb FROM und u " +
+          s"JOIN $prev l ON l.v = u.src GROUP BY 1), " +
+          s"h$i AS MATERIALIZED (SELECT l.v, LEAST(l.lbl, COALESCE(n.nb, l.lbl)) AS lbl " +
+          s"FROM $prev l LEFT JOIN nb$i n ON n.v = l.v), " +
+          s"l$i AS MATERIALIZED (SELECT h.v, LEAST(h.lbl, j.lbl) AS lbl " +
+          s"FROM h$i h JOIN h$i j ON j.v = h.lbl)"
+      }.mkString(", ")
+      "WITH e0 AS (SELECT l_partkey AS src, lead(l_partkey) OVER " +
+        "(PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst FROM lineitem), " +
+        "fe AS (SELECT src, dst FROM (SELECT src, dst, COUNT(*) AS w FROM e0 " +
+        "WHERE dst IS NOT NULL AND dst <> src GROUP BY 1, 2) WHERE w >= 2), " +
+        "und AS MATERIALIZED (SELECT src, dst FROM fe UNION SELECT dst, src FROM fe), " +
+        "un AS (SELECT DISTINCT src AS v FROM und), " +
+        "l0 AS MATERIALIZED (SELECT v, v AS lbl FROM un), " + rounds + " " +
+        s"SELECT lbl AS component, COUNT(*) AS n_nodes, MAX(v) AS max_node " +
+        s"FROM l$CcRounds GROUP BY 1 ORDER BY component"
+    })
+
+  val all: Seq[Op] = Seq(graphPagerank, graphDegreeHist, graphTriangleCount, graphBfsLevels,
+    graphConnectedComponents)
 }

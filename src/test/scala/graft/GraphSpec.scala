@@ -118,6 +118,68 @@ class GraphSpec extends AnyFunSuite {
     assert(gotIn.map(p => p._1 * p._2).sum == edges.size)
   }
 
+  /** The cc graph: transitions seen ≥ 2 times, undirected. Rebuilt here
+    * independently, counting multiplicities BEFORE any dedup. */
+  private def modelFrequentEdges(sfDir: String): Set[(Long, Long)] = {
+    val rows = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val counts = scala.collection.mutable.Map.empty[(Long, Long), Int].withDefaultValue(0)
+    rows.groupBy(_._1).valuesIterator.foreach { lines =>
+      val seq = lines.sortBy(l => (l._2, l._3)).map(_._3)
+      seq.zip(seq.tail).filter(p => p._1 != p._2).foreach(p => counts(p) += 1)
+    }
+    val freq = counts.iterator.collect { case (p, c) if c >= 2 => p }.toSet
+    freq ++ freq.map(_.swap)
+  }
+
+  /** Independent union-find over the model edge set. */
+  private def modelComponents(edges: Set[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      parent(x) = r
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(v => v -> find(v)).toMap
+  }
+
+  test("graph_connected_components matches an independent union-find census") {
+    val edges = modelFrequentEdges(TestSpark.sf0001)
+    val comp = modelComponents(edges)
+    val census = comp.groupBy(_._2).map { case (c, m) =>
+      c -> (m.size.toLong, m.keys.max)
+    }
+
+    val got = GraphOps.graphConnectedComponents.fn(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == census, "component census (id → size, max node)")
+    // the frequent-transition graph is genuinely fragmented — that's the
+    // point of the weight-≥2 restriction (the raw graph is one giant blob)
+    assert(census.size > 1, s"expected multiple components, got ${census.size}")
+    assert(census.valuesIterator.exists(_._1 > 2), "a component with ≥ 3 nodes exists")
+  }
+
+  test("cc labels CONVERGE within the fixed round budget (oracle validity)") {
+    // The oracle replays exactly CcRounds rounds; equality with the op is
+    // only meaningful if the recurrence has stopped moving by then. Assert
+    // rounds-1 ≡ rounds at both test sfs, so the budget has ≥1 round slack.
+    for (sf <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
+      val a = GraphOps.ccLabels(spark, sf, GraphOps.CcRounds - 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val b = GraphOps.ccLabels(spark, sf, GraphOps.CcRounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(a == b, s"labels still moving at round ${GraphOps.CcRounds} for $sf")
+    }
+  }
+
   test("graph_bfs_levels matches a model BFS from the same seed set") {
     import spark.implicits._
     val edges = modelEdges(TestSpark.sf0001)
