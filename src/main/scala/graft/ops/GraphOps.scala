@@ -328,6 +328,88 @@ object GraphOps {
         s"FROM l$CcRounds GROUP BY 1 ORDER BY component"
     })
 
+  /** Bellman-Ford relaxation rounds for [[graphShortestPath]]. Weighted
+    * shortest paths need ≤ (longest shortest-path edge count) rounds;
+    * SsspConvergenceSpec asserts round SpRounds-1 ≡ SpRounds on the real
+    * data, so the fixed-round oracle compares CONVERGED distances. */
+  private[graft] val SpRounds = 8
+
+  /** Distances after `rounds` synchronous Bellman-Ford relaxations — the
+    * shared kernel of the op and its convergence spec. Edge cost is the
+    * all-integer frequency inverse (1000 div w) + 1: frequent transitions
+    * are cheap, every cost ≥ 1, and integer arithmetic keeps every round
+    * bit-deterministic on both engines. */
+  private[graft] def spDistances(s: SparkSession, d: String, rounds: Int): DataFrame = {
+    val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    val e = Housekeeping.cacheBounded("sp_edges",
+      Tables.lineitem(s, d)
+        .select(col("l_partkey").as("src"),
+          lead(col("l_partkey"), 1).over(w).as("dst"))
+        .where(col("dst").isNotNull && col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        .select(col("src"), col("dst"),
+          (expr("1000 div w") + lit(1L)).as("cost")))
+    var dist = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .where(col("node") % 97 === 0)
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      // one equi-join (edges ⋈ current distances, both keyed on the node —
+      // co-located under bucketing) + map-side-combinable MIN per target,
+      // then the synchronous merge with the previous round's distances
+      val nb = e.join(dist.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("dist") + col("cost")).as("nd"))
+      dist = dist.join(nb, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("dist"), col("nd")), coalesce(col("nd"), col("dist"))).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
+  /** Multi-source WEIGHTED shortest paths (Bellman-Ford, fixed synchronous
+    * rounds) over the frequency-weighted transition graph — the cost-aware
+    * companion to [[graphBfsLevels]]' hop counts: "cheapest path" where a
+    * popular transition costs less than a rare one (route quality, affinity
+    * distance, cost-to-reach-flagged-entity). Seeds are the same
+    * deterministic ~1 % sample (key ≡ 0 mod 97), distance 0.
+    *
+    * Determinism: all-integer costs and distances (min/plus over BIGINT), so
+    * partial-aggregation order cannot change any bit; the DuckDB oracle
+    * replays the identical recurrence as chained MATERIALIZED CTEs (the
+    * [[graphConnectedComponents]] playbook — plain CTEs would inline and fan
+    * out 4^rounds).
+    *
+    * Scale notes (100 TB): each round is one edges⋈distances equi-join plus
+    * one groupBy MIN plus one full-outer merge on the node key — all three
+    * hash-partitioned on the node, co-located under bucketing; no all-pairs
+    * stage, rounds bounded by SpRounds, lineage truncated per round. */
+  val graphShortestPath: Op = Op(
+    "graph_shortest_path",
+    (s, d) => spDistances(s, d, SpRounds).orderBy("node"),
+    Some {
+      val rounds = (1 to SpRounds).map { i =>
+        val prev = s"d${i - 1}"
+        s"nb$i AS (SELECT e.dst AS node, MIN(p.dist + e.cost) AS nd " +
+          s"FROM $prev p JOIN we e ON e.src = p.node GROUP BY 1), " +
+          s"d$i AS MATERIALIZED (SELECT COALESCE(p.node, n.node) AS node, " +
+          "LEAST(COALESCE(p.dist, n.nd), COALESCE(n.nd, p.dist)) AS dist " +
+          s"FROM $prev p FULL OUTER JOIN nb$i n ON n.node = p.node)"
+      }.mkString(", ")
+      "WITH e0 AS (SELECT l_partkey AS src, lead(l_partkey) OVER " +
+        "(PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst FROM lineitem), " +
+        "we AS MATERIALIZED (SELECT src, dst, (1000 // w) + 1 AS cost FROM " +
+        "(SELECT src, dst, COUNT(*) AS w FROM e0 " +
+        "WHERE dst IS NOT NULL AND dst <> src GROUP BY 1, 2)), " +
+        "sn AS (SELECT DISTINCT v AS node FROM " +
+        "(SELECT src AS v FROM we UNION ALL SELECT dst FROM we) WHERE v % 97 = 0), " +
+        "d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM sn), " +
+        rounds + " " +
+        s"SELECT node, dist FROM d$SpRounds ORDER BY node"
+    })
+
   val all: Seq[Op] = Seq(graphPagerank, graphDegreeHist, graphTriangleCount, graphBfsLevels,
-    graphConnectedComponents)
+    graphConnectedComponents, graphShortestPath)
 }

@@ -221,6 +221,81 @@ object StatsOps {
       "SELECT ex.user_id, ex.n_exact, est.n_est FROM ex JOIN est USING (user_id) " +
       "ORDER BY user_id"))
 
+  /** Sample size of the per-day bottom-k sketch. 64 rows/day keeps the
+    * standing artifact tiny while a merged range sample still pins every
+    * quartile within ±1/√64 ≈ 12 % rank error (spec-measured much tighter). */
+  private val BkK = 64
+
+  /** Mergeable range quantiles from per-day BOTTOM-K HASH SAMPLES — the
+    * deterministic alternative to KLL/t-digest (whose randomized, merge-order-
+    * sensitive compaction can't back a hash oracle; see [[graft.functions.ThetaSketchAgg]]'s
+    * determinism note). A bottom-k sample keeps the k rows with the SMALLEST
+    * md5(event_id) — a pure set function of the day's rows, so it is
+    * deterministic under any partitioning AND mergeable by construction:
+    * bottom-k(range) ⊆ ∪ per-day bottom-k, so merging daily samples and
+    * re-taking the k smallest reproduces EXACTLY the sample a direct pass
+    * over the range would draw (BottomkMergeSpec asserts this identity).
+    * Since md5 is uniform, the merged sample is a uniform row-sample of the
+    * range and its order statistics estimate the range's value quantiles.
+    *
+    * The op maintains the per-day samples as the standing artifact (the
+    * incremental piece — each new day appends k rows), then answers
+    * p25/p50/p75/p90 for the trailing range day ≥ min+3 purely from the
+    * merged samples. Estimates are SELECTED values, never arithmetic, so the
+    * doubles pass the hash compare bit-exactly; the oracle replays the
+    * identical recurrence in DuckDB (md5 hex strings compare identically on
+    * both engines — the splitTrainValTest idiom).
+    *
+    * Scale notes (100 TB): the per-day bottom-k is a rank-k window on the
+    * day key — Spark's WindowGroupLimit keeps a k-row heap per task instead
+    * of sorting the day (the [[PipelineOps.sampleReservoirGroup]] shape), one
+    * shuffle total; the range answer touches ONLY k×days sample rows (KB,
+    * not TB — the single-partition final window is over ≤ k×days rows by
+    * construction, never raw data). */
+  val statsBottomkQuantiles: Op = Op(
+    "stats_bottomk_quantiles",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d).select(
+        to_date(col("ts")).as("day"), col("value"),
+        md5(col("event_id").cast("string")).as("rk"), col("event_id"))
+      val daily = e
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("day").orderBy("rk", "event_id")))
+        .where(col("rn") <= BkK)
+      val stageDir = Stage.root(d) + "/bottomk_daily"
+      daily.coalesce(1).write.mode("overwrite").parquet(stageDir)
+      // the range query: trailing window (all days after the first three),
+      // answered from the standing daily samples alone
+      val lo = java.sql.Date.valueOf(
+        s.read.parquet(stageDir).agg(min(col("day"))).first().getDate(0)
+          .toLocalDate.plusDays(3))
+      val merged = s.read.parquet(stageDir)
+        .where(col("day") >= lit(lo))
+        .withColumn("rn2", row_number().over(Window.orderBy("rk", "event_id")))
+        .where(col("rn2") <= BkK)
+      val ord = merged.select(col("value"), col("rk"), col("event_id"))
+        .withColumn("pos", row_number().over(Window.orderBy("value", "rk", "event_id")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      val ps = s.range(1).select(explode(array(lit(25), lit(50), lit(75), lit(90))).as("p"))
+      ps.join(ord, col("pos") === greatest(lit(1L),
+          ceil(col("p") * col("n") / lit(100.0))))
+        .select(col("p"), col("value").as("est_value"))
+        .orderBy("p")
+    },
+    Some("WITH e AS (SELECT CAST(ts AS DATE) AS day, value, " +
+      "md5(CAST(event_id AS VARCHAR)) AS rk, event_id FROM events), " +
+      s"daily AS (SELECT * FROM (SELECT day, value, rk, event_id, " +
+      "row_number() OVER (PARTITION BY day ORDER BY rk, event_id) AS rn FROM e) " +
+      s"WHERE rn <= $BkK), " +
+      "rng AS (SELECT * FROM daily WHERE day >= (SELECT MIN(day) FROM daily) + 3), " +
+      "merged AS (SELECT * FROM (SELECT value, rk, event_id, " +
+      s"row_number() OVER (ORDER BY rk, event_id) AS rn2 FROM rng) WHERE rn2 <= $BkK), " +
+      "ord AS (SELECT value, row_number() OVER (ORDER BY value, rk, event_id) AS pos, " +
+      "COUNT(*) OVER () AS n FROM merged) " +
+      "SELECT p, value AS est_value FROM (VALUES (25), (50), (75), (90)) q(p) " +
+      "JOIN ord ON pos = GREATEST(1, CEIL(p * n / 100.0)) ORDER BY p"))
+
   val all: Seq[Op] = Seq(statsCollect, statsHistogram, statsCorrExact,
-    statsCountminEstimate)
+    statsCountminEstimate, statsBottomkQuantiles)
 }
