@@ -530,10 +530,73 @@ object JoinOps {
       "SELECT p_partkey, n_matches, dist AS best_dist, cand AS best_match " +
       "FROM sel WHERE rn = 1 ORDER BY p_partkey"))
 
+  /** NEAREST-direction as-of join — completing the direction family
+    * (backward `join_asof`, bounded-backward `join_asof_tolerance`): each
+    * purchase matches the view closest in time in EITHER direction.
+    * Semantics pinned exactly: same-instant views are excluded (symmetric
+    * strictness), distance ties between the two directions break BACKWARD
+    * (the causal side), and same-timestamp ties within a direction break to
+    * max event_id — the deterministic tiebreak the whole family uses.
+    *
+    * One window pass computes both candidates over the SAME (user_id,
+    * event-time) sort: the backward candidate is the lexicographic
+    * struct-max over the strict-past RANGE frame (`join_asof`'s trick); the
+    * forward candidate is the struct-MIN over the strict-future frame with
+    * the event_id NEGATED, so min-us/max-id comes out of one ordered pair.
+    * The final pick is a row-local comparison of the two µs distances.
+    *
+    * Scale notes (100 TB): identical envelope to `join_asof` — ONE shuffle
+    * on user_id, one sort; both frames evaluate inside the same Window exec
+    * (two frame states over one sorted stream), no second shuffle, no join
+    * against a ranked subquery (the oracle's n·log n rank join is exactly
+    * what this rewrite avoids). */
+  val joinAsofNearest: Op = Op(
+    "join_asof_nearest",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+      val isView = col("event_type") === "view"
+      val back = max(when(isView,
+        struct(unix_micros(col("ts")).as("us"), col("event_id").as("vid"))))
+        .over(w.rangeBetween(Window.unboundedPreceding, -1))
+      val fwd = min(when(isView,
+        struct(unix_micros(col("ts")).as("us"), (-col("event_id")).as("nid"))))
+        .over(w.rangeBetween(1, Window.unboundedFollowing))
+      e.withColumn("bk", back).withColumn("fw", fwd)
+        .where(col("event_type") === "purchase")
+        .withColumn("pick_back",
+          col("bk").isNotNull && (col("fw").isNull ||
+            unix_micros(col("ts")) - col("bk.us") <= col("fw.us") - unix_micros(col("ts"))))
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"),
+          when(col("pick_back"), timestamp_micros(col("bk.us")))
+            .otherwise(timestamp_micros(col("fw.us"))).as("near_view_ts"),
+          when(col("pick_back"), col("bk.vid")).otherwise(-col("fw.nid")).as("near_view_id"),
+          when(col("pick_back"), lit("back"))
+            .when(col("fw").isNotNull, lit("fwd")).as("direction"))
+        .orderBy("purchase_id")
+    },
+    Some("WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
+      "v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'), " +
+      "m AS (SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts, " +
+      "v.ts AS near_view_ts, v.event_id AS near_view_id, " +
+      "CASE WHEN v.ts < p.ts THEN 'back' ELSE 'fwd' END AS direction, " +
+      "row_number() OVER (PARTITION BY p.event_id ORDER BY " +
+      "ABS(epoch_us(v.ts) - epoch_us(p.ts)), " +
+      "CASE WHEN v.ts < p.ts THEN 0 ELSE 1 END, v.event_id DESC) AS rn " +
+      "FROM p JOIN v ON v.user_id = p.user_id AND v.ts <> p.ts) " +
+      "SELECT purchase_id, user_id, purchase_ts, near_view_ts, near_view_id, direction " +
+      "FROM m WHERE rn = 1 " +
+      "UNION ALL " +
+      "SELECT p.event_id, p.user_id, p.ts, NULL, NULL, NULL FROM p " +
+      "WHERE NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = p.user_id AND v.ts <> p.ts) " +
+      "ORDER BY purchase_id"))
+
   val all: Seq[Op] = Seq(joinInnerHash, joinBroadcastDim, joinSortmergeBig, joinLeftOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinCrossSmall, joinRangeTheta, joinAsof,
     joinAsofNative, joinIntervalBin, dimScd2Asof, dimScd2AsofNative, joinBloomPrefilter,
-    joinAsofTolerance, joinAsofToleranceNative, joinFirstTouch, joinEntityResolution)
+    joinAsofTolerance, joinAsofToleranceNative, joinFirstTouch, joinEntityResolution,
+    joinAsofNearest)
 
   /** Shared by `join_asof` (windowed rewrite) and `join_asof_native` (native
     * Catalyst operator): the naive ranked-join statement of as-of semantics —

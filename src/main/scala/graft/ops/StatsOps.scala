@@ -3,6 +3,7 @@ package graft.ops
 import graft.tables.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 import java.nio.file.Files
 
@@ -296,6 +297,66 @@ object StatsOps {
       "SELECT p, value AS est_value FROM (VALUES (25), (50), (75), (90)) q(p) " +
       "JOIN ord ON pos = GREATEST(1, CEIL(p * n / 100.0)) ORDER BY p"))
 
+  /** Per-group OLS regression (extendedprice ~ quantity): slope, intercept
+    * and R² from EXACT integer moments — the closed-form fit every pricing /
+    * capacity model starts from, distributed as one aggregation.
+    *
+    * Determinism (SURVEY.md §7.2 applied to regression): the five moments
+    * (Σx, Σy, Σxy, Σx², Σy²) accumulate over CENTS-scaled BIGINTs inside
+    * DECIMAL(38,0) — associative, so partial-aggregation order is
+    * irrelevant — and only the FINAL closed-form step runs in doubles:
+    * slope = cov/varx (one IEEE division of two exactly-represented
+    * numerators — the cents scaling cancels), intercept and R² are three
+    * more IEEE ops spelled with identical association on both engines. No
+    * sqrt, no engine-default decimal division, no accumulation in floats
+    * anywhere ([[statsCorrExact]]'s moment playbook, taken to the fitted
+    * coefficients).
+    *
+    * Scale notes (100 TB): one map-side-combinable groupBy — moments are a
+    * single HashAggregate whose shuffle volume is |groups|, not rows;
+    * adding regressors grows the moment vector (X'X entries), never the
+    * shuffle. */
+  val statsLinregCoeffs: Op = Op(
+    "stats_linreg_coeffs",
+    (s, d) => {
+      val dec = "decimal(38,0)"
+      val m = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          (col("l_quantity").cast(Dets.D12_2) * 100).cast("bigint").cast(dec).as("x"),
+          (col("l_extendedprice").cast(Dets.D12_2) * 100).cast("bigint").cast(dec).as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          (col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
+            .cast(dec).cast(DoubleType).as("cov"),
+          (col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
+            .cast(dec).cast(DoubleType).as("vx"),
+          (col("n").cast(dec) * col("syy") - col("sy") * col("sy"))
+            .cast(dec).cast(DoubleType).as("vy"),
+          col("sx").cast(DoubleType).as("sxd"), col("sy").cast(DoubleType).as("syd"))
+      m.select(col("l_returnflag"), col("n"),
+          (col("cov") / col("vx")).as("slope"),
+          ((col("syd") - (col("cov") / col("vx")) * col("sxd")) /
+            col("n").cast(DoubleType) / lit(100.0)).as("intercept"),
+          ((col("cov") * col("cov")) / (col("vx") * col("vy"))).as("r2"))
+        .orderBy("l_returnflag")
+    },
+    Some("WITH m AS (SELECT l_returnflag, COUNT(*) AS n, " +
+      "CAST(CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DECIMAL(38,0)) AS DOUBLE) AS cov, " +
+      "CAST(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DECIMAL(38,0)) AS DOUBLE) AS vx, " +
+      "CAST(CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS DECIMAL(38,0)) AS DOUBLE) AS vy, " +
+      "CAST(SUM(x) AS DOUBLE) AS sxd, CAST(SUM(y) AS DOUBLE) AS syd " +
+      "FROM (SELECT l_returnflag, " +
+      "CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS x, " +
+      "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y FROM lineitem) " +
+      "GROUP BY l_returnflag) " +
+      "SELECT l_returnflag, n, (cov / vx) AS slope, " +
+      "(((syd - (cov / vx) * sxd) / CAST(n AS DOUBLE)) / 100.0) AS intercept, " +
+      "((cov * cov) / (vx * vy)) AS r2 FROM m ORDER BY l_returnflag"))
+
   val all: Seq[Op] = Seq(statsCollect, statsHistogram, statsCorrExact,
-    statsCountminEstimate, statsBottomkQuantiles)
+    statsCountminEstimate, statsBottomkQuantiles, statsLinregCoeffs)
 }

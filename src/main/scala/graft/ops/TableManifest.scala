@@ -80,6 +80,30 @@ object TableManifest {
     s.read.parquet(files: _*)
   }
 
+  private val commitLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Optimistic-concurrency commit — the conditional-put every table format
+    * builds on: the commit lands ONLY if the table is still at
+    * `expectedVersion`; a writer that lost the race gets `false` back (its
+    * data files become unreferenced orphans for [[vacuum]]) and must re-read
+    * the new snapshot, re-resolve conflicts, and retry — never blind-write.
+    * Single-writer-at-a-time is enforced per-JVM here (the testbed stand-in
+    * for the catalog's atomic compare-and-swap at 100 TB — DynamoDB
+    * conditional puts, Hive lock manager, REST catalog CAS — the check and
+    * the rename must be one atomic step, which a filesystem alone cannot
+    * express portably). ManifestCommitSpec races two writers from the same
+    * base to prove exactly-one-wins and version linearity. */
+  def commitIfVersion(root: Path, expectedVersion: Long, files: Seq[Path]): Boolean = {
+    val lock = commitLocks.computeIfAbsent(
+      root.toAbsolutePath.normalize.toString, _ => new Object)
+    lock.synchronized {
+      val current =
+        if (Files.exists(root.resolve(fileName))) read(root)._1 else 0L
+      if (current != expectedVersion) false
+      else { commit(root, expectedVersion + 1, files); true }
+    }
+  }
+
   /** Remove data files no longer referenced by the current manifest (the
     * explicit, reader-visible-state-preserving cleanup). Returns the number
     * of orphans removed. */

@@ -111,6 +111,54 @@ class ManifestCommitSpec extends AnyFunSuite {
     } finally graft.ops.Housekeeping.deleteRecursively(root)
   }
 
+  test("optimistic concurrency: racing writers from one base — exactly one wins") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("cas_spec")
+    try {
+      val gen1 = root.resolve("gen1")
+      (1L to 50L).toDF("k").write.parquet(gen1.toString)
+      TableManifest.commit(root, 1, TableManifest.parquetFiles(gen1))
+
+      // both writers prepare their generation against base version 1,
+      // then race the conditional commit from a start latch
+      val genA = root.resolve("genA"); val genB = root.resolve("genB")
+      (51L to 60L).toDF("k").write.parquet(genA.toString)
+      (61L to 70L).toDF("k").write.parquet(genB.toString)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val results = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+      val ts = Seq("A" -> genA, "B" -> genB).map { case (name, gen) =>
+        new Thread(() => {
+          start.await()
+          results.put(name,
+            TableManifest.commitIfVersion(root, 1,
+              TableManifest.parquetFiles(gen1) ++ TableManifest.parquetFiles(gen)))
+        })
+      }
+      ts.foreach(_.start()); start.countDown(); ts.foreach(_.join(60000))
+
+      import scala.jdk.CollectionConverters._
+      val wins = results.asScala.filter(_._2).keys.toSeq
+      assert(wins.size == 1, s"expected exactly one winning writer, got $results")
+      val (v, live) = TableManifest.read(root)
+      assert(v == 2, "lost-race commit must not advance the version")
+      val winnerGen = if (wins.head == "A") genA else genB
+      val loserGen = if (wins.head == "A") genB else genA
+      assert(TableManifest.parquetFiles(winnerGen)
+        .forall(f => live.map(_.toString).contains(f.toString)))
+      assert(TableManifest.parquetFiles(loserGen)
+        .forall(f => !live.map(_.toString).contains(f.toString)),
+        "loser's files leaked into the committed snapshot")
+
+      // the loser follows the protocol: re-read the new base, rebase, retry
+      val (base2, live2) = TableManifest.read(root)
+      assert(TableManifest.commitIfVersion(root, base2,
+        live2 ++ TableManifest.parquetFiles(loserGen)))
+      assert(TableManifest.read(root)._1 == 3)
+      assert(TableManifest.readTable(spark, root).as[Long].collect().toSet ==
+        (1L to 70L).toSet, "rebased retry must see both writers' rows")
+    } finally graft.ops.Housekeeping.deleteRecursively(root)
+  }
+
   test("time travel: a past version stays byte-reproducible until vacuum") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("tt_spec")
