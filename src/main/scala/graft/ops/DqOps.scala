@@ -154,5 +154,51 @@ object DqOps {
       "SELECT cust_key, op, old_bal, new_bal FROM df " +
       "WHERE op IS NOT NULL ORDER BY cust_key"))
 
-  val all: Seq[Op] = Seq(dqExpectations, dqQuarantineSplit, cdcSnapshotDiff)
+  /** ZERO-EXTRA-PASS pipeline metrics via `Dataset.observe` (CollectMetrics):
+    * the quality-gated fact stream is written out as the load job, and the
+    * audit metrics (row count, exact cents total, key high-water mark,
+    * discount-anomaly count) are accumulated ON the very rows that passed
+    * through the writer — no second scan, no separate audit query that could
+    * silently diverge from what was actually published. At 100 TB the audit
+    * scan is the part teams skip because it doubles the bill; observe makes
+    * it free (per-task accumulators merged on the driver) and write-consistent
+    * by construction. The op materializes the gated table, then emits the
+    * observed metrics as the result; the oracle recomputes each metric
+    * relationally from the same gate — hash equality proves the accumulator
+    * path (partial per-task metrics + driver merge) is exact, which it is
+    * because every metric is an associative integer aggregate
+    * (SURVEY.md §7.2 applied to observers). */
+  val dqObserveMetrics: Op = Op(
+    "dq_observe_metrics",
+    (s, d) => {
+      val obs = org.apache.spark.sql.Observation()
+      val gated = Tables.lineitem(s, d)
+        .where(col("l_quantity") >= 1 && col("l_quantity") <= 50)
+        .observe(obs,
+          count(lit(1)).as("a_n_rows"),
+          sum((col("l_extendedprice").cast(D12_2) * 100).cast("bigint")).as("b_price_cents"),
+          max(col("l_orderkey")).as("c_max_orderkey"),
+          count(when(col("l_discount") > lit(0.05), 1)).as("d_n_high_discount"))
+      val out = Housekeeping.tempDirBounded("dq_obs",
+        java.nio.file.Files.createTempDirectory("dq_obs")).toString
+      gated.write.mode("overwrite").parquet(out)
+      val m = obs.get
+      import s.implicits._
+      Seq("a_n_rows", "b_price_cents", "c_max_orderkey", "d_n_high_discount")
+        .map(k => (k, m(k).asInstanceOf[Number].longValue()))
+        .toDF("metric", "value")
+        .orderBy("metric")
+    },
+    Some("WITH g AS (SELECT * FROM lineitem WHERE l_quantity >= 1 AND l_quantity <= 50) " +
+      "SELECT * FROM (" +
+      "SELECT 'a_n_rows' AS metric, COUNT(*) AS value FROM g " +
+      "UNION ALL SELECT 'b_price_cents', CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) " +
+      "* 100 AS BIGINT)) AS BIGINT) FROM g " +
+      "UNION ALL SELECT 'c_max_orderkey', MAX(l_orderkey) FROM g " +
+      "UNION ALL SELECT 'd_n_high_discount', " +
+      "CAST(COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT) FROM g) " +
+      "ORDER BY metric"))
+
+  val all: Seq[Op] = Seq(dqExpectations, dqQuarantineSplit, cdcSnapshotDiff,
+    dqObserveMetrics)
 }

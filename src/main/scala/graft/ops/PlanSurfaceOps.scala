@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+import graft.tables.Tables
+
+/** Optimizer/physical-plan surfaces the rest of the suite relies on
+  * implicitly but never drives head-on: DSv2 aggregate pushdown (answer
+  * MIN/MAX/COUNT from parquet footer statistics — zero data pages read),
+  * explicit join-strategy hints (shuffled-hash where sort-merge would sort
+  * two fact-sized sides pointlessly), and exchange reuse (one shuffle
+  * feeding N consumers of the same subplan). Each is oracle-backed like any
+  * relational key AND plan-asserted in PlanShapeSpec — the result being
+  * right is half the contract, the plan being the 100 TB-shaped one is the
+  * other half.
+  */
+object PlanSurfaceOps {
+
+  /** The aggregate subplan of [[scanAggPushdown]], built against whatever
+    * source implementation the session confs select — shared with
+    * PlanShapeSpec, which pins the V2 confs and asserts `PushedAggregation`
+    * in the scan. BIGINT columns only: parquet footer min/max for INT64 is
+    * exact and type-stable (the INT96 timestamp columns would veto pushdown
+    * for the whole query). */
+  private[graft] def aggScan(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/lineitem.parquet")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_orderkey")).as("min_orderkey"),
+        max(col("l_orderkey")).as("max_orderkey"),
+        min(col("l_partkey")).as("min_partkey"),
+        max(col("l_partkey")).as("max_partkey"))
+
+  /** Footer-statistics aggregation: COUNT/MIN/MAX answered by the parquet
+    * DSv2 reader from row-group metadata — the "table stats in O(#row
+    * groups)" fast path ([[StatsOps.statsCollect]]'s cheap prefix; at 100 TB
+    * this is the difference between a stats refresh scanning footers and
+    * scanning 100 TB). The session's default V1 parquet path has no
+    * aggregate pushdown, so the op flips the TWO confs that enable it (V2
+    * source selection + `parquet.aggregatePushdown`), materializes the
+    * one-row answer INSIDE that conf window, restores the session, and
+    * returns the staged result — the conf flip can never leak into another
+    * op's planning.
+    */
+  val scanAggPushdown: Op = Op(
+    "scan_agg_pushdown",
+    (s, d) => {
+      val v1Key = "spark.sql.sources.useV1SourceList"
+      val pdKey = "spark.sql.parquet.aggregatePushdown"
+      val v1Prev = s.conf.get(v1Key)
+      val pdPrev = s.conf.get(pdKey)
+      val out = Housekeeping.tempDirBounded("agg_pd",
+        Files.createTempDirectory("agg_pd")).toString
+      s.conf.set(v1Key, v1Prev.split(",").map(_.trim)
+        .filterNot(_.equalsIgnoreCase("parquet")).mkString(","))
+      s.conf.set(pdKey, "true")
+      try aggScan(s, d).coalesce(1).write.mode("overwrite").parquet(out)
+      finally { s.conf.set(v1Key, v1Prev); s.conf.set(pdKey, pdPrev) }
+      s.read.parquet(out)
+    },
+    Some("SELECT COUNT(*) AS n_rows, MIN(l_orderkey) AS min_orderkey, " +
+      "MAX(l_orderkey) AS max_orderkey, MIN(l_partkey) AS min_partkey, " +
+      "MAX(l_partkey) AS max_partkey FROM lineitem"))
+
+  /** Orders⋈customer with the customer side pinned to SHUFFLED HASH — the
+    * strategy for the "too big to broadcast, too silly to sort" middle
+    * ground: sort-merge pays two sorts it never needs when one side hashes
+    * into per-partition memory; a strategy hint is how a user states that
+    * knowledge (the hint travels with the query, the planner still picks
+    * the build side). PlanShapeSpec asserts ShuffledHashJoin lands (with
+    * broadcast demotion pinned off — at testdata scale AQE would otherwise
+    * upgrade the join to broadcast, which is the right call at 15 K rows
+    * and the wrong rehearsal for the 100 TB shape this key exists to pin).
+    *
+    * Scale notes (100 TB): one shuffle per side on the join key (same
+    * envelope as sort-merge), NO sort on either side; build-side hash map
+    * is per-partition customer rows — bounded by the shuffle partition
+    * count the user controls, the knob sort-merge doesn't have. */
+  val joinShuffleHashHint: Op = Op(
+    "join_shuffle_hash_hint",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d).hint("shuffle_hash")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), Dets.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("c_mktsegment")
+    },
+    Some("SELECT c_mktsegment, COUNT(*) AS n_orders, " + Dets.oSum("o_totalprice") +
+      " AS sum_price FROM orders JOIN customer ON o_custkey = c_custkey " +
+      "GROUP BY 1 ORDER BY 1"))
+
+  /** Day-over-day event deltas via a SELF-JOIN of one aggregated subquery —
+    * written so the daily aggregate appears twice in the logical plan and
+    * Spark's exchange-reuse dedups it physically: the expensive shuffle+
+    * aggregate materializes ONCE and the second consumer reads the same
+    * exchange (PlanShapeSpec asserts it — `ReusedExchange`, or the same
+    * query-stage id under both branches with AQE). This is the plan
+    * property that makes multi-consumer pipelines affordable at 100 TB — N
+    * readers of a conformed aggregate cost one materialization, no manual
+    * cache needed.
+    *
+    * Reuse only fires when the two subplans stay CANONICALLY IDENTICAL
+    * through optimization, which dictates two design choices here: the
+    * aggregate carries exactly the columns both consumers read (column
+    * pruning would otherwise specialize one side), and the self-join is
+    * FULL OUTER (an inner/left join would infer an `IsNotNull(day+1)`
+    * filter into one branch only — semantically equal for a never-null
+    * key, but canonically different, silently forfeiting reuse). The full
+    * outer form also keeps the boundary days honest: the first day appears
+    * with no prior, the day after the last appears as a phantom row with
+    * nulls — both engines state it identically. */
+  val planReuseExchange: Op = Op(
+    "plan_reuse_exchange",
+    (s, d) => {
+      def daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      daily.as("a")
+        .join(daily.as("b"), col("a.day") === date_add(col("b.day"), 1), "full_outer")
+        .select(coalesce(col("a.day"), date_add(col("b.day"), 1)).as("day"),
+          col("a.n").as("n_events"), col("b.n").as("prev_n_events"),
+          (col("a.n") - coalesce(col("b.n"), lit(0L))).as("delta_events"))
+        .orderBy("day")
+    },
+    Some("WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n " +
+      "FROM events GROUP BY 1) " +
+      "SELECT COALESCE(a.day, b.day + 1) AS day, a.n AS n_events, " +
+      "b.n AS prev_n_events, a.n - COALESCE(b.n, 0) AS delta_events " +
+      "FROM daily a FULL OUTER JOIN daily b ON a.day = b.day + 1 ORDER BY day"))
+
+  val all: Seq[Op] = Seq(scanAggPushdown, joinShuffleHashHint, planReuseExchange)
+}

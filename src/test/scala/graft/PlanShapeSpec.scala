@@ -207,4 +207,46 @@ class PlanShapeSpec extends AnyFunSuite {
         s"AQE did not mark the skewed join:\n$p")
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("scan_agg_pushdown answers COUNT/MIN/MAX from parquet footers (PushedAggregation)") {
+    val v1Key = "spark.sql.sources.useV1SourceList"
+    val pdKey = "spark.sql.parquet.aggregatePushdown"
+    val v1Prev = spark.conf.get(v1Key)
+    val pdPrev = spark.conf.get(pdKey)
+    spark.conf.set(v1Key, v1Prev.split(",").map(_.trim)
+      .filterNot(_.equalsIgnoreCase("parquet")).mkString(","))
+    spark.conf.set(pdKey, "true")
+    try {
+      val df = PlanSurfaceOps.aggScan(spark, TestSpark.sf0001)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("PushedAggregation: [COUNT(*)") ||
+        p.contains("PushedAggregation: [Count"),
+        s"aggregates did not reach the parquet scan:\n$p")
+      assert(p.toLowerCase.contains("min(l_orderkey)"), p)
+    } finally { spark.conf.set(v1Key, v1Prev); spark.conf.set(pdKey, pdPrev) }
+  }
+
+  test("join_shuffle_hash_hint lands a ShuffledHashJoin (broadcast demotion pinned off)") {
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "-1"))
+    try {
+      val p = plan(PlanSurfaceOps.joinShuffleHashHint)
+      assert(p.contains("ShuffledHashJoin"), s"hint did not land:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"sort-merge fallback despite hint:\n$p")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("plan_reuse_exchange materializes the daily aggregate once (exchange reuse)") {
+    val p = plan(PlanSurfaceOps.planReuseExchange)
+    // non-AQE prints ReusedExchange; AQE stage reuse re-prints the SAME
+    // ShuffleQueryStage id under both consumers
+    val stageIds = "ShuffleQueryStage (\\d+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(p.contains("ReusedExchange") ||
+      stageIds.distinct.size < stageIds.size,
+      s"no exchange reuse in:\n$p")
+  }
 }
