@@ -335,7 +335,41 @@ object FuncOps {
       "try_cast(o_orderstatus AS INT) AS status_num " +
       "FROM orders ORDER BY o_orderkey"))
 
+  /** Semi-structured ingestion through Spark's VARIANT type (4.x): the raw
+    * JSON column parses ONCE into variant's binary form (`try_parse_json` —
+    * malformed input degrades to null instead of failing the load; a
+    * planted bad row proves the path) and fields extract with
+    * `variant_get`, which at 100 TB beats per-access string re-parsing
+    * (`get_json_object` re-tokenizes the text N times for N fields) and is
+    * the open-table-format answer to schema-on-read columns. The oracle
+    * states the same extraction relationally over the raw JSON text with a
+    * validity gate — hash equality proves variant parse→extract is exactly
+    * text-level JSON semantics on this data. */
+  val jsonVariantExtract: Op = Op(
+    "json_variant_extract",
+    (s, d) => {
+      val planted = s.range(1)
+        .select(lit("malformed").as("event_type"), lit("{not json").as("props"))
+      Tables.events(s, d).select(col("event_type"), col("props"))
+        .unionByName(planted)
+        .select(col("event_type"), try_parse_json(col("props")).as("v"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          count(col("v")).as("n_parsed"),
+          sum(variant_get(col("v"), "$.k", "int")).as("sum_k"),
+          max(variant_get(col("v"), "$.k", "int")).as("max_k"))
+        .orderBy("event_type")
+    },
+    Some("WITH r AS (SELECT event_type, props FROM events " +
+      "UNION ALL SELECT 'malformed', '{not json'), " +
+      "p AS (SELECT event_type, CASE WHEN json_valid(props) THEN props END AS v " +
+      "FROM r) " +
+      "SELECT event_type, COUNT(*) AS cnt, COUNT(v) AS n_parsed, " +
+      "CAST(SUM(CAST(json_extract(v, '$.k') AS INT)) AS BIGINT) AS sum_k, " +
+      "MAX(CAST(json_extract(v, '$.k') AS INT)) AS max_k " +
+      "FROM p GROUP BY 1 ORDER BY event_type"))
+
   val all: Seq[Op] = Seq(strFuncs, dateFuncs, mathFuncs, arrayFuncs, jsonExtractProps,
     mapFuncs, hashFuncs, explodeWords, udfScalar, udafWeightedAvg, udtfFlatmapTokens,
-    profileUnpivot, aggFilterClause, nullFuncs, safeArithmetic)
+    profileUnpivot, aggFilterClause, nullFuncs, safeArithmetic, jsonVariantExtract)
 }

@@ -592,11 +592,43 @@ object JoinOps {
       "WHERE NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = p.user_id AND v.ts <> p.ts) " +
       "ORDER BY purchase_id"))
 
+  /** NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM): null keys MATCH
+    * each other instead of silently dropping — the semantics a conformance
+    * join on a nullable dimension code needs (the "unknown" bucket joins to
+    * the "unknown" reference row; a plain `=` join loses those rows without
+    * a trace). Derived nullable key: segment code `custkey % 100`, nulled
+    * for the 0 bucket on both sides.
+    *
+    * Scale notes (100 TB): EqualNullSafe is still an EQUI-join key — Spark
+    * hashes `coalesce(key, sentinel-struct)` and plans the same
+    * shuffle/broadcast hash join as `=` (no fallback to a nested-loop theta
+    * join); all null-key rows land in one bucket, which is a known skew key
+    * to salt if "unknown" dominates. */
+  val joinNullSafe: Op = Op(
+    "join_null_safe",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .groupBy(nullif(col("o_custkey") % 100, lit(0)).as("seg"))
+        .agg(count(lit(1)).as("n_orders"))
+      val c = Tables.customer(s, d)
+        .groupBy(nullif(col("c_custkey") % 100, lit(0)).as("seg"))
+        .agg(count(lit(1)).as("n_customers"))
+      o.join(c, o("seg") <=> c("seg"))
+        .select(o("seg"), col("n_orders"), col("n_customers"))
+        .orderBy(asc_nulls_first("seg"))
+    },
+    Some("WITH o AS (SELECT NULLIF(o_custkey % 100, 0) AS seg, COUNT(*) AS n_orders " +
+      "FROM orders GROUP BY 1), " +
+      "c AS (SELECT NULLIF(c_custkey % 100, 0) AS seg, COUNT(*) AS n_customers " +
+      "FROM customer GROUP BY 1) " +
+      "SELECT o.seg, n_orders, n_customers FROM o JOIN c " +
+      "ON o.seg IS NOT DISTINCT FROM c.seg ORDER BY o.seg NULLS FIRST"))
+
   val all: Seq[Op] = Seq(joinInnerHash, joinBroadcastDim, joinSortmergeBig, joinLeftOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinCrossSmall, joinRangeTheta, joinAsof,
     joinAsofNative, joinIntervalBin, dimScd2Asof, dimScd2AsofNative, joinBloomPrefilter,
     joinAsofTolerance, joinAsofToleranceNative, joinFirstTouch, joinEntityResolution,
-    joinAsofNearest)
+    joinAsofNearest, joinNullSafe)
 
   /** Shared by `join_asof` (windowed rewrite) and `join_asof_native` (native
     * Catalyst operator): the naive ranked-join statement of as-of semantics —

@@ -80,5 +80,32 @@ object SortSetOps {
     },
     Some(s"($oJan) EXCEPT ($oFeb) ORDER BY o_custkey"))
 
-  val all: Seq[Op] = Seq(sortMultiKey, topkGlobal, setUnionAll, setUnionDistinct, setIntersect, setExcept)
+  /** MULTISET difference — `EXCEPT ALL` keeps multiplicity (a customer with
+    * 3 January orders and 1 February order survives twice), the semantics a
+    * reconciliation diff actually needs; the distinct EXCEPT above would
+    * hide partial drift. Spark plans it as one hash aggregation computing
+    * per-row count deltas — one shuffle, never a join per duplicate.
+    * Duplicate output rows are identical, so the key-only ordering stays
+    * hash-deterministic. */
+  val setExceptAll: Op = Op(
+    "set_except_all",
+    (s, d) => {
+      val (jan, feb) = janFeb(s, d)
+      jan.exceptAll(feb).orderBy("o_custkey")
+    },
+    Some(s"($oJan) EXCEPT ALL ($oFeb) ORDER BY o_custkey"))
+
+  /** MULTISET intersection — `INTERSECT ALL` keeps min(multiplicity) per
+    * row, the "how much genuinely matches" measure between two deliveries
+    * of the same feed. Same single-aggregation plan shape as EXCEPT ALL. */
+  val setIntersectAll: Op = Op(
+    "set_intersect_all",
+    (s, d) => {
+      val (jan, feb) = janFeb(s, d)
+      jan.intersectAll(feb).orderBy("o_custkey")
+    },
+    Some(s"($oJan) INTERSECT ALL ($oFeb) ORDER BY o_custkey"))
+
+  val all: Seq[Op] = Seq(sortMultiKey, topkGlobal, setUnionAll, setUnionDistinct, setIntersect,
+    setExcept, setExceptAll, setIntersectAll)
 }

@@ -640,7 +640,81 @@ object StreamingOps {
     Some("SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt, " + oSum("value") +
       " AS sum_value FROM events GROUP BY 1 ORDER BY day"))
 
+  /** Manifest versions the last `stream_commit_manifest` run committed —
+    * exposed so StreamRestartSpec can assert the run was genuinely
+    * multi-batch (two staged deliveries ⇒ two CAS commits). */
+  @volatile var lastManifestCommits: Long = 0
+
+  /** STREAMING SINK INTO A TRANSACTIONAL TABLE — the two halves this round
+    * family built separately, composed: each micro-batch appends its rows as
+    * a new file generation and publishes them with
+    * [[TableManifest.commitIfVersion]] (read-current → conditional-commit →
+    * on lost race, re-read and retry), so a concurrent reader of the
+    * manifest table sees each batch atomically or not at all — never a
+    * half-written batch. foreachBatch + the idempotent manifest append is
+    * exactly how Delta/Iceberg streaming sinks achieve exactly-once on top
+    * of at-least-once batch replays (a replayed batch would re-run the CAS
+    * loop; dedup-by-batch-id is the production refinement, noted not built —
+    * AvailableNow over staged files delivers each batch once here).
+    *
+    * Result: the committed table read back THROUGH the manifest, rolled up
+    * per day; the oracle is the same rollup stated directly over events —
+    * hash equality proves the generations hold every event exactly once.
+    *
+    * Scale notes (100 TB): per batch, one append-only file write sized by
+    * the batch (never rewrites standing data) + one O(1) catalog CAS; the
+    * manifest lists files, not rows. Readers pay zero coordination. */
+  val streamCommitManifest: Op = Op(
+    "stream_commit_manifest",
+    (s, d) => {
+      val root = java.nio.file.Paths.get(Housekeeping.tempDirBounded("st_manifest",
+        Files.createTempDirectory("st_manifest")).toString)
+      val srcDir = Files.createTempDirectory("st_manifest_src")
+      val ckpt = tmp("st_manifest_ckpt")
+      val raw = s.read.schema(graft.tables.Tables.rawEventsSchema)
+        .parquet(s"$d/events.parquet")
+        .withColumn("ts_us", unix_micros(graft.tables.Tables.ntzColToTimestamp("ts")))
+      val bounds = raw.agg(min(col("ts_us")), max(col("ts_us"))).first()
+      val cut = bounds.getLong(0) / 2 + bounds.getLong(1) / 2
+      cleanupAfter(Seq(srcDir.toString, ckpt)) {
+        stageDelivery(raw.where(col("ts_us") <= cut).drop("ts_us"), srcDir, "delivery1.parquet")
+        stageDelivery(raw.where(col("ts_us") > cut).drop("ts_us"), srcDir, "delivery2.parquet")
+        val q = s.readStream.schema(graft.tables.Tables.rawEventsSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString)
+          .select(col("ts"), col("user_id"), col("value"))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val gen = root.resolve(s"gen$batchId")
+            batch.write.mode("overwrite").parquet(gen.toString)
+            val newFiles = TableManifest.parquetFiles(gen)
+            var committed = false
+            while (!committed) { // the loser-rebases loop of the CAS protocol
+              val (cur, live) =
+                if (Files.exists(root.resolve(TableManifest.fileName)))
+                  TableManifest.read(root)
+                else (0L, Seq.empty[java.nio.file.Path])
+              committed = TableManifest.commitIfVersion(root, cur, live ++ newFiles)
+            }
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        lastManifestCommits = TableManifest.read(root)._1
+        TableManifest.readTable(s, root)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events"),
+            sum((col("value").cast(Dets.D12_2) * 100).cast("bigint")).as("v_cents"))
+          .orderBy("day")
+      }
+    },
+    Some("SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events, " +
+      "CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS v_cents " +
+      "FROM events GROUP BY 1 ORDER BY day"))
+
   val all: Seq[Op] = Seq(streamTumblingWatermark, streamDedup, streamSessionStateful,
     streamLateData, streamStatefulCounter, streamStatefulCounterTws, streamJoinFollows,
-    streamEnrichDim, streamRestartExactlyOnce, streamUpsertForeachbatch, streamBackfillHybrid)
+    streamEnrichDim, streamRestartExactlyOnce, streamUpsertForeachbatch, streamBackfillHybrid,
+    streamCommitManifest)
 }

@@ -100,4 +100,13 @@ class StreamRestartSpec extends AnyFunSuite {
       }
     } finally Housekeeping.deleteRecursively(root)
   }
+
+  test("stream_commit_manifest publishes each micro-batch as one CAS manifest commit") {
+    val out = graft.ops.StreamingOps.streamCommitManifest
+      .fn(spark, TestSpark.sf0001).collect()
+    assert(out.nonEmpty)
+    assert(graft.ops.StreamingOps.lastManifestCommits == 2,
+      s"expected one manifest version per staged delivery (2), " +
+        s"got ${graft.ops.StreamingOps.lastManifestCommits}")
+  }
 }
