@@ -20,7 +20,8 @@ object SparkEntry {
       SubqueryOps.all ++ WindowOps.all ++ SkewOps.all ++
       TimeSeriesOps.all ++ AnalyticsOps.all ++ SortSetOps.all ++ FuncOps.all ++ LlmOps.all ++
       TextOps.all ++ PipelineOps.all ++ MultimodalOps.all ++ StreamingOps.all ++ StatsOps.all ++
-      DqOps.all ++ GraphOps.all ++ GeoOps.all ++ HierarchyOps.all ++ PlanSurfaceOps.all
+      DqOps.all ++ GraphOps.all ++ GeoOps.all ++ HierarchyOps.all ++ PlanSurfaceOps.all ++
+      SqlSurfaceOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The declarative SQL authoring surfaces (Spark 4.x) beyond plain
+  * `spark.sql(text)` (which `sql_interface` already proves): SQL-bodied
+  * scalar functions, SQL table functions, and parameterized queries. All
+  * three matter at 100 TB for the same reason — they keep business logic in
+  * CATALOG METADATA and PLAN-INLINEABLE SQL instead of opaque JVM closures,
+  * so Catalyst sees through them (pushdown, codegen, exact-decimal
+  * reasoning all survive) and every engine consumer shares one definition.
+  */
+object SqlSurfaceOps {
+
+  /** SQL-bodied scalar function (`CREATE FUNCTION ... RETURN expr`) applied
+    * inside an aggregation: the net-revenue arithmetic every pricing query
+    * repeats, defined ONCE as catalog metadata. Unlike `udf_scalar`'s JVM
+    * closure (a codegen black box that blocks pushdown through it), a SQL
+    * UDF INLINES into the plan — the optimized plan is byte-identical to
+    * writing the arithmetic in place, which SqlSurfaceSpec asserts (no
+    * UDF/ScalaUDF node survives optimization). Exact-decimal body per the
+    * Dets policy, so the aggregate stays order-insensitive. */
+  val sqlUdfScalarInline: Op = Op(
+    "sql_udf_scalar_inline",
+    (s, d) => {
+      GraftCatalog.registerAll(s, d)
+      s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_net_revenue(" +
+        "p DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS DECIMAL(24,6) RETURN " +
+        "CAST(p AS DECIMAL(12,2)) * (1 - CAST(disc AS DECIMAL(3,2))) * " +
+        "(1 + CAST(tax AS DECIMAL(3,2)))")
+      s.sql("SELECT l_returnflag, COUNT(*) AS n, " +
+        "CAST(SUM(graft_net_revenue(l_extendedprice, l_discount, l_tax)) AS DOUBLE) " +
+        "AS net_revenue FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+    },
+    Some("SELECT l_returnflag, COUNT(*) AS n, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "(1 - CAST(l_discount AS DECIMAL(3,2))) * " +
+      "(1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS net_revenue " +
+      "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"))
+
+  /** SQL TABLE function (`RETURNS TABLE ... RETURN SELECT`): a
+    * parameterized, reusable relation — the catalog-native answer to "every
+    * team keeps re-writing this filtered slice". The function body inlines
+    * like a view with arguments, so the segment predicate lands in the
+    * parquet scan of each invocation. Invoked twice with different
+    * arguments and unioned, proving per-call specialization. */
+  val sqlTableFunction: Op = Op(
+    "sql_table_function",
+    (s, d) => {
+      GraftCatalog.registerAll(s, d)
+      s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_seg_customers(seg STRING) " +
+        "RETURNS TABLE (c_custkey BIGINT, c_acctbal DOUBLE) RETURN " +
+        "SELECT c_custkey, c_acctbal FROM customer WHERE c_mktsegment = seg")
+      s.sql("SELECT 'AUTOMOBILE' AS seg, COUNT(*) AS n_customers, " +
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal " +
+        "FROM graft_seg_customers('AUTOMOBILE') " +
+        "UNION ALL " +
+        "SELECT 'BUILDING', COUNT(*), " +
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) " +
+        "FROM graft_seg_customers('BUILDING') ORDER BY seg")
+    },
+    Some("SELECT 'AUTOMOBILE' AS seg, COUNT(*) AS n_customers, " +
+      "CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal " +
+      "FROM customer WHERE c_mktsegment = 'AUTOMOBILE' " +
+      "UNION ALL SELECT 'BUILDING', COUNT(*), " +
+      "CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) " +
+      "FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY seg"))
+
+  /** PARAMETERIZED SQL (`spark.sql(text, args)` with named markers): the
+    * injection-safe templating surface a query service puts in front of
+    * the engine — parameters bind as typed literals in the parsed plan
+    * (`:lo`/`:hi`/`:seg` below), never string-spliced, so a hostile
+    * argument cannot change the query shape and the plan cache keys on the
+    * template. Constant-folding then treats the bound literals exactly
+    * like inline ones (the date range still prunes at the scan). */
+  val sqlParameterized: Op = Op(
+    "sql_parameterized",
+    (s, d) => {
+      GraftCatalog.registerAll(s, d)
+      s.sql(
+        "SELECT o_orderpriority, COUNT(*) AS n_orders, " +
+          "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total " +
+          "FROM orders JOIN customer ON o_custkey = c_custkey " +
+          "WHERE o_orderdate >= CAST(:lo AS TIMESTAMP) " +
+          "AND o_orderdate < CAST(:hi AS TIMESTAMP) " +
+          "AND c_mktsegment = :seg " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+        Map("lo" -> "1995-03-01", "hi" -> "1995-06-01", "seg" -> "BUILDING"))
+    },
+    Some("SELECT o_orderpriority, COUNT(*) AS n_orders, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey " +
+      "WHERE o_orderdate >= TIMESTAMP '1995-03-01' " +
+      "AND o_orderdate < TIMESTAMP '1995-06-01' " +
+      "AND c_mktsegment = 'BUILDING' " +
+      "GROUP BY o_orderpriority ORDER BY o_orderpriority"))
+
+  val all: Seq[Op] = Seq(sqlUdfScalarInline, sqlTableFunction, sqlParameterized)
+}

@@ -713,8 +713,74 @@ object StreamingOps {
       "CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS v_cents " +
       "FROM events GROUP BY 1 ORDER BY day"))
 
+  /** LEFT OUTER stream-stream join — the semantically hard member of the
+    * J family: matched pairs emit immediately (inner-join behavior), but a
+    * purchase with NO follow inside its 10-minute window emits its
+    * null-augmented row only when the watermark PROVES no future match can
+    * arrive (state eviction) — the mechanics that make outer streaming
+    * joins correct instead of a guess. The emission rule is stated
+    * EXACTLY, so a closed input has a closed-form oracle: a purchase at t₁
+    * emits null iff unmatched AND its window end t₁+10min is below the
+    * final GLOBAL watermark — the MIN across both inputs of (that input's
+    * max event time − its delay), where each side's maximum is taken over
+    * the rows REACHING its withWatermark (the purchases side tracks only
+    * purchase timestamps — a pre-watermark filter moves the watermark, a
+    * fact this oracle encodes and the first cut of this op got wrong by one
+    * row). Purchases newer than that sit in state when the query ends: the
+    * streaming answer is "not yet decidable", deliberately NOT the batch
+    * answer, and the oracle encodes the difference (the same closed-input
+    * watermark reasoning `stream_tumbling_watermark` pins for aggregates).
+    *
+    * Scale notes (100 TB): same envelope as `stream_join_follows` — state
+    * per side bounded by watermark delay + join window; the outer side adds
+    * only the eviction-time null emission, no extra shuffle or state. */
+  val streamJoinLeftOuter: Op = Op(
+    "stream_join_left_outer",
+    (s, d) => {
+      val out = Housekeeping.tempDirBounded("st_ljoin_out",
+        Files.createTempDirectory("st_ljoin_out")).toString
+      val (srcP, dirP) = eventStream(s, d)
+      val srcF = s.readStream.schema(graft.tables.Tables.rawEventsSchema)
+        .parquet(dirP.toString)
+        .withColumn("ts", graft.tables.Tables.ntzColToTimestamp("ts"))
+      val ckpt = tmp("ckpt_ljoin")
+      withStatePartitions(s, 8) { cleanupAfter(Seq(dirP.toString, ckpt)) {
+        val purchases = srcP.where(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id").as("u1"), col("ts").as("t1"))
+          .withWatermark("t1", "10 minutes")
+        val follows = srcF
+          .select(col("event_id").as("follow_id"), col("user_id").as("u2"),
+            col("ts").as("t2"), col("event_type").as("follow_type"))
+          .withWatermark("t2", "10 minutes")
+        val q = purchases.join(follows,
+            col("u1") === col("u2") &&
+              col("t2") > col("t1") && col("t2") <= col("t1") + expr("INTERVAL 10 MINUTES"),
+            "left_outer")
+          .select("purchase_id", "follow_id", "follow_type")
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(out).orderBy(asc("purchase_id"), asc_nulls_first("follow_id"))
+      } }
+    },
+    Some("WITH wm AS (SELECT LEAST(" +
+      "(SELECT MAX(ts) FROM events WHERE event_type = 'purchase'), " +
+      "(SELECT MAX(ts) FROM events)) - INTERVAL 10 MINUTE AS w), " +
+      "p AS (SELECT event_id AS purchase_id, user_id, ts FROM events " +
+      "WHERE event_type = 'purchase'), " +
+      "m AS (SELECT p.purchase_id, e2.event_id AS follow_id, e2.event_type AS follow_type " +
+      "FROM p JOIN events e2 ON e2.user_id = p.user_id AND e2.ts > p.ts " +
+      "AND e2.ts <= p.ts + INTERVAL 10 MINUTE) " +
+      "SELECT purchase_id, follow_id, follow_type FROM m " +
+      "UNION ALL " +
+      "SELECT p.purchase_id, NULL, NULL FROM p, wm " +
+      "WHERE p.ts + INTERVAL 10 MINUTE < wm.w " +
+      "AND NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.purchase_id) " +
+      "ORDER BY purchase_id, follow_id NULLS FIRST"))
+
   val all: Seq[Op] = Seq(streamTumblingWatermark, streamDedup, streamSessionStateful,
     streamLateData, streamStatefulCounter, streamStatefulCounterTws, streamJoinFollows,
     streamEnrichDim, streamRestartExactlyOnce, streamUpsertForeachbatch, streamBackfillHybrid,
-    streamCommitManifest)
+    streamCommitManifest, streamJoinLeftOuter)
 }
