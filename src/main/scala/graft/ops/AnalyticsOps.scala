@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.tables.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product-analytics operators over the event stream — the funnel and cohort
@@ -126,5 +127,55 @@ object AnalyticsOps {
       "FROM seqs WHERE len(regexp_extract_all(seq, 'v[co]*p')) > 0 " +
       "ORDER BY user_id"))
 
-  val all: Seq[Op] = Seq(funnelConversion, cohortRetention, funnelPatternMatch)
+  /** TOP CLICK-PATHS: sessionize each user's events (30-minute inactivity
+    * gap — the `ts_session_window` rule restated relationally so both
+    * engines share it), render each session's first five event types as a
+    * '>'-joined path string, and rank the 20 most common paths — the
+    * navigation-pattern census product teams read before redesigning a
+    * funnel. Tie-breaks pinned everywhere: event order within a session is
+    * (ts, event_id); path ranking is (count DESC, path ASC).
+    *
+    * Scale notes (100 TB): one shuffle on user_id covers sessionization AND
+    * per-session path assembly (the gap/cumsum windows and the ordered
+    * collect all share that clustering); path counting is a second
+    * map-side-combinable groupBy whose cardinality is the path vocabulary,
+    * not sessions; top-20 is a TakeOrderedAndProject heap, no global sort. */
+  val analyticsTopPaths: Op = Op(
+    "analytics_top_paths",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sess = Tables.events(s, d)
+        .withColumn("brk",
+          when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) >
+              1800L * 1000000, 1)
+            .when(lag(col("ts"), 1).over(w).isNull, 1).otherwise(0))
+        .withColumn("sid", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val paths = sess
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")))
+        .where(col("rn") <= 5)
+        .groupBy("user_id", "sid")
+        .agg(concat_ws(">", transform(
+          sort_array(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type"))).as("path"))
+      paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(desc("n_sessions"), asc("path"))
+        .limit(20)
+    },
+    Some("WITH x AS (SELECT user_id, ts, event_id, event_type, " +
+      "CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE " +
+      "THEN 1 ELSE 0 END AS brk FROM events " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+      "y AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x), " +
+      "z AS (SELECT user_id, sid, event_type, " +
+      "row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn FROM y), " +
+      "p AS (SELECT user_id, sid, string_agg(event_type, '>' ORDER BY rn) AS path " +
+      "FROM z WHERE rn <= 5 GROUP BY 1, 2) " +
+      "SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1 " +
+      "ORDER BY n_sessions DESC, path LIMIT 20"))
+
+  val all: Seq[Op] = Seq(funnelConversion, cohortRetention, funnelPatternMatch,
+    analyticsTopPaths)
 }

@@ -488,7 +488,83 @@ object PipelineOps {
     Some("SELECT doc_id, row_number() OVER (ORDER BY md5(text), doc_id) AS assigned_id " +
       "FROM documents ORDER BY doc_id"))
 
+  /** Categorical feature encoding — the StringIndexer step of every tabular
+    * training-prep pipeline, stated deterministically: each categorical
+    * value's index is its FREQUENCY RANK (ties to lexicographic value
+    * order), so the dictionary is a pure function of the data — re-running
+    * on the same corpus reproduces identical indices (MLlib's fit/save
+    * artifact, derived instead of stored). Output is the encoded fact rows
+    * (customer segment + order priority indices per order).
+    *
+    * Scale notes (100 TB): each dictionary is one map-side-combinable
+    * groupBy count over a LOW-cardinality column (segments, priorities —
+    * dictionaries are KBs at any corpus width) and broadcasts back onto the
+    * fact scan; the fact table itself never shuffles. The dense_rank
+    * windows run over dictionary-sized inputs only. */
+  val featureOnehotEncode: Op = Op(
+    "feature_onehot_encode",
+    (s, d) => {
+      def dict(df: DataFrame, c: String) = df
+        .groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        .withColumn("idx", dense_rank().over(
+          Window.orderBy(desc("cnt"), asc("v"))) - 1)
+      val segD = dict(Tables.customer(s, d), "c_mktsegment")
+        .select(col("v").as("seg_v"), col("idx").as("seg_idx"))
+      val priD = dict(Tables.orders(s, d), "o_orderpriority")
+        .select(col("v").as("pri_v"), col("idx").as("pri_idx"))
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(segD), col("c_mktsegment") === col("seg_v"))
+        .join(broadcast(priD), col("o_orderpriority") === col("pri_v"))
+        .select(col("o_orderkey"), col("seg_idx"), col("pri_idx"))
+        .orderBy("o_orderkey")
+    },
+    Some("WITH segd AS (SELECT v, CAST(dense_rank() OVER (ORDER BY cnt DESC, v) - 1 AS INT) " +
+      "AS seg_idx FROM (SELECT c_mktsegment AS v, COUNT(*) AS cnt FROM customer GROUP BY 1)), " +
+      "prid AS (SELECT v, CAST(dense_rank() OVER (ORDER BY cnt DESC, v) - 1 AS INT) " +
+      "AS pri_idx FROM (SELECT o_orderpriority AS v, COUNT(*) AS cnt FROM orders GROUP BY 1)) " +
+      "SELECT o_orderkey, seg_idx, pri_idx FROM orders " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "JOIN segd ON c_mktsegment = segd.v JOIN prid ON o_orderpriority = prid.v " +
+      "ORDER BY o_orderkey"))
+
+  /** Numeric min-max scaling to [0,1] per group — the normalization step
+    * feature pipelines run before distance-based models. Exactness policy:
+    * bounds and numerators are integer CENTS (exact), and each scaled value
+    * is ONE IEEE division of two exactly-represented doubles — identical on
+    * both engines, no accumulated float math anywhere (the
+    * [[graft.ops.StatsOps]] moment playbook applied row-wise).
+    *
+    * Scale notes (100 TB): per-group bounds are one map-side-combinable
+    * aggregate (|groups| rows) broadcast back onto the scan; the fact rows
+    * never shuffle. Same shape as `stats_histogram`'s binning pass. */
+  val featureScaleMinmax: Op = Op(
+    "feature_scale_minmax",
+    (s, d) => {
+      val cents = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          (col("l_extendedprice").cast(D12_2) * 100).cast("bigint").as("p"),
+          col("l_returnflag"))
+      val bounds = cents.groupBy("l_returnflag")
+        .agg(min(col("p")).as("mn"), max(col("p")).as("mx"))
+      cents.join(broadcast(bounds), "l_returnflag")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_returnflag"),
+          ((col("p") - col("mn")).cast("double") /
+            (col("mx") - col("mn")).cast("double")).as("price_scaled"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_returnflag", "price_scaled")
+    },
+    Some("WITH c AS (SELECT l_orderkey, l_linenumber, l_partkey, " +
+      "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS p, l_returnflag " +
+      "FROM lineitem), " +
+      "b AS (SELECT l_returnflag, MIN(p) AS mn, MAX(p) AS mx FROM c GROUP BY 1) " +
+      "SELECT l_orderkey, l_linenumber, l_partkey, c.l_returnflag AS l_returnflag, " +
+      "CAST(p - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE) AS price_scaled " +
+      "FROM c JOIN b ON c.l_returnflag = b.l_returnflag " +
+      "ORDER BY l_orderkey, l_linenumber, l_partkey, c.l_returnflag, price_scaled"))
+
   val all: Seq[Op] = Seq(sampleStratified, splitTrainValTest, packSequences, embedQuantizeInt8,
     pipelineCorpusBuild, sampleReservoirGroup, sampleWeightedHash, embedGramExact,
-    sampleMixtureQuota, pipelineIncrementalUpdate, idsDenseAssign)
+    sampleMixtureQuota, pipelineIncrementalUpdate, idsDenseAssign, featureOnehotEncode,
+    featureScaleMinmax)
 }
