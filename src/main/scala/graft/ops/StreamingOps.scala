@@ -645,6 +645,36 @@ object StreamingOps {
     * multi-batch (two staged deliveries ⇒ two CAS commits). */
   @volatile var lastManifestCommits: Long = 0
 
+  /** Table root of the last `stream_commit_manifest` run — exposed so the
+    * spec can replay a batch against it and prove idempotence. */
+  @volatile var lastManifestRoot: java.nio.file.Path = null
+
+  /** Idempotent micro-batch publish for [[streamCommitManifest]]: the
+    * batch's generation directory is keyed by batchId, so a REPLAYED batch
+    * (Structured Streaming's at-least-once foreachBatch contract after a
+    * failure) is detected — its generation is already referenced by the
+    * live manifest — and skipped before any write. This check-then-publish
+    * is exactly how Delta's `txn`/streaming-sink versioning turns
+    * at-least-once delivery into an exactly-once table. */
+  private[graft] def publishBatch(root: java.nio.file.Path, batchId: Long,
+      batch: DataFrame): Unit = {
+    val gen = root.resolve(s"gen$batchId")
+    val already = Files.exists(root.resolve(TableManifest.fileName)) &&
+      TableManifest.read(root)._2.exists(_.toString.startsWith(gen.toString + "/"))
+    if (!already) {
+      batch.write.mode("overwrite").parquet(gen.toString)
+      val newFiles = TableManifest.parquetFiles(gen)
+      var committed = false
+      while (!committed) { // the loser-rebases loop of the CAS protocol
+        val (cur, live) =
+          if (Files.exists(root.resolve(TableManifest.fileName)))
+            TableManifest.read(root)
+          else (0L, Seq.empty[java.nio.file.Path])
+        committed = TableManifest.commitIfVersion(root, cur, live ++ newFiles)
+      }
+    }
+  }
+
   /** STREAMING SINK INTO A TRANSACTIONAL TABLE — the two halves this round
     * family built separately, composed: each micro-batch appends its rows as
     * a new file generation and publishes them with
@@ -653,9 +683,9 @@ object StreamingOps {
     * manifest table sees each batch atomically or not at all — never a
     * half-written batch. foreachBatch + the idempotent manifest append is
     * exactly how Delta/Iceberg streaming sinks achieve exactly-once on top
-    * of at-least-once batch replays (a replayed batch would re-run the CAS
-    * loop; dedup-by-batch-id is the production refinement, noted not built —
-    * AvailableNow over staged files delivers each batch once here).
+    * of at-least-once batch replays — [[publishBatch]] skips a batch whose
+    * batchId-keyed generation is already referenced by the live manifest,
+    * so a replayed batch is a no-op (spec-asserted by replaying one).
     *
     * Result: the committed table read back THROUGH the manifest, rolled up
     * per day; the oracle is the same rollup stated directly over events —
@@ -685,23 +715,13 @@ object StreamingOps {
           .select(col("ts"), col("user_id"), col("value"))
           .writeStream
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            val gen = root.resolve(s"gen$batchId")
-            batch.write.mode("overwrite").parquet(gen.toString)
-            val newFiles = TableManifest.parquetFiles(gen)
-            var committed = false
-            while (!committed) { // the loser-rebases loop of the CAS protocol
-              val (cur, live) =
-                if (Files.exists(root.resolve(TableManifest.fileName)))
-                  TableManifest.read(root)
-                else (0L, Seq.empty[java.nio.file.Path])
-              committed = TableManifest.commitIfVersion(root, cur, live ++ newFiles)
-            }
-            ()
+            publishBatch(root, batchId, batch)
           }
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         lastManifestCommits = TableManifest.read(root)._1
+        lastManifestRoot = root
         TableManifest.readTable(s, root)
           .groupBy(to_date(col("ts")).as("day"))
           .agg(count(lit(1)).as("n_events"),

@@ -108,5 +108,16 @@ class StreamRestartSpec extends AnyFunSuite {
     assert(graft.ops.StreamingOps.lastManifestCommits == 2,
       s"expected one manifest version per staged delivery (2), " +
         s"got ${graft.ops.StreamingOps.lastManifestCommits}")
+
+    // at-least-once replay: re-publishing an already-committed batchId must
+    // be a no-op — same version, same live file set, no rewritten files
+    val root = graft.ops.StreamingOps.lastManifestRoot
+    val before = graft.ops.TableManifest.read(root)
+    import spark.implicits._
+    graft.ops.StreamingOps.publishBatch(root, 0,
+      Seq((1L, "x")).toDF("k", "v"))
+    val after = graft.ops.TableManifest.read(root)
+    assert(after == before,
+      s"replayed batch mutated the table: $before -> $after")
   }
 }
