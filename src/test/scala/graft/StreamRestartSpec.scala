@@ -120,4 +120,52 @@ class StreamRestartSpec extends AnyFunSuite {
     assert(after == before,
       s"replayed batch mutated the table: $before -> $after")
   }
+
+  test("manifest sink resumes from the checkpoint: restart adds only the new delivery") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.ops.{StreamingOps, TableManifest}
+    import graft.tables.Tables
+    val root = Files.createTempDirectory("st_mrestart")
+    val src = Files.createTempDirectory("st_mrestart_src")
+    val ckpt = Files.createTempDirectory("st_mrestart_ckpt").toString
+    try {
+      val raw = spark.read.schema(Tables.rawEventsSchema)
+        .parquet(TestSpark.sf0001 + "/events.parquet")
+        .withColumn("ts_us", unix_micros(Tables.ntzColToTimestamp("ts")))
+      val b = raw.agg(min(col("ts_us")), max(col("ts_us"))).first()
+      val cut = b.getLong(0) / 2 + b.getLong(1) / 2
+      def drain(): Unit = {
+        val q = spark.readStream.schema(Tables.rawEventsSchema).parquet(src.toString)
+          .select(col("ts"), col("user_id"), col("value"))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            StreamingOps.publishBatch(root, id, batch)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      StreamingOps.stageDelivery(raw.where(col("ts_us") <= cut).drop("ts_us"), src, "d1.parquet")
+      drain() // run 1: delivery 1 → version 1
+      assert(TableManifest.read(root)._1 == 1)
+      val afterFirst = TableManifest.readTable(spark, root).count()
+
+      StreamingOps.stageDelivery(raw.where(col("ts_us") > cut).drop("ts_us"), src, "d2.parquet")
+      drain() // RESTART from the checkpoint: only delivery 2 replays
+      assert(TableManifest.read(root)._1 == 2,
+        "restart must add exactly one version for the one new delivery")
+      assert(TableManifest.readTable(spark, root).count() == raw.count(),
+        "restarted sink lost or duplicated rows")
+      assert(TableManifest.readTable(spark, root).count() > afterFirst)
+
+      drain() // nothing new → no batch, no commit
+      assert(TableManifest.read(root)._1 == 2,
+        "an empty restart must not advance the table version")
+    } finally {
+      Seq(root, src, java.nio.file.Paths.get(ckpt))
+        .foreach(graft.ops.Housekeeping.deleteRecursively)
+    }
+  }
 }
