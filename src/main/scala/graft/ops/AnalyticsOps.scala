@@ -176,6 +176,92 @@ object AnalyticsOps {
       "SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1 " +
       "ORDER BY n_sessions DESC, path LIMIT 20"))
 
+  /** RFM SEGMENTATION — the classic customer scoring: Recency (days since
+    * last order, lower is better), Frequency (order count), Monetary (exact
+    * decimal total), each mapped to a 1–5 quintile score, plus a named tier.
+    *
+    * Deliberately NOT a global `ntile(5)`: that plans a single-partition
+    * Window over every customer — the totally-ordered-rank smell this suite
+    * rejects. Instead each measure's four quintile BREAKPOINTS are picked by
+    * nearest-rank (rank ⌈0.2k·n⌉ over (value, custkey) — one sort of the
+    * small per-customer aggregate, at true width the approximate-percentile
+    * substitution is one line), broadcast as a single row, and every score
+    * is the scan-local count of breakpoints strictly below the value —
+    * deterministic on both engines with no bucket-boundary ambiguity.
+    *
+    * Scale notes (100 TB): per-customer aggregate = one two-phase groupBy
+    * (cardinality |customers|, not orders); breakpoints = 12 values
+    * broadcast; scoring + tier label are scan-local. Nothing global-sorts
+    * the fact table. */
+  val analyticsRfmSegmentation: Op = Op(
+    "analytics_rfm_segmentation",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val asofRow = o.agg(max(to_date(col("o_orderdate"))).as("asof"))
+      val base = o.groupBy(col("o_custkey").as("c"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+          count(lit(1)).as("f"),
+          sum((col("o_totalprice").cast(Dets.D12_2) * 100).cast("bigint")).as("m_cents"))
+        .crossJoin(broadcast(asofRow))
+        .select(col("c"), datediff(col("asof"), col("last_day")).as("r_days"),
+          col("f"), col("m_cents"))
+      def breakpoints(x: String) = {
+        val n = Window.partitionBy(lit(1))
+        base.select(col(x).as("v"), col("c"))
+          .withColumn("rn", row_number().over(Window.orderBy(col("v"), col("c"))))
+          .withColumn("n", count(lit(1)).over(n))
+          .where(col("rn") === ceil(col("n") * 1 / lit(5.0)) ||
+            col("rn") === ceil(col("n") * 2 / lit(5.0)) ||
+            col("rn") === ceil(col("n") * 3 / lit(5.0)) ||
+            col("rn") === ceil(col("n") * 4 / lit(5.0)))
+          .groupBy().agg(sort_array(collect_list(col("v"))).as(s"bp_$x"))
+      }
+      def qscore(x: String) =
+        (lit(1) + aggregate(col(s"bp_$x"),
+          lit(0), (acc, bp) => acc + when(col(x) > bp, 1).otherwise(0))).cast("int")
+      val scored = base
+        .crossJoin(broadcast(breakpoints("r_days")))
+        .crossJoin(broadcast(breakpoints("f")))
+        .crossJoin(broadcast(breakpoints("m_cents")))
+        .select(col("c").as("cust_key"), col("r_days"), col("f").as("n_orders"),
+          col("m_cents"),
+          (lit(6) - qscore("r_days")).as("r_score"),
+          qscore("f").as("f_score"), qscore("m_cents").as("m_score"))
+      scored.withColumn("tier",
+          when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4, "champion")
+            .when(col("r_score") >= 3 && col("f_score") >= 3, "loyal")
+            .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
+            .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
+            .otherwise("regular"))
+        .orderBy("cust_key")
+    },
+    Some("WITH ref AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS ref_day FROM orders), " +
+      "base AS (SELECT o_custkey AS c, " +
+      "CAST(datediff('day', MAX(CAST(o_orderdate AS DATE)), " +
+      "(SELECT ref_day FROM ref)) AS INT) AS r_days, COUNT(*) AS f, " +
+      "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) " +
+      "AS m_cents FROM orders GROUP BY 1), " +
+      "n AS (SELECT COUNT(*) AS n FROM base), " +
+      "bpr AS (SELECT list_sort(list(v)) AS bp FROM (SELECT r_days AS v, " +
+      "row_number() OVER (ORDER BY r_days, c) AS rn FROM base), n " +
+      "WHERE rn IN (CEIL(n*1/5.0), CEIL(n*2/5.0), CEIL(n*3/5.0), CEIL(n*4/5.0))), " +
+      "bpf AS (SELECT list_sort(list(v)) AS bp FROM (SELECT f AS v, " +
+      "row_number() OVER (ORDER BY f, c) AS rn FROM base), n " +
+      "WHERE rn IN (CEIL(n*1/5.0), CEIL(n*2/5.0), CEIL(n*3/5.0), CEIL(n*4/5.0))), " +
+      "bpm AS (SELECT list_sort(list(v)) AS bp FROM (SELECT m_cents AS v, " +
+      "row_number() OVER (ORDER BY m_cents, c) AS rn FROM base), n " +
+      "WHERE rn IN (CEIL(n*1/5.0), CEIL(n*2/5.0), CEIL(n*3/5.0), CEIL(n*4/5.0))), " +
+      "sc AS (SELECT c AS cust_key, r_days, f AS n_orders, m_cents, " +
+      "CAST(6 - (1 + len(list_filter(bpr.bp, x -> r_days > x))) AS INT) AS r_score, " +
+      "CAST(1 + len(list_filter(bpf.bp, x -> f > x)) AS INT) AS f_score, " +
+      "CAST(1 + len(list_filter(bpm.bp, x -> m_cents > x)) AS INT) AS m_score " +
+      "FROM base, bpr, bpf, bpm) " +
+      "SELECT *, CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion' " +
+      "WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal' " +
+      "WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk' " +
+      "WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating' " +
+      "ELSE 'regular' END AS tier FROM sc ORDER BY cust_key"))
+
   val all: Seq[Op] = Seq(funnelConversion, cohortRetention, funnelPatternMatch,
-    analyticsTopPaths)
+    analyticsTopPaths, analyticsRfmSegmentation)
 }

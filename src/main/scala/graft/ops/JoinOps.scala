@@ -546,8 +546,9 @@ object JoinOps {
     * The final pick is a row-local comparison of the two µs distances.
     *
     * Scale notes (100 TB): identical envelope to `join_asof` — ONE shuffle
-    * on user_id, one sort; both frames evaluate inside the same Window exec
-    * (two frame states over one sorted stream), no second shuffle, no join
+    * on user_id; the two frames plan as two Window passes over that same
+    * exchange (PLANS.md: Exchange → Window → Window, the second pass
+    * re-sorting partition-locally, no second shuffle), and there is no join
     * against a ranked subquery (the oracle's n·log n rank join is exactly
     * what this rewrite avoids). */
   val joinAsofNearest: Op = Op(
