@@ -862,9 +862,56 @@ object SourceSinkOps {
       "FROM read_csv('" + Stage.token + "/v2log_out/*.csv', header=true, all_varchar=true) " +
       "ORDER BY machine_id, ts, watts NULLS FIRST"))
 
+  /** SQL-SURFACE TIME TRAVEL through a CATALOG PLUGIN
+    * ([[graft.sources.GraftLakeCatalog]]): where `sink_time_travel_read`
+    * resolves versions through the library API, this key drives Spark's own
+    * `VERSION AS OF` syntax end to end — the analyzer resolves the
+    * identifier against the registered graft catalog, which maps the
+    * version to the immutable `_manifest-v{N}` snapshot and hands back
+    * Spark's builtin parquet DSv2 table pinned to that file list (pushdown/
+    * pruning/vectorization all apply to the time-traveled scan). Catalog
+    * name is sf-scoped so a JVM touching several scale factors never sees a
+    * stale cached catalog root. Build: customers published as v1 (full),
+    * then a delete commit (v2); SQL then reads v1, v2 AND the bare
+    * identifier (current = v2) and aggregates each. */
+  val sqlCatalogTimeTravel: Op = Op(
+    "sql_catalog_time_travel",
+    (s, d) => {
+      val wh = java.nio.file.Paths.get(Stage.root(d) + "/lake")
+      val tbl = "customers_tt"
+      val dir = wh.resolve(tbl)
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), d2(col("c_acctbal")).as("bal"))
+      base.coalesce(2).write.mode("overwrite").parquet(dir.resolve("gen1").toString)
+      TableManifest.commit(dir, 1, TableManifest.parquetFiles(dir.resolve("gen1")))
+      base.where(col("c_custkey") % 3 =!= 0)
+        .coalesce(2).write.mode("overwrite").parquet(dir.resolve("gen2").toString)
+      TableManifest.commit(dir, 2, TableManifest.parquetFiles(dir.resolve("gen2")))
+      val tag = Stage.root(d).split('/').last
+      val cat = s"graft_lake_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftLakeCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh.toString)
+      s.sql(
+        s"SELECT 'v1' AS snap, COUNT(*) AS n_rows, CAST(SUM(bal) AS DOUBLE) AS total_bal " +
+          s"FROM $cat.$tbl VERSION AS OF 1 " +
+          s"UNION ALL SELECT 'v2', COUNT(*), CAST(SUM(bal) AS DOUBLE) " +
+          s"FROM $cat.$tbl VERSION AS OF 2 " +
+          s"UNION ALL SELECT 'current', COUNT(*), CAST(SUM(bal) AS DOUBLE) " +
+          s"FROM $cat.$tbl ORDER BY snap")
+    },
+    Some("WITH b AS (SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal " +
+      "FROM customer) " +
+      "SELECT 'current' AS snap, COUNT(*) AS n_rows, CAST(SUM(bal) AS DOUBLE) " +
+      "AS total_bal FROM b WHERE c_custkey % 3 <> 0 " +
+      "UNION ALL SELECT 'v1', COUNT(*), CAST(SUM(bal) AS DOUBLE) FROM b " +
+      "UNION ALL SELECT 'v2', COUNT(*), CAST(SUM(bal) AS DOUBLE) FROM b " +
+      "WHERE c_custkey % 3 <> 0 ORDER BY snap"))
+
   val all: Seq[Op] = Seq(csvLogIngest, sinkPartitionedParquet, sinkBucketedJoin,
     sinkClusteredLayout, mergeUpsertLatest, sinkCsvReport, sourceJsonlRoundtrip,
     sourceOrcRoundtrip, sourceSchemaEvolution, sinkCompactSmallFiles, sinkZorderLayout,
     sinkTargetedDelete, sinkDynamicPartitionOverwrite, cdcApplyChanges, sinkTimeTravelRead,
-    sinkVacuumRetention, sourceProvenanceAudit, sourceCustomV2Solarlog, sinkCustomV2Roundtrip)
+    sinkVacuumRetention, sourceProvenanceAudit, sourceCustomV2Solarlog, sinkCustomV2Roundtrip,
+    sqlCatalogTimeTravel)
 }

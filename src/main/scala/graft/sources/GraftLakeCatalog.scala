@@ -1,0 +1,111 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.nio.file.{Files, Paths}
+
+import graft.ops.TableManifest
+
+/** Catalog plugin exposing [[graft.ops.TableManifest]] tables to SQL — the
+  * final piece of the table-format-in-miniature: manifest-committed tables
+  * become first-class SQL identifiers, and the commit log's immutable
+  * `_manifest-v{N}` snapshots become `VERSION AS OF` time travel THROUGH
+  * SPARK'S OWN SYNTAX (the analyzer resolves `FOR VERSION AS OF v` to
+  * `loadTable(ident, version)` on this catalog — no custom parsing, the
+  * exact plugin seam Delta/Iceberg use).
+  *
+  * Reads delegate to Spark's builtin parquet DSv2 `ParquetTable` pinned to
+  * the SNAPSHOT'S FILE LIST, so every scan feature the suite relies on —
+  * filter/aggregate pushdown, column pruning, vectorized read — applies
+  * unchanged to a time-traveled read, and snapshot isolation is inherited
+  * from the manifest protocol (old files are retained until vacuum; a
+  * version reads identically until then, ManifestCommitSpec's claim).
+  * Writes go through the graft ops' commit path, not SQL DDL — this catalog
+  * is deliberately read-only (mutating methods throw), the
+  * catalog-as-a-view-of-the-commit-log design.
+  *
+  * Configuration:
+  * {{{
+  *   spark.sql.catalog.<name>      = graft.sources.GraftLakeCatalog
+  *   spark.sql.catalog.<name>.root = <warehouse dir: root/<table>/_manifest.json>
+  * }}}
+  */
+class GraftLakeCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: java.nio.file.Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    require(options.containsKey("root"), s"catalog $name requires option 'root'")
+    root = Paths.get(options.get("root"))
+  }
+
+  override def name(): String = catalogName
+
+  private def tableDir(ident: Identifier) = root.resolve(ident.name())
+
+  private def parquetTable(ident: Identifier, files: Seq[java.nio.file.Path],
+      versionLabel: String): Table =
+    ParquetTable(
+      s"$catalogName.${ident.name()}$versionLabel",
+      SparkSession.active,
+      CaseInsensitiveStringMap.empty(),
+      files.map(_.toString),
+      None,
+      classOf[ParquetFileFormat])
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!Files.exists(dir.resolve(TableManifest.fileName)))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catalogName, ident.name()))
+    parquetTable(ident, TableManifest.read(dir)._2, "")
+  }
+
+  /** `SELECT ... FROM t VERSION AS OF v` lands here. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    val snap = dir.resolve(s"_manifest-v$version.json")
+    if (!Files.exists(snap))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catalogName, ident.name(), s"version $version"))
+    val txt = Files.readString(snap)
+    val files = """"(/[^"]+)"""".r.findAllMatchIn(txt).map(m => Paths.get(m.group(1))).toList
+    parquetTable(ident, files, s"@v$version")
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!Files.exists(root)) return Array.empty
+    val s = Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(d => Files.exists(d.resolve(TableManifest.fileName)))
+        .map(d => Identifier.of(namespace, d.getFileName.toString))
+        .toArray
+    } finally s.close()
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    Files.exists(tableDir(ident).resolve(TableManifest.fileName))
+
+  private def readOnly(op: String) = throw new UnsupportedOperationException(
+    s"$catalogName is read-only: tables are published by graft's manifest " +
+      s"commit protocol, not SQL DDL ($op)")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table =
+    readOnly("createTable")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    readOnly("alterTable")
+  override def dropTable(ident: Identifier): Boolean = readOnly("dropTable")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    readOnly("renameTable")
+}

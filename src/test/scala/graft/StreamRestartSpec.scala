@@ -163,6 +163,22 @@ class StreamRestartSpec extends AnyFunSuite {
       drain() // nothing new → no batch, no commit
       assert(TableManifest.read(root)._1 == 2,
         "an empty restart must not advance the table version")
+
+      // contention: an EXTERNAL writer commits between sink batches — the
+      // sink's publish loop must rebase on top of it, losing neither side
+      val gext = root.resolve("external")
+      raw.limit(3).select(col("ts"), col("user_id"), col("value"))
+        .write.parquet(gext.toString)
+      val (vNow, liveNow) = TableManifest.read(root)
+      assert(TableManifest.commitIfVersion(root, vNow,
+        liveNow ++ TableManifest.parquetFiles(gext)))
+      val rowsBefore = TableManifest.readTable(spark, root).count()
+      StreamingOps.publishBatch(root, 7,
+        raw.limit(5).select(col("ts"), col("user_id"), col("value")))
+      assert(TableManifest.read(root)._1 == vNow + 2,
+        "sink publish after an external commit must land as the next version")
+      assert(TableManifest.readTable(spark, root).count() == rowsBefore + 5,
+        "rebase lost the external writer's rows or the sink batch")
     } finally {
       Seq(root, src, java.nio.file.Paths.get(ckpt))
         .foreach(graft.ops.Housekeeping.deleteRecursively)
