@@ -198,13 +198,16 @@ object AnalyticsOps {
     (s, d) => {
       val o = Tables.orders(s, d)
       val asofRow = o.agg(max(to_date(col("o_orderdate"))).as("asof"))
-      val base = o.groupBy(col("o_custkey").as("c"))
-        .agg(max(to_date(col("o_orderdate"))).as("last_day"),
-          count(lit(1)).as("f"),
-          sum((col("o_totalprice").cast(Dets.D12_2) * 100).cast("bigint")).as("m_cents"))
-        .crossJoin(broadcast(asofRow))
-        .select(col("c"), datediff(col("asof"), col("last_day")).as("r_days"),
-          col("f"), col("m_cents"))
+      // cached: read once by the scored output and once per breakpoint
+      // pass — without it each breakpoints() call re-scans orders
+      val base = Housekeeping.cacheBounded("rfm_base",
+        o.groupBy(col("o_custkey").as("c"))
+          .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+            count(lit(1)).as("f"),
+            sum((col("o_totalprice").cast(Dets.D12_2) * 100).cast("bigint")).as("m_cents"))
+          .crossJoin(broadcast(asofRow))
+          .select(col("c"), datediff(col("asof"), col("last_day")).as("r_days"),
+            col("f"), col("m_cents")))
       def breakpoints(x: String) = {
         val n = Window.partitionBy(lit(1))
         base.select(col(x).as("v"), col("c"))

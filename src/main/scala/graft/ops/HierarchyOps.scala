@@ -119,8 +119,10 @@ object HierarchyOps {
   val sqlRecursiveCte: Op = Op(
     "sql_recursive_cte",
     (s, d) => {
-      Tables.customer(s, d).createOrReplaceTempView("customer")
-      Tables.orders(s, d).createOrReplaceTempView("orders")
+      // views via the memoized catalog registrar — hand-rolled
+      // createOrReplaceTempView here would poison the shared views for a
+      // later op in a multi-sf session (the memo would skip re-registering)
+      GraftCatalog.registerAll(s, d)
       s.sql("WITH RECURSIVE chain(node, anc, steps) AS (" +
         "SELECT c_custkey, c_custkey, 0 FROM customer " +
         "UNION ALL SELECT c.node, c.anc div 8, c.steps + 1 FROM chain c WHERE c.anc > 0) " +

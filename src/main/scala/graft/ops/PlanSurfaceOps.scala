@@ -33,31 +33,40 @@ object PlanSurfaceOps {
         min(col("l_partkey")).as("min_partkey"),
         max(col("l_partkey")).as("max_partkey"))
 
+  /** The enabling conf window for parquet DSv2 aggregate pushdown (V2
+    * source selection + `parquet.aggregatePushdown`), set-run-restore.
+    * THE one definition — the op below and PlanShapeSpec's plan assertion
+    * both run inside it, so the pinned plan is always the configuration
+    * the op actually executes. */
+  private[graft] def withParquetAggPushdown[A](s: SparkSession)(body: => A): A = {
+    val v1Key = "spark.sql.sources.useV1SourceList"
+    val pdKey = "spark.sql.parquet.aggregatePushdown"
+    val v1Prev = s.conf.get(v1Key)
+    val pdPrev = s.conf.get(pdKey)
+    s.conf.set(v1Key, v1Prev.split(",").map(_.trim)
+      .filterNot(_.equalsIgnoreCase("parquet")).mkString(","))
+    s.conf.set(pdKey, "true")
+    try body
+    finally { s.conf.set(v1Key, v1Prev); s.conf.set(pdKey, pdPrev) }
+  }
+
   /** Footer-statistics aggregation: COUNT/MIN/MAX answered by the parquet
     * DSv2 reader from row-group metadata — the "table stats in O(#row
     * groups)" fast path ([[StatsOps.statsCollect]]'s cheap prefix; at 100 TB
     * this is the difference between a stats refresh scanning footers and
     * scanning 100 TB). The session's default V1 parquet path has no
-    * aggregate pushdown, so the op flips the TWO confs that enable it (V2
-    * source selection + `parquet.aggregatePushdown`), materializes the
-    * one-row answer INSIDE that conf window, restores the session, and
-    * returns the staged result — the conf flip can never leak into another
-    * op's planning.
+    * aggregate pushdown, so the op materializes the one-row answer INSIDE
+    * the [[withParquetAggPushdown]] conf window and returns the staged
+    * result — the conf flip can never leak into another op's planning.
     */
   val scanAggPushdown: Op = Op(
     "scan_agg_pushdown",
     (s, d) => {
-      val v1Key = "spark.sql.sources.useV1SourceList"
-      val pdKey = "spark.sql.parquet.aggregatePushdown"
-      val v1Prev = s.conf.get(v1Key)
-      val pdPrev = s.conf.get(pdKey)
       val out = Housekeeping.tempDirBounded("agg_pd",
         Files.createTempDirectory("agg_pd")).toString
-      s.conf.set(v1Key, v1Prev.split(",").map(_.trim)
-        .filterNot(_.equalsIgnoreCase("parquet")).mkString(","))
-      s.conf.set(pdKey, "true")
-      try aggScan(s, d).coalesce(1).write.mode("overwrite").parquet(out)
-      finally { s.conf.set(v1Key, v1Prev); s.conf.set(pdKey, pdPrev) }
+      withParquetAggPushdown(s) {
+        aggScan(s, d).coalesce(1).write.mode("overwrite").parquet(out)
+      }
       s.read.parquet(out)
     },
     Some("SELECT COUNT(*) AS n_rows, MIN(l_orderkey) AS min_orderkey, " +

@@ -72,13 +72,20 @@ object TableManifest {
     s.read.parquet(files.map(_.toString): _*)
   }
 
+  /** File list of the immutable `_manifest-v{N}` snapshot — the ONE parser
+    * of the snapshot wire format (shared by [[readTableAsOf]] and
+    * [[graft.sources.GraftLakeCatalog]]'s `VERSION AS OF` resolution, so a
+    * serialization change cannot silently split the two read paths).
+    * Throws if the version was never committed or was vacuumed away. */
+  def filesAsOf(root: Path, version: Long): Seq[Path] = {
+    val txt = Files.readString(root.resolve(s"_manifest-v$version.json"))
+    """"(/[^"]+)"""".r.findAllMatchIn(txt).map(m => Paths.get(m.group(1))).toList
+  }
+
   /** Snapshot AS OF a past version, from its immutable `_manifest-v{N}`
     * log entry. Valid until [[vacuum]] reclaims the version's files. */
-  def readTableAsOf(s: SparkSession, root: Path, version: Long): DataFrame = {
-    val txt = Files.readString(root.resolve(s"_manifest-v$version.json"))
-    val files = """"(/[^"]+)"""".r.findAllMatchIn(txt).map(_.group(1)).toList
-    s.read.parquet(files: _*)
-  }
+  def readTableAsOf(s: SparkSession, root: Path, version: Long): DataFrame =
+    s.read.parquet(filesAsOf(root, version).map(_.toString): _*)
 
   private val commitLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 

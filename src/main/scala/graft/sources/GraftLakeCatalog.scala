@@ -69,16 +69,20 @@ class GraftLakeCatalog extends TableCatalog {
     parquetTable(ident, TableManifest.read(dir)._2, "")
   }
 
-  /** `SELECT ... FROM t VERSION AS OF v` lands here. */
+  /** `SELECT ... FROM t VERSION AS OF v` lands here. Snapshot parsing is
+    * [[TableManifest.filesAsOf]] — the catalog holds no copy of the wire
+    * format. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
-    val snap = dir.resolve(s"_manifest-v$version.json")
-    if (!Files.exists(snap))
+    if (!Files.exists(dir.resolve(s"_manifest-v$version.json")))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Seq(catalogName, ident.name(), s"version $version"))
-    val txt = Files.readString(snap)
-    val files = """"(/[^"]+)"""".r.findAllMatchIn(txt).map(m => Paths.get(m.group(1))).toList
-    parquetTable(ident, files, s"@v$version")
+    val v = try version.toLong catch {
+      case _: NumberFormatException =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+          Seq(catalogName, ident.name(), s"version $version"))
+    }
+    parquetTable(ident, TableManifest.filesAsOf(dir, v), s"@v$version")
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {

@@ -209,14 +209,8 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("scan_agg_pushdown answers COUNT/MIN/MAX from parquet footers (PushedAggregation)") {
-    val v1Key = "spark.sql.sources.useV1SourceList"
-    val pdKey = "spark.sql.parquet.aggregatePushdown"
-    val v1Prev = spark.conf.get(v1Key)
-    val pdPrev = spark.conf.get(pdKey)
-    spark.conf.set(v1Key, v1Prev.split(",").map(_.trim)
-      .filterNot(_.equalsIgnoreCase("parquet")).mkString(","))
-    spark.conf.set(pdKey, "true")
-    try {
+    // same conf window the op itself runs in — one shared definition
+    PlanSurfaceOps.withParquetAggPushdown(spark) {
       val df = PlanSurfaceOps.aggScan(spark, TestSpark.sf0001)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
@@ -224,7 +218,7 @@ class PlanShapeSpec extends AnyFunSuite {
         p.contains("PushedAggregation: [Count"),
         s"aggregates did not reach the parquet scan:\n$p")
       assert(p.toLowerCase.contains("min(l_orderkey)"), p)
-    } finally { spark.conf.set(v1Key, v1Prev); spark.conf.set(pdKey, pdPrev) }
+    }
   }
 
   test("join_shuffle_hash_hint lands a ShuffledHashJoin (broadcast demotion pinned off)") {
