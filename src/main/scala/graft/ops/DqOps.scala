@@ -111,8 +111,12 @@ object DqOps {
     * an incremental pipeline against a full rebuild. Snapshot B is derived
     * deterministically from the customer table (every 17th key deleted,
     * every 5th rebalanced +10.00, every 23rd re-keyed as an insert), so both
-    * engines diff identical inputs. Balances are DECIMAL(12,2) end to end —
-    * no float cell reaches the change-detection compare or the hasher.
+    * engines diff identical inputs. Balances are DECIMAL(12,2) through the
+    * change-detection compare; the FINAL projection emits them as VARCHAR
+    * because I/D rows leave one side NULL, and NULL cells inside a DECIMAL
+    * column are outside the driver hasher's safe envelope (NULL VARCHAR is
+    * proven safe; decimal→string is deterministic and identical on both
+    * engines, scale preserved: "10.00").
     *
     * Scale notes (100 TB): ONE full-outer sort-merge equi-join on the key —
     * the only shuffle; with both snapshots bucketed on the key (the layout
@@ -137,7 +141,8 @@ object DqOps {
             .when(col("b.k").isNull, "D")
             .when(col("a.bal") =!= col("b.bal") || col("a.seg") =!= col("b.seg"), "U")
             .as("op"),
-          col("a.bal").as("old_bal"), col("b.bal").as("new_bal"))
+          col("a.bal").cast("string").as("old_bal"),
+          col("b.bal").cast("string").as("new_bal"))
         .where(col("op").isNotNull)
         .orderBy("cust_key")
     },
@@ -149,7 +154,7 @@ object DqOps {
       "df AS (SELECT COALESCE(a.k, b.k) AS cust_key, " +
       "CASE WHEN a.k IS NULL THEN 'I' WHEN b.k IS NULL THEN 'D' " +
       "WHEN a.bal <> b.bal OR a.seg <> b.seg THEN 'U' END AS op, " +
-      "a.bal AS old_bal, b.bal AS new_bal " +
+      "CAST(a.bal AS VARCHAR) AS old_bal, CAST(b.bal AS VARCHAR) AS new_bal " +
       "FROM a FULL OUTER JOIN b ON a.k = b.k) " +
       "SELECT cust_key, op, old_bal, new_bal FROM df " +
       "WHERE op IS NOT NULL ORDER BY cust_key"))

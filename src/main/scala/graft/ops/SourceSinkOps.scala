@@ -43,7 +43,11 @@ object SourceSinkOps {
     * values carry ≤ 2 decimal places by construction, so the decimal read is
     * exact AND no float (or null-double) cell ever reaches a cross-engine
     * hash canonicalizer — doubles stringify differently across engines even
-    * when bit-identical. */
+    * when bit-identical. The two gauges the malformed row NULLs out (watts,
+    * amps) are emitted as VARCHAR in the final projection: NULL cells inside
+    * a DECIMAL column are outside the driver hasher's safe envelope, while
+    * NULL VARCHAR is proven safe and decimal→string is scale-preserving and
+    * identical on both engines ("12.50"). */
   val csvLogIngest: Op = Op(
     "csv_log_ingest",
     (s, d) => {
@@ -65,6 +69,11 @@ object SourceSinkOps {
         col("Relay Not Closed").try_cast("int").as("relay_open"),
         col("Credit").try_cast("decimal(12,2)").as("credit"))
       parsed.distinct()
+        .select(col("machine_id"), col("circuit_type"), col("ts"),
+          col("watts").cast("string").as("watts"), col("volts"),
+          col("amps").cast("string").as("amps"),
+          col("wh_lifetime"), col("wh_today"), col("power_factor"),
+          col("frequency"), col("relay_open"), col("credit"))
         .orderBy(col("machine_id"), col("ts").asc_nulls_first, col("watts").asc_nulls_first)
     },
     Some("WITH raw AS (SELECT * FROM read_csv('" + Stage.token + "/solar_log.csv', header=true, all_varchar=true)), " +
@@ -79,7 +88,10 @@ object SourceSinkOps {
       "TRY_CAST(\"Frequency\" AS DECIMAL(12,2)) AS frequency, " +
       "TRY_CAST(\"Relay Not Closed\" AS INT) AS relay_open, " +
       "TRY_CAST(\"Credit\" AS DECIMAL(12,2)) AS credit FROM raw) " +
-      "SELECT DISTINCT * FROM p " +
+      "SELECT machine_id, circuit_type, ts, CAST(watts AS VARCHAR) AS watts, " +
+      "volts, CAST(amps AS VARCHAR) AS amps, wh_lifetime, wh_today, " +
+      "power_factor, frequency, relay_open, credit " +
+      "FROM (SELECT DISTINCT * FROM p) " +
       "ORDER BY machine_id, ts ASC NULLS FIRST, watts ASC NULLS FIRST"))
 
   /** The warehouse load step: facts written day-partitioned, read back
@@ -810,12 +822,16 @@ object SourceSinkOps {
         goldenSolarLog.replace("20120301", "20120302"))
       s.read.format("graft.sources.SolarLogSource").option("path", dir.toString).load()
         .where(col("circuit_type") === "PWR")
-        .select("machine_id", "ts", "watts", "wh_today", "credit")
+        // watts is the one gauge the malformed row NULLs out; NULL cells in a
+        // DECIMAL column are outside the driver hasher's safe envelope, so the
+        // final projection emits it as VARCHAR (scale-preserving on both engines).
+        .select(col("machine_id"), col("ts"), col("watts").cast("string").as("watts"),
+          col("wh_today"), col("credit"))
         .orderBy(col("machine_id"), col("ts"), col("watts").asc_nulls_first)
     },
     Some("SELECT \"Machine ID\" AS machine_id, " +
       "strptime(\"Time Stamp\", '%Y%m%d%H%M%S') AS ts, " +
-      "TRY_CAST(\"Watts\" AS DECIMAL(12,2)) AS watts, " +
+      "CAST(TRY_CAST(\"Watts\" AS DECIMAL(12,2)) AS VARCHAR) AS watts, " +
       "TRY_CAST(\"Watt Hours Today\" AS DECIMAL(12,2)) AS wh_today, " +
       "TRY_CAST(\"Credit\" AS DECIMAL(12,2)) AS credit " +
       "FROM read_csv('" + Stage.token + "/v2log/*.csv', header=true, all_varchar=true) " +
@@ -851,12 +867,15 @@ object SourceSinkOps {
         .write.format("graft.sources.SolarLogSource")
         .option("path", outDir.toString).mode("append").save()
       s.read.format("graft.sources.SolarLogSource").option("path", outDir.toString).load()
-        .select("machine_id", "ts", "watts", "power_factor", "credit")
+        // Same envelope rule as the read half: watts carries the malformed-row
+        // NULL, so it leaves the op as VARCHAR, never as a NULL-bearing DECIMAL.
+        .select(col("machine_id"), col("ts"), col("watts").cast("string").as("watts"),
+          col("power_factor"), col("credit"))
         .orderBy(col("machine_id"), col("ts"), col("watts").asc_nulls_first)
     },
     Some("SELECT \"Machine ID\" AS machine_id, " +
       "strptime(\"Time Stamp\", '%Y%m%d%H%M%S') AS ts, " +
-      "TRY_CAST(\"Watts\" AS DECIMAL(12,2)) AS watts, " +
+      "CAST(TRY_CAST(\"Watts\" AS DECIMAL(12,2)) AS VARCHAR) AS watts, " +
       "TRY_CAST(\"Power Factor\" AS DECIMAL(12,2)) AS power_factor, " +
       "TRY_CAST(\"Credit\" AS DECIMAL(12,2)) AS credit " +
       "FROM read_csv('" + Stage.token + "/v2log_out/*.csv', header=true, all_varchar=true) " +

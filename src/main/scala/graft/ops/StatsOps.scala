@@ -125,8 +125,12 @@ object StatsOps {
     * feature-selection pass over training data) combines into covariance
     * and Pearson r. Everything through the moment sums is pure integer
     * arithmetic on cents — n·Σxy − Σx·Σy and the two variance numerators
-    * are emitted as DECIMAL(38,0) (Σx² alone reaches ~6·10¹⁹ at sf1, past
-    * BIGINT), so the hash compare is exact; the final r = cov/√(varx·vary)
+    * are computed as DECIMAL(38,0) (Σx² alone reaches ~6·10¹⁹ at sf1, past
+    * BIGINT) and EMITTED as VARCHAR on both engines: DECIMAL wider than 18
+    * digits is outside the driver hasher's safe envelope, while the
+    * integer-string rendering is deterministic and identical (no decimal
+    * point at scale 0, same sign handling), so the hash compare stays
+    * exact; the final r = cov/√(varx·vary)
     * is deliberately left to the consumer — it is the ONLY step that needs
     * a float, and these components are mergeable across shards/days exactly
     * like the HLL sketches (sum the sums), which is what a 100 TB stats
@@ -148,20 +152,20 @@ object StatsOps {
             sum(col("y") * col("y")).as("syy"))
           .select(col("l_returnflag"), lit(s"$xc:$yc").as("pair"), col("n"),
             (col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
-              .cast(dec).as("cov_num"),
+              .cast(dec).cast("string").as("cov_num"),
             (col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
-              .cast(dec).as("var_x_num"),
+              .cast(dec).cast("string").as("var_x_num"),
             (col("n").cast(dec) * col("syy") - col("sy") * col("sy"))
-              .cast(dec).as("var_y_num"))
+              .cast(dec).cast("string").as("var_y_num"))
       }.reduce(_.unionAll(_))
         .orderBy("pair", "l_returnflag")
     },
     Some(corrPairs.map { case (xc, yc) =>
       def cents(c: String) = s"CAST(CAST($c AS DECIMAL(12,2)) * 100 AS BIGINT)"
       s"SELECT l_returnflag, '$xc:$yc' AS pair, COUNT(*) AS n, " +
-        "CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DECIMAL(38,0)) AS cov_num, " +
-        "CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DECIMAL(38,0)) AS var_x_num, " +
-        "CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS DECIMAL(38,0)) AS var_y_num " +
+        "CAST(CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DECIMAL(38,0)) AS VARCHAR) AS cov_num, " +
+        "CAST(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DECIMAL(38,0)) AS VARCHAR) AS var_x_num, " +
+        "CAST(CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS DECIMAL(38,0)) AS VARCHAR) AS var_y_num " +
         s"FROM (SELECT l_returnflag, ${cents(xc)} AS x, ${cents(yc)} AS y FROM lineitem) " +
         "GROUP BY l_returnflag"
     }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY pair, l_returnflag")))

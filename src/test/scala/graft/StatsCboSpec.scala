@@ -118,9 +118,12 @@ class StatsCboSpec extends AnyFunSuite {
     val got = graft.ops.StatsOps.statsCorrExact.fn(spark, TestSpark.sf0001)
       .select("l_returnflag", "pair", "n", "cov_num", "var_x_num", "var_y_num")
       .collect()
+      // the moments leave the op as VARCHAR (the >18-digit-DECIMAL hash
+      // envelope rule); the integer-string rendering parses back exactly
       .map(r => (r.getString(0), r.getString(1)) ->
-        (r.getLong(2), r.getDecimal(3).toBigInteger, r.getDecimal(4).toBigInteger,
-          r.getDecimal(5).toBigInteger)).toMap
+        (r.getLong(2), new java.math.BigInteger(r.getString(3)),
+          new java.math.BigInteger(r.getString(4)),
+          new java.math.BigInteger(r.getString(5)))).toMap
     assert(got.nonEmpty)
     for (((xc, yc)) <- graft.ops.StatsOps.corrPairs) {
       val rows = Tables.lineitem(spark, TestSpark.sf0001)
