@@ -640,15 +640,6 @@ object StreamingOps {
     Some("SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt, " + oSum("value") +
       " AS sum_value FROM events GROUP BY 1 ORDER BY day"))
 
-  /** Manifest versions the last `stream_commit_manifest` run committed —
-    * exposed so StreamRestartSpec can assert the run was genuinely
-    * multi-batch (two staged deliveries ⇒ two CAS commits). */
-  @volatile var lastManifestCommits: Long = 0
-
-  /** Table root of the last `stream_commit_manifest` run — exposed so the
-    * spec can replay a batch against it and prove idempotence. */
-  @volatile var lastManifestRoot: java.nio.file.Path = null
-
   /** Idempotent micro-batch publish for [[streamCommitManifest]]: the
     * batch's generation directory is keyed by batchId, so a REPLAYED batch
     * (Structured Streaming's at-least-once foreachBatch contract after a
@@ -720,8 +711,9 @@ object StreamingOps {
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        lastManifestCommits = TableManifest.read(root)._1
-        lastManifestRoot = root
+        // No mutable test hooks: the result reads THROUGH the manifest, so a
+        // spec can recover the table root from the rollup's own inputFiles
+        // (root/gen<batchId>/part-*.parquet) and read the manifest directly.
         TableManifest.readTable(s, root)
           .groupBy(to_date(col("ts")).as("day"))
           .agg(count(lit(1)).as("n_events"),

@@ -99,15 +99,31 @@ object TableManifest {
     * conditional puts, Hive lock manager, REST catalog CAS — the check and
     * the rename must be one atomic step, which a filesystem alone cannot
     * express portably). ManifestCommitSpec races two writers from the same
-    * base to prove exactly-one-wins and version linearity. */
+    * base to prove exactly-one-wins and version linearity.
+    *
+    * Two layers serialize writers: the per-JVM monitor (threads — JVM file
+    * locks are process-scoped, so two threads of one JVM would otherwise
+    * both acquire the OS lock) and an exclusive `java.nio` FileChannel lock
+    * on `_commit.lock` under the table root (processes — two drivers racing
+    * the same table block on the OS lock, so the check-then-rename is
+    * atomic across processes too, and a lost race surfaces as `false`
+    * instead of a silently dropped commit). */
   def commitIfVersion(root: Path, expectedVersion: Long, files: Seq[Path]): Boolean = {
     val lock = commitLocks.computeIfAbsent(
       root.toAbsolutePath.normalize.toString, _ => new Object)
     lock.synchronized {
-      val current =
-        if (Files.exists(root.resolve(fileName))) read(root)._1 else 0L
-      if (current != expectedVersion) false
-      else { commit(root, expectedVersion + 1, files); true }
+      Files.createDirectories(root)
+      val ch = java.nio.channels.FileChannel.open(root.resolve("_commit.lock"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val osLock = ch.lock()
+        try {
+          val current =
+            if (Files.exists(root.resolve(fileName))) read(root)._1 else 0L
+          if (current != expectedVersion) false
+          else { commit(root, expectedVersion + 1, files); true }
+        } finally osLock.release()
+      } finally ch.close()
     }
   }
 

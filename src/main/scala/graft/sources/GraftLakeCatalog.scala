@@ -49,7 +49,16 @@ class GraftLakeCatalog extends TableCatalog {
 
   override def name(): String = catalogName
 
+  /** The warehouse is flat (root/<table>): the only valid namespace is the
+    * empty one. Without this check `cat.bogus_ns.tbl` would silently resolve
+    * to root/tbl and `SHOW TABLES IN cat.anything` would list every table. */
+  private def validNamespace(ns: Array[String]): Boolean = ns.isEmpty
+
   private def tableDir(ident: Identifier) = root.resolve(ident.name())
+
+  private def noSuchTable(ident: Identifier, extra: String*) =
+    throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+      (catalogName +: ident.namespace().toSeq :+ ident.name()) ++ extra)
 
   private def parquetTable(ident: Identifier, files: Seq[java.nio.file.Path],
       versionLabel: String): Table =
@@ -62,10 +71,9 @@ class GraftLakeCatalog extends TableCatalog {
       classOf[ParquetFileFormat])
 
   override def loadTable(ident: Identifier): Table = {
+    if (!validNamespace(ident.namespace())) noSuchTable(ident)
     val dir = tableDir(ident)
-    if (!Files.exists(dir.resolve(TableManifest.fileName)))
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
-        Seq(catalogName, ident.name()))
+    if (!Files.exists(dir.resolve(TableManifest.fileName))) noSuchTable(ident)
     parquetTable(ident, TableManifest.read(dir)._2, "")
   }
 
@@ -73,19 +81,20 @@ class GraftLakeCatalog extends TableCatalog {
     * [[TableManifest.filesAsOf]] — the catalog holds no copy of the wire
     * format. */
   override def loadTable(ident: Identifier, version: String): Table = {
+    if (!validNamespace(ident.namespace())) noSuchTable(ident)
     val dir = tableDir(ident)
     if (!Files.exists(dir.resolve(s"_manifest-v$version.json")))
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
-        Seq(catalogName, ident.name(), s"version $version"))
+      noSuchTable(ident, s"version $version")
     val v = try version.toLong catch {
-      case _: NumberFormatException =>
-        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
-          Seq(catalogName, ident.name(), s"version $version"))
+      case _: NumberFormatException => noSuchTable(ident, s"version $version")
     }
     parquetTable(ident, TableManifest.filesAsOf(dir, v), s"@v$version")
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!validNamespace(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        catalogName +: namespace.toSeq)
     if (!Files.exists(root)) return Array.empty
     val s = Files.list(root)
     try {
@@ -98,7 +107,8 @@ class GraftLakeCatalog extends TableCatalog {
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    Files.exists(tableDir(ident).resolve(TableManifest.fileName))
+    validNamespace(ident.namespace()) &&
+      Files.exists(tableDir(ident).resolve(TableManifest.fileName))
 
   private def readOnly(op: String) = throw new UnsupportedOperationException(
     s"$catalogName is read-only: tables are published by graft's manifest " +

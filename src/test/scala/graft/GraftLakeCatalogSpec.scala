@@ -45,4 +45,15 @@ class GraftLakeCatalogSpec extends AnyFunSuite {
       e.getCause != null && e.getCause.getMessage.toLowerCase.contains("read-only"),
       s"unexpected mutation failure: ${e.getMessage}")
   }
+
+  test("catalog: namespaces are rejected — the warehouse is flat") {
+    assert(SourceSinkOps.sqlCatalogTimeTravel.fn(spark, TestSpark.sf0001).collect().length == 3)
+    val cat = s"graft_lake_${Stage.root(TestSpark.sf0001).split('/').last}"
+    // a bogus namespace must NOT silently resolve to the flat table dir
+    intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.bogus_ns.customers_tt").collect())
+    // SHOW TABLES IN an unknown namespace must fail, not list everything
+    intercept[Exception](
+      spark.sql(s"SHOW TABLES IN $cat.bogus_ns").collect())
+  }
 }

@@ -102,16 +102,23 @@ class StreamRestartSpec extends AnyFunSuite {
   }
 
   test("stream_commit_manifest publishes each micro-batch as one CAS manifest commit") {
-    val out = graft.ops.StreamingOps.streamCommitManifest
-      .fn(spark, TestSpark.sf0001).collect()
-    assert(out.nonEmpty)
-    assert(graft.ops.StreamingOps.lastManifestCommits == 2,
+    val df = graft.ops.StreamingOps.streamCommitManifest.fn(spark, TestSpark.sf0001)
+    assert(df.collect().nonEmpty)
+    // No mutable hooks on the op: the rollup reads THROUGH the manifest, so
+    // its own inputFiles are root/gen<batchId>/part-*.parquet — recover the
+    // table root from the scan and read the manifest directly.
+    val inputs = df.inputFiles
+    assert(inputs.nonEmpty, "manifest rollup exposes no input files")
+    val f = inputs.head
+    val part = if (f.startsWith("file:")) java.nio.file.Paths.get(new java.net.URI(f))
+      else java.nio.file.Paths.get(f)
+    val root = part.getParent.getParent
+    assert(graft.ops.TableManifest.read(root)._1 == 2,
       s"expected one manifest version per staged delivery (2), " +
-        s"got ${graft.ops.StreamingOps.lastManifestCommits}")
+        s"got ${graft.ops.TableManifest.read(root)._1}")
 
     // at-least-once replay: re-publishing an already-committed batchId must
     // be a no-op — same version, same live file set, no rewritten files
-    val root = graft.ops.StreamingOps.lastManifestRoot
     val before = graft.ops.TableManifest.read(root)
     import spark.implicits._
     graft.ops.StreamingOps.publishBatch(root, 0,

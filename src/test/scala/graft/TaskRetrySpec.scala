@@ -9,8 +9,10 @@ import graft.tables.Tables
 /** Fault-injection rehearsal for the cluster claim every op's scale notes
   * lean on: a failed-and-retried task must re-derive EXACTLY the rows its
   * first attempt would have produced, or partial aggregation double-counts /
-  * drops data silently. The suite's session allows one retry
-  * (`local[4, 2]` — TestSpark), a poison expression kills the first attempt
+  * drops data silently. The rehearsal runs in its OWN `local[4, 2]`
+  * (maxFailures=2) session via [[TestSpark.retrySession]] — the shared
+  * suite session stays at `local[4]` so a silent retry can never mask
+  * flakiness in other specs. A poison expression kills the first attempt
   * of one scan task mid-stream (AFTER emitting some rows — the torn-output
   * case retries must discard), and the result must be bit-identical to the
   * clean run. This holds because every graft plan is deterministic under
@@ -18,9 +20,8 @@ import graft.tables.Tables
   * aggregation buffers (SURVEY.md §7.2) — the properties this spec pins.
   */
 class TaskRetrySpec extends AnyFunSuite {
-  private lazy val spark = TestSpark.spark
 
-  private def aggregate(poison: Boolean) = {
+  private def aggregate(spark: org.apache.spark.sql.SparkSession, poison: Boolean) = {
     val killer = udf((x: Double, emitted: Long) => {
       val tc = org.apache.spark.TaskContext.get()
       // fail partition 0's FIRST attempt only, after it has emitted 100 rows
@@ -42,12 +43,14 @@ class TaskRetrySpec extends AnyFunSuite {
   }
 
   test("a mid-stream task failure retries to a bit-identical aggregate") {
-    val clean = aggregate(poison = false)
-    TaskRetrySpec.fired.set(false)
-    val retried = aggregate(poison = true)
-    assert(TaskRetrySpec.fired.get, "poison did not fire — the rehearsal proved nothing")
-    assert(retried == clean,
-      s"retry changed the result:\n clean=$clean\n retried=$retried")
+    TestSpark.retrySession { spark =>
+      val clean = aggregate(spark, poison = false)
+      TaskRetrySpec.fired.set(false)
+      val retried = aggregate(spark, poison = true)
+      assert(TaskRetrySpec.fired.get, "poison did not fire — the rehearsal proved nothing")
+      assert(retried == clean,
+        s"retry changed the result:\n clean=$clean\n retried=$retried")
+    }
   }
 }
 
