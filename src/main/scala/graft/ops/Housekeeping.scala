@@ -60,6 +60,33 @@ object Housekeeping {
     path
   }
 
+  /** Root for DISPOSABLE scratch (staged stream sources, checkpoints, sink
+    * dirs read back within this process): a memory-backed filesystem when one
+    * is mounted, else java.io.tmpdir. Streaming checkpoints fsync every
+    * micro-batch; on this box /tmp is ext4, so those fsyncs hit disk for
+    * state that is deleted seconds later. None of this scratch has a
+    * durability requirement — on a cluster, checkpoint dirs point at durable
+    * shared storage via the normal `checkpointLocation` option and this
+    * helper is simply not used for them. Override with SPARK_GRAFT_SCRATCH;
+    * set it to a disk path to reproduce disk-backed timings. */
+  private val scratchRoot: Option[Path] = {
+    val candidate = sys.env.get("SPARK_GRAFT_SCRATCH")
+      .orElse(Some("/dev/shm").filter(d => Files.isWritable(java.nio.file.Paths.get(d))))
+    candidate.flatMap { d =>
+      try {
+        val root = java.nio.file.Paths.get(d, "graft-scratch")
+        Files.createDirectories(root)
+        Some(root)
+      } catch { case NonFatal(_) => None }
+    }
+  }
+
+  /** createTempDirectory on the memory-backed scratch root when available. */
+  def scratchDir(prefix: String): Path = scratchRoot match {
+    case Some(root) => Files.createTempDirectory(root, prefix)
+    case None => Files.createTempDirectory(prefix)
+  }
+
   def deleteRecursively(p: Path): Unit = bestEffort {
     if (Files.exists(p)) {
       val walk = Files.walk(p)

@@ -41,7 +41,7 @@ object StreamingOps {
     * SQL. If staging ever becomes multi-file, files must be ordered so event
     * time is monotone non-decreasing across batches. */
   private def eventStream(s: SparkSession, d: String): (DataFrame, java.nio.file.Path) = {
-    val srcDir = Files.createTempDirectory("st_src")
+    val srcDir = Housekeeping.scratchDir("st_src")
     Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
       srcDir.resolve("events.parquet"))
     val df = s.readStream.schema(graft.tables.Tables.rawEventsSchema).parquet(srcDir.toString)
@@ -50,7 +50,7 @@ object StreamingOps {
   }
 
   private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+    Housekeeping.scratchDir(prefix).toString
 
   /** Streaming state-store partition sizing. A stateful query creates one
     * state store (with per-micro-batch checkpoint files + fsyncs) per shuffle
@@ -104,7 +104,7 @@ object StreamingOps {
     "stream_dedup",
     (s, d) => {
       val out = Housekeeping.tempDirBounded("st_dedup_out",
-        Files.createTempDirectory("st_dedup_out")).toString
+        Housekeeping.scratchDir("st_dedup_out")).toString
       val (src, srcDir) = eventStream(s, d)
       val ckpt = tmp("st_dedup_ckpt")
       withStatePartitions(s, 8) { cleanupAfter(Seq(srcDir.toString, ckpt)) {
@@ -174,7 +174,7 @@ object StreamingOps {
       def t(str: String) = java.sql.Timestamp.valueOf(str)
       val input = MemoryStream[(Long, java.sql.Timestamp)]
       val out = Housekeeping.tempDirBounded("st_late_out",
-        Files.createTempDirectory("st_late_out")).toString
+        Housekeeping.scratchDir("st_late_out")).toString
       val ckpt = tmp("ckpt_late")
       withStatePartitions(s, 8) {
       val q = input.toDF().toDF("event_id", "ts")
@@ -226,7 +226,7 @@ object StreamingOps {
     "stream_join_follows",
     (s, d) => {
       val out = Housekeeping.tempDirBounded("st_join_out",
-        Files.createTempDirectory("st_join_out")).toString
+        Housekeeping.scratchDir("st_join_out")).toString
       // each side of a stream-stream join is its own stream with its own
       // watermark; they can tail the SAME staged landing directory (two
       // independent file-source readers — exactly the production layout
@@ -318,7 +318,7 @@ object StreamingOps {
       implicit val rowEnc: Encoder[(Long, Double)] =
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
       val out = Housekeeping.tempDirBounded("st_state_out",
-        Files.createTempDirectory("st_state_out")).toString
+        Housekeeping.scratchDir("st_state_out")).toString
       val (src, srcDir) = eventStream(s, d)
       val ckpt = tmp("ckpt_state")
       withStatePartitions(s, 8) { cleanupAfter(Seq(srcDir.toString, ckpt)) {
@@ -401,7 +401,7 @@ object StreamingOps {
       implicit val rowEnc: Encoder[(Long, Double)] =
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
       val out = Housekeeping.tempDirBounded("st_tws_out",
-        Files.createTempDirectory("st_tws_out")).toString
+        Housekeeping.scratchDir("st_tws_out")).toString
       val (src, srcDir) = eventStream(s, d)
       val ckpt = tmp("ckpt_tws")
       val providerKey = "spark.sql.streaming.stateStore.providerClass"
@@ -437,7 +437,7 @@ object StreamingOps {
     * moved in so each staged delivery is exactly one file = one micro-batch
     * under AvailableNow). Exposed for StreamRestartSpec. */
   def stageDelivery(df: DataFrame, srcDir: java.nio.file.Path, name: String): Unit = {
-    val tmpD = Files.createTempDirectory("st_stage")
+    val tmpD = Housekeeping.scratchDir("st_stage")
     df.coalesce(1).write.mode("overwrite").parquet(tmpD.toString)
     val part = {
       val walk = Files.walk(tmpD)
@@ -472,8 +472,8 @@ object StreamingOps {
     "stream_restart_exactly_once",
     (s, d) => {
       val out = Housekeeping.tempDirBounded("st_restart_out",
-        Files.createTempDirectory("st_restart_out")).toString
-      val srcDir = Files.createTempDirectory("st_restart_src")
+        Housekeeping.scratchDir("st_restart_out")).toString
+      val srcDir = Housekeeping.scratchDir("st_restart_src")
       val ckpt = tmp("st_restart_ckpt")
       // split point computed on epoch-micros longs (exact integer midpoint;
       // the NTZ→LTZ cast is value-identical under the pinned UTC session)
@@ -539,8 +539,8 @@ object StreamingOps {
     "stream_upsert_foreachbatch",
     (s, d) => {
       val outRoot = Housekeeping.tempDirBounded("st_upsert_out",
-        Files.createTempDirectory("st_upsert_out")).toString
-      val srcDir = Files.createTempDirectory("st_upsert_src")
+        Housekeeping.scratchDir("st_upsert_out")).toString
+      val srcDir = Housekeeping.scratchDir("st_upsert_src")
       val ckpt = tmp("st_upsert_ckpt")
       val raw = s.read.schema(graft.tables.Tables.rawEventsSchema)
         .parquet(s"$d/events.parquet")
@@ -616,7 +616,7 @@ object StreamingOps {
       val batchHalf = raw.where(to_date(col("ts")) < lit(cutDay))
         .groupBy(to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
-      val srcDir = Files.createTempDirectory("st_backfill_src")
+      val srcDir = Housekeeping.scratchDir("st_backfill_src")
       val ckpt = tmp("st_backfill_ckpt")
       withStatePartitions(s, 8) { cleanupAfter(Seq(srcDir.toString, ckpt)) {
         stageDelivery(raw.where(to_date(col("ts")) >= lit(cutDay))
@@ -689,8 +689,8 @@ object StreamingOps {
     "stream_commit_manifest",
     (s, d) => {
       val root = java.nio.file.Paths.get(Housekeeping.tempDirBounded("st_manifest",
-        Files.createTempDirectory("st_manifest")).toString)
-      val srcDir = Files.createTempDirectory("st_manifest_src")
+        Housekeeping.scratchDir("st_manifest")).toString)
+      val srcDir = Housekeeping.scratchDir("st_manifest_src")
       val ckpt = tmp("st_manifest_ckpt")
       val raw = s.read.schema(graft.tables.Tables.rawEventsSchema)
         .parquet(s"$d/events.parquet")
@@ -750,7 +750,7 @@ object StreamingOps {
     "stream_join_left_outer",
     (s, d) => {
       val out = Housekeeping.tempDirBounded("st_ljoin_out",
-        Files.createTempDirectory("st_ljoin_out")).toString
+        Housekeeping.scratchDir("st_ljoin_out")).toString
       val (srcP, dirP) = eventStream(s, d)
       val srcF = s.readStream.schema(graft.tables.Tables.rawEventsSchema)
         .parquet(dirP.toString)
