@@ -39,6 +39,37 @@ object LlmOps {
     Some("SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) - 1 AS n_dups " +
       "FROM documents GROUP BY 1 ORDER BY h"))
 
+  /** Order-insensitive exact dedup: the dedup key is the hash of the SORTED
+    * token multiset (bag of words), so documents that differ only by word
+    * order — shuffled scrapes, re-serialized field orders — collapse into one
+    * group where byte-exact dedup sees distinct texts. The raw corpus has no
+    * bag-duplicates, so the op derives its own adversarial input the way the
+    * incremental ops derive their deltas: every doc_id ≡ 0 mod 7 also
+    * contributes a word-REVERSED copy (doc_id + 1 000 000) — each such copy
+    * must collapse onto its original (keep = min doc_id = the original),
+    * which the oracle proves group by group.
+    *
+    * Scale notes (100 TB): identical shape to [[dedupExact]] — per-row
+    * sort+hash in the scan projection (token sort is per-doc CPU, no
+    * shuffle), then one two-phase groupBy on the 16-byte bag hash. */
+  val dedupBagOfWords: Op = Op(
+    "dedup_bag_of_words",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val scrambled = docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(reverse(split(col("text"), " ")), " ").as("text"))
+      docs.unionAll(scrambled)
+        .groupBy(md5(array_join(array_sort(split(col("text"), " ")), " ")).as("bag_h"))
+        .agg(min(col("doc_id")).as("keep_id"), (count(lit(1)) - 1).as("n_dups"))
+        .orderBy("bag_h")
+    },
+    Some("WITH u AS (SELECT doc_id, text FROM documents UNION ALL " +
+      "SELECT doc_id + 1000000, array_to_string(list_reverse(string_split(text, ' ')), ' ') " +
+      "FROM documents WHERE doc_id % 7 = 0) " +
+      "SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS bag_h, " +
+      "MIN(doc_id) AS keep_id, COUNT(*) - 1 AS n_dups FROM u GROUP BY 1 ORDER BY bag_h"))
+
   /** Incremental snapshot dedup — the shape a standing 100 TB corpus
     * actually runs: a small DELTA of new uploads (here doc_id ≡ 0 mod 5, the
     * "new snapshot") checked against the big standing CORPUS (the rest), not
@@ -1489,7 +1520,7 @@ object LlmOps {
       "FROM p JOIN sz ON sz.doc_id = doc_a " +
       "WHERE (100 * inter) // sz.na >= 80 ORDER BY doc_a, doc_b"))
 
-  val all: Seq[Op] = Seq(dedupExact, dedupIncrementalExact, dedupNearMinhash,
+  val all: Seq[Op] = Seq(dedupExact, dedupBagOfWords, dedupIncrementalExact, dedupNearMinhash,
     dedupIncrementalMinhash, dedupSimhash,
     dedupNgramJaccard, dedupClusterKeep, dedupDecontaminate, dedupEmbeddingCosine,
     dedupContainment, dedupSubstringSpans, dedupSubstringTrim,

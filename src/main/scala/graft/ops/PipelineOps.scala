@@ -411,6 +411,56 @@ object PipelineOps {
       oSum("n_chars") + " AS sum_chars " +
       "FROM clean GROUP BY 1 ORDER BY split"))
 
+  /** Temperature-scaled mixture resampling (the UNIMAX / multilingual-LM
+    * recipe): each source's share of a global character budget is
+    * proportional to chars_s^(1/2) — temperature flattening with α = 0.5 —
+    * so heavy sources are down-weighted and light sources over-represented
+    * relative to natural frequency. Everything is exact integer arithmetic:
+    * the only float op is sqrt (IEEE correctly-rounded, floored to BIGINT on
+    * both engines), weights/quotas are integer products and divisions, and
+    * each source fills its character quota in content-keyed order
+    * (md5(text), doc_id cumulative n_chars ≤ quota) — deterministic EXACT
+    * budget landing, not a rate sampler. α is the temperature knob: 1 is
+    * natural frequency, 0 is uniform; 1/2 is spelled as sqrt so there is no
+    * libm pow() in the hash surface (pow is not correctly rounded and may
+    * differ between engines in the last ulp).
+    *
+    * Scale notes (100 TB): two tiny aggregates (rows = #sources, broadcast
+    * back) + ONE window shuffle partitioned by source for the cumulative
+    * fill — same single-shuffle shape as [[sampleMixtureQuota]]; a dominant
+    * source gets the salt-then-restitch treatment if its stratum skews. */
+  val sampleTemperature: Op = Op(
+    "sample_temperature",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val mass = docs.groupBy("source").agg(sum(col("n_chars")).as("chars_s"))
+        .withColumn("w", floor(sqrt(col("chars_s").cast("double"))).cast("long"))
+      val totals = mass.agg(sum(col("w")).as("tot_w"), sum(col("chars_s")).as("tot_chars"))
+      val quota = mass.crossJoin(broadcast(totals))
+        .select(col("source"), expr("((tot_chars div 2) * w) div tot_w").as("quota"))
+      val win = Window.partitionBy("source").orderBy(col("u"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.select(col("doc_id"), col("source"), col("n_chars"), md5(col("text")).as("u"))
+        .withColumn("cum_chars", sum(col("n_chars")).over(win))
+        .join(broadcast(quota), "source")
+        .where(col("cum_chars") <= col("quota"))
+        .select(col("doc_id"), col("source"), col("cum_chars"))
+        .orderBy("doc_id")
+    },
+    Some("WITH m AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars_s " +
+      "FROM documents GROUP BY 1), " +
+      "mw AS (SELECT source, chars_s, " +
+      "CAST(floor(sqrt(CAST(chars_s AS DOUBLE))) AS BIGINT) AS w FROM m), " +
+      "t AS (SELECT CAST(SUM(w) AS BIGINT) AS tot_w, " +
+      "CAST(SUM(chars_s) AS BIGINT) AS tot_chars FROM mw), " +
+      "q AS (SELECT source, ((tot_chars // 2) * w) // tot_w AS quota FROM mw, t), " +
+      "r AS (SELECT doc_id, source, CAST(SUM(n_chars) OVER (PARTITION BY source " +
+      "ORDER BY md5(text), doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+      "AS BIGINT) AS cum_chars FROM documents) " +
+      "SELECT r.doc_id, r.source, r.cum_chars FROM r JOIN q USING (source) " +
+      "WHERE cum_chars <= quota ORDER BY doc_id"))
+
   /** Quota-balanced mixture sampling — the "data mixing" step of a training
     * corpus build: every source stratum is capped at 3/4 of the SMALLEST
     * stratum's size (equal representation with guaranteed thinning — on a
@@ -565,6 +615,6 @@ object PipelineOps {
 
   val all: Seq[Op] = Seq(sampleStratified, splitTrainValTest, packSequences, embedQuantizeInt8,
     pipelineCorpusBuild, sampleReservoirGroup, sampleWeightedHash, embedGramExact,
-    sampleMixtureQuota, pipelineIncrementalUpdate, idsDenseAssign, featureOnehotEncode,
-    featureScaleMinmax)
+    sampleMixtureQuota, sampleTemperature, pipelineIncrementalUpdate, idsDenseAssign,
+    featureOnehotEncode, featureScaleMinmax)
 }

@@ -95,5 +95,60 @@ object SqlSurfaceOps {
       "AND c_mktsegment = 'BUILDING' " +
       "GROUP BY o_orderpriority ORDER BY o_orderpriority"))
 
-  val all: Seq[Op] = Seq(sqlUdfScalarInline, sqlTableFunction, sqlParameterized)
+  /** SQL PIPE syntax (Spark 4.x `|>` operators): the linear
+    * filter → aggregate → filter → order spelling of a query, where each
+    * stage consumes the previous stage's output shape — the authoring
+    * surface that makes multi-stage analytics read like the dataflow it is
+    * (and composes with AGGREGATE's post-aggregation filtering without a
+    * HAVING/WHERE distinction). The parser desugars pipes into the SAME
+    * logical plan as the nested spelling — the oracle is that nested
+    * spelling, so the hash match proves desugaring equivalence, and
+    * Catalyst's pushdown/codegen see nothing new. */
+  val sqlPipeSyntax: Op = Op(
+    "sql_pipe_syntax",
+    (s, d) => {
+      GraftCatalog.registerAll(s, d)
+      s.sql("FROM lineitem " +
+        "|> WHERE l_quantity < 25 " +
+        "|> AGGREGATE COUNT(*) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price " +
+        "GROUP BY l_returnflag " +
+        "|> WHERE n > 100 " +
+        "|> ORDER BY l_returnflag")
+    },
+    Some("SELECT * FROM (SELECT l_returnflag, COUNT(*) AS n, " +
+      "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price " +
+      "FROM lineitem WHERE l_quantity < 25 GROUP BY l_returnflag) " +
+      "WHERE n > 100 ORDER BY l_returnflag"))
+
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — top-n-per-group
+    * spelled the way SQL authors write it ("for each nation, its 2 richest
+    * customers") instead of the window-function idiom. Catalyst plans the
+    * correlated limit as a per-group sort under a join, which is the same
+    * physical work as `window_topk_per_group`'s rank filter — the oracle IS
+    * the window spelling, so the hash match proves the two idioms
+    * equivalent, ties broken deterministically by the full (acctbal DESC,
+    * name, custkey) order on both paths. */
+  val sqlLateralTopn: Op = Op(
+    "sql_lateral_topn",
+    (s, d) => {
+      GraftCatalog.registerAll(s, d)
+      s.sql("SELECT n.n_name, t.c_name, t.c_acctbal " +
+        "FROM nation n JOIN LATERAL (" +
+        "SELECT c_name, c_acctbal FROM customer " +
+        "WHERE c_nationkey = n.n_nationkey " +
+        "ORDER BY c_acctbal DESC, c_name, c_custkey LIMIT 2) t " +
+        "ORDER BY n.n_name, t.c_acctbal DESC, t.c_name")
+    },
+    Some("WITH r AS (SELECT n_name, c_name, c_acctbal, " +
+      "row_number() OVER (PARTITION BY c_nationkey " +
+      "ORDER BY c_acctbal DESC, c_name, c_custkey) AS rn " +
+      "FROM customer JOIN nation ON c_nationkey = n_nationkey) " +
+      "SELECT n_name, c_name, c_acctbal FROM r WHERE rn <= 2 " +
+      "ORDER BY n_name, c_acctbal DESC, c_name"))
+
+  val all: Seq[Op] = Seq(sqlUdfScalarInline, sqlTableFunction, sqlParameterized,
+    sqlPipeSyntax, sqlLateralTopn)
 }

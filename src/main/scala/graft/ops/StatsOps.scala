@@ -361,6 +361,54 @@ object StatsOps {
       "(((syd - (cov / vx) * sxd) / CAST(n AS DOUBLE)) / 100.0) AS intercept, " +
       "((cov * cov) / (vx * vy)) AS r2 FROM m ORDER BY l_returnflag"))
 
+  /** Chi-squared independence test between two categorical columns
+    * (lang × source) — the drift/association check a data platform runs on
+    * every pair of segmentation dimensions. Per cell: observed count o,
+    * contribution (o·N − r·c)² / (r·c·N) computed in ONE fixed double
+    * expression from exact integer counts, then floor-scaled to an e9
+    * BIGINT — so the GRAND TOTAL row (the statistic itself) is an exact
+    * integer sum, free of float-accumulation order. The total row carries
+    * NULL lang/source (nullable VARCHAR, inside the driver's proven-safe
+    * hash envelope — see HashEnvelopeSpec).
+    *
+    * Scale notes (100 TB): three two-phase count aggregates (cells, row
+    * marginals, column marginals) + one scalar count, joined with the
+    * marginals BROADCAST (their cardinality is the dimension cardinality,
+    * not the data) — the data is scanned once and shuffles only cell keys. */
+  val statsChi2Independence: Op = Op(
+    "stats_chi2_independence",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      val rowM = docs.groupBy("lang").agg(count(lit(1)).as("r"))
+      val colM = docs.groupBy("source").agg(count(lit(1)).as("c"))
+      val tot = docs.agg(count(lit(1)).as("n"))
+      val num = (col("o") * col("n") - col("r") * col("c")).cast(DoubleType)
+      val contrib = num * num / (col("r") * col("c")).cast(DoubleType) / col("n").cast(DoubleType)
+      val perCell = cells.join(broadcast(rowM), "lang").join(broadcast(colM), "source")
+        .crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("o"),
+          floor(contrib * lit(1.0e9)).cast("long").as("contrib_e9"))
+      val total = perCell.agg(sum(col("o")).as("o"), sum(col("contrib_e9")).as("contrib_e9"))
+        .select(lit(null).cast("string").as("lang"), lit(null).cast("string").as("source"),
+          col("o"), col("contrib_e9"))
+      perCell.unionAll(total)
+        .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last)
+    },
+    Some("WITH cells AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o " +
+      "FROM documents GROUP BY 1, 2), " +
+      "rm AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS r FROM documents GROUP BY 1), " +
+      "cm AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY 1), " +
+      "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents), " +
+      "k AS (SELECT cells.lang, cells.source, o, CAST(floor(" +
+      "CAST(o * n - rm.r * cm.c AS DOUBLE) * CAST(o * n - rm.r * cm.c AS DOUBLE) " +
+      "/ CAST(rm.r * cm.c AS DOUBLE) / CAST(n AS DOUBLE) * 1.0e9) AS BIGINT) AS contrib_e9 " +
+      "FROM cells JOIN rm USING (lang) JOIN cm USING (source), t) " +
+      "SELECT lang, source, o, contrib_e9 FROM k " +
+      "UNION ALL SELECT NULL, NULL, CAST(SUM(o) AS BIGINT), CAST(SUM(contrib_e9) AS BIGINT) " +
+      "FROM k ORDER BY lang NULLS LAST, source NULLS LAST"))
+
   val all: Seq[Op] = Seq(statsCollect, statsHistogram, statsCorrExact,
-    statsCountminEstimate, statsBottomkQuantiles, statsLinregCoeffs)
+    statsCountminEstimate, statsBottomkQuantiles, statsLinregCoeffs,
+    statsChi2Independence)
 }

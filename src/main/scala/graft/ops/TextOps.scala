@@ -486,7 +486,107 @@ object TextOps {
       "SELECT doc_id, chunk_idx, len(cw) AS n_words, " +
       "md5(array_to_string(cw, ' ')) AS chunk_hash FROM c ORDER BY doc_id, chunk_idx"))
 
+  /** Gopher-style intra-document repetition signals — the quality family
+    * that catches boilerplate/spam BEFORE any cross-document dedup runs:
+    * distinct-word fraction, most-frequent-word fraction, and the fraction
+    * of word-bigram occurrences that are repeats within the same document.
+    * (The published rules also use duplicate line/paragraph fractions; this
+    * corpus is single-line, so the word/n-gram members of the family are the
+    * live ones.) Fractions are ONE IEEE division of exact integer counts per
+    * document — no float accumulation anywhere.
+    *
+    * Scale notes (100 TB): per-document only — explode → two-phase partial
+    * aggregate keyed by (doc, token), then a (doc)-keyed rollup; shuffle
+    * rows ∝ distinct tokens per doc, never cross-document. The bigram side
+    * reuses the same shape. Nothing here is corpus-global, so the op
+    * pipelines with the scan at any width. */
+  val textRepetitionStats: Op = Op(
+    "text_repetition_stats",
+    (s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val wordAgg = base.select(col("doc_id"), explode(col("ws")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum("c").as("n_words"), count(lit(1)).as("n_distinct"), max("c").as("top_c"))
+      val bgAgg = base.select(col("doc_id"),
+          explode(expr("zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), " +
+            "(x, y) -> concat(x, ' ', y))")).as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_bg"), sum("c").as("n_bg"))
+      wordAgg.join(bgAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"), col("n_distinct"),
+          (col("n_distinct").cast("double") / col("n_words")).as("distinct_frac"),
+          (col("top_c").cast("double") / col("n_words")).as("top_word_frac"),
+          when(coalesce(col("n_bg"), lit(0L)) > 0,
+            col("dup_bg").cast("double") / col("n_bg")).otherwise(lit(0.0)).as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    },
+    Some("WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), " +
+      "wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2), " +
+      "wa AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_c " +
+      "FROM wc GROUP BY 1), " +
+      "l AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+      "bg AS (SELECT doc_id, ws[g.i] || ' ' || ws[g.i + 1] AS b " +
+      "FROM l, LATERAL (SELECT unnest(range(1, len(ws))) AS i) g), " +
+      "bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2), " +
+      "ba AS (SELECT doc_id, CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_bg, " +
+      "CAST(SUM(c) AS BIGINT) AS n_bg FROM bc GROUP BY 1) " +
+      "SELECT wa.doc_id, n_words, n_distinct, " +
+      "CAST(n_distinct AS DOUBLE) / n_words AS distinct_frac, " +
+      "CAST(top_c AS DOUBLE) / n_words AS top_word_frac, " +
+      "CASE WHEN COALESCE(n_bg, 0) > 0 THEN CAST(dup_bg AS DOUBLE) / n_bg ELSE 0.0 END " +
+      "AS dup_bigram_frac " +
+      "FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id ORDER BY wa.doc_id"))
+
+  /** Word-statistics quality rules (the Gopher/RefinedWeb shape): word-count
+    * bounds, mean word length band, and a stopword-presence floor, emitted
+    * as keep + reasons. Mean word length needs NO tokenization pass — on a
+    * single-space corpus it is (length(text) − (n_words − 1)) / n_words,
+    * all from the scan row itself; only the stopword probe touches the token
+    * array, via a lambda filter (codegen'd HOF, no explode, no shuffle).
+    *
+    * Scale notes (100 TB): entirely scan-local — the whole op is one
+    * projection inside whole-stage codegen; the terminal sort is
+    * presentation-only. This is the filter you run FIRST at scale, before
+    * anything that shuffles. */
+  val textGopherQuality: Op = Op(
+    "text_gopher_quality",
+    (s, d) => {
+      val MinWords = 24
+      val MaxWords = 90
+      val ws = split(col("text"), " ")
+      val nWords = size(ws).cast("long")
+      val wordChars = length(col("text")).cast("long") - (nWords - 1)
+      val meanLen = wordChars.cast("double") / nWords
+      val stopHits = size(filter(ws, w => w === "the" || w === "a")).cast("long")
+      val badCount = nWords < MinWords || nWords > MaxWords
+      val badMean = meanLen < 3.0 || meanLen > 10.0
+      val badStop = stopHits < 1
+      Tables.documents(s, d)
+        .select(col("doc_id"), nWords.as("n_words"), meanLen.as("mean_word_len"),
+          stopHits.as("stop_hits"), (!badCount && !badMean && !badStop).as("keep"),
+          concat_ws(",", when(badCount, "count"), when(badMean, "meanlen"),
+            when(badStop, "stop")).as("reasons"))
+        .orderBy("doc_id")
+    },
+    Some("SELECT doc_id, n_words, mean_word_len, stop_hits, " +
+      "NOT (bad_count OR bad_mean OR bad_stop) AS keep, " +
+      "concat_ws(',', CASE WHEN bad_count THEN 'count' END, " +
+      "CASE WHEN bad_mean THEN 'meanlen' END, CASE WHEN bad_stop THEN 'stop' END) AS reasons " +
+      "FROM (SELECT doc_id, n_words, mean_word_len, stop_hits, " +
+      "(n_words < 24 OR n_words > 90) AS bad_count, " +
+      "(mean_word_len < 3.0 OR mean_word_len > 10.0) AS bad_mean, " +
+      "(stop_hits < 1) AS bad_stop FROM " +
+      "(SELECT doc_id, n_words, " +
+      "CAST(length(text) - (n_words - 1) AS DOUBLE) / n_words AS mean_word_len, " +
+      "CAST(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS BIGINT) " +
+      "AS stop_hits FROM " +
+      "(SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words " +
+      "FROM documents))) ORDER BY doc_id"))
+
   val all: Seq[Op] = Seq(textLangId, textTokenStats, textFingerprint, textBpePairs,
     textBpeApply, textHeavyHitters, textPiiScrub, textTfidfTopk, textNgramLm,
-    textChunkOverlap, textLmScoreFilter)
+    textChunkOverlap, textLmScoreFilter, textRepetitionStats, textGopherQuality)
 }
