@@ -265,6 +265,52 @@ object AnalyticsOps {
       "WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating' " +
       "ELSE 'regular' END AS tier FROM sc ORDER BY cust_key"))
 
+  /** Linear multi-touch attribution — each purchase's value is split EQUALLY
+    * across the user's click events in the 7 days before it (the
+    * complement of [[graft.ops.JoinOps]]' first-touch winner-takes-all).
+    * Credit is exact integer micro-dollars: purchase value → cents BIGINT
+    * (via the Dets decimal pin), ×10⁴, floor-divided by the purchase's
+    * click count — so per-click credit sums are exact and order-free, and
+    * the floor remainder (sub-micro-dollar) is the documented truncation,
+    * not float drift.
+    *
+    * Scale notes (100 TB): clicks⨝purchases is an equi-join on user_id with
+    * a 7-day band predicate — one shuffle keyed by user, pair count bounded
+    * by events-per-user-week (the same bounded-band shape as `join_asof`).
+    * The per-purchase click count is a window over the pair set partitioned
+    * by purchase — no second pass over the raw events. */
+  val analyticsAttributionLinear: Op = Op(
+    "analytics_attribution_linear",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"),
+          (Dets.d2(col("value")) * 100).cast("long").as("cents"))
+      val pairs = clicks.join(purchases, Seq("user_id"))
+        .where(col("cts") < col("pts") && col("cts") >= col("pts") - expr("INTERVAL 7 DAYS"))
+      val perPurchase = Window.partitionBy("purchase_id")
+      pairs.withColumn("n_clicks", count(lit(1)).over(perPurchase))
+        .withColumn("credit_e6", expr("(cents * 10000) div n_clicks"))
+        .groupBy("click_id", "user_id")
+        .agg(count(lit(1)).as("n_purchases"), sum("credit_e6").as("credit_e6"))
+        .orderBy("click_id")
+    },
+    Some("WITH c AS (SELECT event_id AS click_id, user_id, ts AS cts FROM events " +
+      "WHERE event_type = 'click'), " +
+      "p AS (SELECT event_id AS purchase_id, user_id, ts AS pts, " +
+      "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM events " +
+      "WHERE event_type = 'purchase'), " +
+      "pairs AS (SELECT click_id, c.user_id, purchase_id, cents FROM c JOIN p " +
+      "ON c.user_id = p.user_id AND cts < pts AND cts >= pts - INTERVAL 7 DAY), " +
+      "k AS (SELECT click_id, user_id, " +
+      "(cents * 10000) // (COUNT(*) OVER (PARTITION BY purchase_id)) AS credit_e6 " +
+      "FROM pairs) " +
+      "SELECT click_id, user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases, " +
+      "CAST(SUM(credit_e6) AS BIGINT) AS credit_e6 " +
+      "FROM k GROUP BY 1, 2 ORDER BY click_id"))
+
   val all: Seq[Op] = Seq(funnelConversion, cohortRetention, funnelPatternMatch,
-    analyticsTopPaths, analyticsRfmSegmentation)
+    analyticsTopPaths, analyticsRfmSegmentation, analyticsAttributionLinear)
 }

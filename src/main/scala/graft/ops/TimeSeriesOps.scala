@@ -658,8 +658,59 @@ object TimeSeriesOps {
       "SELECT x.wday, COUNT(DISTINCT user_id) AS active_7d FROM x " +
       "JOIN days USING (wday) GROUP BY 1 ORDER BY 1"))
 
+  /** Classical seasonal decomposition of the hourly series, per series key
+    * (event_type here; site/circuit in the reference's domain):
+    * trend = centered 25-hour moving average, seasonal = per-hour-of-day
+    * mean of the detrended series, residual = the rest. Determinism: the
+    * hourly level is an exact decimal-cents BIGINT; trend/seasonal/residual
+    * are then FIXED single-spelling IEEE chains over exact integers — the
+    * one float-accumulation hazard (summing detrended values across days)
+    * is removed by flooring the detrended series to micro-units BIGINT
+    * before the seasonal aggregate, so that sum is exact integer math.
+    *
+    * Scale notes (100 TB): everything is partitioned by the series key —
+    * the rollup is a two-phase aggregate, both windows are
+    * partition-locally sorted (no global window), and the hourly grid is
+    * tiny relative to raw events (8 760 rows/series/year), so the windows
+    * run over reduced data. Thousands of independent series parallelize
+    * across the shuffle; a single series never needs more than one
+    * partition. */
+  val tsSeasonalDecompose: Op = Op(
+    "ts_seasonal_decompose",
+    (s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg((sum(d2(col("value"))) * 100).cast("long").as("y_e2"))
+      val w25 = Window.partitionBy("event_type").orderBy("h").rowsBetween(-12, 12)
+      val wSeas = Window.partitionBy(col("event_type"), hour(col("h")))
+      val t = hourly
+        .withColumn("y", col("y_e2").cast("double") / 100)
+        .withColumn("trend",
+          sum(col("y_e2")).over(w25).cast("double") / count(lit(1)).over(w25) / 100)
+        .withColumn("det_e6", floor((col("y") - col("trend")) * 1000000).cast("long"))
+      t.withColumn("seasonal",
+          sum(col("det_e6")).over(wSeas).cast("double") / count(lit(1)).over(wSeas) / 1000000.0)
+        .select(col("event_type"), col("h"), col("y"), col("trend"), col("seasonal"),
+          (col("y") - col("trend") - col("seasonal")).as("resid"))
+        .orderBy("event_type", "h")
+    },
+    Some("WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, " +
+      "CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS y_e2 " +
+      "FROM events GROUP BY 1, 2), " +
+      "tr AS (SELECT event_type, h, CAST(y_e2 AS DOUBLE) / 100 AS y, " +
+      "CAST(SUM(y_e2) OVER w25 AS DOUBLE) / (COUNT(*) OVER w25) / 100 AS trend " +
+      "FROM hourly WINDOW w25 AS (PARTITION BY event_type ORDER BY h " +
+      "ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)), " +
+      "dt AS (SELECT event_type, h, y, trend, " +
+      "CAST(floor((y - trend) * 1000000) AS BIGINT) AS det_e6 FROM tr), " +
+      "se AS (SELECT event_type, h, y, trend, " +
+      "CAST(SUM(det_e6) OVER ws AS DOUBLE) / (COUNT(*) OVER ws) / 1000000.0 AS seasonal " +
+      "FROM dt WINDOW ws AS (PARTITION BY event_type, EXTRACT(hour FROM h))) " +
+      "SELECT event_type, h, y, trend, seasonal, y - trend - seasonal AS resid " +
+      "FROM se ORDER BY event_type, h"))
+
   val all: Seq[Op] = Seq(tsTumblingHourly, tsSlidingWindow, tsSessionWindow, tsGapDetection,
     tsCounterDelta, tsCounterDailyReset, tsDailyProfile, tsResampleFfill, tsInterpolateLinear,
     creditEventDetect, siteCircuitRollup, tsDownsampleLtob, tsOutlierMad, tsZscoreRolling,
-    tsEwmaScaled, tsCusumDrift, tsSlidingDistinct)
+    tsEwmaScaled, tsCusumDrift, tsSlidingDistinct, tsSeasonalDecompose)
 }
