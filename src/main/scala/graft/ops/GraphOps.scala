@@ -410,6 +410,82 @@ object GraphOps {
         s"SELECT node, dist FROM d$SpRounds ORDER BY node"
     })
 
+  /** Synchronous rounds for [[graphLabelPropagation]]. LP is a local-mode
+    * heuristic, not a fixpoint algorithm — fixed synchronous rounds with a
+    * total tie order make it deterministic, and the oracle replays the
+    * identical recurrence, converged or not. */
+  private[graft] val LpRounds = 4
+
+  /** Community detection by synchronous label propagation over the same
+    * undirected frequent-transition subgraph as
+    * [[graphConnectedComponents]] — the MODE-based sibling of hash-min CC:
+    * each round every node adopts the most frequent label among its
+    * neighbours (ties broken by the smaller label; isolated nodes keep
+    * their own), which splits dense components into communities instead of
+    * flooding them with one minimum. Labels are node ids (BIGINT) and every
+    * pick is (count DESC, label ASC) — a total order, so the rounds are
+    * bit-deterministic on both engines.
+    *
+    * Scale notes (100 TB): per round ONE edges⋈labels equi-join feeding a
+    * (node, label)-keyed count and a per-node arg-max — all hash-partitioned
+    * on the node key, co-located under bucketing; state is one (node, label,
+    * count) row per distinct neighbour label, never the pair space; lineage
+    * truncated per round (the per-round eager checkpoint measured FASTER
+    * than half-frequency checkpointing — deeper two-round plans re-plan and
+    * re-shuffle more than the extra materialization saves). */
+  val graphLabelPropagation: Op = Op(
+    "graph_label_propagation",
+    (s, d) => {
+      val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+      val e0 = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("src"),
+          lead(col("l_partkey"), 1).over(w).as("dst"))
+        .where(col("dst").isNotNull && col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        .where(col("w") >= 2)
+        .select(col("src"), col("dst"))
+      val und = Housekeeping.cacheBounded("lp_und",
+        e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+      val nodes = und.select(col("src").as("v")).distinct()
+      var labels = nodes.withColumn("lbl", col("v")).localCheckpoint(true)
+      for (_ <- 1 to LpRounds) {
+        val pick = und.join(labels, und("src") === labels("v"))
+          .groupBy(und("dst").as("v"), col("lbl")).agg(count(lit(1)).as("c"))
+          // arg-max via min on the (−count, label) struct: lexicographic
+          // struct ordering gives highest count, then smallest label
+          .groupBy("v").agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
+          .select(col("v"), col("m.l").as("nb"))
+        labels = labels.join(pick, Seq("v"), "left")
+          .select(col("v"), coalesce(col("nb"), col("lbl")).as("lbl"))
+          .localCheckpoint(true)
+      }
+      labels.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("community")
+    },
+    Some {
+      val rounds = (1 to LpRounds).map { i =>
+        val prev = s"l${i - 1}"
+        s"c$i AS (SELECT e.dst AS v, p.lbl, COUNT(*) AS c " +
+          s"FROM und e JOIN $prev p ON p.v = e.src GROUP BY 1, 2), " +
+          s"k$i AS (SELECT v, lbl FROM (SELECT v, lbl, " +
+          s"row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn FROM c$i) " +
+          "WHERE rn = 1), " +
+          s"l$i AS MATERIALIZED (SELECT p.v, COALESCE(k.lbl, p.lbl) AS lbl " +
+          s"FROM $prev p LEFT JOIN k$i k ON k.v = p.v)"
+      }.mkString(", ")
+      "WITH e0 AS (SELECT l_partkey AS src, lead(l_partkey) OVER " +
+        "(PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst FROM lineitem), " +
+        "ef AS (SELECT src, dst FROM (SELECT src, dst, COUNT(*) AS w FROM e0 " +
+        "WHERE dst IS NOT NULL AND dst <> src GROUP BY 1, 2) WHERE w >= 2), " +
+        "und AS MATERIALIZED (SELECT DISTINCT src, dst FROM " +
+        "(SELECT src, dst FROM ef UNION ALL SELECT dst, src FROM ef)), " +
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lbl FROM und), " +
+        rounds + " " +
+        s"SELECT lbl AS community, COUNT(*) AS n_members FROM l$LpRounds " +
+        "GROUP BY 1 ORDER BY community"
+    })
+
   val all: Seq[Op] = Seq(graphPagerank, graphDegreeHist, graphTriangleCount, graphBfsLevels,
-    graphConnectedComponents, graphShortestPath)
+    graphConnectedComponents, graphShortestPath, graphLabelPropagation)
 }
