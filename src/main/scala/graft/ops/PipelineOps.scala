@@ -115,6 +115,54 @@ object PipelineOps {
       "FROM (SELECT vec_id, embedding, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs " +
       "FROM embeddings)) ORDER BY vec_id"))
 
+  /** Johnson–Lindenstrauss random projection 64 → 16 dims with a
+    * DETERMINISTIC ±1 sign matrix — the cheap dimensionality reducer in
+    * front of LSH/clustering when the full embedding is too wide to
+    * bucket on. The sign matrix is content-addressed, not sampled:
+    * s(k, i) = +1 iff the first hex digit of md5("k_i") < '8' (md5 is
+    * engine-identical, the digit test is an unbiased coin), so the same
+    * projection reproduces anywhere with no stored matrix. Coordinates go
+    * through [[embedQuantizeInt8]]'s exact int8 formula first, so every
+    * projected component is a BIGINT sum of int8·±1 terms — associative,
+    * order-free, hash-exact, no float accumulation.
+    *
+    * Scale notes (100 TB): the sign matrix is K×d = 1 024 rows — broadcast;
+    * coordinates explode d-per-vector and aggregate map-side onto
+    * (vector, k) — shuffle rows = vectors × K, never d-wide; the same shape
+    * as the PQ codebook apply. */
+  val embedRandomProjection: Op = Op(
+    "embed_random_projection",
+    (s, d) => {
+      val OutDims = 16
+      val q = Tables.embeddings(s, d)
+        .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+        .withColumn("scale",
+          when(col("maxabs") === 0, lit(0.0)).otherwise(lit(127.0) / col("maxabs")))
+        .select(col("vec_id"),
+          posexplode(transform(col("v"),
+            x => floor(x * col("scale") + 0.5).cast("long"))).as(Seq("i", "qi")))
+      val signs = s.range(OutDims).select(col("id").cast("int").as("k"))
+        .crossJoin(s.range(64).select(col("id").cast("int").as("i")))
+        .select(col("k"), col("i"),
+          when(substring(md5(concat_ws("_", col("k"), col("i"))), 1, 1) < "8", 1L)
+            .otherwise(-1L).as("sgn"))
+      q.join(broadcast(signs), "i")
+        .groupBy("vec_id", "k").agg(sum(col("qi") * col("sgn")).as("proj"))
+        .orderBy("vec_id", "k")
+    },
+    Some("WITH q AS (SELECT vec_id, g.i, " +
+      "CAST(floor(CAST(embedding[g.i + 1] AS DOUBLE) * scale + 0.5) AS BIGINT) AS qi " +
+      "FROM (SELECT vec_id, embedding, CASE WHEN maxabs = 0 THEN 0.0 " +
+      "ELSE 127.0 / maxabs END AS scale FROM (SELECT vec_id, embedding, " +
+      "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs " +
+      "FROM embeddings)), LATERAL (SELECT unnest(range(0, 64)) AS i) g), " +
+      "sg AS (SELECT k.k, i.i, CASE WHEN substr(md5(CAST(k.k AS VARCHAR) || '_' || " +
+      "CAST(i.i AS VARCHAR)), 1, 1) < '8' THEN 1 ELSE -1 END AS sgn " +
+      "FROM (SELECT unnest(range(0, 16)) AS k) k, (SELECT unnest(range(0, 64)) AS i) i) " +
+      "SELECT vec_id, CAST(sg.k AS INT) AS k, CAST(SUM(qi * sgn) AS BIGINT) AS proj " +
+      "FROM q JOIN sg ON q.i = sg.i GROUP BY 1, 2 ORDER BY vec_id, k"))
+
   /** Exact Gram matrix over the int8-quantized embeddings — the dependence
     * structure of the embedding space (covariance/PCA input, the artifact a
     * whitening or dimensionality-reduction pass consumes), computed with NO
@@ -615,6 +663,6 @@ object PipelineOps {
 
   val all: Seq[Op] = Seq(sampleStratified, splitTrainValTest, packSequences, embedQuantizeInt8,
     pipelineCorpusBuild, sampleReservoirGroup, sampleWeightedHash, embedGramExact,
-    sampleMixtureQuota, sampleTemperature, pipelineIncrementalUpdate, idsDenseAssign,
+    sampleMixtureQuota, sampleTemperature, embedRandomProjection, pipelineIncrementalUpdate, idsDenseAssign,
     featureOnehotEncode, featureScaleMinmax)
 }
