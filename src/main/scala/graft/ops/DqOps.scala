@@ -204,6 +204,63 @@ object DqOps {
       "CAST(COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT) FROM g) " +
       "ORDER BY metric"))
 
+  /** Ingest-volume anomaly monitor — the day-over-day row-count check every
+    * warehouse runs on every feed: each (event_type, day)'s count against
+    * the trailing 7-day window (previous days only — the current day never
+    * contaminates its own baseline), flagged at |z| > 2. All window
+    * aggregates are exact integer sums (Σn, Σn², count); mean/variance/z
+    * are then ONE fixed IEEE spelling per row on both engines, with the
+    * undefined cases (short history, zero variance) pinned to explicit
+    * status strings instead of NULL/∞.
+    *
+    * Scale notes (100 TB): the daily rollup is a two-phase count onto
+    * (feed, day) — tiny; the trailing window partitions by feed. The
+    * monitor reads the rollup, never the raw events, so its cost is
+    * days × feeds regardless of raw volume. */
+  val dqVolumeAnomaly: Op = Op(
+    "dq_volume_anomaly",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+      val stats = daily
+        .withColumn("s1", sum(col("n")).over(w))
+        .withColumn("s2", sum(col("n") * col("n")).over(w))
+        .withColumn("c", count(lit(1)).over(w))
+      val mean = col("s1").cast("double") / col("c")
+      val varp = (col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("c")) / col("c")
+      stats.select(col("event_type"), col("day"), col("n"),
+          when(col("c") < 7, "short_history")
+            .when(varp === 0.0 && col("n").cast("double") === mean, "flat")
+            .when(varp === 0.0, "flat_jump")
+            .otherwise("scored").as("status"),
+          when(col("c") === 7 && varp > 0.0,
+            (col("n").cast("double") - mean) / sqrt(varp)).otherwise(lit(0.0)).as("z"),
+          (col("c") === 7 && varp > 0.0 &&
+            abs((col("n").cast("double") - mean) / sqrt(varp)) > 2.0).as("flagged"))
+        .orderBy("event_type", "day")
+    },
+    Some("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, " +
+      "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
+      "st AS (SELECT event_type, day, n, " +
+      "CAST(SUM(n) OVER w AS BIGINT) AS s1, CAST(SUM(n * n) OVER w AS BIGINT) AS s2, " +
+      "CAST(COUNT(*) OVER w AS BIGINT) AS c FROM daily WINDOW w AS " +
+      "(PARTITION BY event_type ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)), " +
+      "k AS (SELECT event_type, day, n, c, " +
+      "CAST(s1 AS DOUBLE) / c AS mean, " +
+      "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / c) / c AS varp FROM st) " +
+      "SELECT event_type, day, n, " +
+      "CASE WHEN c < 7 THEN 'short_history' " +
+      "WHEN varp = 0.0 AND CAST(n AS DOUBLE) = mean THEN 'flat' " +
+      "WHEN varp = 0.0 THEN 'flat_jump' ELSE 'scored' END AS status, " +
+      "CASE WHEN c = 7 AND varp > 0.0 THEN (CAST(n AS DOUBLE) - mean) / sqrt(varp) " +
+      "ELSE 0.0 END AS z, " +
+      "(c = 7 AND varp > 0.0 AND " +
+      "abs((CAST(n AS DOUBLE) - mean) / sqrt(varp)) > 2.0) AS flagged " +
+      "FROM k ORDER BY event_type, day"))
+
   val all: Seq[Op] = Seq(dqExpectations, dqQuarantineSplit, cdcSnapshotDiff,
-    dqObserveMetrics)
+    dqObserveMetrics, dqVolumeAnomaly)
 }
