@@ -234,6 +234,44 @@ class PlanShapeSpec extends AnyFunSuite {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("embed_random_projection broadcasts the sign matrix (no shuffle on the wide side)") {
+    val p = plan(PipelineOps.embedRandomProjection)
+    assert(p.contains("BroadcastHashJoin"), s"sign matrix not broadcast:\n$p")
+  }
+
+  test("sample_temperature broadcasts both the totals and the per-source quotas") {
+    val p = plan(PipelineOps.sampleTemperature)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, s"quota join not broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"totals not broadcast:\n$p")
+  }
+
+  test("stats_chi2_independence broadcasts the marginals onto the cell grid") {
+    val p = plan(StatsOps.statsChi2Independence)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"marginals not broadcast:\n$p")
+  }
+
+  test("analytics_attribution_linear joins clicks to purchases exactly once " +
+    "and the purchase-count window adds no extra pass over raw events") {
+    val p = plan(AnalyticsOps.analyticsAttributionLinear)
+    // one join of the two event slices (either hash strategy is fine at
+    // this size); the n_clicks count must be a Window over the join output
+    assert(p.contains("Join") || p.contains("join"), p)
+    assert(p.contains("Window"), s"per-purchase count is not a window:\n$p")
+  }
+
+  test("text_gopher_quality is scan-local: no exchange before the " +
+    "presentation sort") {
+    // AQE's toString repeats the plan under "== Initial Plan ==" — count
+    // exchanges in the FINAL section only
+    val p = plan(TextOps.textGopherQuality).split("== Initial Plan ==").head
+    // exactly one exchange: the range partitioning for the final orderBy
+    assert("Exchange rangepartitioning".r.findAllIn(p).size == 1 &&
+      "Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"unexpected shuffle in a scan-local op:\n$p")
+  }
+
   test("plan_reuse_exchange materializes the daily aggregate once (exchange reuse)") {
     val p = plan(PlanSurfaceOps.planReuseExchange)
     // non-AQE prints ReusedExchange; AQE stage reuse re-prints the SAME
