@@ -709,8 +709,55 @@ object TimeSeriesOps {
       "SELECT event_type, h, y, trend, seasonal, y - trend - seasonal AS resid " +
       "FROM se ORDER BY event_type, h"))
 
+  /** Peak detection on the hourly series, per series key: an hour is a peak
+    * iff it strictly exceeds its left neighbour, at-least-ties its right
+    * neighbour (so a flat-topped peak reports its FIRST hour, not twice),
+    * and clears a 25% exceedance floor over the trailing 24-hour mean —
+    * the load-spike / generation-peak detector of the reference's domain.
+    * All three conditions are EXACT integer comparisons on the decimal-cents
+    * level (the floor is 4·y·count ≥ 5·Σy — no division anywhere), so the
+    * hash oracle is exact.
+    *
+    * Scale notes (100 TB): runs on the hourly rollup (8 760 rows/series/
+    * year), one window partitioned by the series key — same reduced-data
+    * shape as [[tsSeasonalDecompose]]. */
+  val tsPeakDetect: Op = Op(
+    "ts_peak_detect",
+    (s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg((sum(d2(col("value"))) * 100).cast("long").as("y_e2"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+      val wTrail = w.rowsBetween(-24, -1)
+      hourly
+        .withColumn("prev", lag(col("y_e2"), 1).over(w))
+        .withColumn("next", lead(col("y_e2"), 1).over(w))
+        .withColumn("s24", sum(col("y_e2")).over(wTrail))
+        .withColumn("c24", count(lit(1)).over(wTrail))
+        .where(col("prev").isNotNull && col("next").isNotNull && col("c24") === 24 &&
+          col("y_e2") > col("prev") && col("y_e2") >= col("next") &&
+          col("y_e2") * 4 * col("c24") >= col("s24") * 5)
+        .select(col("event_type"), col("h"),
+          (col("y_e2").cast("double") / 100).as("y"),
+          (col("s24").cast("double") / col("c24") / 100).as("trailing_mean"))
+        .orderBy("event_type", "h")
+    },
+    Some("WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, " +
+      "CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS y_e2 " +
+      "FROM events GROUP BY 1, 2), " +
+      "k AS (SELECT event_type, h, y_e2, " +
+      "lag(y_e2) OVER w AS prev, lead(y_e2) OVER w AS next, " +
+      "CAST(SUM(y_e2) OVER wt AS BIGINT) AS s24, CAST(COUNT(*) OVER wt AS BIGINT) AS c24 " +
+      "FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h), " +
+      "wt AS (PARTITION BY event_type ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) " +
+      "SELECT event_type, h, CAST(y_e2 AS DOUBLE) / 100 AS y, " +
+      "CAST(s24 AS DOUBLE) / c24 / 100 AS trailing_mean FROM k " +
+      "WHERE prev IS NOT NULL AND next IS NOT NULL AND c24 = 24 " +
+      "AND y_e2 > prev AND y_e2 >= next AND y_e2 * 4 * c24 >= s24 * 5 " +
+      "ORDER BY event_type, h"))
+
   val all: Seq[Op] = Seq(tsTumblingHourly, tsSlidingWindow, tsSessionWindow, tsGapDetection,
     tsCounterDelta, tsCounterDailyReset, tsDailyProfile, tsResampleFfill, tsInterpolateLinear,
     creditEventDetect, siteCircuitRollup, tsDownsampleLtob, tsOutlierMad, tsZscoreRolling,
-    tsEwmaScaled, tsCusumDrift, tsSlidingDistinct, tsSeasonalDecompose)
+    tsEwmaScaled, tsCusumDrift, tsSlidingDistinct, tsSeasonalDecompose, tsPeakDetect)
 }
