@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.tables.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Dets._
 
@@ -261,6 +262,74 @@ object DqOps {
       "abs((CAST(n AS DOUBLE) - mean) / sqrt(varp)) > 2.0) AS flagged " +
       "FROM k ORDER BY event_type, day"))
 
+  /** Distribution-drift monitor: the exact two-sample Kolmogorov–Smirnov
+    * statistic between the first and second half of the order history
+    * (split at the midpoint of the o_orderdate span — epoch-microsecond
+    * integer arithmetic, identical on both engines). D = max over the
+    * pooled value domain of |F1(v) − F2(v)| is computed as an exact
+    * RATIONAL: per distinct cents value, cumulative counts c1, c2 give
+    * numerator |c1·n2 − c2·n1| over denominator n1·n2 — no float touches
+    * the comparison, so the argmax row (ties broken to the smallest value)
+    * is deterministic; d_stat is then ONE IEEE division for the human.
+    * This is the data-contract check a feed owner runs when a model's
+    * input distribution may have shifted between training and serving.
+    *
+    * Scale notes (100 TB): the rows collapse to per-distinct-value counts
+    * first (2-dp cents → a bounded domain; an unbounded measure would be
+    * quantized to a fixed grid the same way), so the unpartitioned
+    * cumulative window runs over the REDUCED value domain, not raw rows —
+    * the same ECDF-on-aggregates shape as a t-digest build. n1·n2 and
+    * c·n products stay inside BIGINT to ~3·10⁹ rows per side; past that
+    * the numerator moves to DECIMAL(38,0) like the stats moments. */
+  val dqDriftKs: Op = Op(
+    "dq_drift_ks",
+    (s, d) => {
+      // o_orderdate reads as TIMESTAMP_NTZ; the UTC-pinned NTZ->LTZ cast
+      // (Tables.ntzColToTimestamp) makes unix_micros == DuckDB's epoch_us
+      // of the same naive values.
+      val odUs = unix_micros(Tables.ntzColToTimestamp("o_orderdate"))
+      val b = Tables.orders(s, d)
+        .agg(min(odUs).as("mn"), max(odUs).as("mx"))
+      val tagged = Tables.orders(s, d).crossJoin(broadcast(b))
+        .select((col("o_totalprice").cast(D12_2) * 100).cast("bigint").as("v"),
+          when(odUs < col("mn") + expr("(mx - mn) div 2"), 1L)
+            .otherwise(2L).as("grp"))
+      val n = tagged.agg(
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("grp") === 2, 1L).otherwise(0L)).as("n2"))
+      val perValue = tagged.groupBy("v").agg(
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("grp") === 2, 1L).otherwise(0L)).as("c2"))
+      val wCum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = perValue
+        .withColumn("f1", sum(col("c1")).over(wCum))
+        .withColumn("f2", sum(col("c2")).over(wCum))
+      val best = cum.crossJoin(broadcast(n))
+        .select(abs(col("f1") * col("n2") - col("f2") * col("n1")).as("d_num"),
+          col("v").as("at_cents"))
+        .orderBy(col("d_num").desc, col("at_cents").asc)
+        .limit(1)
+      n.crossJoin(best)
+        .select(col("n1"), col("n2"), col("d_num"), (col("n1") * col("n2")).as("d_den"),
+          (col("d_num").cast("double") / (col("n1") * col("n2"))).as("d_stat"),
+          col("at_cents"))
+    },
+    Some("WITH b AS (SELECT MIN(epoch_us(o_orderdate)) AS mn, " +
+      "MAX(epoch_us(o_orderdate)) AS mx FROM orders), " +
+      "s AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v, " +
+      "CASE WHEN epoch_us(o_orderdate) < b.mn + (b.mx - b.mn) // 2 THEN 1 ELSE 2 END AS grp " +
+      "FROM orders, b), " +
+      "n AS (SELECT CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+      "CAST(SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2 FROM s), " +
+      "cv AS (SELECT v, CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1, " +
+      "CAST(SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2 FROM s GROUP BY v), " +
+      "cum AS (SELECT v, CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS f1, " +
+      "CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS f2 FROM cv), " +
+      "best AS (SELECT abs(f1 * n2 - f2 * n1) AS d_num, v AS at_cents FROM cum, n " +
+      "ORDER BY abs(f1 * n2 - f2 * n1) DESC, v ASC LIMIT 1) " +
+      "SELECT n1, n2, d_num, n1 * n2 AS d_den, " +
+      "CAST(d_num AS DOUBLE) / (n1 * n2) AS d_stat, at_cents FROM n, best"))
+
   val all: Seq[Op] = Seq(dqExpectations, dqQuarantineSplit, cdcSnapshotDiff,
-    dqObserveMetrics, dqVolumeAnomaly)
+    dqObserveMetrics, dqVolumeAnomaly, dqDriftKs)
 }

@@ -661,8 +661,73 @@ object PipelineOps {
       "FROM c JOIN b ON c.l_returnflag = b.l_returnflag " +
       "ORDER BY l_orderkey, l_linenumber, l_partkey, c.l_returnflag, price_scaled"))
 
+  /** Per-label centroid + cosine outliers — the mislabeled-example detector
+    * every embedding-curation pass runs: quantize each vector to the exact
+    * int8 grid ([[embedQuantizeInt8]]'s round-half-up ladder), build each
+    * label's centroid as EXACT integer dimension sums (Σq per dim — a
+    * rational centroid, never a float mean), score every member by cosine
+    * to its own centroid, and keep the 5 least-aligned per label. The
+    * three cosine components (q·Σq, |q|², |Σq|²) are exact BIGINTs; cosine
+    * itself is the ONE fixed IEEE spelling dot / √(nq²·nc²), identical on
+    * both engines, so even the ranking (cos asc, vec_id tie-break) is
+    * deterministic.
+    *
+    * Scale notes (100 TB): posexplode is scan-local; the centroid is a
+    * (label, dim)-keyed map-side-combinable sum (labels × dims rows —
+    * tiny) broadcast back to members; scoring is an equi-join + one
+    * groupBy per vec; top-5 is a per-label window over a 5-element
+    * candidate set after pushdown. No pairwise anything — cost is
+    * members × dims, linear in corpus size. */
+  val embedCentroidOutliers: Op = Op(
+    "embed_centroid_outliers",
+    (s, d) => {
+      val q = Tables.embeddings(s, d)
+        .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+        .withColumn("scale",
+          when(col("maxabs") === 0, lit(0.0)).otherwise(lit(127.0) / col("maxabs")))
+        .select(col("vec_id"), col("label"),
+          posexplode(expr("transform(v, x -> cast(floor(x * scale + 0.5) as bigint))")))
+        .select(col("vec_id"), col("label"), col("pos").as("i"), col("col").as("q"))
+      val cent = q.groupBy("label", "i").agg(sum(col("q")).as("sq"))
+      val nc2 = cent.groupBy("label").agg(sum(col("sq") * col("sq")).as("nc2"))
+      val scored = q.join(cent, Seq("label", "i"))
+        .groupBy("vec_id", "label")
+        .agg(sum(col("q") * col("sq")).as("dot"), sum(col("q") * col("q")).as("nq2"))
+        .join(broadcast(nc2), "label")
+        .select(col("label"), col("vec_id"), col("dot"), col("nq2"), col("nc2"),
+          (col("dot").cast("double") /
+            sqrt(col("nq2").cast("double") * col("nc2").cast("double"))).as("cos_centroid"))
+      val w = Window.partitionBy("label").orderBy(col("cos_centroid").asc, col("vec_id").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .select(col("label"), col("rn"), col("vec_id"), col("dot"), col("nq2"), col("nc2"),
+          col("cos_centroid"))
+        .orderBy("label", "rn")
+    },
+    Some("WITH e AS (SELECT vec_id, label, embedding, " +
+      "CASE WHEN maxabs = 0 THEN 0.0 ELSE 127.0 / maxabs END AS scale " +
+      "FROM (SELECT vec_id, label, embedding, " +
+      "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs " +
+      "FROM embeddings)), " +
+      "q AS (SELECT vec_id, label, g.i AS i, " +
+      "CAST(floor(CAST(embedding[g.i] AS DOUBLE) * scale + 0.5) AS BIGINT) AS q " +
+      "FROM e, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g), " +
+      "cent AS (SELECT label, i, CAST(SUM(q) AS BIGINT) AS sq FROM q GROUP BY 1, 2), " +
+      "n2 AS (SELECT label, CAST(SUM(sq * sq) AS BIGINT) AS nc2 FROM cent GROUP BY 1), " +
+      "sc AS (SELECT q.vec_id, q.label, CAST(SUM(q.q * c.sq) AS BIGINT) AS dot, " +
+      "CAST(SUM(q.q * q.q) AS BIGINT) AS nq2 " +
+      "FROM q JOIN cent c ON q.label = c.label AND q.i = c.i GROUP BY 1, 2), " +
+      "cosd AS (SELECT sc.label, sc.vec_id, dot, nq2, n2.nc2, " +
+      "CAST(dot AS DOUBLE) / sqrt(CAST(nq2 AS DOUBLE) * CAST(n2.nc2 AS DOUBLE)) AS cos_centroid " +
+      "FROM sc JOIN n2 ON sc.label = n2.label), " +
+      "r AS (SELECT *, row_number() OVER (PARTITION BY label " +
+      "ORDER BY cos_centroid ASC, vec_id ASC) AS rn FROM cosd) " +
+      "SELECT label, CAST(rn AS INT) AS rn, vec_id, dot, nq2, nc2, cos_centroid " +
+      "FROM r WHERE rn <= 5 ORDER BY label, rn"))
+
   val all: Seq[Op] = Seq(sampleStratified, splitTrainValTest, packSequences, embedQuantizeInt8,
     pipelineCorpusBuild, sampleReservoirGroup, sampleWeightedHash, embedGramExact,
     sampleMixtureQuota, sampleTemperature, embedRandomProjection, pipelineIncrementalUpdate, idsDenseAssign,
-    featureOnehotEncode, featureScaleMinmax)
+    featureOnehotEncode, featureScaleMinmax, embedCentroidOutliers)
 }

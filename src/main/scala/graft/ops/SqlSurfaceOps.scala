@@ -149,6 +149,28 @@ object SqlSurfaceOps {
       "SELECT n_name, c_name, c_acctbal FROM r WHERE rn <= 2 " +
       "ORDER BY n_name, c_acctbal DESC, c_name"))
 
+  /** GROUP BY ALL (Spark 4.x / modern-SQL shorthand): every non-aggregate
+    * select item becomes a grouping key — the authoring surface that kills
+    * the classic "forgot to add the new column to GROUP BY" bug in wide
+    * rollups. Resolved at ANALYSIS time to an ordinary Aggregate, so the
+    * physical plan (two-phase hash aggregate with map-side partials) is
+    * byte-identical to spelling the keys out; the oracle proves the
+    * expansion picked exactly the intended keys. Exact-decimal revenue per
+    * the Dets policy. */
+  val sqlGroupByAll: Op = Op(
+    "sql_group_by_all",
+    (s, d) => {
+      GraftCatalog.registerAll(s, d)
+      s.sql("SELECT l_returnflag, l_linestatus, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue " +
+        "FROM lineitem GROUP BY ALL ORDER BY l_returnflag, l_linestatus")
+    },
+    Some("SELECT l_returnflag, l_linestatus, COUNT(*) AS n, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "(1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue " +
+      "FROM lineitem GROUP BY ALL ORDER BY l_returnflag, l_linestatus"))
+
   val all: Seq[Op] = Seq(sqlUdfScalarInline, sqlTableFunction, sqlParameterized,
-    sqlPipeSyntax, sqlLateralTopn)
+    sqlPipeSyntax, sqlLateralTopn, sqlGroupByAll)
 }

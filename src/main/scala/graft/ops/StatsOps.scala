@@ -408,7 +408,60 @@ object StatsOps {
       "UNION ALL SELECT NULL, NULL, CAST(SUM(o) AS BIGINT), CAST(SUM(contrib_e9) AS BIGINT) " +
       "FROM k ORDER BY lang NULLS LAST, source NULLS LAST"))
 
+  /** Welch's two-sample t — the unequal-variance A/B test a feed owner
+    * runs when two segments' means look different: order totals of the
+    * URGENT vs LOW priority classes, one row per pairing. Same mergeable-
+    * moments contract as [[statsCorrExact]]: per group n, Σx, Σx² are
+    * exact integer sums on cents (emitted as VARCHAR DECIMAL(38,0) — wide
+    * decimals stay out of the hash surface), and mean/variance/t are one
+    * FIXED IEEE spelling over those exact integers:
+    * t = (m1 − m2) / √(s1²/n1 + s2²/n2), sᵢ² the (n−1)-denominator sample
+    * variance. The moments are what a 100 TB run ships between shards;
+    * the float appears exactly once, at the end.
+    *
+    * Scale notes (100 TB): one map-side-combinable groupBy over a
+    * two-column scan; the pairing join is on a one-row-per-group aggregate
+    * (broadcast-trivial). */
+  val statsTtestWelch: Op = Op(
+    "stats_ttest_welch",
+    (s, d) => {
+      val dec = "decimal(38,0)"
+      val g = Tables.orders(s, d)
+        .where(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(col("o_orderpriority").as("grp"),
+          (col("o_totalprice").cast(Dets.D12_2) * 100).cast("bigint").cast(dec).as("x"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+      val a = g.where(col("grp") === "1-URGENT").as("a")
+      val b = g.where(col("grp") === "5-LOW").as("b")
+      def mean(p: String) = col(s"$p.sx").cast(DoubleType) / col(s"$p.n")
+      def svar(p: String) =
+        (col(s"$p.sxx").cast(DoubleType) -
+          col(s"$p.sx").cast(DoubleType) * col(s"$p.sx") / col(s"$p.n")) / (col(s"$p.n") - 1)
+      a.crossJoin(b).select(
+        col("a.grp").as("grp_a"), col("b.grp").as("grp_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        col("a.sx").cast("string").as("sum_a"), col("b.sx").cast("string").as("sum_b"),
+        col("a.sxx").cast("string").as("sumsq_a"), col("b.sxx").cast("string").as("sumsq_b"),
+        ((mean("a") - mean("b")) /
+          sqrt(svar("a") / col("a.n") + svar("b") / col("b.n"))).as("t_stat"))
+    },
+    Some("WITH g AS (SELECT o_orderpriority AS grp, CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(x) AS DECIMAL(38,0)) AS sx, CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx " +
+      "FROM (SELECT o_orderpriority, CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 " +
+      "AS BIGINT) AS DECIMAL(38,0)) AS x FROM orders " +
+      "WHERE o_orderpriority IN ('1-URGENT', '5-LOW')) GROUP BY 1) " +
+      "SELECT a.grp AS grp_a, b.grp AS grp_b, a.n AS n_a, b.n AS n_b, " +
+      "CAST(a.sx AS VARCHAR) AS sum_a, CAST(b.sx AS VARCHAR) AS sum_b, " +
+      "CAST(a.sxx AS VARCHAR) AS sumsq_a, CAST(b.sxx AS VARCHAR) AS sumsq_b, " +
+      "(CAST(a.sx AS DOUBLE) / a.n - CAST(b.sx AS DOUBLE) / b.n) / " +
+      "sqrt((CAST(a.sxx AS DOUBLE) - CAST(a.sx AS DOUBLE) * a.sx / a.n) / (a.n - 1) / a.n + " +
+      "(CAST(b.sxx AS DOUBLE) - CAST(b.sx AS DOUBLE) * b.sx / b.n) / (b.n - 1) / b.n) AS t_stat " +
+      "FROM (SELECT * FROM g WHERE grp = '1-URGENT') a, " +
+      "(SELECT * FROM g WHERE grp = '5-LOW') b"))
+
   val all: Seq[Op] = Seq(statsCollect, statsHistogram, statsCorrExact,
     statsCountminEstimate, statsBottomkQuantiles, statsLinregCoeffs,
-    statsChi2Independence)
+    statsChi2Independence, statsTtestWelch)
 }

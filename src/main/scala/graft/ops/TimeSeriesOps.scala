@@ -756,8 +756,155 @@ object TimeSeriesOps {
       "AND y_e2 > prev AND y_e2 >= next AND y_e2 * 4 * c24 >= s24 * 5 " +
       "ORDER BY event_type, h"))
 
+  /** Lag-k autocorrelation of the hourly series, per series key, for
+    * k ∈ {1, 24} (hour-over-hour persistence and daily seasonality — the
+    * two lags an energy-domain monitor actually inspects). Follows the
+    * [[StatsOps.statsCorrExact]] mergeable-moments contract: pairs
+    * (y_t, y_{t+k}) from ONE lead() over the hourly rollup; the emitted
+    * per-(series, lag) row carries n and the three integer-exact
+    * correlation numerators (n·Σxy − Σx·Σy etc.) as DECIMAL(38,0)-rendered
+    * VARCHAR (wide-decimal/NULL-decimal stay out of the hash surface), plus
+    * Pearson r as the ONE fixed IEEE spelling num / sqrt(vx · vy).
+    *
+    * Scale notes (100 TB): runs on the hourly rollup (8 760 rows/series/
+    * year, a two-phase exact-cents aggregate of raw events), one
+    * partition-local lead() per lag, then a map-side-combinable groupBy —
+    * the moment sums are mergeable across shards/days exactly like the
+    * stats-catalog components. */
+  val tsAutocorrLag: Op = Op(
+    "ts_autocorr_lag",
+    (s, d) => {
+      val dec = "decimal(38,0)"
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg((sum(d2(col("value"))) * 100).cast("long").as("y_e2"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+      Seq(1, 24).map { k =>
+        hourly
+          .withColumn("y2", lead(col("y_e2"), k).over(w))
+          .where(col("y2").isNotNull)
+          .select(col("event_type"), col("y_e2").cast(dec).as("x"), col("y2").cast(dec).as("y"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("event_type"), lit(k).as("lag"), col("n"),
+            (col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
+              .cast(dec).cast("string").as("cov_num"),
+            (col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
+              .cast(dec).cast("string").as("var_x_num"),
+            (col("n").cast(dec) * col("syy") - col("sy") * col("sy"))
+              .cast(dec).cast("string").as("var_y_num"),
+            ((col("n").cast(dec) * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("n").cast(dec) * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("n").cast(dec) * col("syy") - col("sy") * col("sy")).cast("double")))
+              .as("r"))
+      }.reduce(_.unionAll(_))
+        .orderBy("event_type", "lag")
+    },
+    Some(Seq(1, 24).map { k =>
+      "SELECT event_type, " + k + " AS lag, COUNT(*) AS n, " +
+        "CAST(CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DECIMAL(38,0)) AS VARCHAR) AS cov_num, " +
+        "CAST(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DECIMAL(38,0)) AS VARCHAR) AS var_x_num, " +
+        "CAST(CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS DECIMAL(38,0)) AS VARCHAR) AS var_y_num, " +
+        "CAST(CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DECIMAL(38,0)) AS DOUBLE) / " +
+        "sqrt(CAST(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DECIMAL(38,0)) AS DOUBLE) * " +
+        "CAST(CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS DECIMAL(38,0)) AS DOUBLE)) AS r " +
+        "FROM (SELECT event_type, CAST(y_e2 AS DECIMAL(38,0)) AS x, " +
+        "CAST(lead(y_e2, " + k + ") OVER (PARTITION BY event_type ORDER BY h) AS DECIMAL(38,0)) AS y " +
+        "FROM (SELECT event_type, date_trunc('hour', ts) AS h, " +
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS y_e2 " +
+        "FROM events GROUP BY 1, 2)) WHERE y IS NOT NULL GROUP BY event_type"
+    }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY event_type, lag")))
+
+  /** Exact trailing 7-hour rolling MEDIAN of the hourly series — the
+    * robust smoother a telemetry monitor prefers over the moving average
+    * (one outlier hour cannot drag it). Only complete windows are scored
+    * (first 6 hours of a series are warm-up). Exactness: the 7 window
+    * values are exact cents BIGINTs; the median of 7 is the 4th order
+    * statistic — Spark materializes the window as sort_array(collect_list)
+    * and indexes it, DuckDB's quantile_disc(0.5) over the same ROWS frame
+    * picks the identical element; no interpolation, no floats anywhere.
+    *
+    * Scale notes (100 TB): runs on the hourly rollup (reduced data), one
+    * partition-local window per series key; the collected window is a
+    * constant 7 elements, so memory per row is O(1) and the sort is on a
+    * 7-array — not a per-partition sort of raw data. */
+  val tsRollingMedian: Op = Op(
+    "ts_rolling_median",
+    (s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg((sum(d2(col("value"))) * 100).cast("long").as("y_e2"))
+      val w7 = Window.partitionBy("event_type").orderBy("h").rowsBetween(-6, 0)
+      hourly
+        .withColumn("win", collect_list(col("y_e2")).over(w7))
+        .where(size(col("win")) === 7)
+        .select(col("event_type"), col("h"), col("y_e2"),
+          element_at(sort_array(col("win")), 4).as("med_e2"))
+        .orderBy("event_type", "h")
+    },
+    Some("WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, " +
+      "CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS y_e2 " +
+      "FROM events GROUP BY 1, 2), " +
+      "k AS (SELECT event_type, h, y_e2, " +
+      "CAST(quantile_disc(y_e2, 0.5) OVER w7 AS BIGINT) AS med_e2, " +
+      "COUNT(*) OVER w7 AS c FROM hourly WINDOW w7 AS " +
+      "(PARTITION BY event_type ORDER BY h ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) " +
+      "SELECT event_type, h, y_e2, med_e2 FROM k WHERE c = 7 " +
+      "ORDER BY event_type, h"))
+
+  /** Calendar-spine generation — the date dimension every warehouse joins
+    * facts against: one row per day spanning the order history
+    * (sequence() + explode, no driver loop), carrying day-of-week, month,
+    * quarter, and month-end flags, LEFT-joined to the daily order rollup so
+    * zero-activity days surface explicitly (n_orders = 0) — the gap-visible
+    * spine [[tsResampleFfill]]-style jobs densify against. Day-of-week is
+    * pinned to the Sunday=0 convention on both engines (Spark dayofweek is
+    * Sunday=1 → minus 1; DuckDB dow is already Sunday=0).
+    *
+    * Scale notes (100 TB): the spine is bounded by calendar time (≤ a few
+    * thousand rows for decades), generated in one task and broadcast to the
+    * daily rollup join; the rollup itself is the usual two-phase count.
+    * Date-dimension attributes are pure per-row expressions — codegen'd,
+    * no shuffle beyond the rollup's own. */
+  val tsCalendarSpine: Op = Op(
+    "ts_calendar_spine",
+    (s, d) => {
+      val b = Tables.orders(s, d)
+        .agg(to_date(min(col("o_orderdate"))).as("mn"), to_date(max(col("o_orderdate"))).as("mx"))
+      val spine = b.select(explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+        .select(col("day"),
+          (dayofweek(col("day")) - 1).as("dow"),
+          month(col("day")).as("m"),
+          quarter(col("day")).as("q"),
+          (col("day") === last_day(col("day"))).as("is_month_end"))
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"), col("dow"), col("m"), col("q"), col("is_month_end"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("day")
+    },
+    Some("WITH b AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS mn, " +
+      "CAST(MAX(o_orderdate) AS DATE) AS mx FROM orders), " +
+      "spine AS (SELECT CAST(g.d AS DATE) AS day FROM b, " +
+      "LATERAL (SELECT unnest(generate_series(CAST(mn AS TIMESTAMP), " +
+      "CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS d) g), " +
+      "daily AS (SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders " +
+      "FROM orders GROUP BY 1) " +
+      "SELECT s.day, CAST(EXTRACT(dow FROM s.day) AS INTEGER) AS dow, " +
+      "CAST(EXTRACT(month FROM s.day) AS INTEGER) AS m, " +
+      "CAST(EXTRACT(quarter FROM s.day) AS INTEGER) AS q, " +
+      "s.day = last_day(s.day) AS is_month_end, " +
+      "COALESCE(d.n_orders, 0) AS n_orders " +
+      "FROM spine s LEFT JOIN daily d ON s.day = d.day ORDER BY s.day"))
+
   val all: Seq[Op] = Seq(tsTumblingHourly, tsSlidingWindow, tsSessionWindow, tsGapDetection,
     tsCounterDelta, tsCounterDailyReset, tsDailyProfile, tsResampleFfill, tsInterpolateLinear,
     creditEventDetect, siteCircuitRollup, tsDownsampleLtob, tsOutlierMad, tsZscoreRolling,
-    tsEwmaScaled, tsCusumDrift, tsSlidingDistinct, tsSeasonalDecompose, tsPeakDetect)
+    tsEwmaScaled, tsCusumDrift, tsSlidingDistinct, tsSeasonalDecompose, tsPeakDetect,
+    tsAutocorrLag, tsRollingMedian, tsCalendarSpine)
 }

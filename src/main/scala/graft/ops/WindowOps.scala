@@ -188,6 +188,42 @@ object WindowOps {
       "SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak, " +
       "CAST(SUM(len) AS BIGINT) AS n_active_days FROM st GROUP BY 1 ORDER BY user_id"))
 
+  /** RATIO_TO_REPORT — each (mktsegment, orderpriority) cell's share of its
+    * segment's revenue and of the grand total, the percent-of-parent column
+    * every BI rollup carries. Shares are computed on exact cents BIGINTs
+    * (the cell, segment, and grand sums are associative integer aggregates);
+    * the two ratios are each ONE IEEE division over those exact integers.
+    *
+    * Scale notes (100 TB): the base rollup is a two-phase aggregate onto
+    * the (segment, priority) grid — tiny; both report windows
+    * (per-segment, global) then run over the grid, not raw rows, so the
+    * unpartitioned total-window is bounded by the grid's cardinality. */
+  val windowRatioToReport: Op = Op(
+    "window_ratio_to_report",
+    (s, d) => {
+      val cells = Tables.orders(s, d).join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"), col("o_orderpriority").as("pri"))
+        .agg(sum((col("o_totalprice").cast(D12_2) * 100).cast("bigint")).as("cents"))
+      val wSeg = Window.partitionBy("seg")
+      val wAll = Window.partitionBy()
+      cells
+        .withColumn("seg_cents", sum(col("cents")).over(wSeg))
+        .withColumn("all_cents", sum(col("cents")).over(wAll))
+        .select(col("seg"), col("pri"), col("cents"),
+          (col("cents").cast("double") / col("seg_cents")).as("share_of_segment"),
+          (col("cents").cast("double") / col("all_cents")).as("share_of_total"))
+        .orderBy("seg", "pri")
+    },
+    Some("WITH cells AS (SELECT c_mktsegment AS seg, o_orderpriority AS pri, " +
+      "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2) " +
+      "SELECT seg, pri, cents, " +
+      "CAST(cents AS DOUBLE) / CAST(SUM(cents) OVER (PARTITION BY seg) AS BIGINT) AS share_of_segment, " +
+      "CAST(cents AS DOUBLE) / CAST(SUM(cents) OVER () AS BIGINT) AS share_of_total " +
+      "FROM cells ORDER BY seg, pri"))
+
   val all: Seq[Op] = Seq(windowTopkPerGroup, windowRankDense, windowLagLead, windowMovingAvg,
-    windowRangeFrame, windowNtilePct, windowFirstLast, windowCumsum, windowStreakLongest)
+    windowRangeFrame, windowNtilePct, windowFirstLast, windowCumsum, windowStreakLongest,
+    windowRatioToReport)
 }

@@ -1,0 +1,207 @@
+package graft
+
+import graft.ops.{DqOps, PipelineOps, SqlSurfaceOps, StatsOps, TimeSeriesOps, WindowOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The round-10 monitoring/statistics batch: KS drift, Welch t, lag-k
+  * autocorrelation, rolling median, calendar spine, ratio-to-report,
+  * GROUP BY ALL, and centroid outliers. The oracle hash-compare proves
+  * cross-engine equality; these tests prove the SEMANTIC claims the ops'
+  * scaladoc makes (exact-rational KS, order-statistic median, moment
+  * identities, conservation laws) that a value-equal hash can't
+  * distinguish from coincidence. */
+class MonitorOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // ------------------------------------------------------------ dq_drift_ks
+
+  test("KS drift: d_num/d_den is the exact two-sample KS statistic of the " +
+    "epoch-midpoint split, recomputed independently") {
+    val row = DqOps.dqDriftKs.fn(spark, TestSpark.sf001).collect()(0)
+    val (n1, n2, dNum, dDen) = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(dDen == n1 * n2)
+
+    val orders = spark.read.parquet(s"${TestSpark.sf001}/orders.parquet")
+      .select(col("o_totalprice"),
+        unix_micros(graft.tables.Tables.ntzColToTimestamp("o_orderdate")).as("us"))
+      .collect().map(r => (BigDecimal(r.getDouble(0)).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact, r.getLong(1)))
+    val mn = orders.map(_._2).min
+    val mx = orders.map(_._2).max
+    val pivot = mn + (mx - mn) / 2
+    val s1 = orders.filter(_._2 < pivot).map(_._1).sorted
+    val s2 = orders.filter(_._2 >= pivot).map(_._1).sorted
+    assert(s1.length == n1 && s2.length == n2)
+    val domain = (s1 ++ s2).distinct.sorted
+    val expected = domain.map { v =>
+      val c1 = s1.count(_ <= v).toLong
+      val c2 = s2.count(_ <= v).toLong
+      math.abs(c1 * n2 - c2 * n1)
+    }.max
+    assert(dNum == expected, s"op d_num=$dNum, independent recompute=$expected")
+  }
+
+  // ------------------------------------------------------ stats_ttest_welch
+
+  test("Welch t: the emitted t_stat is exactly the pinned IEEE spelling over " +
+    "the emitted exact moments") {
+    val row = StatsOps.statsTtestWelch.fn(spark, TestSpark.sf001).collect()(0)
+    val (na, nb) = (row.getLong(2), row.getLong(3))
+    val sa = BigInt(row.getString(4)); val sb = BigInt(row.getString(5))
+    val ssa = BigInt(row.getString(6)); val ssb = BigInt(row.getString(7))
+    val t = row.getDouble(8)
+    def mean(s: BigInt, n: Long) = s.toDouble / n
+    // same association order as the op: ((sxx - sx*sx/n) / (n-1)) / n
+    def varOverN(s: BigInt, ss: BigInt, n: Long) =
+      (ss.toDouble - s.toDouble * s.toDouble / n) / (n - 1) / n
+    val expected = (mean(sa, na) - mean(sb, nb)) /
+      math.sqrt(varOverN(sa, ssa, na) + varOverN(sb, ssb, nb))
+    assert(t == expected ||
+      math.abs(t - expected) <= 1e-12 * math.abs(expected),
+      s"t_stat $t != recomputed $expected")
+    assert(na > 1 && nb > 1)
+  }
+
+  // -------------------------------------------------------- ts_autocorr_lag
+
+  test("autocorrelation: lag-1 moment numerators match an exact BigInt " +
+    "recompute over the hourly series") {
+    val out = TimeSeriesOps.tsAutocorrLag.fn(spark, TestSpark.sf001)
+      .where(col("lag") === 1).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), BigInt(r.getString(3)))).toMap
+
+    val hourly = graft.tables.Tables.events(spark, TestSpark.sf001)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg((sum(col("value").cast(graft.ops.Dets.D12_2)) * 100).cast("long").as("y"))
+      .orderBy("event_type", "h")
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+
+    for ((et, ys) <- hourly) {
+      val pairs = ys.zip(ys.drop(1)).map { case (x, y) => (BigInt(x), BigInt(y)) }
+      val n = BigInt(pairs.length)
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val (gotN, gotCov) = out(et)
+      assert(gotN == pairs.length, s"$et pair count")
+      assert(gotCov == n * sxy - sx * sy, s"$et cov_num")
+    }
+  }
+
+  // ------------------------------------------------------- ts_rolling_median
+
+  test("rolling median: med_e2 is the 4th order statistic of each complete " +
+    "trailing 7-hour window, and an injected outlier cannot move it past " +
+    "a real neighbour") {
+    val hourly = graft.tables.Tables.events(spark, TestSpark.sf001)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg((sum(col("value").cast(graft.ops.Dets.D12_2)) * 100).cast("long").as("y"))
+      .orderBy("event_type", "h")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+      .groupBy(_._1)
+    val got = TimeSeriesOps.tsRollingMedian.fn(spark, TestSpark.sf001).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getLong(3)).toMap
+
+    var checked = 0
+    for ((et, rows) <- hourly) {
+      val ys = rows.sortBy(_._2.getTime)
+      for (i <- 6 until ys.length) {
+        val win = (i - 6 to i).map(j => ys(j)._3).sorted
+        assert(got((et, ys(i)._2)) == win(3),
+          s"$et @ ${ys(i)._2}: median != 4th order stat")
+        checked += 1
+      }
+      // robustness: max of any 7-window never equals its median unless the
+      // window is constant — the outlier cannot BE the median
+      assert((6 until ys.length).forall { i =>
+        val win = (i - 6 to i).map(j => ys(j)._3).sorted
+        win(3) != win.last || win.head == win.last
+      })
+    }
+    assert(checked > 0 && checked == got.size)
+  }
+
+  // ------------------------------------------------------ ts_calendar_spine
+
+  test("calendar spine: gapless daily coverage of the order span, order " +
+    "counts conserved, zero-activity days explicit") {
+    val rows = TimeSeriesOps.tsCalendarSpine.fn(spark, TestSpark.sf001).collect()
+    val days = rows.map(_.getDate(0).toLocalDate)
+    assert(days.zip(days.drop(1)).forall { case (a, b) => b == a.plusDays(1) },
+      "spine has a gap or duplicate")
+    val totalOrders = spark.read.parquet(s"${TestSpark.sf001}/orders.parquet").count()
+    assert(rows.map(_.getLong(5)).sum == totalOrders, "n_orders not conserved")
+    rows.foreach { r =>
+      val day = r.getDate(0).toLocalDate
+      assert(r.getInt(1) == day.getDayOfWeek.getValue % 7, s"dow wrong at $day")
+      assert(r.getBoolean(4) == (day == day.withDayOfMonth(day.lengthOfMonth())),
+        s"is_month_end wrong at $day")
+    }
+  }
+
+  // -------------------------------------------------- window_ratio_to_report
+
+  test("ratio-to-report: shares sum to 1 within each segment and globally") {
+    val rows = WindowOps.windowRatioToReport.fn(spark, TestSpark.sf001).collect()
+    val bySeg = rows.groupBy(_.getString(0))
+    for ((seg, rs) <- bySeg) {
+      val s = rs.map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"segment $seg shares sum to $s")
+    }
+    val g = rows.map(_.getDouble(4)).sum
+    assert(math.abs(g - 1.0) < 1e-9, s"global shares sum to $g")
+  }
+
+  // --------------------------------------------------------- sql_group_by_all
+
+  test("GROUP BY ALL expands to exactly the non-aggregate select items") {
+    val viaAll = SqlSurfaceOps.sqlGroupByAll.fn(spark, TestSpark.sf001).collect()
+    graft.ops.GraftCatalog.registerAll(spark, TestSpark.sf001)
+    val explicit = spark.sql(
+      "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus " +
+        "ORDER BY l_returnflag, l_linestatus").collect()
+    assert(viaAll.toSeq == explicit.toSeq)
+  }
+
+  // --------------------------------------------------- embed_centroid_outliers
+
+  test("centroid outliers: 5 ascending-cosine rows per label, cosine is the " +
+    "pinned spelling of the emitted exact components, and the kept set IS " +
+    "the bottom-5 (verified against a full recompute for one label)") {
+    val rows = PipelineOps.embedCentroidOutliers.fn(spark, TestSpark.sf001).collect()
+    val byLabel = rows.groupBy(_.getInt(0))
+    for ((_, rs) <- byLabel) {
+      assert(rs.length == 5)
+      val cosines = rs.sortBy(_.getInt(1)).map(_.getDouble(6))
+      assert(cosines.zip(cosines.drop(1)).forall { case (a, b) => a <= b })
+      rs.foreach { r =>
+        val expected = r.getLong(3).toDouble /
+          math.sqrt(r.getLong(4).toDouble * r.getLong(5).toDouble)
+        assert(r.getDouble(6) == expected, "cosine spelling mismatch")
+      }
+    }
+    // full recompute for label 0: quantize, centroid, cosine, bottom-5
+    val vecs = spark.read.parquet(s"${TestSpark.sf001}/embeddings.parquet")
+      .where(col("label") === 0).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val quant = vecs.map { case (id, v) =>
+      val maxabs = v.map(math.abs).max
+      val scale = if (maxabs == 0) 0.0 else 127.0 / maxabs
+      id -> v.map(x => math.floor(x * scale + 0.5).toLong)
+    }
+    val dim = quant.head._2.length
+    val cent = Array.tabulate(dim)(i => quant.map(_._2(i)).sum)
+    val nc2 = cent.map(c => c * c).sum
+    val scored = quant.map { case (id, q) =>
+      val dot = q.zip(cent).map { case (a, b) => a * b }.sum
+      val nq2 = q.map(x => x * x).sum
+      (id, dot.toDouble / math.sqrt(nq2.toDouble * nc2.toDouble))
+    }.sortBy(p => (p._2, p._1)).take(5).map(_._1).toSeq
+    val gotIds = byLabel(0).sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+    assert(gotIds == scored, s"label-0 bottom-5 mismatch: $gotIds vs $scored")
+  }
+}
