@@ -311,6 +311,63 @@ object AnalyticsOps {
       "CAST(SUM(credit_e6) AS BIGINT) AS credit_e6 " +
       "FROM k GROUP BY 1, 2 ORDER BY click_id"))
 
+  /** Market-basket affinity — which product brands co-occur in an order
+    * beyond chance, the association-rule table behind "frequently bought
+    * together". Baskets are (order, brand) sets (lineitem ⋈ broadcast part);
+    * the APRIORI prefilter (items must clear min-support BEFORE pairing)
+    * is what makes pair generation safe at scale — the self-join fans out
+    * only over frequent items, so a long-tail catalog can't explode it.
+    * Support counts are exact BIGINTs; lift = (n_pair · n_orders) /
+    * (n1 · n2) is emitted as its exact integer numerator/denominator plus
+    * ONE IEEE division, so ranking rules never depend on float rounding.
+    *
+    * Scale notes (100 TB): distinct (order, item) is one shuffle on the
+    * order key; the frequent-item table broadcasts back; the pair join is
+    * per-order local (items of one order meet in one partition) with
+    * output bounded by frequent-items² — the knob a 100 TB run tunes via
+    * min-support. Per-order basket width is naturally small (order line
+    * counts); a pathological mega-basket would be capped upstream. */
+  val analyticsMarketBasket: Op = Op(
+    "analytics_market_basket",
+    (s, d) => {
+      val baskets = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+        .distinct()
+      val nOrders = baskets.agg(count_distinct(col("o")).as("n_orders"))
+      val freq = baskets.groupBy("b").agg(count(lit(1)).as("n_item"))
+        .where(col("n_item") >= 5)
+      val fb = baskets.join(broadcast(freq), "b")
+      fb.as("a").join(fb.as("c"),
+          col("a.o") === col("c.o") && col("a.b") < col("c.b"))
+        .groupBy(col("a.b").as("brand1"), col("a.n_item").as("n1"),
+          col("c.b").as("brand2"), col("c.n_item").as("n2"))
+        .agg(count(lit(1)).as("n_pair"))
+        .where(col("n_pair") >= 2)
+        .crossJoin(broadcast(nOrders))
+        .select(col("brand1"), col("brand2"), col("n_pair"), col("n1"), col("n2"),
+          (col("n_pair") * col("n_orders")).as("lift_num"),
+          (col("n1") * col("n2")).as("lift_den"),
+          ((col("n_pair") * col("n_orders")).cast("double") / (col("n1") * col("n2")))
+            .as("lift"))
+        .orderBy("brand1", "brand2")
+    },
+    Some("WITH baskets AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b " +
+      "FROM lineitem JOIN part ON l_partkey = p_partkey), " +
+      "n_ord AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM baskets), " +
+      "freq AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_item FROM baskets " +
+      "GROUP BY 1 HAVING COUNT(*) >= 5), " +
+      "fb AS (SELECT o, baskets.b, n_item FROM baskets JOIN freq USING (b)), " +
+      "pairs AS (SELECT a.b AS brand1, a.n_item AS n1, c.b AS brand2, c.n_item AS n2, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_pair " +
+      "FROM fb a JOIN fb c ON a.o = c.o AND a.b < c.b " +
+      "GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 2) " +
+      "SELECT brand1, brand2, n_pair, n1, n2, " +
+      "n_pair * n_orders AS lift_num, n1 * n2 AS lift_den, " +
+      "CAST(n_pair * n_orders AS DOUBLE) / (n1 * n2) AS lift " +
+      "FROM pairs, n_ord ORDER BY brand1, brand2"))
+
   val all: Seq[Op] = Seq(funnelConversion, cohortRetention, funnelPatternMatch,
-    analyticsTopPaths, analyticsRfmSegmentation, analyticsAttributionLinear)
+    analyticsTopPaths, analyticsRfmSegmentation, analyticsAttributionLinear,
+    analyticsMarketBasket)
 }

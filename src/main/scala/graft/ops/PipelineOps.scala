@@ -726,8 +726,43 @@ object PipelineOps {
       "SELECT label, CAST(rn AS INT) AS rn, vec_id, dot, nq2, nc2, cos_centroid " +
       "FROM r WHERE rn <= 5 ORDER BY label, rn"))
 
+  /** The hashing trick — fixed-width feature vectorization without a
+    * vocabulary: every token maps to bucket md5(token)[0:8] mod 64 (the
+    * content-addressed bucket assignment, engine-portable like the
+    * sampling ops' hex-threshold rule — no engine hash parity needed),
+    * and a document's feature vector is its per-bucket token counts,
+    * emitted sparse. This is how a 100 TB corpus gets bag-of-words
+    * features with ZERO global state: no vocab build, no id-assignment
+    * join, no OOV problem — the exact property that makes it the
+    * incremental-pipeline vectorizer. A 1-in-20 doc_id slice keeps the
+    * demo output bounded; the full-corpus plan is identical.
+    *
+    * Scale notes (100 TB): md5 + mod are scan-local codegen'd expressions;
+    * the only shuffle is the (doc, bucket) count — output volume ≤
+    * docs × 64 regardless of vocabulary size, and the map-side partial
+    * collapses repeated tokens before it. */
+  val featureHashVectorize: Op = Op(
+    "feature_hash_vectorize",
+    (s, d) => {
+      Tables.documents(s, d)
+        .where(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .select(col("doc_id"),
+          (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("bigint") % 64).as("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("doc_id", "bucket")
+    },
+    Some("SELECT doc_id, " +
+      "CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS bucket, " +
+      "CAST(COUNT(*) AS BIGINT) AS n " +
+      "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents " +
+      "WHERE doc_id % 20 = 0) WHERE len(tok) > 0 " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"))
+
   val all: Seq[Op] = Seq(sampleStratified, splitTrainValTest, packSequences, embedQuantizeInt8,
     pipelineCorpusBuild, sampleReservoirGroup, sampleWeightedHash, embedGramExact,
     sampleMixtureQuota, sampleTemperature, embedRandomProjection, pipelineIncrementalUpdate, idsDenseAssign,
-    featureOnehotEncode, featureScaleMinmax, embedCentroidOutliers)
+    featureOnehotEncode, featureScaleMinmax, embedCentroidOutliers, featureHashVectorize)
 }

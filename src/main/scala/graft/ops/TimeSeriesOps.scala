@@ -902,9 +902,91 @@ object TimeSeriesOps {
       "COALESCE(d.n_orders, 0) AS n_orders " +
       "FROM spine s LEFT JOIN daily d ON s.day = d.day ORDER BY s.day"))
 
+  /** STL-style anomaly detection — [[tsSeasonalDecompose]]'s residual run
+    * through a robust MAD gate: an hour is anomalous when its residual
+    * (what trend AND daily seasonality cannot explain) deviates from the
+    * series' median residual by more than 3× the median absolute
+    * deviation. This catches the spike the raw-value monitors miss (a
+    * normal-looking value at an hour where the seasonal pattern predicted
+    * much less) and ignores the daily peak that z-score-on-raw flags every
+    * day. Exactness: residuals are floored to micro-units BIGINT; both
+    * medians use the DOUBLED-median trick (odd count → 2·middle, even →
+    * lo+hi — still integers), so the flag predicate 2·dev2 > 3·mad4
+    * (= |resid − med| > 3·MAD at the doubled scales) is pure integer
+    * comparison — no float ever decides membership.
+    *
+    * Scale notes (100 TB): same reduced hourly-rollup shape as the
+    * decompose op; the two median passes are per-series window ranks (the
+    * [[tsOutlierMad]] pattern) and the |series|-row median tables broadcast
+    * back. */
+  val tsAnomalyStl: Op = Op(
+    "ts_anomaly_stl",
+    (s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg((sum(d2(col("value"))) * 100).cast("long").as("y_e2"))
+      val w25 = Window.partitionBy("event_type").orderBy("h").rowsBetween(-12, 12)
+      val wSeas = Window.partitionBy(col("event_type"), hour(col("h")))
+      val t = hourly
+        .withColumn("y", col("y_e2").cast("double") / 100)
+        .withColumn("trend",
+          sum(col("y_e2")).over(w25).cast("double") / count(lit(1)).over(w25) / 100)
+        .withColumn("det_e6", floor((col("y") - col("trend")) * 1000000).cast("long"))
+        .withColumn("seasonal",
+          sum(col("det_e6")).over(wSeas).cast("double") / count(lit(1)).over(wSeas) / 1000000.0)
+        .withColumn("resid_e6",
+          floor((col("y") - col("trend") - col("seasonal")) * 1000000).cast("long"))
+      def dmed(df: org.apache.spark.sql.DataFrame, c: String, out: String) = {
+        val w = Window.partitionBy("event_type").orderBy(col(c), col("h"))
+        val cw = Window.partitionBy("event_type")
+        df.withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(cw))
+          .filter(col("rn") === floor((col("cnt") + 1) / 2) ||
+            col("rn") === floor((col("cnt") + 2) / 2))
+          .groupBy("event_type")
+          .agg((sum(col(c)) * (lit(3) - count(lit(1)))).as(out))
+      }
+      val med = dmed(t.select("event_type", "h", "resid_e6"), "resid_e6", "med2")
+      val dev = t.join(broadcast(med), "event_type")
+        .withColumn("dev2", abs(col("resid_e6") * 2 - col("med2")))
+      val mad = dmed(dev.select("event_type", "h", "dev2"), "dev2", "mad4")
+      dev.join(broadcast(mad), "event_type")
+        .where(col("dev2") * 2 > col("mad4") * 3)
+        .select(col("event_type"), col("h"), col("y"), col("resid_e6"),
+          col("dev2"), col("med2"), col("mad4"))
+        .orderBy("event_type", "h")
+    },
+    Some("WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, " +
+      "CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS y_e2 " +
+      "FROM events GROUP BY 1, 2), " +
+      "tr AS (SELECT event_type, h, CAST(y_e2 AS DOUBLE) / 100 AS y, " +
+      "CAST(SUM(y_e2) OVER w25 AS DOUBLE) / (COUNT(*) OVER w25) / 100 AS trend " +
+      "FROM hourly WINDOW w25 AS (PARTITION BY event_type ORDER BY h " +
+      "ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)), " +
+      "dt AS (SELECT event_type, h, y, trend, " +
+      "CAST(floor((y - trend) * 1000000) AS BIGINT) AS det_e6 FROM tr), " +
+      "se AS (SELECT event_type, h, y, trend, " +
+      "CAST(SUM(det_e6) OVER ws AS DOUBLE) / (COUNT(*) OVER ws) / 1000000.0 AS seasonal " +
+      "FROM dt WINDOW ws AS (PARTITION BY event_type, EXTRACT(hour FROM h))), " +
+      "rz AS (SELECT event_type, h, y, " +
+      "CAST(floor((y - trend - seasonal) * 1000000) AS BIGINT) AS resid_e6 FROM se), " +
+      "r1 AS (SELECT rz.*, row_number() OVER (PARTITION BY event_type " +
+      "ORDER BY resid_e6, h) AS rn, COUNT(*) OVER (PARTITION BY event_type) AS cnt FROM rz), " +
+      "m AS (SELECT event_type, CAST(SUM(resid_e6) * (3 - COUNT(*)) AS BIGINT) AS med2 " +
+      "FROM r1 WHERE rn = floor((cnt+1)/2) OR rn = floor((cnt+2)/2) GROUP BY 1), " +
+      "dv AS (SELECT rz.event_type, rz.h, rz.y, rz.resid_e6, m.med2, " +
+      "abs(rz.resid_e6 * 2 - m.med2) AS dev2 FROM rz JOIN m USING (event_type)), " +
+      "r2 AS (SELECT dv.*, row_number() OVER (PARTITION BY event_type " +
+      "ORDER BY dev2, h) AS rn, COUNT(*) OVER (PARTITION BY event_type) AS cnt FROM dv), " +
+      "mad AS (SELECT event_type, CAST(SUM(dev2) * (3 - COUNT(*)) AS BIGINT) AS mad4 " +
+      "FROM r2 WHERE rn = floor((cnt+1)/2) OR rn = floor((cnt+2)/2) GROUP BY 1) " +
+      "SELECT dv.event_type, dv.h, dv.y, dv.resid_e6, dv.dev2, dv.med2, mad.mad4 " +
+      "FROM dv JOIN mad USING (event_type) WHERE dv.dev2 * 2 > mad.mad4 * 3 " +
+      "ORDER BY dv.event_type, dv.h"))
+
   val all: Seq[Op] = Seq(tsTumblingHourly, tsSlidingWindow, tsSessionWindow, tsGapDetection,
     tsCounterDelta, tsCounterDailyReset, tsDailyProfile, tsResampleFfill, tsInterpolateLinear,
     creditEventDetect, siteCircuitRollup, tsDownsampleLtob, tsOutlierMad, tsZscoreRolling,
     tsEwmaScaled, tsCusumDrift, tsSlidingDistinct, tsSeasonalDecompose, tsPeakDetect,
-    tsAutocorrLag, tsRollingMedian, tsCalendarSpine)
+    tsAutocorrLag, tsRollingMedian, tsCalendarSpine, tsAnomalyStl)
 }

@@ -167,6 +167,73 @@ class MonitorOpsSpec extends AnyFunSuite {
     assert(viaAll.toSeq == explicit.toSeq)
   }
 
+  // ------------------------------------------------- analytics_market_basket
+
+  test("market basket: pairs are canonical (b1 < b2), support is coherent " +
+    "(n_pair <= min(n1, n2)), and lift is the exact emitted rational") {
+    val rows = graft.ops.AnalyticsOps.analyticsMarketBasket.fn(spark, TestSpark.sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b1, b2) = (r.getString(0), r.getString(1))
+      val (nPair, n1, n2) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(b1 < b2, s"non-canonical pair ($b1, $b2)")
+      assert(nPair <= math.min(n1, n2), s"support incoherent for ($b1, $b2)")
+      assert(r.getLong(5) % nPair == 0, "lift_num not a multiple of n_pair")
+      assert(r.getLong(6) == n1 * n2)
+      assert(r.getDouble(7) == r.getLong(5).toDouble / r.getLong(6))
+    }
+    // no duplicate pairs
+    assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length == rows.length)
+  }
+
+  // -------------------------------------------------- feature_hash_vectorize
+
+  test("hashing trick: buckets are in [0, 64), counts conserve the sampled " +
+    "docs' token totals, and the assignment is content-addressed (same " +
+    "token, same bucket across docs)") {
+    val rows = graft.ops.PipelineOps.featureHashVectorize.fn(spark, TestSpark.sf001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 64))
+    val emitted = rows.map(_.getLong(2)).sum
+    val expected = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet")
+      .where(col("doc_id") % 20 === 0)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .where(length(col("t")) > 0).count()
+    assert(emitted == expected, s"token counts not conserved: $emitted != $expected")
+    // content-addressing: recompute one doc's buckets independently
+    val doc = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet")
+      .where(col("doc_id") % 20 === 0).orderBy("doc_id").limit(1).collect()(0)
+    val docId = doc.getLong(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = doc.getString(1).split(" ").filter(_.nonEmpty)
+      .map { t =>
+        val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+        java.lang.Long.parseLong(hex, 16) % 64
+      }
+      .groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    val got = rows.filter(_.getLong(0) == docId)
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == want, s"doc $docId bucket counts mismatch")
+  }
+
+  // ----------------------------------------------------------- ts_anomaly_stl
+
+  test("STL anomalies: every flagged hour satisfies the integer 3-MAD gate, " +
+    "dev2 is consistent with the emitted doubled median, and med2/mad4 are " +
+    "genuine doubled medians (odd/even both exercised by construction)") {
+    val rows = graft.ops.TimeSeriesOps.tsAnomalyStl.fn(spark, TestSpark.sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (res, dev2, med2, mad4) = (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(dev2 == math.abs(2 * res - med2), "dev2 inconsistent")
+      assert(2 * dev2 > 3 * mad4, "flagged row fails the 3-MAD gate")
+    }
+    // per event_type the same (med2, mad4) pair everywhere
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.map(r => (r.getLong(5), r.getLong(6))).distinct.length == 1)
+    }
+  }
+
   // --------------------------------------------------- embed_centroid_outliers
 
   test("centroid outliers: 5 ascending-cosine rows per label, cosine is the " +
