@@ -18,7 +18,7 @@ object SparkEntry {
   private def allOps: Seq[Op] =
     ScanFilterOps.all ++ SourceSinkOps.all ++ AggOps.all ++ JoinOps.all ++ StarOps.all ++
       SubqueryOps.all ++ WindowOps.all ++ SkewOps.all ++
-      TimeSeriesOps.all ++ AnalyticsOps.all ++ SortSetOps.all ++ FuncOps.all ++ LlmOps.all ++
+      TimeSeriesOps.all ++ AnalyticsOps.all ++ BillingOps.all ++ SortSetOps.all ++ FuncOps.all ++ LlmOps.all ++
       TextOps.all ++ PipelineOps.all ++ MultimodalOps.all ++ StreamingOps.all ++ StatsOps.all ++
       DqOps.all ++ GraphOps.all ++ GeoOps.all ++ HierarchyOps.all ++ PlanSurfaceOps.all ++
       SqlSurfaceOps.all

@@ -984,9 +984,44 @@ object TimeSeriesOps {
       "FROM dv JOIN mad USING (event_type) WHERE dv.dev2 * 2 > mad.mad4 * 3 " +
       "ORDER BY dv.event_type, dv.h"))
 
+  /** Load-duration curve — the power-engineering standard view of a load
+    * series: hourly loads per series key sorted DESCENDING with each row's
+    * exceedance fraction (what share of hours are at least this loaded).
+    * Capacity planning reads "the top 5 % of hours carry X" straight off
+    * it. Ranks are integers; the exceedance fraction is ONE IEEE division
+    * rank/n over exact integers. Ties broken by hour for a total order.
+    *
+    * Scale notes (100 TB): runs on the hourly rollup (reduced data, the
+    * exact-cents two-phase aggregate); the per-series sort is the window's
+    * partition sort — no global sort across series. */
+  val tsLoadDurationCurve: Op = Op(
+    "ts_load_duration_curve",
+    (s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg((sum(d2(col("value"))) * 100).cast("long").as("y_e2"))
+      val w = Window.partitionBy("event_type").orderBy(col("y_e2").desc, col("h").asc)
+      val cw = Window.partitionBy("event_type")
+      hourly
+        .withColumn("rank", row_number().over(w))
+        .withColumn("n_hours", count(lit(1)).over(cw))
+        .select(col("event_type"), col("rank"), col("h"), col("y_e2"), col("n_hours"),
+          (col("rank").cast("double") / col("n_hours")).as("exceed_frac"))
+        .orderBy("event_type", "rank")
+    },
+    Some("WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, " +
+      "CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS y_e2 " +
+      "FROM events GROUP BY 1, 2), " +
+      "r AS (SELECT event_type, h, y_e2, " +
+      "CAST(row_number() OVER (PARTITION BY event_type ORDER BY y_e2 DESC, h ASC) AS INT) AS rank, " +
+      "CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_hours FROM hourly) " +
+      "SELECT event_type, rank, h, y_e2, n_hours, " +
+      "CAST(rank AS DOUBLE) / n_hours AS exceed_frac " +
+      "FROM r ORDER BY event_type, rank"))
+
   val all: Seq[Op] = Seq(tsTumblingHourly, tsSlidingWindow, tsSessionWindow, tsGapDetection,
     tsCounterDelta, tsCounterDailyReset, tsDailyProfile, tsResampleFfill, tsInterpolateLinear,
     creditEventDetect, siteCircuitRollup, tsDownsampleLtob, tsOutlierMad, tsZscoreRolling,
     tsEwmaScaled, tsCusumDrift, tsSlidingDistinct, tsSeasonalDecompose, tsPeakDetect,
-    tsAutocorrLag, tsRollingMedian, tsCalendarSpine, tsAnomalyStl)
+    tsAutocorrLag, tsRollingMedian, tsCalendarSpine, tsAnomalyStl, tsLoadDurationCurve)
 }

@@ -234,6 +234,73 @@ class MonitorOpsSpec extends AnyFunSuite {
     }
   }
 
+  // --------------------------------------------------------- billing family
+
+  test("time-of-use billing: band charges partition the total exactly, and " +
+    "the grand total equals an independent rate-dim-join recompute") {
+    val rows = graft.ops.BillingOps.billingTimeOfUse.fn(spark, TestSpark.sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) == r.getLong(5),
+        s"bands don't partition total for user ${r.getLong(0)}")
+      assert(r.getDouble(6) == r.getLong(5).toDouble / 10000.0)
+    }
+    // independent spelling: hour -> rate as a joined dim instead of a CASE
+    import spark.implicits._
+    val rateDim = (0 until 24).map { h =>
+      val rate = if (h >= 17 && h < 21) 18L
+      else if ((h >= 7 && h < 17) || (h >= 21 && h < 23)) 12L else 7L
+      (h, rate)
+    }.toDF("hr", "rate")
+    val expected = graft.tables.Tables.events(spark, TestSpark.sf001)
+      .where(col("event_type") =!= "purchase")
+      .withColumn("hr", hour(col("ts")))
+      .join(rateDim, "hr")
+      .agg(sum((col("value").cast(graft.ops.Dets.D12_2) * 100).cast("long") * col("rate")))
+      .collect()(0).getLong(0)
+    assert(rows.map(_.getLong(5)).sum == expected, "grand total not conserved")
+  }
+
+  test("prepaid balance: one user's cutoff count, below-zero time, and " +
+    "min/final balance match a sequential Scala replay of their ledger") {
+    val out = graft.ops.BillingOps.billingPrepaidBalance.fn(spark, TestSpark.sf001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val uid = out.keys.min
+    val ledger = graft.tables.Tables.events(spark, TestSpark.sf001)
+      .where(col("user_id") === uid)
+      .select(col("ts"), col("event_id"), col("event_type"),
+        (col("value").cast(graft.ops.Dets.D12_2) * 100).cast("long").as("cents"),
+        unix_micros(col("ts")).as("us"))
+      .orderBy("ts", "event_id").collect()
+    var bal = 0L; var prev = Option.empty[Long]
+    var cutoffs = 0L; var belowUs = 0L; var minBal = Long.MaxValue
+    for (i <- ledger.indices) {
+      val r = ledger(i)
+      bal += (if (r.getString(2) == "purchase") 5 * r.getLong(3) else -r.getLong(3))
+      if (bal < 0 && prev.forall(_ >= 0)) cutoffs += 1
+      if (bal < 0 && i + 1 < ledger.length)
+        belowUs += ledger(i + 1).getLong(4) - r.getLong(4)
+      minBal = math.min(minBal, bal)
+      prev = Some(bal)
+    }
+    assert(out(uid) == ((cutoffs, belowUs, minBal, bal)),
+      s"user $uid: ${out(uid)} != ${(cutoffs, belowUs, minBal, bal)}")
+  }
+
+  test("load-duration curve: per series it is non-increasing, ranks are " +
+    "dense 1..n, and the last exceedance fraction is exactly 1") {
+    val rows = graft.ops.TimeSeriesOps.tsLoadDurationCurve.fn(spark, TestSpark.sf001).collect()
+    rows.groupBy(_.getString(0)).foreach { case (et, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to rs.length),
+        s"$et ranks not dense")
+      val ys = sorted.map(_.getLong(3))
+      assert(ys.zip(ys.drop(1)).forall { case (a, b) => a >= b }, s"$et not non-increasing")
+      assert(sorted.forall(_.getLong(4) == rs.length))
+      assert(sorted.last.getDouble(5) == 1.0)
+    }
+  }
+
   // --------------------------------------------------- embed_centroid_outliers
 
   test("centroid outliers: 5 ascending-cosine rows per label, cosine is the " +
