@@ -330,6 +330,95 @@ object DqOps {
       "SELECT n1, n2, d_num, n1 * n2 AS d_den, " +
       "CAST(d_num AS DOUBLE) / (n1 * n2) AS d_stat, at_cents FROM n, best"))
 
+  /** The second standard drift monitor beside [[dqDriftKs]]: a chi-squared
+    * HOMOGENEITY test over pooled-decile bins — the binned test a feature
+    * store runs when the measure is bucketed anyway (and the one that
+    * generalizes to categorical features, where KS does not apply). Decile
+    * edges are exact order statistics of the POOLED distribution (edge_k =
+    * the smallest value whose pooled cumulative count reaches ⌈k·n/10⌉ —
+    * pure integer arithmetic on the reduced value domain); bin membership
+    * is an integer comparison against the 9 edges; each (bin, group)
+    * cell's χ² contribution follows [[StatsOps.statsChi2Independence]]'s
+    * floor-scaled-e9 contract ((o·n − r·c)²/(r·c·n), one fixed IEEE
+    * spelling floored to an exact BIGINT), with the grand-total row
+    * carrying the statistic. No logarithm anywhere (libm parity is not
+    * portable); χ² needs only +,−,×,÷.
+    *
+    * Scale notes (100 TB): same ECDF-on-aggregates shape as the KS op —
+    * rows collapse to per-distinct-value counts before any window; the
+    * 9-row edge table broadcasts back for binning; everything downstream
+    * operates on ≤ 10×2 cells. */
+  val dqDriftChi2: Op = Op(
+    "dq_drift_chi2",
+    (s, d) => {
+      val odUs = unix_micros(Tables.ntzColToTimestamp("o_orderdate"))
+      val b = Tables.orders(s, d).agg(min(odUs).as("mn"), max(odUs).as("mx"))
+      val tagged = Tables.orders(s, d).crossJoin(broadcast(b))
+        .select((col("o_totalprice").cast(D12_2) * 100).cast("bigint").as("v"),
+          when(odUs < col("mn") + expr("(mx - mn) div 2"), 1L).otherwise(2L).as("grp"))
+      val n = tagged.agg(count(lit(1)).as("n"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("grp") === 2, 1L).otherwise(0L)).as("n2"))
+      val perValue = tagged.groupBy("v").agg(
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("grp") === 2, 1L).otherwise(0L)).as("c2"))
+      val wCum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = perValue.withColumn("f", sum(col("c1") + col("c2")).over(wCum))
+      val edges = cum.crossJoin(broadcast(n))
+        .select(col("v"), col("f"), explode(expr("sequence(1, 9)")).as("k"), col("n"))
+        .where(col("f") >= expr("(k * n + 9) div 10"))
+        .groupBy("k").agg(min(col("v")).as("edge"))
+      val binned = cum.crossJoin(broadcast(edges))
+        .groupBy("v", "c1", "c2")
+        .agg(sum(when(col("v") > col("edge"), 1L).otherwise(0L)).as("bin"))
+      val cells = binned.groupBy("bin").agg(sum(col("c1")).as("o1"), sum(col("c2")).as("o2"))
+        .select(col("bin"), explode(expr(
+          "array(named_struct('grp', 1L, 'o', o1), named_struct('grp', 2L, 'o', o2))")).as("c"))
+        .select(col("bin"), col("c.grp").as("grp"), col("c.o").as("o"))
+      val wBin = Window.partitionBy("bin")
+      val scored = cells.crossJoin(broadcast(n))
+        .withColumn("r", sum(col("o")).over(wBin))
+        .withColumn("cg", when(col("grp") === 1, col("n1")).otherwise(col("n2")))
+        .select(col("bin"), col("grp"), col("o"),
+          floor((col("o") * col("n") - col("r") * col("cg")).cast("double") *
+            (col("o") * col("n") - col("r") * col("cg")).cast("double") /
+            (col("r") * col("cg")).cast("double") / col("n").cast("double") * 1.0e9)
+            .cast("long").as("contrib_e9"))
+      scored.unionAll(scored.agg(sum(col("o")).as("o"), sum(col("contrib_e9")).as("contrib_e9"))
+          .select(lit(null).cast("bigint").as("bin"), lit(null).cast("bigint").as("grp"),
+            col("o"), col("contrib_e9")))
+        .orderBy(col("bin").asc_nulls_last, col("grp").asc_nulls_last)
+    },
+    Some("WITH b AS (SELECT MIN(epoch_us(o_orderdate)) AS mn, " +
+      "MAX(epoch_us(o_orderdate)) AS mx FROM orders), " +
+      "s AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v, " +
+      "CASE WHEN epoch_us(o_orderdate) < b.mn + (b.mx - b.mn) // 2 THEN 1 ELSE 2 END AS grp " +
+      "FROM orders, b), " +
+      "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+      "CAST(SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2 FROM s), " +
+      "cv AS (SELECT v, CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1, " +
+      "CAST(SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2 FROM s GROUP BY v), " +
+      "cum AS (SELECT v, c1, c2, CAST(SUM(c1 + c2) OVER (ORDER BY v) AS BIGINT) AS f FROM cv), " +
+      "ks AS (SELECT unnest(generate_series(1, 9)) AS k), " +
+      "edges AS (SELECT k, MIN(v) AS edge FROM cum, ks, n " +
+      "WHERE f >= (k * n + 9) // 10 GROUP BY k), " +
+      "binned AS (SELECT cum.v, cum.c1, cum.c2, " +
+      "CAST((SELECT COUNT(*) FROM edges e WHERE cum.v > e.edge) AS BIGINT) AS bin FROM cum), " +
+      "cells AS (SELECT bin, grp, o FROM (" +
+      "SELECT bin, CAST(1 AS BIGINT) AS grp, CAST(SUM(c1) AS BIGINT) AS o FROM binned GROUP BY bin " +
+      "UNION ALL SELECT bin, 2, CAST(SUM(c2) AS BIGINT) FROM binned GROUP BY bin)), " +
+      "rt AS (SELECT bin, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY bin), " +
+      "k2 AS (SELECT cells.bin, cells.grp, o, CAST(floor(" +
+      "CAST(o * n.n - rt.r * (CASE WHEN cells.grp = 1 THEN n.n1 ELSE n.n2 END) AS DOUBLE) * " +
+      "CAST(o * n.n - rt.r * (CASE WHEN cells.grp = 1 THEN n.n1 ELSE n.n2 END) AS DOUBLE) / " +
+      "CAST(rt.r * (CASE WHEN cells.grp = 1 THEN n.n1 ELSE n.n2 END) AS DOUBLE) / " +
+      "CAST(n.n AS DOUBLE) * 1.0e9) AS BIGINT) AS contrib_e9 " +
+      "FROM cells JOIN rt USING (bin), n) " +
+      "SELECT bin, grp, o, contrib_e9 FROM k2 " +
+      "UNION ALL SELECT NULL, NULL, CAST(SUM(o) AS BIGINT), CAST(SUM(contrib_e9) AS BIGINT) FROM k2 " +
+      "ORDER BY bin NULLS LAST, grp NULLS LAST"))
+
   val all: Seq[Op] = Seq(dqExpectations, dqQuarantineSplit, cdcSnapshotDiff,
-    dqObserveMetrics, dqVolumeAnomaly, dqDriftKs)
+    dqObserveMetrics, dqVolumeAnomaly, dqDriftKs, dqDriftChi2)
 }

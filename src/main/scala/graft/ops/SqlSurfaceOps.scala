@@ -171,6 +171,23 @@ object SqlSurfaceOps {
       "(1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue " +
       "FROM lineitem GROUP BY ALL ORDER BY l_returnflag, l_linestatus"))
 
+  /** `SELECT * EXCEPT (cols)` (Spark 4.x; DuckDB spells it EXCLUDE) — the
+    * wide-table ergonomics surface: project everything BUT the volatile /
+    * sensitive columns, without enumerating a 200-column schema by hand.
+    * Here: the customer identity view minus the volatile balance — the
+    * shape a PII-scrub or cache-key projection takes on a wide fact.
+    * Resolved at analysis time to an ordinary Project, so column PRUNING
+    * still reaches the scan (the excluded column is never read). The
+    * oracle's EXCLUDE spelling proves the two dialects expand to the same
+    * column set. */
+  val sqlSelectStarExcept: Op = Op(
+    "sql_select_star_except",
+    (s, d) => {
+      GraftCatalog.registerAll(s, d)
+      s.sql("SELECT * EXCEPT (c_acctbal) FROM customer ORDER BY c_custkey")
+    },
+    Some("SELECT * EXCLUDE (c_acctbal) FROM customer ORDER BY c_custkey"))
+
   val all: Seq[Op] = Seq(sqlUdfScalarInline, sqlTableFunction, sqlParameterized,
-    sqlPipeSyntax, sqlLateralTopn, sqlGroupByAll)
+    sqlPipeSyntax, sqlLateralTopn, sqlGroupByAll, sqlSelectStarExcept)
 }

@@ -169,6 +169,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Final"), p)
   }
 
+  test("window_topk_per_group pushes its rank filter into WindowGroupLimit " +
+    "(per-task top-k heap, not a full partition sort-and-filter)") {
+    val p = plan(WindowOps.windowTopkPerGroup)
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
+    assert(p.contains("Final"), p)
+  }
+
+  test("dq_drift_chi2 broadcasts the 9-row decile-edge table for binning") {
+    val p = plan(DqOps.dqDriftChi2)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("dq referential-integrity rule plans as a broadcast left-anti join, not a per-row probe") {
     val p = plan(DqOps.dqExpectations)
     assert(p.contains("LeftAnti"), p)
