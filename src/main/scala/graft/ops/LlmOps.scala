@@ -1520,10 +1520,59 @@ object LlmOps {
       "FROM p JOIN sz ON sz.doc_id = doc_a " +
       "WHERE (100 * inter) // sz.na >= 80 ORDER BY doc_a, doc_b"))
 
+  /** Character-level near-dup detection by EDIT DISTANCE — the family
+    * member token-level MinHash/SimHash miss: small in-word typos and
+    * OCR-class character noise barely move a character-shingle set's
+    * Jaccard but stay within a few edits. Candidates are BLOCKED on
+    * (16-char prefix, length-bucket) — an equi-join, never all-pairs —
+    * and scored by levenshtein over the 64-char prefix fingerprint
+    * (exact dynamic programming, identical integer result on both
+    * engines; bounding the operand length is what bounds the O(m·n) DP
+    * cost per pair). The blocked pair space is priced at plan time under
+    * the same `graft.pair.budget` contract as the simhash banding — a
+    * pathologically homogeneous corpus gets a loud refusal, not a quiet
+    * quadratic job. Blocking recall contract (documented, not hidden): a
+    * near-dup pair is surfaced iff it agrees on the first 16 chars and
+    * length bucket — the right shape for the typo/OCR class this op
+    * targets (edits concentrated past the head), NOT for prefix-edited
+    * docs, which the shingle families catch instead.
+    *
+    * Scale notes (100 TB): block key is scan-local; the join is hash-equi
+    * on the block; DP runs on 64-char operands only; output ∝ near-dup
+    * pairs. */
+  val dedupEditPrefix: Op = Op(
+    "dedup_edit_prefix",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 64).as("p64"),
+          substring(col("text"), 1, 16).as("blk"), expr("n_chars div 256").as("lb"))
+      val pairSpace = base.groupBy("blk", "lb").agg(count(lit(1)).as("bsz"))
+        .agg(coalesce(sum(expr("bsz * (bsz - 1) DIV 2")), lit(0L)).as("p"))
+        .first().getLong(0)
+      val budget = s.conf.get(PairBudgetConf, PairBudgetDefault.toString).toLong
+      require(pairSpace <= budget,
+        s"edit-distance blocking refused: block pair space $pairSpace exceeds " +
+          s"$PairBudgetConf=$budget (homogeneous prefixes — hot blocks dominate). " +
+          "Lengthen the block key or set the budget explicitly to accept the cost.")
+      base.as("a").join(base.as("b"),
+          col("a.blk") === col("b.blk") && col("a.lb") === col("b.lb") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+          levenshtein(col("a.p64"), col("b.p64")).as("dist"))
+        .where(col("dist") <= 8)
+        .orderBy("id1", "id2")
+    },
+    Some("WITH d AS (SELECT doc_id, substr(text, 1, 64) AS p64, " +
+      "substr(text, 1, 16) AS blk, n_chars // 256 AS lb FROM documents) " +
+      "SELECT a.doc_id AS id1, b.doc_id AS id2, " +
+      "CAST(levenshtein(a.p64, b.p64) AS INT) AS dist " +
+      "FROM d a JOIN d b ON a.blk = b.blk AND a.lb = b.lb AND a.doc_id < b.doc_id " +
+      "WHERE levenshtein(a.p64, b.p64) <= 8 ORDER BY id1, id2"))
+
   val all: Seq[Op] = Seq(dedupExact, dedupBagOfWords, dedupIncrementalExact, dedupNearMinhash,
     dedupIncrementalMinhash, dedupSimhash,
     dedupNgramJaccard, dedupClusterKeep, dedupDecontaminate, dedupEmbeddingCosine,
-    dedupContainment, dedupSubstringSpans, dedupSubstringTrim,
+    dedupContainment, dedupSubstringSpans, dedupSubstringTrim, dedupEditPrefix,
     simSearchTopk, simSearchKnnPerQuery, simSearchAnnLsh, simSearchAnnIvf, simSearchAnnProbe,
     simSearchAnnPq, simSearchHybridRrf,
     textLangStats, textQualityFilter, multimodalJoin)

@@ -1019,9 +1019,55 @@ object TimeSeriesOps {
       "CAST(rank AS DOUBLE) / n_hours AS exceed_frac " +
       "FROM r ORDER BY event_type, rank"))
 
+  /** Seasonal-naive forecast BACKTEST — the baseline every load-forecasting
+    * effort must beat, and the honest way to report it: ŷ(t) = y(t − 1 day)
+    * and y(t − 7 days), scored against actuals per series as n / Σ|err| /
+    * MAE. The lag is a CALENDAR self-join on (series, h − interval) — not
+    * a row-offset lag(), which silently mis-forecasts across gaps in the
+    * hourly grid (a row-lag of 24 is "24 observed hours ago", not
+    * "yesterday", the moment an hour is missing). Errors are exact cents;
+    * MAE is one IEEE chain.
+    *
+    * Scale notes (100 TB): two co-partitionable equi-joins of the hourly
+    * rollup with itself (same key, same exchange reusable), then a tiny
+    * per-series aggregate. */
+  val tsForecastSnaiveBacktest: Op = Op(
+    "ts_forecast_snaive_backtest",
+    (s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg((sum(d2(col("value"))) * 100).cast("long").as("y_e2"))
+      def backtest(days: Int, label: String) =
+        hourly.as("a").join(hourly.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("b.h") === col("a.h") - expr(s"INTERVAL $days DAYS"))
+          .groupBy(col("a.event_type").as("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(abs(col("a.y_e2") - col("b.y_e2"))).as("sae_e2"))
+          .select(col("event_type"), lit(label).as("horizon"), col("n"), col("sae_e2"),
+            (col("sae_e2").cast("double") / col("n") / 100.0).as("mae"))
+      backtest(1, "snaive_1d").unionAll(backtest(7, "snaive_7d"))
+        .orderBy("event_type", "horizon")
+    },
+    Some("WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, " +
+      "CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS y_e2 " +
+      "FROM events GROUP BY 1, 2), " +
+      "bt AS (SELECT a.event_type, 'snaive_1d' AS horizon, " +
+      "CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(abs(a.y_e2 - b.y_e2)) AS BIGINT) AS sae_e2 " +
+      "FROM hourly a JOIN hourly b ON a.event_type = b.event_type " +
+      "AND b.h = a.h - INTERVAL 1 DAY GROUP BY 1 " +
+      "UNION ALL SELECT a.event_type, 'snaive_7d', " +
+      "CAST(COUNT(*) AS BIGINT), CAST(SUM(abs(a.y_e2 - b.y_e2)) AS BIGINT) " +
+      "FROM hourly a JOIN hourly b ON a.event_type = b.event_type " +
+      "AND b.h = a.h - INTERVAL 7 DAY GROUP BY 1) " +
+      "SELECT event_type, horizon, n, sae_e2, " +
+      "CAST(sae_e2 AS DOUBLE) / n / 100.0 AS mae FROM bt " +
+      "ORDER BY event_type, horizon"))
+
   val all: Seq[Op] = Seq(tsTumblingHourly, tsSlidingWindow, tsSessionWindow, tsGapDetection,
     tsCounterDelta, tsCounterDailyReset, tsDailyProfile, tsResampleFfill, tsInterpolateLinear,
     creditEventDetect, siteCircuitRollup, tsDownsampleLtob, tsOutlierMad, tsZscoreRolling,
     tsEwmaScaled, tsCusumDrift, tsSlidingDistinct, tsSeasonalDecompose, tsPeakDetect,
-    tsAutocorrLag, tsRollingMedian, tsCalendarSpine, tsAnomalyStl, tsLoadDurationCurve)
+    tsAutocorrLag, tsRollingMedian, tsCalendarSpine, tsAnomalyStl, tsLoadDurationCurve,
+    tsForecastSnaiveBacktest)
 }

@@ -301,6 +301,59 @@ class MonitorOpsSpec extends AnyFunSuite {
     }
   }
 
+  // --------------------------------------------------------- dedup_edit_prefix
+
+  test("edit-distance dedup: the emitted pair set IS exactly the blocked " +
+    "pairs within 8 edits, verified by an independent Levenshtein DP") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val t = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(b.length)
+    }
+    val docs = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet")
+      .select(col("doc_id"), substring(col("text"), 1, 64).as("p64"),
+        substring(col("text"), 1, 16).as("blk"), expr("n_chars div 256").as("lb"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val expected = (for {
+      a <- docs; b <- docs
+      if a._1 < b._1 && a._3 == b._3 && a._4 == b._4
+      d = lev(a._2, b._2) if d <= 8
+    } yield (a._1, b._1, d)).toSet
+    val got = graft.ops.LlmOps.dedupEditPrefix.fn(spark, TestSpark.sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected, s"pair sets differ: got ${got.size}, expected ${expected.size}")
+    assert(got.nonEmpty)
+  }
+
+  // ------------------------------------------------ ts_forecast_snaive_backtest
+
+  test("seasonal-naive backtest: n and the absolute-error sum match a " +
+    "calendar-join replay (gap hours score nothing, unlike a row lag)") {
+    val hourly = graft.tables.Tables.events(spark, TestSpark.sf001)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg((sum(col("value").cast(graft.ops.Dets.D12_2)) * 100).cast("long").as("y"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    val byKey = hourly.map(t => (t._1, t._2) -> t._3).toMap
+    val dayMs = 24L * 3600 * 1000
+    for ((days, label) <- Seq(1 -> "snaive_1d", 7 -> "snaive_7d")) {
+      val exp = hourly.flatMap { case (et, ms, y) =>
+        byKey.get((et, ms - days * dayMs)).map(yhat => et -> math.abs(y - yhat))
+      }.groupBy(_._1).map { case (et, xs) => et -> (xs.length.toLong, xs.map(_._2).sum) }
+      val got = graft.ops.TimeSeriesOps.tsForecastSnaiveBacktest.fn(spark, TestSpark.sf001)
+        .where(col("horizon") === label).collect()
+        .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+      assert(got == exp, s"$label backtest mismatch")
+    }
+  }
+
   // --------------------------------------------------- embed_centroid_outliers
 
   test("centroid outliers: 5 ascending-cosine rows per label, cosine is the " +
