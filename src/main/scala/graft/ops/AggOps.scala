@@ -556,8 +556,49 @@ object AggOps {
       " AS total FROM orders JOIN customer ON o_custkey = c_custkey " +
       "GROUP BY 1 ORDER BY seg"))
 
+  /** Exact WEIGHTED median — the price statistic that answers "the median
+    * sold unit cost X" instead of "the median line item cost X": each
+    * price weighted by its quantity. Same relational order-statistic
+    * machinery as [[aggPercentileExact]] extended to weights: per group,
+    * prices sort ascending, quantities (exact decimal-cents integers)
+    * accumulate, and the answer is the smallest price whose doubled
+    * cumulative weight reaches the group total — the lower weighted
+    * median, an integer comparison (2·cumW ≥ totW) with no division.
+    *
+    * Scale notes (100 TB): one shuffle on the group key + per-group window
+    * sort; the emitted relation is |groups| rows. For hot single groups
+    * the estimator alternative is a weighted t-digest — same swap story as
+    * exact-median → approx-percentile. */
+  val aggWeightedMedian: Op = Op(
+    "agg_weighted_median",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.lineitem(s, d).select(col("l_returnflag"),
+        (col("l_extendedprice").cast(D12_2) * 100).cast("bigint").as("p"),
+        (col("l_quantity").cast(D12_2) * 100).cast("bigint").as("w"))
+      val wCum = Window.partitionBy("l_returnflag")
+        .orderBy(col("p"), col("w")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy("l_returnflag")
+      base
+        .withColumn("cw", sum(col("w")).over(wCum))
+        .withColumn("tw", sum(col("w")).over(wTot))
+        .where(col("cw") * 2 >= col("tw"))
+        .groupBy("l_returnflag")
+        .agg(min(col("p")).as("wmedian_cents"), max(col("tw")).as("total_weight_e2"))
+        .orderBy("l_returnflag")
+    },
+    Some("WITH b AS (SELECT l_returnflag, " +
+      "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS p, " +
+      "CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS w FROM lineitem), " +
+      "c AS (SELECT l_returnflag, p, " +
+      "CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY p, w " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw, " +
+      "CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw FROM b) " +
+      "SELECT l_returnflag, MIN(p) AS wmedian_cents, MAX(tw) AS total_weight_e2 " +
+      "FROM c WHERE cw * 2 >= tw GROUP BY l_returnflag ORDER BY l_returnflag"))
+
   val all: Seq[Op] = Seq(aggPricingSummary, aggCountDistinct, aggApproxHll, aggHllMergeable,
     aggGroupingSets, aggRollupTime, aggCube, aggCollectSorted, aggArgMax, aggPivot, distinctRows,
     aggIncrementalRollup, aggPercentileExact, aggModeExact, aggBitmapDistinct, aggThetaSetops,
-    aggMvRewriteRollup, mvJoinDeltaMaintain)
+    aggMvRewriteRollup, mvJoinDeltaMaintain, aggWeightedMedian)
 }

@@ -367,7 +367,60 @@ object AnalyticsOps {
       "CAST(n_pair * n_orders AS DOUBLE) / (n1 * n2) AS lift " +
       "FROM pairs, n_ord ORDER BY brand1, brand2"))
 
+  /** Revenue-concentration (Gini) — the inequality statistic behind every
+    * "top X% of users drive Y% of revenue" claim, computed EXACTLY: per-
+    * purchaser cents totals sort ascending, and the classic rank form
+    * G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) is assembled from integer sums
+    * only. Rank ties on equal x leave Σ i·xᵢ invariant (swapping equal
+    * values across ranks changes nothing), so the statistic is order-
+    * deterministic without a tiebreak. Numerator/denominator are emitted
+    * as DECIMAL(38,0)-rendered VARCHAR (i·x products at warehouse scale
+    * pass BIGINT; the moments contract applies) plus ONE IEEE division.
+    *
+    * Scale notes (100 TB): the per-user rollup is the usual two-phase
+    * aggregate; the ranked pass runs over |purchasers| rows (users, not
+    * events) — and at extreme user cardinality the same statistic is
+    * assembled from a binned Lorenz curve the way the drift deciles are. */
+  val analyticsGiniConcentration: Op = Op(
+    "analytics_gini_concentration",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = "decimal(38,0)"
+      val perUser = Tables.events(s, d)
+        .where(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum((col("value").cast(Dets.D12_2) * 100).cast("bigint")).as("x"))
+      val w = Window.orderBy(col("x"), col("user_id"))
+      perUser
+        .withColumn("i", row_number().over(w).cast("long"))
+        .agg(count(lit(1)).as("n_users"), sum(col("x")).as("total_cents"),
+          sum(col("i").cast(dec) * col("x").cast(dec)).as("six"))
+        .select(col("n_users"), col("total_cents"),
+          (lit(2).cast(dec) * col("six") -
+            (col("n_users") + 1).cast(dec) * col("total_cents").cast(dec))
+            .cast(dec).cast("string").as("gini_num"),
+          (col("n_users").cast(dec) * col("total_cents").cast(dec))
+            .cast(dec).cast("string").as("gini_den"),
+          ((lit(2).cast(dec) * col("six") -
+            (col("n_users") + 1).cast(dec) * col("total_cents").cast(dec)).cast("double") /
+            (col("n_users").cast(dec) * col("total_cents").cast(dec)).cast("double"))
+            .as("gini"))
+    },
+    Some("WITH pu AS (SELECT user_id, " +
+      "CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS x " +
+      "FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
+      "r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS i FROM pu), " +
+      "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users, CAST(SUM(x) AS BIGINT) AS total_cents, " +
+      "CAST(SUM(CAST(i AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS six FROM r) " +
+      "SELECT n_users, total_cents, " +
+      "CAST(CAST(2 * six - (n_users + 1) * CAST(total_cents AS DECIMAL(38,0)) " +
+      "AS DECIMAL(38,0)) AS VARCHAR) AS gini_num, " +
+      "CAST(CAST(n_users * CAST(total_cents AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS VARCHAR) AS gini_den, " +
+      "CAST(CAST(2 * six - (n_users + 1) * CAST(total_cents AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) / " +
+      "CAST(CAST(n_users * CAST(total_cents AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) AS gini " +
+      "FROM a"))
+
   val all: Seq[Op] = Seq(funnelConversion, cohortRetention, funnelPatternMatch,
     analyticsTopPaths, analyticsRfmSegmentation, analyticsAttributionLinear,
-    analyticsMarketBasket)
+    analyticsMarketBasket, analyticsGiniConcentration)
 }

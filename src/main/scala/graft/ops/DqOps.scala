@@ -419,6 +419,42 @@ object DqOps {
       "UNION ALL SELECT NULL, NULL, CAST(SUM(o) AS BIGINT), CAST(SUM(contrib_e9) AS BIGINT) FROM k2 " +
       "ORDER BY bin NULLS LAST, grp NULLS LAST"))
 
+  /** Replayed-transaction audit — the idempotency-violation suspect list a
+    * billing pipeline reviews: events where the SAME user produced the SAME
+    * exact amount within a 7-day lookback (double-submits, retried batches,
+    * replayed files all land here). One window per (user, exact-cents
+    * amount) ordered by time; the gap test is pure integer micros. Emits
+    * the later event of each suspect pair with its gap — the row a human
+    * (or an auto-void rule) adjudicates.
+    *
+    * Scale notes (100 TB): one shuffle on (user, cents) — finer than the
+    * per-user key, so hot users spread; per-partition state is one lag.
+    * The streaming twin is `stream_dedup`'s keyed state with a 7-day
+    * watermark. */
+  val dqDuplicateEvents: Op = Op(
+    "dq_duplicate_events",
+    (s, d) => {
+      val w = Window.partitionBy("user_id", "cents").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("us"),
+          (col("value").cast(D12_2) * 100).cast("bigint").as("cents"))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+        .where(col("prev_us").isNotNull &&
+          col("us") - col("prev_us") <= lit(604800000000L))
+        .select(col("event_id"), col("prev_id"), col("user_id"), col("ts"),
+          col("cents"), (col("us") - col("prev_us")).as("gap_us"))
+        .orderBy("event_id")
+    },
+    Some("WITH e AS (SELECT event_id, user_id, ts, epoch_us(ts) AS us, " +
+      "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM events), " +
+      "l AS (SELECT *, lag(us) OVER w AS prev_us, lag(event_id) OVER w AS prev_id " +
+      "FROM e WINDOW w AS (PARTITION BY user_id, cents ORDER BY ts, event_id)) " +
+      "SELECT event_id, prev_id, user_id, ts, cents, us - prev_us AS gap_us " +
+      "FROM l WHERE prev_us IS NOT NULL AND us - prev_us <= CAST(604800000000 AS BIGINT) " +
+      "ORDER BY event_id"))
+
   val all: Seq[Op] = Seq(dqExpectations, dqQuarantineSplit, cdcSnapshotDiff,
-    dqObserveMetrics, dqVolumeAnomaly, dqDriftKs, dqDriftChi2)
+    dqObserveMetrics, dqVolumeAnomaly, dqDriftKs, dqDriftChi2, dqDuplicateEvents)
 }

@@ -75,5 +75,62 @@ object GeoOps {
       "SELECT s_suppkey, n_near, dist2 AS best_dist2, c_custkey AS best_cust " +
       "FROM sel WHERE rn = 1 ORDER BY s_suppkey"))
 
-  val all: Seq[Op] = Seq(geoGridNeighborJoin)
+  /** Point-in-rectangle containment join — the second classic spatial
+    * shape beside the radius join: each nation owns a 512×512 "district"
+    * box (corner derived from its key by the same integer-arithmetic
+    * scheme as the point positions), and the op counts the customers
+    * inside each district. Rewrite: a box spans at most 3×3 of the
+    * 256-unit grid cells, so the box side EXPLODES to its covered cell
+    * ids (bounded ≤ 9 fan-out) and candidates come from a hash EQUI-join
+    * on the cell — the exact containment predicate then runs per
+    * candidate only. Districts with zero residents surface explicitly
+    * via the final right join to the nation dim. Oracle = the naive
+    * cross-join containment count; hash equality proves the cell
+    * decomposition admits exactly the naive membership.
+    *
+    * Scale notes (100 TB): the pair space never exists — candidates are
+    * cell-occupancy-bounded; the box table is dim-sized and broadcasts;
+    * the exact predicate is codegen'd integer compares. A polygon layer
+    * generalizes by rasterizing each polygon to covered cells the same
+    * way (the standard spatial-join grid rewrite). */
+  val geoBboxContainsJoin: Op = Op(
+    "geo_bbox_contains_join",
+    (s, d) => {
+      val cust = Tables.customer(s, d).select(col("c_custkey"),
+          ((col("c_custkey") * 48271 + 11) % 1000003 % 4096).as("clat"),
+          ((col("c_custkey") * 69621 + 7) % 1000003 % 4096).as("clon"))
+        .withColumn("cx", expr("clat DIV 256"))
+        .withColumn("cy", expr("clon DIV 256"))
+      val box = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"),
+        ((col("n_nationkey") * 31627 + 17) % 1000003 % 3584).as("x0"),
+        ((col("n_nationkey") * 73939 + 29) % 1000003 % 3584).as("y0"))
+      val cells = box.select(col("n_nationkey"), col("x0"), col("y0"),
+        explode(expr("sequence(x0 DIV 256, (x0 + 511) DIV 256)")).as("bx"))
+        .select(col("n_nationkey"), col("x0"), col("y0"), col("bx"),
+          explode(expr("sequence(y0 DIV 256, (y0 + 511) DIV 256)")).as("by"))
+      val inside = broadcast(cells).join(cust,
+          col("bx") === col("cx") && col("by") === col("cy") &&
+            col("clat").between(col("x0"), col("x0") + 511) &&
+            col("clon").between(col("y0"), col("y0") + 511))
+        .groupBy("n_nationkey")
+        .agg(count(lit(1)).as("n_inside"), min(col("c_custkey")).as("first_resident"))
+      box.join(inside, Seq("n_nationkey"), "left")
+        .select(col("n_nationkey"), col("n_name"), col("x0"), col("y0"),
+          coalesce(col("n_inside"), lit(0L)).as("n_inside"),
+          col("first_resident"))
+        .orderBy("n_nationkey")
+    },
+    Some("WITH c AS (SELECT c_custkey, (c_custkey*48271+11)%1000003%4096 AS clat, " +
+      "(c_custkey*69621+7)%1000003%4096 AS clon FROM customer), " +
+      "bx AS (SELECT n_nationkey, n_name, (n_nationkey*31627+17)%1000003%3584 AS x0, " +
+      "(n_nationkey*73939+29)%1000003%3584 AS y0 FROM nation), " +
+      "ins AS (SELECT n_nationkey, CAST(COUNT(*) AS BIGINT) AS n_inside, " +
+      "MIN(c_custkey) AS first_resident FROM bx, c " +
+      "WHERE clat BETWEEN x0 AND x0 + 511 AND clon BETWEEN y0 AND y0 + 511 " +
+      "GROUP BY 1) " +
+      "SELECT bx.n_nationkey, bx.n_name, bx.x0, bx.y0, " +
+      "COALESCE(ins.n_inside, 0) AS n_inside, ins.first_resident " +
+      "FROM bx LEFT JOIN ins USING (n_nationkey) ORDER BY bx.n_nationkey"))
+
+  val all: Seq[Op] = Seq(geoGridNeighborJoin, geoBboxContainsJoin)
 }

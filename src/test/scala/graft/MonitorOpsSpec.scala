@@ -354,6 +354,85 @@ class MonitorOpsSpec extends AnyFunSuite {
     }
   }
 
+  // -------------------------------------------------------- agg_weighted_median
+
+  test("weighted median: matches a sequential cumulative-weight replay, and " +
+    "differs from the unweighted median somewhere (the weights matter)") {
+    val base = spark.read.parquet(s"${TestSpark.sf001}/lineitem.parquet")
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast(graft.ops.Dets.D12_2) * 100).cast("long").as("p"),
+        (col("l_quantity").cast(graft.ops.Dets.D12_2) * 100).cast("long").as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = base.groupBy(_._1).map { case (g, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val tot = sorted.map(_._3).sum
+      var cum = 0L
+      g -> sorted.find { r => cum += r._3; 2 * cum >= tot }.get._2
+    }
+    val got = graft.ops.AggOps.aggWeightedMedian.fn(spark, TestSpark.sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  // --------------------------------------------------------- dq_duplicate_events
+
+  test("duplicate events: every flagged row repeats its user's exact amount " +
+    "within 7 days, and prev_id is the immediate same-amount predecessor") {
+    val rows = graft.ops.DqOps.dqDuplicateEvents.fn(spark, TestSpark.sf001).collect()
+    assert(rows.nonEmpty)
+    val events = graft.tables.Tables.events(spark, TestSpark.sf001)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        (col("value").cast(graft.ops.Dets.D12_2) * 100).cast("long").as("cents"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    rows.foreach { r =>
+      val (id, prevId, uid, cents, gap) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))
+      val (pu, pus, pc) = events(prevId)
+      val (_, us, c) = events(id)
+      assert(pu == uid && pc == cents && c == cents, "pair mismatch")
+      assert(gap == us - pus && gap >= 0 && gap <= 604800000000L)
+    }
+  }
+
+  // ------------------------------------------------ analytics_gini_concentration
+
+  test("Gini concentration: the emitted rational equals an exact BigInt " +
+    "recompute and lies in [0, 1)") {
+    val r = graft.ops.AnalyticsOps.analyticsGiniConcentration.fn(spark, TestSpark.sf001)
+      .collect()(0)
+    val xs = graft.tables.Tables.events(spark, TestSpark.sf001)
+      .where(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum((col("value").cast(graft.ops.Dets.D12_2) * 100).cast("long")).as("x"))
+      .collect().map(_.getLong(1)).sorted
+    val n = BigInt(xs.length)
+    val tot = xs.map(BigInt(_)).sum
+    val six = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val num = 2 * six - (n + 1) * tot
+    val den = n * tot
+    assert(r.getLong(0) == xs.length && r.getLong(1) == tot.toLong)
+    assert(BigInt(r.getString(2)) == num && BigInt(r.getString(3)) == den)
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) < 1.0)
+  }
+
+  // ----------------------------------------------------- geo_bbox_contains_join
+
+  test("bbox containment: cell-decomposed counts equal the naive " +
+    "all-pairs containment for every district, including empty ones") {
+    val custs = spark.read.parquet(s"${TestSpark.sf001}/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0))
+      .map(k => (k, (k * 48271 + 11) % 1000003 % 4096, (k * 69621 + 7) % 1000003 % 4096))
+    val got = graft.ops.GeoOps.geoBboxContainsJoin.fn(spark, TestSpark.sf001).collect()
+    assert(got.length == 25)
+    got.foreach { r =>
+      val x0 = r.getAs[Number](2).longValue; val y0 = r.getAs[Number](3).longValue
+      val in = custs.filter(c => c._2 >= x0 && c._2 <= x0 + 511 && c._3 >= y0 && c._3 <= y0 + 511)
+      assert(r.getLong(4) == in.length, s"district ${r.getAs[Number](0)} count")
+      if (in.nonEmpty) assert(r.getLong(5) == in.map(_._1).min)
+      else assert(r.isNullAt(5))
+    }
+  }
+
   // --------------------------------------------------- embed_centroid_outliers
 
   test("centroid outliers: 5 ascending-cosine rows per label, cosine is the " +
