@@ -761,8 +761,100 @@ object PipelineOps {
       "WHERE doc_id % 20 = 0) WHERE len(tok) > 0 " +
       "GROUP BY 1, 2 ORDER BY 1, 2"))
 
+  /** The DATASET CARD — the per-source summary table a corpus release
+    * ships (and the first thing a consumer reads): documents, exact-dup
+    * survivors, language count, characters, whitespace tokens, per source
+    * plus a TOTAL row. Everything is an exact integer aggregate; the dup
+    * survivor count is |distinct md5(text)| per source — the same
+    * content-hash the dedup family keys on, so the card's "unique" column
+    * is consistent with what [[graft.ops.LlmOps.dedupExact]] would keep.
+    *
+    * Scale notes (100 TB): one scan; per-source partials combine
+    * map-side; the distinct-hash count expands to one extra exchange on
+    * (source, hash) — at extreme scale the HLL sketch column is the
+    * drop-in ([[AggOps.aggApproxHll]]'s swap story). */
+  val pipelineDatasetCard: Op = Op(
+    "pipeline_dataset_card",
+    (s, d) => {
+      val base = Tables.documents(s, d).select(col("source"), col("lang"),
+        col("n_chars"), size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("text")).as("h"))
+      val perSource = base.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("h")).as("n_unique"),
+        count_distinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"))
+      perSource.unionAll(
+          base.agg(count(lit(1)).as("n_docs"), count_distinct(col("h")).as("n_unique"),
+              count_distinct(col("lang")).as("n_langs"), sum(col("n_chars")).as("total_chars"),
+              sum(col("n_tokens")).as("total_tokens"))
+            .select(lit("TOTAL").as("source"), col("n_docs"), col("n_unique"),
+              col("n_langs"), col("total_chars"), col("total_tokens")))
+        .orderBy("source")
+    },
+    Some("WITH b AS (SELECT source, lang, n_chars, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, md5(text) AS h " +
+      "FROM documents), " +
+      "card AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+      "CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique, " +
+      "CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs, " +
+      "CAST(SUM(n_chars) AS BIGINT) AS total_chars, " +
+      "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM b GROUP BY source " +
+      "UNION ALL SELECT 'TOTAL', CAST(COUNT(*) AS BIGINT), " +
+      "CAST(COUNT(DISTINCT h) AS BIGINT), CAST(COUNT(DISTINCT lang) AS BIGINT), " +
+      "CAST(SUM(n_chars) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT) FROM b) " +
+      "SELECT * FROM card ORDER BY source"))
+
+  /** POINT-IN-TIME-correct feature assembly — the feature-store join that
+    * decides whether a model is trainable at all: for every label event
+    * (a purchase), attach features computed from STRICTLY-PRIOR history
+    * only — here the user's prior event count and their most recent prior
+    * click amount. Both features fall out of ONE pass over the unioned
+    * timeline per user (row_number − 1 for the count; last(ignoreNulls)
+    * over an UNBOUNDED-PRECEDING-TO-−1 frame for the as-of value — the
+    * [[JoinOps]] as-of trick), so no per-label subquery ever rescans
+    * history, and future leakage is structurally impossible (the frame
+    * ends at −1). NULL feature (no prior click) stays a NULL BIGINT —
+    * inside the hash-safe envelope.
+    *
+    * Scale notes (100 TB): one shuffle on user_id, one window sort,
+    * output ∝ labels. Adding a feature = adding a column to the same
+    * window pass, not another join — the property that keeps a 50-feature
+    * PIT assembly at one exchange. */
+  val pipelinePitFeatures: Op = Op(
+    "pipeline_pit_features",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wPrior = w.rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          when(col("event_type") === "click",
+            (col("value").cast(D12_2) * 100).cast("bigint")).as("click_cents"))
+        .withColumn("f_prior_events", (row_number().over(w) - 1).cast("long"))
+        .withColumn("f_last_click_cents", last(col("click_cents"), ignoreNulls = true).over(wPrior))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("f_prior_events"), col("f_last_click_cents"))
+        .orderBy("event_id")
+    },
+    Some("WITH t AS (SELECT event_id, user_id, ts, event_type, " +
+      "CASE WHEN event_type = 'click' " +
+      "THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) END AS click_cents " +
+      "FROM events), " +
+      "f AS (SELECT event_id, user_id, ts, event_type, " +
+      "CAST(row_number() OVER w - 1 AS BIGINT) AS f_prior_events, " +
+      "last_value(click_cents IGNORE NULLS) OVER " +
+      "(PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS f_last_click_cents " +
+      "FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+      "SELECT event_id, user_id, ts, f_prior_events, f_last_click_cents " +
+      "FROM f WHERE event_type = 'purchase' ORDER BY event_id"))
+
   val all: Seq[Op] = Seq(sampleStratified, splitTrainValTest, packSequences, embedQuantizeInt8,
     pipelineCorpusBuild, sampleReservoirGroup, sampleWeightedHash, embedGramExact,
     sampleMixtureQuota, sampleTemperature, embedRandomProjection, pipelineIncrementalUpdate, idsDenseAssign,
-    featureOnehotEncode, featureScaleMinmax, embedCentroidOutliers, featureHashVectorize)
+    featureOnehotEncode, featureScaleMinmax, embedCentroidOutliers, featureHashVectorize,
+    pipelineDatasetCard, pipelinePitFeatures)
 }

@@ -927,10 +927,58 @@ object SourceSinkOps {
       "UNION ALL SELECT 'v2', COUNT(*), CAST(SUM(bal) AS DOUBLE) FROM b " +
       "WHERE c_custkey % 3 <> 0 ORDER BY snap"))
 
+  /** Staged golden file for the RFC 4180 edge-case reader. */
+  def csvQuotedStagePath(sfDir: String): String = Stage.root(sfDir) + "/quoted.csv"
+
+  private val goldenQuotedCsv: String =
+    "id,name,note,amount\n" +
+      "1,\"Smith, John\",\"line one\nline two\",10.50\n" +
+      "2,\"O\"\"Brien\",plain,3.25\n" +
+      "3,Plain,\"trailing \"\"quoted\"\" word\",7.00\n" +
+      "4,\"with,comma\",\"\",0.75\n" +
+      "5,unquoted,\"ends with comma,\",1.00\n"
+
+  /** RFC 4180 edge-case CSV ingest — quoted fields carrying the delimiter,
+    * EMBEDDED NEWLINES, and doubled-quote escapes: the cases that silently
+    * corrupt a naive line-split reader. Spark needs `multiLine=true`
+    * (per-file parsing instead of line-splittable text) plus
+    * `escape="` (RFC doubled quotes, not backslash); DuckDB's read_csv is
+    * RFC-native — hash equality proves both parsers produce the identical
+    * relation, including the two-line cell. Newlines are normalized to a
+    * visible token in the FINAL projection only (a raw \n inside a cell is
+    * exactly the kind of value a downstream CSV artifact re-corrupts).
+    *
+    * Scale notes (100 TB): multiLine CSV is NOT line-splittable — each
+    * file parses as one unit, so parallelism = file count. That is the
+    * honest cost of embedded newlines; the load path mitigates by keeping
+    * ingest files small (the compaction op's inverse) or converting to
+    * parquet at the edge. Declared here, not hidden. */
+  val csvQuotedMultiline: Op = Op(
+    "csv_quoted_multiline",
+    (s, d) => {
+      val f = java.nio.file.Paths.get(csvQuotedStagePath(d))
+      Files.createDirectories(f.getParent)
+      Files.writeString(f, goldenQuotedCsv)
+      s.read.option("header", "true").option("multiLine", "true")
+        .option("escape", "\"").csv(f.toString)
+        .select(col("id").cast("int").as("id"), col("name"),
+          // empty-vs-null differs across CSV readers (Spark: "" -> NULL);
+          // pin both to one token before comparing
+          coalesce(nullif(regexp_replace(col("note"), "\n", "<NL>"), lit("")), lit("<EMPTY>"))
+            .as("note"),
+          col("amount").cast(Dets.D12_2).as("amount"))
+        .orderBy("id")
+    },
+    Some("SELECT CAST(id AS INT) AS id, name, " +
+      "COALESCE(NULLIF(replace(note, chr(10), '<NL>'), ''), '<EMPTY>') AS note, " +
+      "CAST(amount AS DECIMAL(12,2)) AS amount " +
+      "FROM read_csv('" + Stage.token + "/quoted.csv', header=true, all_varchar=true) " +
+      "ORDER BY id"))
+
   val all: Seq[Op] = Seq(csvLogIngest, sinkPartitionedParquet, sinkBucketedJoin,
     sinkClusteredLayout, mergeUpsertLatest, sinkCsvReport, sourceJsonlRoundtrip,
     sourceOrcRoundtrip, sourceSchemaEvolution, sinkCompactSmallFiles, sinkZorderLayout,
     sinkTargetedDelete, sinkDynamicPartitionOverwrite, cdcApplyChanges, sinkTimeTravelRead,
     sinkVacuumRetention, sourceProvenanceAudit, sourceCustomV2Solarlog, sinkCustomV2Roundtrip,
-    sqlCatalogTimeTravel)
+    sqlCatalogTimeTravel, csvQuotedMultiline)
 }

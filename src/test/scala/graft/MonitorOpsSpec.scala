@@ -433,6 +433,64 @@ class MonitorOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------ pipeline_dataset_card
+
+  test("dataset card: the TOTAL row sums the additive columns and bounds " +
+    "the distinct ones") {
+    val rows = graft.ops.PipelineOps.pipelineDatasetCard.fn(spark, TestSpark.sf001).collect()
+    val (tot, per) = rows.partition(_.getString(0) == "TOTAL")
+    assert(tot.length == 1 && per.nonEmpty)
+    val t = tot(0)
+    assert(t.getLong(1) == per.map(_.getLong(1)).sum, "n_docs not additive")
+    assert(t.getLong(4) == per.map(_.getLong(4)).sum, "total_chars not additive")
+    assert(t.getLong(5) == per.map(_.getLong(5)).sum, "total_tokens not additive")
+    assert(t.getLong(2) <= per.map(_.getLong(2)).sum, "global uniques exceed per-source sum")
+    assert(t.getLong(3) <= per.map(_.getLong(3)).sum && t.getLong(3) >= per.map(_.getLong(3)).max)
+  }
+
+  // ------------------------------------------------------ pipeline_pit_features
+
+  test("PIT features: a sequential per-user replay reproduces both features " +
+    "— no future event ever leaks into a label row") {
+    val out = graft.ops.PipelineOps.pipelinePitFeatures.fn(spark, TestSpark.sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .toMap
+    assert(out.nonEmpty)
+    val timeline = graft.tables.Tables.events(spark, TestSpark.sf001)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        (col("value").cast(graft.ops.Dets.D12_2) * 100).cast("long").as("cents"))
+      .orderBy("user_id", "ts", "event_id").collect()
+    var checked = 0
+    timeline.groupBy(_.getLong(1)).foreach { case (_, evs) =>
+      var nPrior = 0L; var lastClick = Option.empty[Long]
+      evs.foreach { e =>
+        if (e.getString(3) == "purchase") {
+          assert(out(e.getLong(0)) == ((nPrior, lastClick)),
+            s"event ${e.getLong(0)}: PIT features diverge from sequential replay")
+          checked += 1
+        }
+        if (e.getString(3) == "click") lastClick = Some(e.getLong(4))
+        nPrior += 1
+      }
+    }
+    assert(checked == out.size)
+  }
+
+  // -------------------------------------------------------- csv_quoted_multiline
+
+  test("quoted CSV: delimiter-in-quotes, embedded newline, and doubled-quote " +
+    "escapes parse to the exact expected relation") {
+    val rows = graft.ops.SourceSinkOps.csvQuotedMultiline.fn(spark, TestSpark.sf001)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getDecimal(3).toPlainString))
+    assert(rows.toSeq == Seq(
+      (1, "Smith, John", "line one<NL>line two", "10.50"),
+      (2, "O\"Brien", "plain", "3.25"),
+      (3, "Plain", "trailing \"quoted\" word", "7.00"),
+      (4, "with,comma", "<EMPTY>", "0.75"),
+      (5, "unquoted", "ends with comma,", "1.00")))
+  }
+
   // --------------------------------------------------- embed_centroid_outliers
 
   test("centroid outliers: 5 ascending-cosine rows per label, cosine is the " +
