@@ -455,6 +455,69 @@ object DqOps {
       "FROM l WHERE prev_us IS NOT NULL AND us - prev_us <= CAST(604800000000 AS BIGINT) " +
       "ORDER BY event_id"))
 
+  /** Benford's-law first-digit audit — the forensic screen for fabricated
+    * or truncated financial data: naturally-grown amounts follow
+    * P(d) = log10(1 + 1/d); fabricated ones rarely do. The first
+    * significant digit is extracted WITHOUT float math (the first nonzero
+    * character of the exact-cents integer string — ×100 preserves the
+    * leading digit), and the expected Benford frequencies are nine shared
+    * LITERAL constants (no runtime log10 — libm parity is not portable, a
+    * hardcoded IEEE literal is). Per digit: observed count, expected count
+    * and the χ² contribution as one fixed IEEE chain floored to e6
+    * integers; the TOTAL row carries the test statistic.
+    *
+    * Scale notes (100 TB): one scan, map-side partial onto 9 groups. */
+  val dqBenfordFirstdigit: Op = Op(
+    "dq_benford_firstdigit",
+    (s, d) => {
+      val pLit = Seq(
+        1 -> 0.3010299956639812, 2 -> 0.17609125905568124, 3 -> 0.12493873660829993,
+        4 -> 0.09691001300805642, 5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+        7 -> 0.05799194697768673, 8 -> 0.05115252244738129, 9 -> 0.04575749056067514)
+      val pCase = pLit.tail.foldLeft(when(col("digit") === 1, pLit.head._2)) {
+        case (acc, (dd, p)) => acc.when(col("digit") === dd, p)
+      }
+      val obs = Tables.orders(s, d)
+        .select(regexp_extract(
+          (col("o_totalprice").cast(D12_2) * 100).cast("bigint").cast("string"),
+          "[1-9]", 0).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("o"))
+      val n = Tables.orders(s, d).agg(count(lit(1)).as("n"))
+      val scored = obs.crossJoin(broadcast(n))
+        .withColumn("p", pCase)
+        .select(col("digit"), col("o"),
+          floor(col("n") * col("p") * 1000000.0).cast("long").as("expected_e6"),
+          floor((col("o").cast("double") - col("n") * col("p")) *
+            (col("o").cast("double") - col("n") * col("p")) /
+            (col("n") * col("p")) * 1000000.0).cast("long").as("chi2_e6"))
+      scored.unionAll(scored.agg(sum(col("o")).as("o"), sum(col("expected_e6")).as("e"),
+          sum(col("chi2_e6")).as("c"))
+          .select(lit(null).cast("int").as("digit"), col("o"), col("e"), col("c")))
+        .orderBy(col("digit").asc_nulls_last)
+    },
+    Some {
+      val ps = Seq(
+        1 -> "0.3010299956639812", 2 -> "0.17609125905568124", 3 -> "0.12493873660829993",
+        4 -> "0.09691001300805642", 5 -> "0.07918124604762482", 6 -> "0.06694678963061322",
+        7 -> "0.05799194697768673", 8 -> "0.05115252244738129", 9 -> "0.04575749056067514")
+      val caseSql = "CASE digit " +
+        ps.map { case (dd, p) => s"WHEN $dd THEN $p" }.mkString(" ") + " END"
+      "WITH obs AS (SELECT CAST(regexp_extract(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) " +
+        "* 100 AS BIGINT) AS VARCHAR), '[1-9]', 0) AS INT) AS digit, " +
+        "CAST(COUNT(*) AS BIGINT) AS o FROM orders GROUP BY 1), " +
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders), " +
+        "k AS (SELECT digit, o, " +
+        s"CAST(floor(n * ($caseSql) * 1000000.0) AS BIGINT) AS expected_e6, " +
+        s"CAST(floor((CAST(o AS DOUBLE) - n * ($caseSql)) * " +
+        s"(CAST(o AS DOUBLE) - n * ($caseSql)) / (n * ($caseSql)) * 1000000.0) AS BIGINT) " +
+        "AS chi2_e6 FROM obs, n) " +
+        "SELECT digit, o, expected_e6, chi2_e6 FROM k " +
+        "UNION ALL SELECT NULL, CAST(SUM(o) AS BIGINT), CAST(SUM(expected_e6) AS BIGINT), " +
+        "CAST(SUM(chi2_e6) AS BIGINT) FROM k " +
+        "ORDER BY digit NULLS LAST"
+    })
+
   val all: Seq[Op] = Seq(dqExpectations, dqQuarantineSplit, cdcSnapshotDiff,
-    dqObserveMetrics, dqVolumeAnomaly, dqDriftKs, dqDriftChi2, dqDuplicateEvents)
+    dqObserveMetrics, dqVolumeAnomaly, dqDriftKs, dqDriftChi2, dqDuplicateEvents,
+    dqBenfordFirstdigit)
 }

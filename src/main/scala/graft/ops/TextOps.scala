@@ -586,7 +586,43 @@ object TextOps {
       "(SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words " +
       "FROM documents))) ORDER BY doc_id"))
 
+  /** Keyword-in-context (KWIC) concordance — the corpus-inspection view a
+    * curation analyst actually reads: every occurrence of a query term with
+    * its ±2-word window, one row per hit. Word-indexed, not regex-windowed:
+    * the token stream carries 1-based positions and the context is a SLICE
+    * of the original split array — exact, overlap-safe (adjacent hits each
+    * get their own full window), and free of cross-engine regex-semantics
+    * risk. The query term is a parameter; 'window' here because the
+    * synthetic vocabulary makes it frequent.
+    *
+    * Scale notes (100 TB): scan-local explode with rows-out ∝ hits; the
+    * slice re-reads the already-materialized words array (cached per row,
+    * not recomputed per hit by the codegen'd plan). An inverted-index
+    * standing artifact is the repeated-query optimization — the
+    * [[graft.ops.LlmOps]] ANN-probe pattern applied to terms. */
+  val textKeywordContext: Op = Op(
+    "text_keyword_context",
+    (s, d) => {
+      val kw = "window"
+      Tables.documents(s, d)
+        .withColumn("words", split(col("text"), " "))
+        .select(col("doc_id"), col("words"),
+          posexplode(col("words")).as(Seq("i0", "tok")))
+        .where(col("tok") === kw)
+        .select(col("doc_id"), (col("i0") + 1).as("pos"),
+          array_join(slice(col("words"), greatest(lit(1), col("i0") - 1),
+            col("i0") + 3 - greatest(lit(1), col("i0") - 1) + 1), " ").as("context"))
+        .orderBy("doc_id", "pos")
+    },
+    Some("WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents), " +
+      "t AS (SELECT doc_id, words, g.i AS pos, words[g.i] AS tok FROM w, " +
+      "LATERAL (SELECT unnest(generate_series(1, len(words))) AS i) g) " +
+      "SELECT doc_id, CAST(pos AS INT) AS pos, " +
+      "array_to_string(words[GREATEST(1, pos - 2):pos + 2], ' ') AS context " +
+      "FROM t WHERE tok = 'window' ORDER BY doc_id, pos"))
+
   val all: Seq[Op] = Seq(textLangId, textTokenStats, textFingerprint, textBpePairs,
     textBpeApply, textHeavyHitters, textPiiScrub, textTfidfTopk, textNgramLm,
-    textChunkOverlap, textLmScoreFilter, textRepetitionStats, textGopherQuality)
+    textChunkOverlap, textLmScoreFilter, textRepetitionStats, textGopherQuality,
+    textKeywordContext)
 }

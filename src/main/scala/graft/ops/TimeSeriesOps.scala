@@ -1064,10 +1064,56 @@ object TimeSeriesOps {
       "CAST(sae_e2 AS DOUBLE) / n / 100.0 AS mae FROM bt " +
       "ORDER BY event_type, horizon"))
 
+  /** Uptime / SLA report — what [[tsGapDetection]]'s raw gap list rolls up
+    * to for an availability dashboard: per device (user), the observed
+    * span, the number of outages (gaps over the same 2-hour heartbeat
+    * threshold), total downtime, and the availability fraction. Span and
+    * downtime are exact epoch-micro integers; the percentage is ONE IEEE
+    * division. Devices with a single observation report a zero span and
+    * are pinned to 'no_span' status rather than dividing by zero.
+    *
+    * Scale notes (100 TB): one shuffle on the device key, one window pass
+    * (lag) feeding a two-phase aggregate; output ∝ devices. */
+  val tsUptimeSla: Op = Op(
+    "ts_uptime_sla",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapUs = unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+      val thresholdUs = 2L * 3600 * 1000000
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .groupBy("user_id")
+        .agg(
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("span_us"),
+          sum(when(col("prev_ts").isNotNull && gapUs > thresholdUs, 1L).otherwise(0L))
+            .as("n_outages"),
+          sum(when(col("prev_ts").isNotNull && gapUs > thresholdUs, gapUs).otherwise(0L))
+            .as("downtime_us"))
+        .select(col("user_id"), col("span_us"), col("n_outages"), col("downtime_us"),
+          when(col("span_us") === 0, "no_span").otherwise("measured").as("status"),
+          when(col("span_us") === 0, lit(0.0))
+            .otherwise((col("span_us") - col("downtime_us")).cast("double") / col("span_us"))
+            .as("uptime_frac"))
+        .orderBy("user_id")
+    },
+    Some("WITH l AS (SELECT user_id, epoch_us(ts) AS us, " +
+      "epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS prev_us " +
+      "FROM events), " +
+      "a AS (SELECT user_id, MAX(us) - MIN(us) AS span_us, " +
+      "CAST(SUM(CASE WHEN prev_us IS NOT NULL AND us - prev_us > 7200000000 " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS n_outages, " +
+      "CAST(SUM(CASE WHEN prev_us IS NOT NULL AND us - prev_us > 7200000000 " +
+      "THEN us - prev_us ELSE 0 END) AS BIGINT) AS downtime_us FROM l GROUP BY 1) " +
+      "SELECT user_id, span_us, n_outages, downtime_us, " +
+      "CASE WHEN span_us = 0 THEN 'no_span' ELSE 'measured' END AS status, " +
+      "CASE WHEN span_us = 0 THEN 0.0 " +
+      "ELSE CAST(span_us - downtime_us AS DOUBLE) / span_us END AS uptime_frac " +
+      "FROM a ORDER BY user_id"))
+
   val all: Seq[Op] = Seq(tsTumblingHourly, tsSlidingWindow, tsSessionWindow, tsGapDetection,
     tsCounterDelta, tsCounterDailyReset, tsDailyProfile, tsResampleFfill, tsInterpolateLinear,
     creditEventDetect, siteCircuitRollup, tsDownsampleLtob, tsOutlierMad, tsZscoreRolling,
     tsEwmaScaled, tsCusumDrift, tsSlidingDistinct, tsSeasonalDecompose, tsPeakDetect,
     tsAutocorrLag, tsRollingMedian, tsCalendarSpine, tsAnomalyStl, tsLoadDurationCurve,
-    tsForecastSnaiveBacktest)
+    tsForecastSnaiveBacktest, tsUptimeSla)
 }

@@ -491,6 +491,62 @@ class MonitorOpsSpec extends AnyFunSuite {
       (5, "unquoted", "ends with comma,", "1.00")))
   }
 
+  // ------------------------------------------------------------ ts_uptime_sla
+
+  test("uptime SLA: downtime plus uptime equals the observed span, outage " +
+    "counts match the raw gap list, and fractions stay in [0, 1]") {
+    val gaps = graft.ops.TimeSeriesOps.tsGapDetection.fn(spark, TestSpark.sf001).collect()
+      .groupBy(_.getLong(0)).map { case (u, rs) => u -> (rs.length.toLong, rs.map(_.getLong(3)).sum) }
+    val rows = graft.ops.TimeSeriesOps.tsUptimeSla.fn(spark, TestSpark.sf001).collect()
+    rows.foreach { r =>
+      val (u, span, nOut, down, frac) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(5))
+      val (expN, expDown) = gaps.getOrElse(u, (0L, 0L))
+      assert(nOut == expN && down == expDown, s"user $u outage rollup mismatch")
+      assert(frac >= 0.0 && frac <= 1.0)
+      if (span > 0) assert(frac == (span - down).toDouble / span)
+    }
+  }
+
+  // ----------------------------------------------------- dq_benford_firstdigit
+
+  test("Benford audit: observed digit counts conserve the row count, " +
+    "expected frequencies sum to ~1, and the total chi2 row adds up") {
+    val rows = graft.ops.DqOps.dqBenfordFirstdigit.fn(spark, TestSpark.sf001).collect()
+    val (tot, per) = rows.partition(_.isNullAt(0))
+    assert(tot.length == 1 && per.length <= 9 && per.nonEmpty)
+    val nOrders = spark.read.parquet(s"${TestSpark.sf001}/orders.parquet").count()
+    assert(per.map(_.getLong(1)).sum == nOrders)
+    assert(tot(0).getLong(1) == nOrders)
+    assert(tot(0).getLong(2) == per.map(_.getLong(2)).sum)
+    assert(tot(0).getLong(3) == per.map(_.getLong(3)).sum)
+    // expected_e6 across ALL 9 digits would be ~n*1e6; with digits present
+    // it cannot exceed that
+    assert(tot(0).getLong(2) <= nOrders * 1000000L)
+  }
+
+  // ------------------------------------------------------- text_keyword_context
+
+  test("KWIC: every context window contains the keyword at the right slot " +
+    "and hit counts match a direct token scan") {
+    val rows = graft.ops.TextOps.textKeywordContext.fn(spark, TestSpark.sf001).collect()
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    var hits = 0
+    rows.foreach { r =>
+      val (id, pos, ctx) = (r.getLong(0), r.getInt(1), r.getString(2))
+      val words = docs(id)
+      assert(words(pos - 1) == "window", s"doc $id pos $pos is not the keyword")
+      val start = math.max(1, pos - 2)
+      val end = math.min(words.length, pos + 2)
+      assert(ctx == words.slice(start - 1, end).mkString(" "), s"doc $id context window")
+      hits += 1
+    }
+    assert(hits == docs.valuesIterator.map(_.count(_ == "window")).sum)
+  }
+
   // --------------------------------------------------- embed_centroid_outliers
 
   test("centroid outliers: 5 ascending-cosine rows per label, cosine is the " +
