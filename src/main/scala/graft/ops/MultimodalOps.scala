@@ -558,7 +558,54 @@ object MultimodalOps {
       "UNION SELECT e.dst, cc.label FROM cc JOIN e ON e.src = cc.node) " +
       "SELECT node AS doc_id, MIN(label) AS keep_id FROM cc GROUP BY 1 ORDER BY doc_id"))
 
+  /** Energy-threshold activity detection (VAD-shaped) over the decoded PCM
+    * frame table — the segmentation step an audio-training pipeline runs
+    * before cutting clips: a frame is ACTIVE iff its energy clears the
+    * threshold as a pure integer test (sum_sq > θ·n — never mean-square
+    * floats), and consecutive active frames merge into segments by the
+    * gaps-and-islands trick (frame_id − row_number is constant within a
+    * run). Emitted per segment: frame span, length, exact total energy.
+    * θ = 358 000 000 ≈ the mean square of uniform 16-bit noise, so the
+    * synthetic corpus splits into genuine alternating segments.
+    *
+    * Scale notes (100 TB): composes on [[multimodalAudioFrames]]'s decoded
+    * frame relation (decode cost paid once, scan-local); the island window
+    * partitions by (doc, channel); output ∝ segments. */
+  val multimodalAudioVad: Op = Op(
+    "multimodal_audio_vad",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val frames = multimodalAudioFrames.fn(s, d)
+      val active = frames.where(col("sum_sq") > lit(358000000L) * col("n"))
+      val w = Window.partitionBy("doc_id", "channel").orderBy("frame_id")
+      active
+        .withColumn("grp", col("frame_id") - row_number().over(w))
+        .groupBy("doc_id", "channel", "grp")
+        .agg(min(col("frame_id")).as("seg_start"), max(col("frame_id")).as("seg_end"),
+          count(lit(1)).as("n_frames"), sum(col("sum_sq")).as("energy"))
+        .select(col("doc_id"), col("channel"), col("seg_start"), col("seg_end"),
+          col("n_frames"), col("energy"))
+        .orderBy("doc_id", "channel", "seg_start")
+    },
+    Some("WITH d AS (SELECT doc_id, CAST(256 + doc_id % 256 AS INT) AS nf, " +
+      "CAST(1 + doc_id % 2 AS INT) AS ch FROM documents), " +
+      "sm AS (SELECT d.doc_id, CAST(c.c AS INT) AS channel, i.i AS i, " +
+      "CAST(i.i // 256 AS INT) AS frame_id, " +
+      "(i.i * 37 + c.c * 1009 + d.doc_id * 13) % 65536 - 32768 AS val FROM d, " +
+      "LATERAL (SELECT unnest(generate_series(0, d.nf - 1)) AS i) i, " +
+      "LATERAL (SELECT unnest(generate_series(0, d.ch - 1)) AS c) c), " +
+      "fr AS (SELECT doc_id, channel, frame_id, CAST(COUNT(*) AS INT) AS n, " +
+      "CAST(SUM(val * val) AS BIGINT) AS sum_sq FROM sm GROUP BY 1, 2, 3), " +
+      "act AS (SELECT *, frame_id - row_number() OVER " +
+      "(PARTITION BY doc_id, channel ORDER BY frame_id) AS grp FROM fr " +
+      "WHERE sum_sq > CAST(358000000 AS BIGINT) * n) " +
+      "SELECT doc_id, channel, MIN(frame_id) AS seg_start, MAX(frame_id) AS seg_end, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_frames, CAST(SUM(sum_sq) AS BIGINT) AS energy " +
+      "FROM act GROUP BY doc_id, channel, grp " +
+      "ORDER BY doc_id, channel, seg_start"))
+
   val all: Seq[Op] = Seq(multimodalDecodeFeatures, multimodalResize,
     multimodalDecodeWav, multimodalAudioFrames, multimodalFrameSample,
-    multimodalParsePng, multimodalPhash, dedupImagePhash, dedupImageClusterKeep)
+    multimodalParsePng, multimodalPhash, dedupImagePhash, dedupImageClusterKeep,
+    multimodalAudioVad)
 }

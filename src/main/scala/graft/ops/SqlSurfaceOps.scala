@@ -188,6 +188,24 @@ object SqlSurfaceOps {
     },
     Some("SELECT * EXCLUDE (c_acctbal) FROM customer ORDER BY c_custkey"))
 
+  /** ORDER BY ALL — the companion shorthand to GROUP BY ALL (both Spark 4
+    * and DuckDB): totally order a rollup by every select item left to
+    * right, which also guarantees the hash-compare determinism rule
+    * (§7.2's unique-order requirement) by construction for any rollup
+    * whose grouping keys are a unique set. Spelled with both ALLs at once
+    * — the fully shorthand modern rollup. */
+  val sqlOrderByAll: Op = Op(
+    "sql_order_by_all",
+    (s, d) => {
+      GraftCatalog.registerAll(s, d)
+      s.sql("SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total " +
+        "FROM orders GROUP BY ALL ORDER BY ALL")
+    },
+    Some("SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total " +
+      "FROM orders GROUP BY ALL ORDER BY ALL"))
+
   val all: Seq[Op] = Seq(sqlUdfScalarInline, sqlTableFunction, sqlParameterized,
-    sqlPipeSyntax, sqlLateralTopn, sqlGroupByAll, sqlSelectStarExcept)
+    sqlPipeSyntax, sqlLateralTopn, sqlGroupByAll, sqlSelectStarExcept, sqlOrderByAll)
 }

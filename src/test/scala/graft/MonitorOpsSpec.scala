@@ -547,6 +547,45 @@ class MonitorOpsSpec extends AnyFunSuite {
     assert(hits == docs.valuesIterator.map(_.count(_ == "window")).sum)
   }
 
+  // -------------------------------------------------------- multimodal_audio_vad
+
+  test("audio VAD: segments are disjoint maximal runs of exactly the " +
+    "above-threshold frames, with conserved energy") {
+    val frames = graft.ops.MultimodalOps.multimodalAudioFrames.fn(spark, TestSpark.sf001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    val segs = graft.ops.MultimodalOps.multimodalAudioVad.fn(spark, TestSpark.sf001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5)))
+    assert(segs.nonEmpty)
+    val byKey = frames.groupBy(f => (f._1, f._2))
+    segs.groupBy(s => (s._1, s._2)).foreach { case (key, ss) =>
+      val fr = byKey(key).map(f => f._3 -> (f._4, f._5)).toMap
+      val active = fr.filter { case (_, (n, sq)) => sq > 358000000L * n }.keySet
+      // reconstruct maximal runs independently
+      val runs = active.toSeq.sorted.foldLeft(List.empty[(Int, Int)]) {
+        case ((s0, e0) :: rest, f) if f == e0 + 1 => (s0, f) :: rest
+        case (acc, f) => (f, f) :: acc
+      }.reverse
+      assert(ss.map(s => (s._3, s._4)).toSeq == runs, s"$key segment runs mismatch")
+      ss.foreach { s =>
+        val expEnergy = (s._3 to s._4).map(f => fr(f)._2).sum
+        assert(s._6 == expEnergy && s._5 == s._4 - s._3 + 1)
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ sql_order_by_all
+
+  test("ORDER BY ALL totally orders the rollup identically to the explicit " +
+    "spelling") {
+    val viaAll = graft.ops.SqlSurfaceOps.sqlOrderByAll.fn(spark, TestSpark.sf001).collect()
+    graft.ops.GraftCatalog.registerAll(spark, TestSpark.sf001)
+    val explicit = spark.sql("SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total " +
+      "FROM orders GROUP BY o_orderpriority, o_orderstatus " +
+      "ORDER BY o_orderpriority, o_orderstatus, n, total").collect()
+    assert(viaAll.toSeq == explicit.toSeq)
+  }
+
   // --------------------------------------------------- embed_centroid_outliers
 
   test("centroid outliers: 5 ascending-cosine rows per label, cosine is the " +
