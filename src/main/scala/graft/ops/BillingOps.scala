@@ -131,5 +131,54 @@ object BillingOps {
       "CAST(SUM(delta_e2) AS BIGINT) AS final_bal_e2 " +
       "FROM b2 GROUP BY user_id ORDER BY user_id"))
 
-  val all: Seq[Op] = Seq(billingTimeOfUse, billingPrepaidBalance)
+  /** Weekly account statement — the customer-facing reconciliation view:
+    * per (user, week) the opening balance, credits (top-ups at the 5×
+    * prepaid multiplier), charges, and closing balance, with the
+    * accounting identity closing(w) = opening(w) + credits − charges =
+    * opening(next w) holding EXACTLY because everything is integer cents
+    * and the opening is a window cumsum over the same weekly deltas
+    * (weeks are ISO Monday-start on both engines). This is the artifact
+    * that proves the ledger and the statement can never disagree — they
+    * are the same integer stream.
+    *
+    * Scale notes (100 TB): one two-phase aggregate onto (user, week), one
+    * per-user window over the weekly grid (weeks/user rows, not events);
+    * output ∝ users × weeks. */
+  val billingWeeklyStatement: Op = Op(
+    "billing_weekly_statement",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("week")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cents = (d2(col("value")) * 100).cast("long")
+      Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week"),
+          when(col("event_type") === "purchase", lit(5L) * cents).otherwise(0L).as("credit"),
+          when(col("event_type") =!= "purchase", cents).otherwise(0L).as("charge"))
+        .groupBy("user_id", "week")
+        .agg(sum(col("credit")).as("credits_e2"), sum(col("charge")).as("charges_e2"))
+        .withColumn("opening_e2",
+          coalesce(sum(col("credits_e2") - col("charges_e2")).over(w), lit(0L)))
+        .select(col("user_id"), col("week"), col("opening_e2"),
+          col("credits_e2"), col("charges_e2"),
+          (col("opening_e2") + col("credits_e2") - col("charges_e2")).as("closing_e2"))
+        .orderBy("user_id", "week")
+    },
+    Some("WITH wk AS (SELECT user_id, date_trunc('week', ts) AS week, " +
+      "CAST(SUM(CASE WHEN event_type = 'purchase' " +
+      "THEN 5 * CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS credits_e2, " +
+      "CAST(SUM(CASE WHEN event_type <> 'purchase' " +
+      "THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS charges_e2 " +
+      "FROM events GROUP BY 1, 2) " +
+      "SELECT user_id, week, " +
+      "CAST(COALESCE(SUM(credits_e2 - charges_e2) OVER " +
+      "(PARTITION BY user_id ORDER BY week " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS opening_e2, " +
+      "credits_e2, charges_e2, " +
+      "CAST(COALESCE(SUM(credits_e2 - charges_e2) OVER " +
+      "(PARTITION BY user_id ORDER BY week " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+      "+ credits_e2 - charges_e2 AS BIGINT) AS closing_e2 " +
+      "FROM wk ORDER BY user_id, week"))
+
+  val all: Seq[Op] = Seq(billingTimeOfUse, billingPrepaidBalance, billingWeeklyStatement)
 }

@@ -791,8 +791,85 @@ object StreamingOps {
       "AND NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.purchase_id) " +
       "ORDER BY purchase_id, follow_id NULLS FIRST"))
 
+  /** The reference domain's core mechanic AS A STREAM: per-meter prepaid
+    * balance tracked in keyed state (top-ups credit 5× per
+    * [[BillingOps.billingPrepaidBalance]]'s taxonomy), emitting a CUTOFF
+    * event the moment the running balance crosses below zero — the row a
+    * relay controller consumes in real time, rather than the nightly batch
+    * audit. State is one exact-cents long per meter; rows sort by
+    * (event-time, event_id) within each group invocation so replays and
+    * within-batch shuffle order cannot reorder the ledger (the staged
+    * drain delivers each meter's history into one invocation; across
+    * micro-batches the persisted balance carries the ledger forward).
+    * Oracle: the batch crossing query over the same events — hash equality
+    * IS the streaming/batch parity proof.
+    *
+    * Scale notes (100 TB/day): state is 8 bytes per meter; cutoff output
+    * is only the crossings. The shuffle is the one keyed exchange every
+    * stateful stream pays. */
+  val streamPrepaidCutoff: Op = Op(
+    "stream_prepaid_cutoff",
+    (s, d) => {
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      import org.apache.spark.sql.{Encoder, Encoders}
+      implicit val rowEnc: Encoder[(Long, Long, Long, String, Double)] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.STRING, Encoders.scalaDouble)
+      implicit val outEnc: Encoder[(Long, Long, Long)] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+      implicit val stateEnc: Encoder[Long] = Encoders.scalaLong
+      val out = Housekeeping.tempDirBounded("st_cutoff_out",
+        Housekeeping.scratchDir("st_cutoff_out")).toString
+      val (src, srcDir) = eventStream(s, d)
+      val ckpt = tmp("ckpt_cutoff")
+      withStatePartitions(s, 8) { cleanupAfter(Seq(srcDir.toString, ckpt)) {
+        val q = src
+          .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+            col("event_type"), col("value"))
+          .as[(Long, Long, Long, String, Double)](rowEnc)
+          .groupByKey(_._1)(Encoders.scalaLong)
+          .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+            (uid: Long, rows: Iterator[(Long, Long, Long, String, Double)],
+             state: GroupState[Long]) =>
+              var bal = state.getOption.getOrElse(0L)
+              val cutoffs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+              rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, _, eid, et, v) =>
+                val cents = java.math.BigDecimal.valueOf(v)
+                  .setScale(2, java.math.RoundingMode.HALF_UP)
+                  .movePointRight(2).longValueExact()
+                val prev = bal
+                bal += (if (et == "purchase") 5L * cents else -cents)
+                if (bal < 0 && prev >= 0) cutoffs += ((uid, eid, bal))
+              }
+              state.update(bal)
+              cutoffs.iterator
+          }
+          .toDF("user_id", "event_id", "bal_e2")
+          .writeStream.outputMode("update")
+          .foreachBatch((batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(out))
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(out).orderBy("user_id", "event_id")
+      } }
+    },
+    Some("WITH s AS (SELECT user_id, ts, event_id, " +
+      "CASE WHEN event_type = 'purchase' " +
+      "THEN 5 * CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) " +
+      "ELSE -CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) END AS delta_e2 " +
+      "FROM events), " +
+      "b AS (SELECT user_id, ts, event_id, " +
+      "SUM(delta_e2) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal_e2 FROM s), " +
+      "b2 AS (SELECT user_id, event_id, bal_e2, " +
+      "lag(bal_e2, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_bal FROM b) " +
+      "SELECT user_id, event_id, CAST(bal_e2 AS BIGINT) AS bal_e2 FROM b2 " +
+      "WHERE bal_e2 < 0 AND (prev_bal IS NULL OR prev_bal >= 0) " +
+      "ORDER BY user_id, event_id"))
+
   val all: Seq[Op] = Seq(streamTumblingWatermark, streamDedup, streamSessionStateful,
     streamLateData, streamStatefulCounter, streamStatefulCounterTws, streamJoinFollows,
     streamEnrichDim, streamRestartExactlyOnce, streamUpsertForeachbatch, streamBackfillHybrid,
-    streamCommitManifest, streamJoinLeftOuter)
+    streamCommitManifest, streamJoinLeftOuter, streamPrepaidCutoff)
 }

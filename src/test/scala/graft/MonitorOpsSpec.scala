@@ -586,6 +586,45 @@ class MonitorOpsSpec extends AnyFunSuite {
     assert(viaAll.toSeq == explicit.toSeq)
   }
 
+  // ------------------------------------------------- billing_weekly_statement
+
+  test("weekly statement: the accounting identity holds — closing(w) equals " +
+    "opening(next w) per user, and the final closing equals the ledger's " +
+    "final balance") {
+    val rows = graft.ops.BillingOps.billingWeeklyStatement.fn(spark, TestSpark.sf001).collect()
+    val finalBal = graft.ops.BillingOps.billingPrepaidBalance.fn(spark, TestSpark.sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getTimestamp(1).getTime)
+      sorted.foreach { r =>
+        assert(r.getLong(5) == r.getLong(2) + r.getLong(3) - r.getLong(4),
+          s"user $u closing != opening + credits - charges")
+      }
+      sorted.zip(sorted.drop(1)).foreach { case (a, b) =>
+        assert(a.getLong(5) == b.getLong(2), s"user $u statement chain broken")
+      }
+      assert(sorted.head.getLong(2) == 0L, s"user $u opening not zero")
+      assert(sorted.last.getLong(5) == finalBal(u), s"user $u final balance mismatch")
+    }
+  }
+
+  // --------------------------------------------------- stream_prepaid_cutoff
+
+  test("streaming prepaid cutoff: per-user cutoff event counts equal the " +
+    "batch audit's n_cutoffs (streaming/batch parity beyond the hash)") {
+    val streamed = graft.ops.StreamingOps.streamPrepaidCutoff.fn(spark, TestSpark.sf001)
+      .collect().groupBy(_.getLong(0)).map { case (u, rs) => u -> rs.length.toLong }
+    val batch = graft.ops.BillingOps.billingPrepaidBalance.fn(spark, TestSpark.sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    batch.foreach { case (u, n) =>
+      assert(streamed.getOrElse(u, 0L) == n, s"user $u cutoff count parity")
+    }
+    assert(streamed.keySet.subsetOf(batch.keySet))
+    // every emitted cutoff balance is strictly negative
+    graft.ops.StreamingOps.streamPrepaidCutoff.fn(spark, TestSpark.sf001).collect()
+      .foreach(r => assert(r.getLong(2) < 0))
+  }
+
   // --------------------------------------------------- embed_centroid_outliers
 
   test("centroid outliers: 5 ascending-cosine rows per label, cosine is the " +
