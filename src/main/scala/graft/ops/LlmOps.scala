@@ -1569,10 +1569,57 @@ object LlmOps {
       "FROM d a JOIN d b ON a.blk = b.blk AND a.lb = b.lb AND a.doc_id < b.doc_id " +
       "WHERE levenshtein(a.p64, b.p64) <= 8 ORDER BY id1, id2"))
 
+  /** CLUSTER-safe dataset splitting — the leakage rule content-hash
+    * splitting ([[PipelineOps.splitTrainValTest]]) cannot give: near-dup
+    * documents (J ≥ 0.5 ngram clusters, the same pair stage the dedup
+    * family shares) must land in the SAME split, or eval rows are
+    * near-copies of training rows and scores inflate. The split decision
+    * is the standard hex-threshold rule applied to the cluster
+    * REPRESENTATIVE's content hash (min-doc_id member), so every member
+    * inherits one verdict; singletons degrade to exactly the plain
+    * content-hash split. Emits (doc, representative, split) — the
+    * assignment table a sharded tokenizer job consumes.
+    *
+    * Scale notes (100 TB): pair stage and CC are the shared near-dup
+    * machinery (memo-read when the jaccard producer already ran); the
+    * representative-hash join is an equi-join on rep_id; everything else
+    * is scan-local. */
+  val splitClusterSafe: Op = Op(
+    "split_cluster_safe",
+    (s, d) => {
+      val pairs = Housekeeping.memoGet("ngram_pairs", ngramMemoKey(d))
+        .map(p => s.read.parquet(p.resolve("pairs").toString))
+        .getOrElse(ngramPairs(Tables.documents(s, d)))
+      val clusters = ccKeep(pairs)
+      val docs = Tables.documents(s, d)
+      val withRep = docs.select(col("doc_id"))
+        .join(clusters.withColumnRenamed("keep_id", "rep_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("rep_id"), col("doc_id")).as("rep_id"))
+      val repHash = docs.select(col("doc_id").as("rep_id"),
+        substring(md5(col("text")), 9, 4).as("b"))
+      withRep.join(repHash, "rep_id")
+        .select(col("doc_id"), col("rep_id"),
+          when(col("b") < "cccc", "train").when(col("b") < "e666", "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+    Some(s"WITH RECURSIVE $ngramPairCtes, " +
+      "e AS (SELECT doc_a AS src, doc_b AS dst FROM j UNION ALL SELECT doc_b, doc_a FROM j), " +
+      "cc(node, label) AS (SELECT DISTINCT src, src FROM e " +
+      "UNION SELECT e.dst, cc.label FROM cc JOIN e ON e.src = cc.node), " +
+      "reps AS (SELECT node AS doc_id, MIN(label) AS rep_id FROM cc GROUP BY 1), " +
+      "m AS (SELECT d.doc_id, COALESCE(r.rep_id, d.doc_id) AS rep_id " +
+      "FROM documents d LEFT JOIN reps r USING (doc_id)), " +
+      "h AS (SELECT doc_id AS rep_id, substr(md5(text), 9, 4) AS b FROM documents) " +
+      "SELECT m.doc_id, m.rep_id, " +
+      "CASE WHEN b < 'cccc' THEN 'train' WHEN b < 'e666' THEN 'val' " +
+      "ELSE 'test' END AS split " +
+      "FROM m JOIN h USING (rep_id) ORDER BY m.doc_id"))
+
   val all: Seq[Op] = Seq(dedupExact, dedupBagOfWords, dedupIncrementalExact, dedupNearMinhash,
     dedupIncrementalMinhash, dedupSimhash,
     dedupNgramJaccard, dedupClusterKeep, dedupDecontaminate, dedupEmbeddingCosine,
-    dedupContainment, dedupSubstringSpans, dedupSubstringTrim, dedupEditPrefix,
+    dedupContainment, dedupSubstringSpans, dedupSubstringTrim, dedupEditPrefix, splitClusterSafe,
     simSearchTopk, simSearchKnnPerQuery, simSearchAnnLsh, simSearchAnnIvf, simSearchAnnProbe,
     simSearchAnnPq, simSearchHybridRrf,
     textLangStats, textQualityFilter, multimodalJoin)

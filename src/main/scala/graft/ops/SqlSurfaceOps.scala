@@ -206,6 +206,31 @@ object SqlSurfaceOps {
       "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total " +
       "FROM orders GROUP BY ALL ORDER BY ALL"))
 
+  /** IDENTIFIER(:param) — parameterized TABLE/COLUMN names (Spark 4.x),
+    * the injection-safe way to template "same query, different table"
+    * jobs: the name arrives as a bound parameter and the IDENTIFIER
+    * clause resolves it at analysis time as a proper identifier (quoting
+    * and catalog resolution included), never by string concatenation.
+    * Complements `sql_parameterized`, which binds VALUES — this binds the
+    * relation itself. The oracle is the statically-spelled query: hash
+    * equality proves the dynamic resolution picked the same relation. */
+  val sqlIdentifierDynamic: Op = Op(
+    "sql_identifier_dynamic",
+    (s, d) => {
+      GraftCatalog.registerAll(s, d)
+      s.sql(
+        "SELECT l_returnflag, COUNT(*) AS n, " +
+          "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty " +
+          "FROM IDENTIFIER(:tab) WHERE l_quantity < :q " +
+          "GROUP BY l_returnflag ORDER BY l_returnflag",
+        Map("tab" -> "lineitem", "q" -> 10))
+    },
+    Some("SELECT l_returnflag, COUNT(*) AS n, " +
+      "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty " +
+      "FROM lineitem WHERE l_quantity < 10 " +
+      "GROUP BY l_returnflag ORDER BY l_returnflag"))
+
   val all: Seq[Op] = Seq(sqlUdfScalarInline, sqlTableFunction, sqlParameterized,
-    sqlPipeSyntax, sqlLateralTopn, sqlGroupByAll, sqlSelectStarExcept, sqlOrderByAll)
+    sqlPipeSyntax, sqlLateralTopn, sqlGroupByAll, sqlSelectStarExcept, sqlOrderByAll,
+    sqlIdentifierDynamic)
 }

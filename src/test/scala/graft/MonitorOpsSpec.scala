@@ -625,6 +625,34 @@ class MonitorOpsSpec extends AnyFunSuite {
       .foreach(r => assert(r.getLong(2) < 0))
   }
 
+  // ------------------------------------------------------- split_cluster_safe
+
+  test("cluster-safe split: near-dup pairs never straddle splits, singletons " +
+    "equal the plain content-hash split, and the rule is not vacuous (some " +
+    "naive-split pair WOULD have straddled)") {
+    val assign = graft.ops.LlmOps.splitClusterSafe.fn(spark, TestSpark.sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val pairs = graft.ops.LlmOps.ngramPairs(
+      graft.tables.Tables.documents(spark, TestSpark.sf001)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "no near-dup pairs — the test would be vacuous")
+    pairs.foreach { case (a, b) =>
+      assert(assign(a)._2 == assign(b)._2, s"pair ($a,$b) straddles splits")
+      assert(assign(a)._1 == assign(b)._1, s"pair ($a,$b) has different reps")
+    }
+    val naive = graft.ops.PipelineOps.splitTrainValTest.fn(spark, TestSpark.sf001)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clustered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assign.foreach { case (id, (rep, split)) =>
+      if (!clustered.contains(id)) {
+        assert(rep == id && split == naive(id), s"singleton $id diverges from naive split")
+      }
+    }
+    // motivation check: the naive split disagrees inside at least one cluster
+    assert(pairs.exists { case (a, b) => naive(a) != naive(b) },
+      "every naive pair already agreed — cluster-safety changed nothing here")
+  }
+
   // --------------------------------------------------- embed_centroid_outliers
 
   test("centroid outliers: 5 ascending-cosine rows per label, cosine is the " +
