@@ -230,7 +230,50 @@ object SqlSurfaceOps {
       "FROM lineitem WHERE l_quantity < 10 " +
       "GROUP BY l_returnflag ORDER BY l_returnflag"))
 
+  /** EXECUTE IMMEDIATE (Spark 4.x) — run SQL held in a string with `?`
+    * placeholders bound via USING: the stored-procedure-style dynamic
+    * dispatch an orchestrator uses when the statement itself is data
+    * (a rules table, a generated report query). Parameters bind as typed
+    * values — never string-spliced — so the surface is injection-safe
+    * like [[sqlParameterized]]. Oracle = the statically-spelled query. */
+  val sqlExecuteImmediate: Op = Op(
+    "sql_execute_immediate",
+    (s, d) => {
+      GraftCatalog.registerAll(s, d)
+      s.sql("EXECUTE IMMEDIATE " +
+        "'SELECT c_mktsegment, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal " +
+        "FROM customer WHERE c_nationkey < ? GROUP BY c_mktsegment " +
+        "ORDER BY c_mktsegment' USING 13")
+    },
+    Some("SELECT c_mktsegment, COUNT(*) AS n, " +
+      "CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal " +
+      "FROM customer WHERE c_nationkey < 13 GROUP BY c_mktsegment " +
+      "ORDER BY c_mktsegment"))
+
+  /** SQL session VARIABLEs (Spark 4.x DECLARE / SET VARIABLE) — the
+    * catalog-native way to thread a session-scoped constant (reporting
+    * date, segment under audit) through many statements without client-
+    * side templating; references resolve at analysis time like column
+    * references, so constant folding and pushdown see the literal.
+    * DECLARE OR REPLACE makes repeated runs in one session idempotent. */
+  val sqlSessionVariable: Op = Op(
+    "sql_session_variable",
+    (s, d) => {
+      GraftCatalog.registerAll(s, d)
+      s.sql("DECLARE OR REPLACE VARIABLE graft_audit_seg STRING")
+      s.sql("SET VARIABLE graft_audit_seg = 'MACHINERY'")
+      s.sql("SELECT o_orderpriority, COUNT(*) AS n " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = graft_audit_seg " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority")
+    },
+    Some("SELECT o_orderpriority, COUNT(*) AS n " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey " +
+      "WHERE c_mktsegment = 'MACHINERY' " +
+      "GROUP BY o_orderpriority ORDER BY o_orderpriority"))
+
   val all: Seq[Op] = Seq(sqlUdfScalarInline, sqlTableFunction, sqlParameterized,
     sqlPipeSyntax, sqlLateralTopn, sqlGroupByAll, sqlSelectStarExcept, sqlOrderByAll,
-    sqlIdentifierDynamic)
+    sqlIdentifierDynamic, sqlExecuteImmediate, sqlSessionVariable)
 }
