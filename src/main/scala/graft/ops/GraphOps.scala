@@ -486,6 +486,105 @@ object GraphOps {
         "GROUP BY 1 ORDER BY community"
     })
 
+  /** Modularity score of the component partition — the quality number a
+    * community detection emits beside its labels: Q = Σ_c (e_c/m −
+    * (d_c/2m)²) over the same frequent-transition subgraph the CC census
+    * runs on. Connected components make every edge intra-community, so Q
+    * reduces to 1 − Σd_c²/(4m²) — the degree term is what separates "one
+    * giant blob" (Q→0) from genuinely fragmented affinity clusters (the
+    * per-component rows expose it). Everything is integer (edge counts,
+    * degree sums); the TOTAL row emits the exact rational
+    * q_num = 4m·Σe_c − Σd_c², q_den = 4m² as DECIMAL(38,0)-rendered
+    * VARCHAR plus one IEEE division.
+    *
+    * Scale notes (100 TB): the component labels are the CC kernel's output
+    * (hash-min + pointer-jump rounds, one equi-join + groupBy each); the
+    * rollups are two-phase aggregates on (component); the unordered edge
+    * table is an equi-join of edges to labels on ONE endpoint (components
+    * make the other endpoint's label identical — asserted cheap). */
+  val graphModularityScore: Op = Op(
+    "graph_modularity_score",
+    (s, d) => {
+      val dec = "decimal(38,0)"
+      val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+      val fe = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("src"),
+          lead(col("l_partkey"), 1).over(w).as("dst"))
+        .where(col("dst").isNotNull && col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        .where(col("w") >= 2)
+        .select(col("src"), col("dst"))
+      val ue = Housekeeping.cacheBounded("mod_ue",
+        fe.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct())
+      val und = fe.union(fe.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      val deg = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+      val labels = ccLabels(s, d, CcRounds)
+      val mRow = ue.agg(count(lit(1)).as("m"))
+      val ec = ue.join(labels.withColumnRenamed("v", "a"), "a")
+        .groupBy(col("lbl").as("component")).agg(count(lit(1)).as("e_c"))
+      val per = labels.join(deg, "v")
+        .groupBy(col("lbl").as("component"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_c"))
+        .join(ec, Seq("component"), "left")
+        .select(col("component"), col("n_nodes"),
+          coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"),
+          lit(null).cast("string").as("q_num"), lit(null).cast("string").as("q_den"),
+          lit(null).cast("double").as("q"))
+      val total = per.crossJoin(broadcast(mRow))
+        .agg(sum(col("n_nodes")).as("n_nodes"), sum(col("e_c")).as("e_c"),
+          sum(col("d_c")).as("d_c"), max(col("m")).as("m"),
+          (lit(4).cast(dec) * max(col("m")).cast(dec) * sum(col("e_c")).cast(dec) -
+            sum(col("d_c").cast(dec) * col("d_c").cast(dec))).cast(dec).as("qn"),
+          (lit(4).cast(dec) * max(col("m")).cast(dec) * max(col("m")).cast(dec))
+            .cast(dec).as("qd"))
+        .select(lit(null).cast("bigint").as("component"), col("n_nodes"), col("e_c"),
+          col("d_c"), col("qn").cast("string").as("q_num"),
+          col("qd").cast("string").as("q_den"),
+          (col("qn").cast("double") / col("qd").cast("double")).as("q"))
+      per.unionAll(total).orderBy(col("component").asc_nulls_last)
+    },
+    Some {
+      val rounds = (1 to CcRounds).map { i =>
+        val prev = s"l${i - 1}"
+        s"nb$i AS (SELECT u.dst AS v, MIN(l.lbl) AS nb FROM und u " +
+          s"JOIN $prev l ON l.v = u.src GROUP BY 1), " +
+          s"h$i AS MATERIALIZED (SELECT l.v, LEAST(l.lbl, COALESCE(n.nb, l.lbl)) AS lbl " +
+          s"FROM $prev l LEFT JOIN nb$i n ON n.v = l.v), " +
+          s"l$i AS MATERIALIZED (SELECT h.v, LEAST(h.lbl, j.lbl) AS lbl " +
+          s"FROM h$i h JOIN h$i j ON j.v = h.lbl)"
+      }.mkString(", ")
+      "WITH e0 AS (SELECT l_partkey AS src, lead(l_partkey) OVER " +
+        "(PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst FROM lineitem), " +
+        "fe AS (SELECT src, dst FROM (SELECT src, dst, COUNT(*) AS w FROM e0 " +
+        "WHERE dst IS NOT NULL AND dst <> src GROUP BY 1, 2) WHERE w >= 2), " +
+        "und AS MATERIALIZED (SELECT src, dst FROM fe UNION SELECT dst, src FROM fe), " +
+        "un AS (SELECT DISTINCT src AS v FROM und), " +
+        "l0 AS MATERIALIZED (SELECT v, v AS lbl FROM un), " + rounds + ", " +
+        "ue AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM fe), " +
+        "mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ue), " +
+        "deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY 1), " +
+        s"lab AS (SELECT v, lbl FROM l$CcRounds), " +
+        "ec AS (SELECT lab.lbl AS component, CAST(COUNT(*) AS BIGINT) AS e_c " +
+        "FROM ue JOIN lab ON lab.v = ue.a GROUP BY 1), " +
+        "per AS (SELECT lab.lbl AS component, CAST(COUNT(*) AS BIGINT) AS n_nodes, " +
+        "CAST(SUM(deg) AS BIGINT) AS d_c FROM lab JOIN deg USING (v) GROUP BY 1), " +
+        "rows_ AS (SELECT per.component, n_nodes, COALESCE(ec.e_c, 0) AS e_c, d_c " +
+        "FROM per LEFT JOIN ec USING (component)), " +
+        "tot AS (SELECT CAST(SUM(n_nodes) AS BIGINT) AS n_nodes, " +
+        "CAST(SUM(e_c) AS BIGINT) AS e_c, CAST(SUM(d_c) AS BIGINT) AS d_c, " +
+        "CAST(4 * mm.m * CAST(SUM(e_c) AS DECIMAL(38,0)) - " +
+        "SUM(CAST(d_c AS DECIMAL(38,0)) * d_c) AS DECIMAL(38,0)) AS qn, " +
+        "CAST(4 * CAST(mm.m AS DECIMAL(38,0)) * mm.m AS DECIMAL(38,0)) AS qd " +
+        "FROM rows_, mm GROUP BY mm.m) " +
+        "SELECT component, n_nodes, e_c, d_c, " +
+        "CAST(NULL AS VARCHAR) AS q_num, CAST(NULL AS VARCHAR) AS q_den, " +
+        "CAST(NULL AS DOUBLE) AS q FROM rows_ " +
+        "UNION ALL SELECT NULL, n_nodes, e_c, d_c, CAST(qn AS VARCHAR), " +
+        "CAST(qd AS VARCHAR), CAST(qn AS DOUBLE) / CAST(qd AS DOUBLE) FROM tot " +
+        "ORDER BY component NULLS LAST"
+    })
+
   val all: Seq[Op] = Seq(graphPagerank, graphDegreeHist, graphTriangleCount, graphBfsLevels,
-    graphConnectedComponents, graphShortestPath, graphLabelPropagation)
+    graphConnectedComponents, graphShortestPath, graphLabelPropagation, graphModularityScore)
 }

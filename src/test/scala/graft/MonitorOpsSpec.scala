@@ -653,6 +653,27 @@ class MonitorOpsSpec extends AnyFunSuite {
       "every naive pair already agreed — cluster-safety changed nothing here")
   }
 
+  // ---------------------------------------------------- graph_modularity_score
+
+  test("modularity: components absorb every edge (CC makes all edges " +
+    "intra-community), the rational reduces to 1 - sum(d_c^2)/(4m^2), and " +
+    "the emitted double is that exact ratio") {
+    val rows = graft.ops.GraphOps.graphModularityScore.fn(spark, TestSpark.sf001).collect()
+    val (tot, per) = rows.partition(_.isNullAt(0))
+    assert(tot.length == 1 && per.nonEmpty)
+    val t = tot(0)
+    val m = per.map(_.getLong(2)).sum
+    assert(t.getLong(2) == m, "total edges not conserved")
+    assert(per.map(_.getLong(3)).sum == 2 * m, "degree sum != 2m")
+    val qNum = BigInt(t.getString(4)); val qDen = BigInt(t.getString(5))
+    val sumD2 = per.map(r => BigInt(r.getLong(3)) * r.getLong(3)).sum
+    assert(qNum == BigInt(4) * m * m - sumD2, "q_num identity")
+    assert(qDen == BigInt(4) * m * m, "q_den identity")
+    assert(t.getDouble(6) == qNum.toDouble / qDen.toDouble ||
+      math.abs(t.getDouble(6) - qNum.toDouble / qDen.toDouble) < 1e-15)
+    assert(t.getDouble(6) > 0.0 && t.getDouble(6) < 1.0)
+  }
+
   // --------------------------------------------------- embed_centroid_outliers
 
   test("centroid outliers: 5 ascending-cosine rows per label, cosine is the " +
