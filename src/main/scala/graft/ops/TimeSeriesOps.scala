@@ -1110,10 +1110,62 @@ object TimeSeriesOps {
       "ELSE CAST(span_us - downtime_us AS DOUBLE) / span_us END AS uptime_frac " +
       "FROM a ORDER BY user_id"))
 
+  /** Per-device degradation slope — the PV-health question ("is this
+    * panel's daily output trending down, and how fast?") as a per-group
+    * OLS fit: x = epoch day (exact integer), y = daily energy in exact
+    * cents, slope = (nΣxy − ΣxΣy)/(nΣxx − ΣxΣx) in cents/day. The
+    * DECLINING verdict comes from the SIGN of the integer covariance
+    * numerator — an exact comparison, never a float threshold — and
+    * one-day devices are pinned to 'short_history' instead of dividing by
+    * a zero variance. The slope itself is the one IEEE division, per the
+    * mergeable-moments contract ([[StatsOps.statsCorrExact]]).
+    *
+    * Scale notes (100 TB): the daily rollup reduces events to
+    * device × days; the moment sums are one map-side-combinable groupBy
+    * over that reduction; output is one row per device. */
+  val tsDegradationSlope: Op = Op(
+    "ts_degradation_slope",
+    (s, d) => {
+      val dec = "decimal(38,0)"
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg((sum(d2(col("value"))) * 100).cast("long").as("y_e2"))
+      val m = daily
+        .select(col("user_id"),
+          datediff(col("day"), lit("1970-01-01").cast("date")).cast("long").cast(dec).as("x"),
+          col("y_e2").cast(dec).as("y"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      val cov = (col("n_days").cast(dec) * col("sxy") - col("sx") * col("sy")).cast(dec)
+      val vx = (col("n_days").cast(dec) * col("sxx") - col("sx") * col("sx")).cast(dec)
+      m.select(col("user_id"), col("n_days"),
+          when(col("n_days") < 2, "short_history").otherwise("fitted").as("status"),
+          (col("n_days") >= 2 && cov < 0).as("declining"),
+          when(col("n_days") >= 2, cov.cast("double") / vx.cast("double"))
+            .otherwise(0.0).as("slope_cents_per_day"))
+        .orderBy("user_id")
+    },
+    Some("WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, " +
+      "CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS y_e2 " +
+      "FROM events GROUP BY 1, 2), " +
+      "m AS (SELECT user_id, COUNT(*) AS n_days, " +
+      "CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DECIMAL(38,0)) AS cov, " +
+      "CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DECIMAL(38,0)) AS vx " +
+      "FROM (SELECT user_id, CAST(CAST(day - DATE '1970-01-01' AS BIGINT) " +
+      "AS DECIMAL(38,0)) AS x, CAST(y_e2 AS DECIMAL(38,0)) AS y FROM daily) " +
+      "GROUP BY user_id) " +
+      "SELECT user_id, n_days, " +
+      "CASE WHEN n_days < 2 THEN 'short_history' ELSE 'fitted' END AS status, " +
+      "(n_days >= 2 AND cov < 0) AS declining, " +
+      "CASE WHEN n_days >= 2 THEN CAST(cov AS DOUBLE) / CAST(vx AS DOUBLE) " +
+      "ELSE 0.0 END AS slope_cents_per_day " +
+      "FROM m ORDER BY user_id"))
+
   val all: Seq[Op] = Seq(tsTumblingHourly, tsSlidingWindow, tsSessionWindow, tsGapDetection,
     tsCounterDelta, tsCounterDailyReset, tsDailyProfile, tsResampleFfill, tsInterpolateLinear,
     creditEventDetect, siteCircuitRollup, tsDownsampleLtob, tsOutlierMad, tsZscoreRolling,
     tsEwmaScaled, tsCusumDrift, tsSlidingDistinct, tsSeasonalDecompose, tsPeakDetect,
     tsAutocorrLag, tsRollingMedian, tsCalendarSpine, tsAnomalyStl, tsLoadDurationCurve,
-    tsForecastSnaiveBacktest, tsUptimeSla)
+    tsForecastSnaiveBacktest, tsUptimeSla, tsDegradationSlope)
 }

@@ -674,6 +674,32 @@ class MonitorOpsSpec extends AnyFunSuite {
     assert(t.getDouble(6) > 0.0 && t.getDouble(6) < 1.0)
   }
 
+  // ----------------------------------------------------- ts_degradation_slope
+
+  test("degradation slope: matches an exact BigInt OLS recompute per device, " +
+    "and the declining flag is the covariance sign, not a float threshold") {
+    val rows = graft.ops.TimeSeriesOps.tsDegradationSlope.fn(spark, TestSpark.sf001).collect()
+    val daily = graft.tables.Tables.events(spark, TestSpark.sf001)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg((sum(col("value").cast(graft.ops.Dets.D12_2)) * 100).cast("long").as("y"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay, r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val (u, n) = (r.getLong(0), r.getLong(1))
+      val pts = daily(u).map(p => (BigInt(p._2), BigInt(p._3)))
+      assert(n == pts.length)
+      if (n >= 2) {
+        val bn = BigInt(n)
+        val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+        val sxy = pts.map(p => p._1 * p._2).sum; val sxx = pts.map(p => p._1 * p._1).sum
+        val cov = bn * sxy - sx * sy; val vx = bn * sxx - sx * sx
+        assert(r.getBoolean(3) == (cov < 0), s"user $u declining flag")
+        assert(r.getDouble(4) == cov.toDouble / vx.toDouble, s"user $u slope")
+        assert(r.getString(2) == "fitted")
+      } else assert(r.getString(2) == "short_history" && !r.getBoolean(3))
+    }
+  }
+
   // --------------------------------------------------- embed_centroid_outliers
 
   test("centroid outliers: 5 ascending-cosine rows per label, cosine is the " +
