@@ -181,6 +181,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("analytics_market_basket reuses the baskets exchange across the " +
+    "self-join sides (the distinct is computed once)") {
+    val p = plan(AnalyticsOps.analyticsMarketBasket)
+    assert(p.contains("ReusedExchange"), p)
+  }
+
   test("dq referential-integrity rule plans as a broadcast left-anti join, not a per-row probe") {
     val p = plan(DqOps.dqExpectations)
     assert(p.contains("LeftAnti"), p)
