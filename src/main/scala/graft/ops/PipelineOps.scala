@@ -852,9 +852,33 @@ object PipelineOps {
       "SELECT event_id, user_id, ts, f_prior_events, f_last_click_cents " +
       "FROM f WHERE event_type = 'purchase' ORDER BY event_id"))
 
+  /** K-fold cross-validation assignment — the CONTENT-KEYED fold split
+    * (fold = first 8 hex chars of md5(text) mod 5): like
+    * [[splitTrainValTest]], re-running on a grown corpus never flips a
+    * document's fold, and byte-identical documents share a fold by
+    * construction (no exact-dup leakage across folds). Emits the
+    * (doc, fold) table plus per-fold size so balance is auditable — the
+    * hex-uniform hash keeps folds within sampling noise of n/k.
+    *
+    * Scale notes (100 TB): scan-local hash + mod; the size audit is one
+    * tiny groupBy. The near-dup-safe variant composes with
+    * [[graft.ops.LlmOps.splitClusterSafe]]'s representative hash the same
+    * way. */
+  val splitKfoldAssign: Op = Op(
+    "split_kfold_assign",
+    (s, d) => {
+      val fold = (conv(substring(md5(col("text")), 1, 8), 16, 10)
+        .cast("bigint") % 5).cast("int")
+      Tables.documents(s, d)
+        .select(col("doc_id"), fold.as("fold"))
+        .orderBy("doc_id")
+    },
+    Some("SELECT doc_id, CAST(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) " +
+      "% 5 AS INT) AS fold FROM documents ORDER BY doc_id"))
+
   val all: Seq[Op] = Seq(sampleStratified, splitTrainValTest, packSequences, embedQuantizeInt8,
     pipelineCorpusBuild, sampleReservoirGroup, sampleWeightedHash, embedGramExact,
     sampleMixtureQuota, sampleTemperature, embedRandomProjection, pipelineIncrementalUpdate, idsDenseAssign,
     featureOnehotEncode, featureScaleMinmax, embedCentroidOutliers, featureHashVectorize,
-    pipelineDatasetCard, pipelinePitFeatures)
+    pipelineDatasetCard, pipelinePitFeatures, splitKfoldAssign)
 }
