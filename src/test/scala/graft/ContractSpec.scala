@@ -14,9 +14,13 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("oracle SQL strings are single-line with no control characters") {
+    // Length cap = runaway-string guard, not a style rule. The longest
+    // legitimate oracles are the unrolled 8-round hash-min CC chains
+    // (graph_connected_components ~3.8k; graph_modularity_score extends the
+    // same chain with the degree/edge rollups to ~4.1k).
     SparkEntry.oracleSql.foreach { case (k, sql) =>
       assert(!sql.exists(_ < ' '), s"$k oracle contains control characters")
-      assert(sql.trim.nonEmpty && sql.length < 4000, s"$k oracle length suspicious")
+      assert(sql.trim.nonEmpty && sql.length < 6000, s"$k oracle length suspicious")
     }
   }
 
