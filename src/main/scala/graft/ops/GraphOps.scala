@@ -241,6 +241,8 @@ object GraphOps {
     * real data, so the fixed-round oracle below compares CONVERGED labels. */
   private[graft] val CcRounds = 8
 
+  private def ccMemoKey(d: String) = s"cc_labels_v1|$CcRounds|$d"
+
   /** Labels after `rounds` combined hash-min + pointer-jump rounds — the
     * shared kernel of the op and its convergence spec. All-integer (labels
     * are node ids), so every round is bit-deterministic on both engines. */
@@ -298,7 +300,15 @@ object GraphOps {
   val graphConnectedComponents: Op = Op(
     "graph_connected_components",
     (s, d) => {
-      ccLabels(s, d, CcRounds)
+      // Producer side of the shared label stage (the ngram_pairs memo
+      // pattern): the census always recomputes and persists the label
+      // table; graph_modularity_score reads it back instead of re-running
+      // the 8-round kernel. All-integer labels round-trip parquet exactly,
+      // so memo-hit and memo-miss paths hash identically.
+      val path = Housekeeping.memoPut("cc_labels", ccMemoKey(d),
+        dir => ccLabels(s, d, CcRounds).write.mode("overwrite")
+          .parquet(dir.resolve("labels").toString))
+      s.read.parquet(path.resolve("labels").toString)
         .groupBy(col("lbl").as("component"))
         .agg(count(lit(1)).as("n_nodes"), max(col("v")).as("max_node"))
         .orderBy("component")
@@ -519,7 +529,10 @@ object GraphOps {
           greatest(col("src"), col("dst")).as("b")).distinct())
       val und = fe.union(fe.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       val deg = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
-      val labels = ccLabels(s, d, CcRounds)
+      // consumer side of the shared label stage — see graphConnectedComponents
+      val labels = Housekeeping.memoGet("cc_labels", ccMemoKey(d))
+        .map(p => s.read.parquet(p.resolve("labels").toString))
+        .getOrElse(ccLabels(s, d, CcRounds))
       val mRow = ue.agg(count(lit(1)).as("m"))
       val ec = ue.join(labels.withColumnRenamed("v", "a"), "a")
         .groupBy(col("lbl").as("component")).agg(count(lit(1)).as("e_c"))
