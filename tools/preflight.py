@@ -65,7 +65,8 @@ def main(sf_dir, out_dir):
         stypes = con.execute(
             f"DESCRIBE SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
         nested = [(c, t) for c, t, *_ in stypes
-                  if "[]" in t or t.startswith(("STRUCT", "MAP", "LIST"))]
+                  if "[]" in t or t.startswith(("STRUCT", "MAP", "LIST"))
+                  or "DECIMAL" in t]
         if nested:
             failures.append(name)
             print(f"FAIL {name}: driver-unhashable column types: {nested} "
