@@ -207,8 +207,12 @@ object DqOps {
 
   /** Ingest-volume anomaly monitor — the day-over-day row-count check every
     * warehouse runs on every feed: each (event_type, day)'s count against
-    * the trailing 7-day window (previous days only — the current day never
-    * contaminates its own baseline), flagged at |z| > 2. All window
+    * the trailing 7-CALENDAR-day window (previous days only — the current
+    * day never contaminates its own baseline), flagged at |z| > 2. The
+    * frame is a RANGE frame over an integer day number, so a gap in the
+    * feed SHRINKS the baseline (status `short_history`) instead of
+    * silently stretching it over older observed days — the r10 advisor
+    * caught the rows-frame spelling contradicting exactly this. All window
     * aggregates are exact integer sums (Σn, Σn², count); mean/variance/z
     * are then ONE fixed IEEE spelling per row on both engines, with the
     * undefined cases (short history, zero variance) pinned to explicit
@@ -225,7 +229,9 @@ object DqOps {
       val daily = Tables.events(s, d)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+        // integer day number → a portable RANGE frame (true calendar window)
+        .withColumn("day_num", datediff(col("day"), lit("1970-01-01").cast("date")))
+      val w = Window.partitionBy("event_type").orderBy("day_num").rangeBetween(-7, -1)
       val stats = daily
         .withColumn("s1", sum(col("n")).over(w))
         .withColumn("s2", sum(col("n") * col("n")).over(w))
@@ -244,11 +250,12 @@ object DqOps {
         .orderBy("event_type", "day")
     },
     Some("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, " +
-      "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
+      "CAST(COUNT(*) AS BIGINT) AS n, CAST(ts AS DATE) - DATE '1970-01-01' AS day_num " +
+      "FROM events GROUP BY 1, 2, 4), " +
       "st AS (SELECT event_type, day, n, " +
       "CAST(SUM(n) OVER w AS BIGINT) AS s1, CAST(SUM(n * n) OVER w AS BIGINT) AS s2, " +
       "CAST(COUNT(*) OVER w AS BIGINT) AS c FROM daily WINDOW w AS " +
-      "(PARTITION BY event_type ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)), " +
+      "(PARTITION BY event_type ORDER BY day_num RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)), " +
       "k AS (SELECT event_type, day, n, c, " +
       "CAST(s1 AS DOUBLE) / c AS mean, " +
       "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / c) / c AS varp FROM st) " +
@@ -477,11 +484,19 @@ object DqOps {
       val pCase = pLit.tail.foldLeft(when(col("digit") === 1, pLit.head._2)) {
         case (acc, (dd, p)) => acc.when(col("digit") === dd, p)
       }
-      val obs = Tables.orders(s, d)
-        .select(regexp_extract(
-          (col("o_totalprice").cast(D12_2) * 100).cast("bigint").cast("string"),
-          "[1-9]", 0).cast("int").as("digit"))
-        .groupBy("digit").agg(count(lit(1)).as("o"))
+      // Right-join the observed counts onto the full 1–9 digit spine with
+      // o=0 for never-occurring digits: their (0−E)²/E terms belong in the
+      // statistic, and they are LARGEST exactly when the data is most
+      // anomalous (r10 advisor finding — dropping them understated χ²).
+      val spine = s.range(1, 10).select(col("id").cast("int").as("digit"))
+      val obs = spine.join(
+        Tables.orders(s, d)
+          .select(regexp_extract(
+            (col("o_totalprice").cast(D12_2) * 100).cast("bigint").cast("string"),
+            "[1-9]", 0).cast("int").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("o")),
+        Seq("digit"), "left")
+        .select(col("digit"), coalesce(col("o"), lit(0L)).as("o"))
       val n = Tables.orders(s, d).agg(count(lit(1)).as("n"))
       val scored = obs.crossJoin(broadcast(n))
         .withColumn("p", pCase)
@@ -502,9 +517,12 @@ object DqOps {
         7 -> "0.05799194697768673", 8 -> "0.05115252244738129", 9 -> "0.04575749056067514")
       val caseSql = "CASE digit " +
         ps.map { case (dd, p) => s"WHEN $dd THEN $p" }.mkString(" ") + " END"
-      "WITH obs AS (SELECT CAST(regexp_extract(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) " +
+      "WITH raw AS (SELECT CAST(regexp_extract(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) " +
         "* 100 AS BIGINT) AS VARCHAR), '[1-9]', 0) AS INT) AS digit, " +
         "CAST(COUNT(*) AS BIGINT) AS o FROM orders GROUP BY 1), " +
+        "spine AS (SELECT CAST(unnest(generate_series(1, 9)) AS INT) AS digit), " +
+        "obs AS (SELECT spine.digit, CAST(COALESCE(raw.o, 0) AS BIGINT) AS o " +
+        "FROM spine LEFT JOIN raw ON raw.digit = spine.digit), " +
         "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders), " +
         "k AS (SELECT digit, o, " +
         s"CAST(floor(n * ($caseSql) * 1000000.0) AS BIGINT) AS expected_e6, " +

@@ -158,9 +158,18 @@ object Housekeeping {
     val dir = Files.createTempDirectory(s"memo_$key")
     write(dir)
     val prev = memos.put(key, (contentKey, dir))
-    if (prev != null && prev._2 != dir) deleteRecursively(prev._2)
+    if (prev != null && prev._2 != dir) {
+      // Deletion is deferred by ONE generation: a consumer DataFrame that
+      // lazily resolved the previous path (e.g. graph_modularity_score built
+      // from memoGet before the census re-ran) stays readable across one
+      // producer re-run; disk stays bounded at two generations per key.
+      val grave = graveyard.put(key, prev._2)
+      if (grave != null && grave != prev._2) deleteRecursively(grave)
+    }
     dir
   }
+
+  private val graveyard = new ConcurrentHashMap[String, Path]()
 
   def memoGet(key: String, contentKey: String): Option[Path] =
     Option(memos.get(key)).collect {

@@ -822,6 +822,7 @@ object StreamingOps {
         Housekeeping.scratchDir("st_cutoff_out")).toString
       val (src, srcDir) = eventStream(s, d)
       val ckpt = tmp("ckpt_cutoff")
+      val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
       withStatePartitions(s, 8) { cleanupAfter(Seq(srcDir.toString, ckpt)) {
         val q = src
           .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
@@ -846,11 +847,25 @@ object StreamingOps {
           }
           .toDF("user_id", "event_id", "bal_e2")
           .writeStream.outputMode("update")
-          .foreachBatch((batch: DataFrame, _: Long) =>
-            batch.write.mode("append").parquet(out))
+          .foreachBatch((batch: DataFrame, _: Long) => {
+            batch.write.mode("append").parquet(out)
+            nBatches.incrementAndGet(); ()
+          })
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
+        // The per-invocation (ts, event_id) sort orders each meter's ledger
+        // only WITHIN one micro-batch; batch/stream parity therefore relies
+        // on the staged source (one file, no maxFilesPerTrigger) delivering
+        // the whole history in a single AvailableNow batch. Enforce that
+        // assumption instead of letting a future multi-file staging change
+        // silently misorder ledgers across batches (r10 advisor finding).
+        // A true multi-batch deployment buffers per-key events on event-time
+        // watermark before applying them to state.
+        require(nBatches.get() == 1,
+          s"stream_prepaid_cutoff expects exactly 1 micro-batch (single-file " +
+            s"staged drain); got ${nBatches.get()} — per-key event-time " +
+            "buffering is required before state application")
         s.read.parquet(out).orderBy("user_id", "event_id")
       } }
     },

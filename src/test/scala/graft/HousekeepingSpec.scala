@@ -73,12 +73,22 @@ class HousekeepingSpec extends AnyFunSuite {
     assert(Housekeeping.memoGet("hk_spec_memo", "inputs-A").contains(g1))
     // mismatched content key (different inputs) must miss, not serve stale data
     assert(Housekeeping.memoGet("hk_spec_memo", "inputs-B").isEmpty)
-    // a new generation replaces AND deletes the previous one
+    // a new generation replaces the previous one, but deletion is DEFERRED
+    // by one generation: a consumer DataFrame that lazily resolved g1 stays
+    // readable across one producer re-run (r10 advisor finding)
     val g2 = put("inputs-B", "two")
     assert(Housekeeping.memoGet("hk_spec_memo", "inputs-B").contains(g2))
     assert(Housekeeping.memoGet("hk_spec_memo", "inputs-A").isEmpty)
-    assert(!java.nio.file.Files.exists(g1), "previous memo generation must be deleted")
+    assert(java.nio.file.Files.exists(g1),
+      "displaced generation must survive one producer re-run (lazy consumers)")
+    // ...and the generation-before-last IS reclaimed: disk stays bounded at
+    // two generations per key
+    val g3 = put("inputs-C", "three")
+    assert(!java.nio.file.Files.exists(g1),
+      "generation-before-last must be deleted (bounded disk)")
+    assert(java.nio.file.Files.exists(g2))
     Housekeeping.deleteRecursively(g2)
+    Housekeeping.deleteRecursively(g3)
   }
 
   test("dedup_cluster_keep equals its memo-miss result when the pair memo is live") {
