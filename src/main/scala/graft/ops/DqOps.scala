@@ -535,7 +535,96 @@ object DqOps {
         "ORDER BY digit NULLS LAST"
     })
 
+  /** UNPLANNED schema drift on ingest — the failure lane
+    * `source_schema_evolution` (planned, additive) does not cover: a feed's
+    * generation 3 re-types an existing column (value DOUBLE → VARCHAR, the
+    * classic "producer started writing strings" break). A naive
+    * mergeSchema read fails the whole scan; this op instead reads each
+    * generation under its OWN footer schema, diffs it against the pinned
+    * baseline contract IN CODE (the routing below branches on the observed
+    * StructType, not on the directory name), and routes rows:
+    * conforming generations pass (`ok`; additive-only drift passes as
+    * `ok_evolved`), type-conflicting generations go through a TRY_CAST
+    * recovery lane — castable rows survive as `coerced` with the drift
+    * named in `reason`, uncastable rows land in quarantine (`quarantined`,
+    * reason `uncastable:value`) with the raw cell preserved in `value_raw`
+    * for replay. One relation carries all dispositions — the
+    * `dq_quarantine_split` idiom applied to schema, not values. Oracle:
+    * DuckDB reads the SAME staged generation directories with mirrored
+    * TRY_CASTs.
+    *
+    * Scale notes (100 TB): schema diffing reads footers/manifests, never
+    * data; each generation scans once, scan-local (zero shuffles before the
+    * presentation sort); quarantine output ∝ bad rows. A drifted feed
+    * degrades to a per-row disposition instead of a dead pipeline. */
+  val dqSchemaDrift: Op = Op(
+    "dq_schema_drift",
+    (s, d) => {
+      import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+      val root = Stage.root(d) + "/drift_tbl"
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"), col("event_type"))
+      // stage three generations: baseline, additive evolution, type conflict
+      ev.where(col("event_id") % 3 === 0)
+        .select(col("event_id"), col("value"))
+        .coalesce(2).write.mode("overwrite").parquet(s"$root/gen1")
+      ev.where(col("event_id") % 3 === 1)
+        .select(col("event_id"), col("value"), col("event_type").as("channel"))
+        .coalesce(2).write.mode("overwrite").parquet(s"$root/gen2")
+      ev.where(col("event_id") % 3 === 2)
+        .select(col("event_id"),
+          when(col("event_id") % 7 === 0, concat(lit("err_"), col("event_id")))
+            .otherwise(d2(col("value")).cast("string")).as("value"),
+          col("event_type").as("channel"))
+        .coalesce(2).write.mode("overwrite").parquet(s"$root/gen3")
+      val baseline = StructType(Seq(
+        StructField("event_id", LongType), StructField("value", DoubleType)))
+      def ingest(gen: String): org.apache.spark.sql.DataFrame = {
+        val df = s.read.parquet(s"$root/$gen")
+        val conflicts = baseline.flatMap(bf => df.schema.find(_.name == bf.name)
+          .filter(_.dataType != bf.dataType).map(f => (f.name, f.dataType.sql)))
+        val additive = df.schema.map(_.name).toSet -- baseline.map(_.name).toSet
+        val base = if (df.columns.contains("channel")) df
+          else df.withColumn("channel", lit(null).cast("string"))
+        if (conflicts.isEmpty)
+          base.select(lit(gen).as("gen"), col("event_id"),
+            col("value"), col("channel"),
+            lit(if (additive.nonEmpty) "ok_evolved" else "ok").as("disposition"),
+            lit(null).cast("string").as("reason"),
+            lit(null).cast("string").as("value_raw"))
+        else {
+          val (cName, cType) = conflicts.head
+          val recovered = col(cName).try_cast("double")
+          base.select(lit(gen).as("gen"), col("event_id"),
+            recovered.as("value"), col("channel"),
+            when(recovered.isNotNull, "coerced").otherwise("quarantined")
+              .as("disposition"),
+            when(recovered.isNotNull,
+                lit(s"type_drift:$cName DOUBLE->$cType"))
+              .otherwise(lit(s"uncastable:$cName")).as("reason"),
+            col(cName).cast("string").as("value_raw"))
+        }
+      }
+      ingest("gen1").unionByName(ingest("gen2")).unionByName(ingest("gen3"))
+        .orderBy("gen", "event_id")
+    },
+    Some("SELECT * FROM (" +
+      "SELECT 'gen1' AS gen, event_id, value, CAST(NULL AS VARCHAR) AS channel, " +
+      "'ok' AS disposition, CAST(NULL AS VARCHAR) AS reason, " +
+      "CAST(NULL AS VARCHAR) AS value_raw " +
+      "FROM read_parquet('" + Stage.token + "/drift_tbl/gen1/*.parquet') " +
+      "UNION ALL " +
+      "SELECT 'gen2', event_id, value, channel, 'ok_evolved', NULL, NULL " +
+      "FROM read_parquet('" + Stage.token + "/drift_tbl/gen2/*.parquet') " +
+      "UNION ALL " +
+      "SELECT 'gen3', event_id, TRY_CAST(value AS DOUBLE), channel, " +
+      "CASE WHEN TRY_CAST(value AS DOUBLE) IS NOT NULL THEN 'coerced' " +
+      "ELSE 'quarantined' END, " +
+      "CASE WHEN TRY_CAST(value AS DOUBLE) IS NOT NULL " +
+      "THEN 'type_drift:value DOUBLE->STRING' ELSE 'uncastable:value' END, " +
+      "value FROM read_parquet('" + Stage.token + "/drift_tbl/gen3/*.parquet')" +
+      ") ORDER BY gen, event_id"))
+
   val all: Seq[Op] = Seq(dqExpectations, dqQuarantineSplit, cdcSnapshotDiff,
     dqObserveMetrics, dqVolumeAnomaly, dqDriftKs, dqDriftChi2, dqDuplicateEvents,
-    dqBenfordFirstdigit)
+    dqBenfordFirstdigit, dqSchemaDrift)
 }

@@ -140,5 +140,101 @@ object PlanSurfaceOps {
       "b.n AS prev_n_events, a.n - COALESCE(b.n, 0) AS delta_events " +
       "FROM daily a FULL OUTER JOIN daily b ON a.day = b.day + 1 ORDER BY day"))
 
-  val all: Seq[Op] = Seq(scanAggPushdown, joinShuffleHashHint, planReuseExchange)
+  /** EXPLAIN-ANALYZE-style runtime profile — the observability surface
+    * beside [[StatsOps.statsCollect]] (table stats) and `dq_observe_metrics`
+    * (pipeline audit): execute a fixed 3-table join-aggregate once, then
+    * read the PER-OPERATOR row counts off the executed plan's `SQLMetric`s
+    * (`numOutputRows` on each scan-filter, join and the final aggregate) and
+    * emit them as a relational profile. This is what "why is this query
+    * slow" looks like as a query: the per-stage cardinalities that expose a
+    * filter that didn't select, a join that exploded, or an aggregate with
+    * more groups than planned. The oracle recomputes every stage count
+    * independently in SQL, so the driver hash PROVES the metrics plumbing
+    * reports true cardinalities (ProfileMetricsSpec re-proves it in-JVM).
+    *
+    * Runtime row-level filters (bloom / semi-join reduction) are pinned off
+    * for the profiled run (set-run-restore): they would make operator input
+    * counts probabilistic, and a profile that can't be reproduced is noise.
+    *
+    * Scale notes (100 TB): the profile costs NOTHING beyond the query it
+    * observes — SQLMetrics accumulate on the driver during normal execution
+    * (the same counters the Spark UI shows); the profile relation itself is
+    * O(#operators) rows. This is the cheap first look before a re-run under
+    * a sampling profiler. */
+  val planProfileMetrics: Op = Op(
+    "plan_profile_metrics",
+    (s, d) => {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      val q = Tables.lineitem(s, d).where(col("l_quantity") < 10)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"))
+      val bfKey = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+      val sjKey = "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled"
+      // defaulted reads: semiJoinReduction is an INTERNAL conf, which
+      // RuntimeConfig.get refuses to resolve without an explicit default
+      val bfPrev = s.conf.get(bfKey, "true")
+      val sjPrev = s.conf.get(sjKey, "false")
+      s.conf.set(bfKey, "false"); s.conf.set(sjKey, "false")
+      try q.collect()
+      finally { s.conf.set(bfKey, bfPrev); s.conf.set(sjKey, sjPrev) }
+      // preorder walk that descends through AQE wrappers and query stages
+      def expand(p: SparkPlan): Seq[SparkPlan] = {
+        val inner = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case qs: QueryStageExec => Seq(qs.plan)
+          case r: ReusedExchangeExec => Seq(r.child)
+          case _ => p.children
+        }
+        p +: inner.flatMap(expand)
+      }
+      val nodes = expand(q.queryExecution.executedPlan)
+      def tableOf(f: FileSourceScanExec): String = {
+        val path = f.relation.location.rootPaths.mkString(",")
+        Seq("lineitem", "orders", "customer").find(path.contains).getOrElse("other")
+      }
+      def scansUnder(p: SparkPlan): Seq[String] =
+        expand(p).collect { case f: FileSourceScanExec => tableOf(f) }
+      def outRows(p: SparkPlan): Long = p.metrics("numOutputRows").value
+      // rows ENTERING the join from each table = the topmost Filter whose
+      // only scan is that table (Catalyst's inferred IsNotNull filters give
+      // every side one), falling back to the raw scan when no filter exists
+      def inputRows(t: String): Long = {
+        val filt: Option[SparkPlan] = nodes.collectFirst {
+          case f: FilterExec if scansUnder(f) == Seq(t) => f }
+        outRows(filt.getOrElse(nodes.collectFirst {
+          case f: FileSourceScanExec if tableOf(f) == t => f }.get))
+      }
+      val joins = nodes.collect { case j: BaseJoinExec => j }
+      val jCust = joins.find(j => scansUnder(j).contains("customer")).get
+      val jOrd = joins.find(j => !scansUnder(j).contains("customer")).get
+      val agg = nodes.collectFirst { case a: BaseAggregateExec => a }.get
+      s.createDataFrame(Seq(
+        ("agg_groups", outRows(agg)),
+        ("input_customer", inputRows("customer")),
+        ("input_lineitem", inputRows("lineitem")),
+        ("input_orders", inputRows("orders")),
+        ("join_customer", outRows(jCust)),
+        ("join_orders", outRows(jOrd))))
+        .toDF("stage", "n_rows").orderBy("stage")
+    },
+    Some("WITH li AS (SELECT l_orderkey FROM lineitem WHERE l_quantity < 10), " +
+      "j1 AS (SELECT o_custkey FROM li JOIN orders ON l_orderkey = o_orderkey), " +
+      "j2 AS (SELECT c_mktsegment FROM j1 JOIN customer ON o_custkey = c_custkey) " +
+      "SELECT stage, n_rows FROM (" +
+      "SELECT 'agg_groups' AS stage, CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_rows FROM j2 " +
+      "UNION ALL SELECT 'input_customer', (SELECT COUNT(*) FROM customer) " +
+      "UNION ALL SELECT 'input_lineitem', (SELECT COUNT(*) FROM li) " +
+      "UNION ALL SELECT 'input_orders', (SELECT COUNT(*) FROM orders) " +
+      "UNION ALL SELECT 'join_customer', (SELECT COUNT(*) FROM j2) " +
+      "UNION ALL SELECT 'join_orders', (SELECT COUNT(*) FROM j1)" +
+      ") ORDER BY stage"))
+
+  val all: Seq[Op] = Seq(scanAggPushdown, joinShuffleHashHint, planReuseExchange,
+    planProfileMetrics)
 }

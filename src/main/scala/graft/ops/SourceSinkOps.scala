@@ -990,10 +990,78 @@ object SourceSinkOps {
       "FROM read_csv('" + Stage.token + "/quoted.csv', header=true, all_varchar=true) " +
       "ORDER BY id"))
 
+  /** Staged golden JSONL log for the schema-pinned JSON-lines ingest. */
+  def jsonlStagePath(sfDir: String): String = Stage.root(sfDir) + "/solar_log.jsonl"
+
+  /** JSON-lines sibling of [[goldenSolarLog]]: a duplicated line
+    * (re-uploaded batch), a field-level type error (watts as a JSON string
+    * → TRY_CAST null), a missing field (credit absent → null), and one
+    * line that is not JSON at all (rejected row). */
+  private val goldenSolarJsonl: String =
+    """{"ts":"20120301120000","machine_id":"1a2b3c","type":"PWR","watts":"12.50","wh_today":"120.20","credit":"350.75"}
+      |{"ts":"20120301120200","machine_id":"1a2b3c","type":"PWR","watts":"13.10","wh_today":"120.70","credit":"350.50"}
+      |{"ts":"20120301120200","machine_id":"1a2b3c","type":"PWR","watts":"13.10","wh_today":"120.70","credit":"350.50"}
+      |{"ts":"20120301120100","machine_id":"1a2b3c","type":"PWR","watts":"not_a_number","wh_today":"120.40","credit":"350.60"}
+      |{"ts":"20120301120400","machine_id":"1a2b3c","type":"PWR","watts":"6.00","wh_today":"2.50"}
+      |this line is not json at all
+      |{"ts":"20120301120000","machine_id":"feed01","type":"MAINS","watts":"480.00","wh_today":"501.00","credit":"0.00"}
+      |""".stripMargin
+
+  /** JSON-LINES raw-log ingest — the format modern pipelines actually
+    * receive ([[csvLogIngest]]'s twin, VERDICT r10 gap #4): lines read as
+    * text, parsed by a PINNED all-string `from_json` schema (never inferred
+    * — inference is a full extra pass and a drifting contract at 100 TB),
+    * with three declared failure lanes: an unparseable LINE is rejected
+    * (null struct / no machine_id), a type-bad FIELD nulls under TRY_CAST
+    * (permissive lane), a missing field is null. Exact-duplicate lines drop
+    * (re-uploaded batch). All gauges travel as strings through the parse
+    * and leave as DOUBLE via decimal TRY_CAST (envelope rule: no DECIMAL in
+    * the output schema; watts carries the type-error null → VARCHAR).
+    * Oracle: DuckDB `read_json` over the SAME staged bytes with mirrored
+    * VARCHAR columns, ignore_errors dropping the non-JSON line, identical
+    * TRY_CASTs — the whole parse is inside the hash.
+    *
+    * Scale notes (100 TB): JSONL is line-splittable (unlike multiLine
+    * CSV/JSON), so the scan parallelizes by byte range within files; the
+    * pinned schema keeps the parse single-pass; the dedup is the one
+    * hash shuffle. */
+  val jsonlLogIngest: Op = Op(
+    "jsonl_log_ingest",
+    (s, d) => {
+      val f = java.nio.file.Paths.get(jsonlStagePath(d))
+      Files.createDirectories(f.getParent)
+      Files.writeString(f, goldenSolarJsonl)
+      val schema = "ts STRING, machine_id STRING, type STRING, " +
+        "watts STRING, wh_today STRING, credit STRING"
+      val parsed = s.read.textFile(f.toString).toDF("line")
+        .select(from_json(col("line"),
+          org.apache.spark.sql.types.StructType.fromDDL(schema)).as("j"))
+        .select(col("j.machine_id").as("machine_id"),
+          col("j.type").as("circuit_type"),
+          to_timestamp(col("j.ts"), "yyyyMMddHHmmss").as("ts"),
+          col("j.watts").try_cast("decimal(12,2)").cast("string").as("watts"),
+          col("j.wh_today").try_cast("decimal(12,2)").cast("double").as("wh_today"),
+          col("j.credit").try_cast("decimal(12,2)").cast("double").as("credit"))
+        .where(col("machine_id").isNotNull) // unparseable-line lane
+      parsed.distinct()
+        .orderBy(col("machine_id"), col("ts"), col("watts").asc_nulls_first)
+    },
+    Some("SELECT machine_id, \"type\" AS circuit_type, " +
+      "strptime(ts, '%Y%m%d%H%M%S') AS ts, " +
+      "CAST(TRY_CAST(watts AS DECIMAL(12,2)) AS VARCHAR) AS watts, " +
+      "CAST(TRY_CAST(wh_today AS DECIMAL(12,2)) AS DOUBLE) AS wh_today, " +
+      "CAST(TRY_CAST(credit AS DECIMAL(12,2)) AS DOUBLE) AS credit " +
+      "FROM (SELECT DISTINCT * FROM read_json('" + Stage.token + "/solar_log.jsonl', " +
+      "format='newline_delimited', ignore_errors=true, " +
+      "columns={'ts':'VARCHAR','machine_id':'VARCHAR','type':'VARCHAR'," +
+      "'watts':'VARCHAR','wh_today':'VARCHAR','credit':'VARCHAR'})) " +
+      "WHERE machine_id IS NOT NULL " +
+      "ORDER BY machine_id, ts, watts NULLS FIRST"))
+
   val all: Seq[Op] = Seq(csvLogIngest, sinkPartitionedParquet, sinkBucketedJoin,
     sinkClusteredLayout, mergeUpsertLatest, sinkCsvReport, sourceJsonlRoundtrip,
     sourceOrcRoundtrip, sourceSchemaEvolution, sinkCompactSmallFiles, sinkZorderLayout,
     sinkTargetedDelete, sinkDynamicPartitionOverwrite, cdcApplyChanges, sinkTimeTravelRead,
     sinkVacuumRetention, sourceProvenanceAudit, sourceCustomV2Solarlog, sinkCustomV2Roundtrip,
-    sqlCatalogTimeTravel, csvQuotedMultiline)
+    sqlCatalogTimeTravel, csvQuotedMultiline, jsonlLogIngest)
 }
