@@ -111,6 +111,61 @@ object Png {
 
   // ---------------------------------------------------------------- decode
 
+  /** Encode with ancillary tEXt metadata chunks (RFC 2083 §4.2.3: Latin-1
+    * keyword, NUL separator, Latin-1 text), spliced between IHDR and IDAT —
+    * the standard position, and what [[textChunks]] and any compliant
+    * viewer expect. Keywords per spec: 1–79 bytes, no NUL. */
+  def encodeWithText(width: Int, height: Int, channels: Int, samples: Array[Int],
+                     texts: Seq[(String, String)]): Array[Byte] = {
+    val base = encode(width, height, channels, samples)
+    if (texts.isEmpty) base
+    else {
+      val cut = 8 + 12 + 13 // signature + complete IHDR chunk (len+type+13+crc)
+      val out = new java.io.ByteArrayOutputStream
+      out.write(base, 0, cut)
+      texts.foreach { case (k, v) =>
+        require(k.nonEmpty && k.length <= 79 && !k.contains('\u0000') && !v.contains('\u0000'),
+          s"invalid tEXt keyword/value: '$k'")
+        chunk(out, "tEXt", (k + "\u0000" + v).getBytes("ISO-8859-1"))
+      }
+      out.write(base, cut, base.length - cut)
+      out.toByteArray
+    }
+  }
+
+  /** Walk the chunk stream and return every tEXt (keyword, value) pair in
+    * file order — metadata extraction WITHOUT decoding the image payload
+    * (the 100 TB routing read: chunk headers + text bytes only, the IDAT
+    * body is skipped over, never inflated). Same hostile-bytes hardening
+    * as [[decode]]: signature check, long-math chunk bounds, per-chunk
+    * CRC32 verification. */
+  def textChunks(png: Array[Byte]): Seq[(String, String)] = {
+    require(png.length > 8 && Signature.indices.forall(i => png(i) == Signature(i)),
+      "not a PNG: bad signature")
+    val res = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var pos = 8
+    var sawEnd = false
+    while (pos + 8 <= png.length && !sawEnd) {
+      val len = beInt(png, pos)
+      val typ = new String(png, pos + 4, 4, "US-ASCII")
+      require(len >= 0 && pos.toLong + 12L + len <= png.length, s"truncated chunk $typ")
+      val crc = new CRC32
+      crc.update(png, pos + 4, 4 + len)
+      require(crc.getValue == (beInt(png, pos + 8 + len).toLong & 0xffffffffL),
+        s"CRC mismatch in $typ")
+      if (typ == "tEXt") {
+        val data = new String(png, pos + 8, len, "ISO-8859-1")
+        val sep = data.indexOf('\u0000')
+        require(sep > 0, "tEXt chunk missing NUL keyword separator")
+        res += ((data.substring(0, sep), data.substring(sep + 1)))
+      }
+      if (typ == "IEND") sawEnd = true
+      pos += 12 + len
+    }
+    require(sawEnd, "no IEND chunk")
+    res.toSeq
+  }
+
   private def beInt(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
       ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)

@@ -420,7 +420,48 @@ object AnalyticsOps {
       "CAST(CAST(n_users * CAST(total_cents AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) AS gini " +
       "FROM a"))
 
+  /** A/B experiment readout with DETERMINISTIC assignment — the analysis
+    * every product team runs weekly: users are split 50/50 by the first hex
+    * nibble of md5(user_id) (a pure function of the id — re-running the
+    * analysis or re-ingesting the events can never reassign a user, the
+    * property wall-clock or RNG assignment destroys), the conversion metric
+    * is "has ≥ 1 purchase event", and each arm reports exposed users,
+    * converters, and the conversion rate as exact parts-per-million
+    * (integer division). The lift and its two-proportion z-statistic belong
+    * to a downstream notebook — this op's contract is the exact per-arm
+    * counts it feeds, which is also why no float reaches the hash.
+    *
+    * Scale notes (100 TB): assignment is scan-local (a hash of the key);
+    * the per-user conversion flag is one two-phase aggregate keyed on
+    * user_id; the per-arm rollup is 2 rows of state. No joins at all. */
+  val analyticsAbLift: Op = Op(
+    "analytics_ab_lift",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("converted"))
+        .select(
+          when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+            .otherwise("B").as("arm"),
+          col("converted"))
+        .groupBy("arm")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("converted")).cast("bigint").as("n_converters"))
+        .select(col("arm"), col("n_users"), col("n_converters"),
+          expr("(n_converters * 1000000) div n_users").as("conv_ppm"))
+        .orderBy("arm")
+    },
+    Some("WITH u AS (SELECT user_id, " +
+      "MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted " +
+      "FROM events GROUP BY 1), " +
+      "t AS (SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' " +
+      "THEN 'A' ELSE 'B' END AS arm, converted FROM u), " +
+      "a AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users, " +
+      "CAST(SUM(converted) AS BIGINT) AS n_converters FROM t GROUP BY 1) " +
+      "SELECT arm, n_users, n_converters, " +
+      "(n_converters * 1000000) // n_users AS conv_ppm FROM a ORDER BY arm"))
+
   val all: Seq[Op] = Seq(funnelConversion, cohortRetention, funnelPatternMatch,
     analyticsTopPaths, analyticsRfmSegmentation, analyticsAttributionLinear,
-    analyticsMarketBasket, analyticsGiniConcentration)
+    analyticsMarketBasket, analyticsGiniConcentration, analyticsAbLift)
 }

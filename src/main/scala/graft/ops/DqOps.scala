@@ -624,7 +624,42 @@ object DqOps {
       "value FROM read_parquet('" + Stage.token + "/drift_tbl/gen3/*.parquet')" +
       ") ORDER BY gen, event_id"))
 
+  /** Feed-freshness monitor — the "is this feed still arriving" check that
+    * pages an on-call before any distribution test can: per event_type, the
+    * last event time and its lag (whole minutes, integer division — exact
+    * on both engines) behind the freshest feed in the warehouse, flagged
+    * stale past 24 h. The warehouse's own max event time is the reference
+    * clock (not wall-clock: a Verify/Bench run must hash identically
+    * whenever it runs).
+    *
+    * Scale notes (100 TB): two-phase MAX/COUNT per feed (map-side partial,
+    * #feeds rows of state), one broadcast of the 1-row global max back —
+    * the monitor never rescans; on a partitioned table the per-partition
+    * footer max answers it from metadata. */
+  val dqFreshnessLag: Op = Op(
+    "dq_freshness_lag",
+    (s, d) => {
+      val perFeed = Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"), max(col("ts")).as("last_ts"))
+      val globalMax = perFeed.agg(max(col("last_ts")).as("fresh_ts"))
+      perFeed.crossJoin(broadcast(globalMax))
+        .select(col("event_type"), col("n_rows"), col("last_ts"),
+          (unix_micros(col("fresh_ts")) - unix_micros(col("last_ts"))).as("lag_us"))
+        .select(col("event_type"), col("n_rows"), col("last_ts"),
+          expr("lag_us div 60000000").as("lag_min"),
+          (expr("lag_us div 60000000") > 1440L).as("stale"))
+        .orderBy("event_type")
+    },
+    Some("WITH f AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+      "MAX(ts) AS last_ts FROM events GROUP BY 1), " +
+      "g AS (SELECT MAX(last_ts) AS fresh_ts FROM f) " +
+      "SELECT event_type, n_rows, last_ts, " +
+      "(epoch_us(fresh_ts) - epoch_us(last_ts)) // 60000000 AS lag_min, " +
+      "(epoch_us(fresh_ts) - epoch_us(last_ts)) // 60000000 > 1440 AS stale " +
+      "FROM f, g ORDER BY event_type"))
+
   val all: Seq[Op] = Seq(dqExpectations, dqQuarantineSplit, cdcSnapshotDiff,
     dqObserveMetrics, dqVolumeAnomaly, dqDriftKs, dqDriftChi2, dqDuplicateEvents,
-    dqBenfordFirstdigit, dqSchemaDrift)
+    dqBenfordFirstdigit, dqSchemaDrift, dqFreshnessLag)
 }

@@ -1616,9 +1616,57 @@ object LlmOps {
       "ELSE 'test' END AS split " +
       "FROM m JOIN h USING (rep_id) ORDER BY m.doc_id"))
 
+  /** Quality-ranked cluster survivorship — [[dedupClusterKeep]]'s keeper
+    * rule upgraded to what curation pipelines actually use: within each
+    * near-dup component keep the BEST document (longest by n_chars, doc_id
+    * as the total tie-break), not the smallest id. Min-id keep silently
+    * prefers whichever copy was ingested first — often the truncated or
+    * boilerplate-wrapped one; quality-ranked keep preserves the fullest
+    * copy. Same CC kernel (min-label propagation over the shared
+    * materialized pair table), then ONE argmax-by-struct aggregate per
+    * component — `max(struct(quality, -doc_id))` is associative, so the
+    * keeper decision merges map-side like any aggregate.
+    *
+    * Scale notes (100 TB): identical cost to dedup_cluster_keep plus one
+    * component-keyed aggregate (state = one row per component) and one
+    * members⋈keepers equi-join on the component key. The quality column
+    * rides the label table, never the pair space. */
+  val dedupClusterKeepBest: Op = Op(
+    "dedup_cluster_keep_best",
+    (s, d) => {
+      val labels = ccKeep(
+        Housekeeping.memoGet("ngram_pairs", ngramMemoKey(d))
+          .map(p => s.read.parquet(p.resolve("pairs").toString))
+          .getOrElse(ngramPairs(Tables.documents(s, d))))
+        .select(col("doc_id"), col("keep_id").as("cluster_id"))
+      val members = labels.join(
+        Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id")
+      val keepers = members.groupBy("cluster_id")
+        .agg(max(struct(col("n_chars").as("q"), (-col("doc_id")).as("negid"))).as("m"))
+        .select(col("cluster_id"), (-col("m.negid")).as("keep_id"))
+      members.join(keepers, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("keep_id"),
+          (col("doc_id") === col("keep_id")).as("is_keeper"))
+        .orderBy("doc_id")
+    },
+    Some(s"WITH RECURSIVE $ngramPairCtes, " +
+      "e AS (SELECT doc_a AS src, doc_b AS dst FROM j UNION ALL SELECT doc_b, doc_a FROM j), " +
+      "cc(node, label) AS (SELECT DISTINCT src, src FROM e " +
+      "UNION SELECT e.dst, cc.label FROM cc JOIN e ON e.src = cc.node), " +
+      "lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY 1), " +
+      "mem AS (SELECT lab.doc_id, lab.cluster_id, d.n_chars FROM lab " +
+      "JOIN documents d ON d.doc_id = lab.doc_id), " +
+      "keepers AS (SELECT cluster_id, doc_id AS keep_id FROM (" +
+      "SELECT cluster_id, doc_id, row_number() OVER (PARTITION BY cluster_id " +
+      "ORDER BY n_chars DESC, doc_id ASC) AS rn FROM mem) WHERE rn = 1) " +
+      "SELECT mem.doc_id, mem.cluster_id, keepers.keep_id, " +
+      "mem.doc_id = keepers.keep_id AS is_keeper " +
+      "FROM mem JOIN keepers USING (cluster_id) ORDER BY mem.doc_id"))
+
   val all: Seq[Op] = Seq(dedupExact, dedupBagOfWords, dedupIncrementalExact, dedupNearMinhash,
     dedupIncrementalMinhash, dedupSimhash,
-    dedupNgramJaccard, dedupClusterKeep, dedupDecontaminate, dedupEmbeddingCosine,
+    dedupNgramJaccard, dedupClusterKeep, dedupClusterKeepBest, dedupDecontaminate,
+    dedupEmbeddingCosine,
     dedupContainment, dedupSubstringSpans, dedupSubstringTrim, dedupEditPrefix, splitClusterSafe,
     simSearchTopk, simSearchKnnPerQuery, simSearchAnnLsh, simSearchAnnIvf, simSearchAnnProbe,
     simSearchAnnPq, simSearchHybridRrf,

@@ -604,8 +604,48 @@ object MultimodalOps {
       "FROM act GROUP BY doc_id, channel, grp " +
       "ORDER BY doc_id, channel, seg_start"))
 
+  /** PNG ancillary-metadata extraction — the ROUTING read a media pipeline
+    * runs over every stored image before deciding whether to decode it:
+    * [[graft.media.Png.textChunks]] walks the real chunk stream (signature,
+    * long-math bounds, per-chunk CRC32) and returns the tEXt
+    * (keyword, NUL, value) pairs WITHOUT ever inflating the IDAT body —
+    * metadata cost is chunk headers + text bytes, not pixels. Each doc's
+    * PNG is synthesized by the real encoder with three embedded tEXt chunks
+    * whose values are closed-form in (doc_id, lang), so the oracle states
+    * the ground truth relationally: a chunk-walk bug (CRC, bounds, NUL
+    * split, ordering) cannot hash-match. PngMetaSpec round-trips the splice
+    * against the pixel decoder and fuzzes hostile bytes.
+    *
+    * Scale notes (100 TB): scan-local flatMap, output = 3 rows per image;
+    * with stored media the reader fetches only the leading chunk span
+    * (tEXt sits before IDAT by construction — ours and most encoders'). */
+  val multimodalPngMeta: Op = Op(
+    "multimodal_png_meta",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"))
+        .as[(Long, String)]
+        .mapPartitions { batch =>
+          batch.flatMap { case (id, lang) =>
+            val img = graft.media.Png.encodeWithText(
+              8, 8, 1,
+              Array.tabulate(64)(i => ((i * 5 + id) % 256).toInt),
+              Seq("gen" -> (id % 5).toString, "lang" -> lang, "title" -> s"doc_$id"))
+            graft.media.Png.textChunks(img).map { case (k, v) => (id, k, v) }
+          }
+        }
+        .toDF("doc_id", "keyword", "value")
+        .orderBy("doc_id", "keyword")
+    },
+    Some("SELECT doc_id, keyword, value FROM (" +
+      "SELECT doc_id, 'gen' AS keyword, CAST(doc_id % 5 AS VARCHAR) AS value FROM documents " +
+      "UNION ALL SELECT doc_id, 'lang', lang FROM documents " +
+      "UNION ALL SELECT doc_id, 'title', 'doc_' || CAST(doc_id AS VARCHAR) FROM documents" +
+      ") ORDER BY doc_id, keyword"))
+
   val all: Seq[Op] = Seq(multimodalDecodeFeatures, multimodalResize,
     multimodalDecodeWav, multimodalAudioFrames, multimodalFrameSample,
     multimodalParsePng, multimodalPhash, dedupImagePhash, dedupImageClusterKeep,
-    multimodalAudioVad)
+    multimodalAudioVad, multimodalPngMeta)
 }

@@ -1058,10 +1058,71 @@ object SourceSinkOps {
       "WHERE machine_id IS NOT NULL " +
       "ORDER BY machine_id, ts, watts NULLS FIRST"))
 
+  /** Partition-GRANULARITY migration — the layout maintenance job every
+    * aging warehouse runs: a feed originally landed day-partitioned grows a
+    * long tail of small per-day directories, so the historical range is
+    * re-laid-out month-partitioned (fewer, bigger files — the compaction
+    * decision applied to the partitioning scheme itself). The op writes the
+    * day layout, migrates it to months (one shuffle keyed by the NEW
+    * partition column → exactly one file per month dir), and audits the
+    * migrated table per partition: row count, distinct source days, exact
+    * value total, and file count (proving the collapse). Oracle: the same
+    * per-month audit recomputed from raw events, plus DuckDB reading the
+    * migrated files directly for the file accounting — content identity
+    * AND layout shape are both inside the hash.
+    *
+    * Scale notes (100 TB): the migration is one column-derivation + one
+    * shuffle on the month key; old and new layouts coexist until a manifest
+    * swap (the sink_time_travel_read machinery), so readers never see a
+    * half-migrated table. Day→month cuts directory/listing pressure ~30×
+    * on the cold range while keeping partition pruning for the dominant
+    * month-grain queries. */
+  val sinkPartitionEvolution: Op = Op(
+    "sink_partition_evolution",
+    (s, d) => {
+      val root = Stage.root(d) + "/pevo"
+      val byDay = s"$root/by_day"
+      val byMonth = s"$root/by_month"
+      Tables.events(s, d).withColumn("d", to_date(col("ts")))
+        .repartition(col("d"))
+        .write.partitionBy("d").mode("overwrite").parquet(byDay)
+      s.read.parquet(byDay)
+        .withColumn("m", date_format(col("d"), "yyyy-MM"))
+        .repartition(col("m"))
+        .write.partitionBy("m").mode("overwrite").parquet(byMonth)
+      val before = s.read.parquet(byDay)
+        .select(date_format(col("d"), "yyyy-MM").as("m"), input_file_name().as("f"))
+        .groupBy("m").agg(countDistinct(col("f")).as("n_files_before"))
+      s.read.parquet(byMonth)
+        .select(col("m"), col("d"), col("value"), input_file_name().as("f"))
+        .groupBy("m")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("d")).as("n_days"),
+          sum((d2(col("value")) * 100).cast("bigint")).as("value_cents"),
+          countDistinct(col("f")).as("n_files_after"))
+        .join(before, "m")
+        .select("m", "n_rows", "n_days", "value_cents", "n_files_before", "n_files_after")
+        .orderBy("m")
+    },
+    Some("WITH raw AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m') AS m, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+      "CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days, " +
+      "CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) " +
+      "AS value_cents FROM events GROUP BY 1), " +
+      "fb AS (SELECT substr(CAST(d AS VARCHAR), 1, 7) AS m, " +
+      "CAST(COUNT(DISTINCT filename) AS BIGINT) AS n_files_before " +
+      "FROM read_parquet('" + Stage.token + "/pevo/by_day/*/*.parquet', " +
+      "filename=true, hive_partitioning=true) GROUP BY 1), " +
+      "fa AS (SELECT m, CAST(COUNT(DISTINCT filename) AS BIGINT) AS n_files_after " +
+      "FROM read_parquet('" + Stage.token + "/pevo/by_month/*/*.parquet', " +
+      "filename=true, hive_partitioning=true) GROUP BY 1) " +
+      "SELECT raw.m, n_rows, n_days, value_cents, n_files_before, n_files_after " +
+      "FROM raw JOIN fb ON fb.m = raw.m JOIN fa ON fa.m = raw.m ORDER BY raw.m"))
+
   val all: Seq[Op] = Seq(csvLogIngest, sinkPartitionedParquet, sinkBucketedJoin,
     sinkClusteredLayout, mergeUpsertLatest, sinkCsvReport, sourceJsonlRoundtrip,
     sourceOrcRoundtrip, sourceSchemaEvolution, sinkCompactSmallFiles, sinkZorderLayout,
     sinkTargetedDelete, sinkDynamicPartitionOverwrite, cdcApplyChanges, sinkTimeTravelRead,
     sinkVacuumRetention, sourceProvenanceAudit, sourceCustomV2Solarlog, sinkCustomV2Roundtrip,
-    sqlCatalogTimeTravel, csvQuotedMultiline, jsonlLogIngest)
+    sqlCatalogTimeTravel, csvQuotedMultiline, jsonlLogIngest, sinkPartitionEvolution)
 }

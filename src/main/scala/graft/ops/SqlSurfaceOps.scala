@@ -273,7 +273,38 @@ object SqlSurfaceOps {
       "WHERE c_mktsegment = 'MACHINERY' " +
       "GROUP BY o_orderpriority ORDER BY o_orderpriority"))
 
+  /** Native `UNPIVOT` clause (Spark 3.4+ SQL syntax) — wide-to-long
+    * reshaping stated declaratively instead of the `stack()` expression
+    * `profile_unpivot` uses: a per-segment metrics table (count / exact
+    * total / max) unpivots into (segment, metric, value) rows. The clause
+    * is analysis-time sugar over Expand, so column pruning and the
+    * upstream aggregate's shape are unchanged — one two-phase aggregate,
+    * then a 3× row fan-out of the TINY aggregated relation (never the
+    * fact table). DuckDB's UNPIVOT mirrors the same relation; values are
+    * pinned DOUBLE on both sides (UNPIVOT requires one common value
+    * type). */
+  val sqlUnpivotSyntax: Op = Op(
+    "sql_unpivot_syntax",
+    (s, d) => {
+      GraftCatalog.registerAll(s, d)
+      s.sql("SELECT c_mktsegment, metric, value FROM (" +
+        "SELECT c_mktsegment, CAST(COUNT(*) AS DOUBLE) AS n_customers, " +
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal, " +
+        "CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS max_bal " +
+        "FROM customer GROUP BY c_mktsegment) " +
+        "UNPIVOT (value FOR metric IN (n_customers, total_bal, max_bal)) " +
+        "ORDER BY c_mktsegment, metric")
+    },
+    Some("WITH w AS (SELECT c_mktsegment, CAST(COUNT(*) AS DOUBLE) AS n_customers, " +
+      "CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal, " +
+      "CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS max_bal " +
+      "FROM customer GROUP BY c_mktsegment) " +
+      "SELECT c_mktsegment, metric, value FROM " +
+      "(UNPIVOT w ON n_customers, total_bal, max_bal " +
+      "INTO NAME metric VALUE value) " +
+      "ORDER BY c_mktsegment, metric"))
+
   val all: Seq[Op] = Seq(sqlUdfScalarInline, sqlTableFunction, sqlParameterized,
     sqlPipeSyntax, sqlLateralTopn, sqlGroupByAll, sqlSelectStarExcept, sqlOrderByAll,
-    sqlIdentifierDynamic, sqlExecuteImmediate, sqlSessionVariable)
+    sqlIdentifierDynamic, sqlExecuteImmediate, sqlSessionVariable, sqlUnpivotSyntax)
 }

@@ -621,8 +621,50 @@ object TextOps {
       "array_to_string(words[GREATEST(1, pos - 2):pos + 2], ' ') AS context " +
       "FROM t WHERE tok = 'window' ORDER BY doc_id, pos"))
 
+  /** Vocabulary coverage / OOV profiling — the tokenizer-prep question a
+    * training pipeline answers before freezing a vocab: with the vocabulary
+    * = every token whose DOCUMENT frequency ≥ 5 (df, not term count — one
+    * doc repeating a rare token shouldn't admit it), what fraction of each
+    * document's tokens fall outside it? Emitted as exact integer counts and
+    * ppm (integer division); high-OOV docs are the ones a fixed vocab would
+    * shred into bytes. The df threshold (not a top-K cut) keeps the
+    * dictionary deterministic without a tie-break protocol.
+    *
+    * Scale notes (100 TB): token df is one two-phase aggregate keyed on the
+    * token (state = |vocab candidates|); the accepted dictionary broadcasts
+    * (vocabularies are ~10⁵-10⁶ rows no matter the corpus size); coverage is
+    * then a broadcast left-join over the exploded tokens + one per-doc
+    * count — the dedup_decontaminate shape with a corpus-derived dictionary. */
+  val textVocabCoverage: Op = Op(
+    "text_vocab_coverage",
+    (s, d) => {
+      val toks = Housekeeping.cacheBounded("vocab_toks",
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok")))
+      val vocab = toks.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+        .where(col("df") >= 5).select("tok")
+      toks.join(broadcast(vocab.withColumn("in_vocab", lit(1))), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          (count(lit(1)) - count(col("in_vocab"))).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          expr("(n_oov * 1000000) div n_tokens").as("oov_ppm"))
+        .orderBy("doc_id")
+    },
+    Some("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+      "FROM documents), " +
+      "v AS (SELECT tok FROM (SELECT tok, COUNT(DISTINCT doc_id) AS df " +
+      "FROM toks GROUP BY 1) WHERE df >= 5), " +
+      "j AS (SELECT t.doc_id, CASE WHEN v.tok IS NOT NULL THEN 1 END AS in_vocab " +
+      "FROM toks t LEFT JOIN v ON v.tok = t.tok) " +
+      "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+      "CAST(COUNT(*) - COUNT(in_vocab) AS BIGINT) AS n_oov, " +
+      "((COUNT(*) - COUNT(in_vocab)) * 1000000) // COUNT(*) AS oov_ppm " +
+      "FROM j GROUP BY 1 ORDER BY doc_id"))
+
   val all: Seq[Op] = Seq(textLangId, textTokenStats, textFingerprint, textBpePairs,
     textBpeApply, textHeavyHitters, textPiiScrub, textTfidfTopk, textNgramLm,
     textChunkOverlap, textLmScoreFilter, textRepetitionStats, textGopherQuality,
-    textKeywordContext)
+    textKeywordContext, textVocabCoverage)
 }

@@ -1162,10 +1162,59 @@ object TimeSeriesOps {
       "ELSE 0.0 END AS slope_cents_per_day " +
       "FROM m ORDER BY user_id"))
 
+  /** Week-over-week feed comparison — the dashboard number every ops review
+    * opens with: per (event_type, day), today's event count against the
+    * SAME WEEKDAY one week earlier, as an absolute delta and an exact
+    * parts-per-million ratio (integer division — no float reaches the
+    * hash). Spelled as a self-join of the daily rollup on day−7 rather
+    * than a lag-7 window: a missing day yields an honest NULL prior
+    * (status `no_prior`), where a ROWS-frame lag would silently compare
+    * against whatever day happened to be 7 OBSERVED rows back — the same
+    * calendar-vs-observed trap `dq_volume_anomaly` fixed this round.
+    *
+    * Scale notes (100 TB): the rollup is a two-phase count onto
+    * (feed, day) — tiny; both self-join branches are the SAME aggregate
+    * subplan shaped for exchange reuse ([[PlanSurfaceOps.planReuseExchange]]
+    * documents the canonicalization rules), so the shuffle materializes
+    * once. The monitor reads the rollup, never the raw events. */
+  val tsWeekOverWeek: Op = Op(
+    "ts_week_over_week",
+    (s, d) => {
+      def daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      daily.as("a")
+        .join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.day") === date_add(col("b.day"), 7), "full_outer")
+        .select(
+          coalesce(col("a.event_type"), col("b.event_type")).as("event_type"),
+          coalesce(col("a.day"), date_add(col("b.day"), 7)).as("day"),
+          col("a.n").as("n"), col("b.n").as("prior_n"),
+          (coalesce(col("a.n"), lit(0L)) - coalesce(col("b.n"), lit(0L))).as("delta"),
+          when(col("a.n").isNotNull && col("b.n").isNotNull,
+            expr("(a.n * 1000000) div b.n")).as("ratio_ppm"),
+          when(col("a.n").isNull, "gone")
+            .when(col("b.n").isNull, "no_prior").otherwise("compared").as("status"))
+        .orderBy("event_type", "day")
+    },
+    Some("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, " +
+      "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2) " +
+      "SELECT COALESCE(a.event_type, b.event_type) AS event_type, " +
+      "COALESCE(a.day, b.day + 7) AS day, a.n AS n, b.n AS prior_n, " +
+      "COALESCE(a.n, 0) - COALESCE(b.n, 0) AS delta, " +
+      "CASE WHEN a.n IS NOT NULL AND b.n IS NOT NULL " +
+      "THEN (a.n * 1000000) // b.n END AS ratio_ppm, " +
+      "CASE WHEN a.n IS NULL THEN 'gone' WHEN b.n IS NULL THEN 'no_prior' " +
+      "ELSE 'compared' END AS status " +
+      "FROM daily a FULL OUTER JOIN daily b " +
+      "ON a.event_type = b.event_type AND a.day = b.day + 7 " +
+      "ORDER BY event_type, day"))
+
   val all: Seq[Op] = Seq(tsTumblingHourly, tsSlidingWindow, tsSessionWindow, tsGapDetection,
     tsCounterDelta, tsCounterDailyReset, tsDailyProfile, tsResampleFfill, tsInterpolateLinear,
     creditEventDetect, siteCircuitRollup, tsDownsampleLtob, tsOutlierMad, tsZscoreRolling,
     tsEwmaScaled, tsCusumDrift, tsSlidingDistinct, tsSeasonalDecompose, tsPeakDetect,
     tsAutocorrLag, tsRollingMedian, tsCalendarSpine, tsAnomalyStl, tsLoadDurationCurve,
-    tsForecastSnaiveBacktest, tsUptimeSla, tsDegradationSlope)
+    tsForecastSnaiveBacktest, tsUptimeSla, tsDegradationSlope, tsWeekOverWeek)
 }

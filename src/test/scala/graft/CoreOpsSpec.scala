@@ -55,11 +55,11 @@ class CoreOpsSpec extends AnyFunSuite {
     // out-of-order timestamp sorted into place per machine
     val ts = cons.map(_.getTimestamp(2).getTime)
     assert(ts.sorted.sameElements(ts))
-    // counter reset row present (wh_lifetime drops to 2.5); gauges are
-    // DECIMAL(12,2) end to end (exact — golden values carry ≤ 2 dp)
+    // counter reset row present (wh_lifetime drops to 2.5); gauges parse as
+    // exact DECIMAL(12,2) internally and leave as DOUBLE (envelope rule:
+    // no DecimalType in any output schema — HashEnvelopeSpec)
     val whIdx = rows.head.fieldIndex("wh_lifetime")
-    assert(cons.exists(r => !r.isNullAt(whIdx) &&
-      r.getDecimal(whIdx).compareTo(new java.math.BigDecimal("2.5")) == 0))
+    assert(cons.exists(r => !r.isNullAt(whIdx) && r.getDouble(whIdx) == 2.5))
     // both circuit types survive
     assert(rows.map(_.getString(1)).toSet == Set("PWR", "MAINS"))
   }

@@ -480,15 +480,17 @@ class MonitorOpsSpec extends AnyFunSuite {
 
   test("quoted CSV: delimiter-in-quotes, embedded newline, and doubled-quote " +
     "escapes parse to the exact expected relation") {
+    // amount parses as exact DECIMAL(12,2) and leaves as DOUBLE (envelope
+    // rule: no DecimalType in any output schema — HashEnvelopeSpec)
     val rows = graft.ops.SourceSinkOps.csvQuotedMultiline.fn(spark, TestSpark.sf001)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
-        r.getDecimal(3).toPlainString))
+        r.getDouble(3)))
     assert(rows.toSeq == Seq(
-      (1, "Smith, John", "line one<NL>line two", "10.50"),
-      (2, "O\"Brien", "plain", "3.25"),
-      (3, "Plain", "trailing \"quoted\" word", "7.00"),
-      (4, "with,comma", "<EMPTY>", "0.75"),
-      (5, "unquoted", "ends with comma,", "1.00")))
+      (1, "Smith, John", "line one<NL>line two", 10.5),
+      (2, "O\"Brien", "plain", 3.25),
+      (3, "Plain", "trailing \"quoted\" word", 7.0),
+      (4, "with,comma", "<EMPTY>", 0.75),
+      (5, "unquoted", "ends with comma,", 1.0)))
   }
 
   // ------------------------------------------------------------ ts_uptime_sla
