@@ -18,17 +18,20 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * the operators use as a fallback. The injected surface is: ten scalar
   * expressions plus two native aggregates (the Space-Saving heavy-hitters
   * sketch and the theta distinct-set sketch, both
-  * TypedImperativeAggregates), and ONE planner strategy — the
-  * native as-of join ([[graft.plans.AsofJoinStrategy]]; per-session
-  * fallback `graft.plans.Asof.ensureRegistered` uses the public
-  * `experimental.extraStrategies` hook). Everything else in SURVEY §2 plans
-  * through Catalyst's built-in operators — §4.3's audit still holds for the
-  * declarative surface; the strategy exists for the one operator shape
-  * (as-of) OSS Spark has no physical operator for.
+  * TypedImperativeAggregates), and TWO planner strategies — the
+  * native as-of join ([[graft.plans.AsofJoinStrategy]]) and the native band
+  * join ([[graft.plans.RangeJoinStrategy]]); per-session fallbacks
+  * `graft.plans.Asof.ensureRegistered` / `graft.plans.Band.ensureRegistered`
+  * use the public `experimental.extraStrategies` hook. Everything else in
+  * SURVEY §2 plans through Catalyst's built-in operators — §4.3's audit
+  * still holds for the declarative surface; the strategies exist for the
+  * two operator shapes (as-of, sliding-band) OSS Spark has no bounded-state
+  * physical operator for.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
     ext.injectOptimizerRule(s => new graft.plans.RollupMvRule(s))
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

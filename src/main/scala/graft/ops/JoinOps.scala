@@ -130,6 +130,14 @@ object JoinOps {
         .orderBy("r_name", "n_name"),
     Some("SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name"))
 
+  /** The one band-join oracle both formulations (theta rewrite and native
+    * exec) hash against — two independent implementations, one truth. */
+  private val rangeOracleSql: String =
+    "SELECT e1.event_id AS purchase_id, e2.event_id AS follow_id, e2.event_type AS follow_type " +
+      "FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id AND e2.ts > e1.ts " +
+      "AND e2.ts <= e1.ts + INTERVAL 10 MINUTE WHERE e1.event_type = 'purchase' " +
+      "ORDER BY purchase_id, follow_id"
+
   /** Band join: equi-key on user_id + time-range predicate. At scale this is
     * a single shuffle on user_id with the range filter applied inside the
     * sort-merge join — never a cartesian. */
@@ -146,10 +154,38 @@ object JoinOps {
         .select("purchase_id", "follow_id", "follow_type")
         .orderBy("purchase_id", "follow_id")
     },
-    Some("SELECT e1.event_id AS purchase_id, e2.event_id AS follow_id, e2.event_type AS follow_type " +
-      "FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id AND e2.ts > e1.ts " +
-      "AND e2.ts <= e1.ts + INTERVAL 10 MINUTE WHERE e1.event_type = 'purchase' " +
-      "ORDER BY purchase_id, follow_id"))
+    Some(rangeOracleSql))
+
+  /** Band join, NATIVE formulation — the same query as `join_range_theta`
+    * planned through graft's second custom physical operator
+    * ([[graft.plans.RangeJoin]] logical node →
+    * [[graft.plans.RangeJoinStrategy]] → [[graft.plans.RangeJoinExec]]),
+    * hash-matching the SAME oracle: two independent formulations per truth,
+    * the `join_asof_native` pattern applied to the band-join shape.
+    *
+    * Why it exists (the 100 TB argument): Catalyst executes equi+band as a
+    * sort-merge join whose band predicate is a post-join condition — the
+    * merge buffers each key's whole right group and compares every in-key
+    * pair, O(per-key n²) with hot keys. The native exec slides a buffer of
+    * only the IN-BAND right rows down both time-sorted sides: compares and
+    * memory ∝ band occupancy, one co-partitioned shuffle per side, same
+    * exchange envelope as the sort-merge plan. RangeJoinSpec proves result
+    * equality with the theta rewrite, pins boundary/null semantics on a
+    * planted fixture, and asserts the plan shape. */
+  val joinRangeNative: Op = Op(
+    "join_range_native",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("u1"), col("ts").as("t1"))
+      val f = e.select(col("event_id").as("follow_id"), col("user_id").as("u2"),
+        col("ts").as("t2"), col("event_type").as("follow_type"))
+      graft.plans.Band.join(p, f, Seq("u1" -> "u2"), "t1", "t2",
+          loMicros = 0L, hiMicros = 600000000L) // (t1, t1 + 10 min]
+        .select("purchase_id", "follow_id", "follow_type")
+        .orderBy("purchase_id", "follow_id")
+    },
+    Some(rangeOracleSql))
 
   /** As-of join, windowed formulation: one shuffle on user_id, one sort —
     * the scalable shape (SURVEY §2 C / §7.4). For each purchase, the most
@@ -626,7 +662,8 @@ object JoinOps {
       "ON o.seg IS NOT DISTINCT FROM c.seg ORDER BY o.seg NULLS FIRST"))
 
   val all: Seq[Op] = Seq(joinInnerHash, joinBroadcastDim, joinSortmergeBig, joinLeftOuter,
-    joinFullOuter, joinLeftSemi, joinLeftAnti, joinCrossSmall, joinRangeTheta, joinAsof,
+    joinFullOuter, joinLeftSemi, joinLeftAnti, joinCrossSmall, joinRangeTheta,
+    joinRangeNative, joinAsof,
     joinAsofNative, joinIntervalBin, dimScd2Asof, dimScd2AsofNative, joinBloomPrefilter,
     joinAsofTolerance, joinAsofToleranceNative, joinFirstTouch, joinEntityResolution,
     joinAsofNearest, joinNullSafe)

@@ -1119,10 +1119,84 @@ object SourceSinkOps {
       "SELECT raw.m, n_rows, n_days, value_cents, n_files_before, n_files_after " +
       "FROM raw JOIN fb ON fb.m = raw.m JOIN fa ON fa.m = raw.m ORDER BY raw.m"))
 
+  /** Staged golden XML log for the schema-pinned XML ingest. */
+  def xmlStagePath(sfDir: String): String = Stage.root(sfDir) + "/solar_log.xml"
+
+  /** One <reading> record per line inside the <log> root (the layout the
+    * DuckDB oracle's line-regex mirror relies on). Carries the same declared
+    * failure lanes as the JSONL golden file minus the broken-document one
+    * (a malformed XML document fails the whole file parse by design — XML
+    * is not line-recoverable): a duplicated record, a type-bad field
+    * (watts non-numeric → TRY_CAST null), and a missing field (credit). */
+  private val goldenSolarXml: String =
+    """<log>
+      |<reading><ts>20120301120000</ts><machine_id>1a2b3c</machine_id><type>PWR</type><watts>12.50</watts><wh_today>120.20</wh_today><credit>350.75</credit></reading>
+      |<reading><ts>20120301120200</ts><machine_id>1a2b3c</machine_id><type>PWR</type><watts>13.10</watts><wh_today>120.70</wh_today><credit>350.50</credit></reading>
+      |<reading><ts>20120301120200</ts><machine_id>1a2b3c</machine_id><type>PWR</type><watts>13.10</watts><wh_today>120.70</wh_today><credit>350.50</credit></reading>
+      |<reading><ts>20120301120100</ts><machine_id>1a2b3c</machine_id><type>PWR</type><watts>not_a_number</watts><wh_today>120.40</wh_today><credit>350.60</credit></reading>
+      |<reading><ts>20120301120400</ts><machine_id>1a2b3c</machine_id><type>PWR</type><watts>6.00</watts><wh_today>2.50</wh_today></reading>
+      |<reading><ts>20120301120000</ts><machine_id>feed01</machine_id><type>MAINS</type><watts>480.00</watts><wh_today>501.00</wh_today><credit>0.00</credit></reading>
+      |</log>
+      |""".stripMargin
+
+  /** XML raw-log ingest through Spark 4's BUILT-IN XML source (rowTag
+    * record framing, schema PINNED all-string — same no-inference stance as
+    * [[jsonlLogIngest]]), completing the raw-ingest format trio
+    * (CSV / JSONL / XML). Same lanes: type-bad field nulls under TRY_CAST,
+    * missing element is null, exact duplicates drop; same envelope rule
+    * (exact decimal parse internally, DOUBLE/VARCHAR out). Oracle: DuckDB
+    * has no XML reader, so the staged one-record-per-line layout is read as
+    * raw lines and each field extracted by regex — an INDEPENDENT parse of
+    * the same bytes (a Spark rowTag/whitespace/entity bug hash-mismatches).
+    *
+    * Scale notes (100 TB): XML with multi-line records is per-file work
+    * (like multiLine CSV — declared); this op's one-record-per-line layout
+    * is what makes the regex mirror possible, but the Spark reader itself
+    * handles arbitrary XML framing. Ingest-at-the-edge converts to parquet
+    * once, so the parse cost is paid one time. */
+  val xmlLogIngest: Op = Op(
+    "xml_log_ingest",
+    (s, d) => {
+      val f = java.nio.file.Paths.get(xmlStagePath(d))
+      Files.createDirectories(f.getParent)
+      Files.writeString(f, goldenSolarXml)
+      s.read.format("xml")
+        .option("rowTag", "reading")
+        .schema("ts STRING, machine_id STRING, type STRING, " +
+          "watts STRING, wh_today STRING, credit STRING")
+        .load(f.toString)
+        .select(col("machine_id"),
+          col("type").as("circuit_type"),
+          to_timestamp(col("ts"), "yyyyMMddHHmmss").as("ts"),
+          col("watts").try_cast("decimal(12,2)").cast("string").as("watts"),
+          col("wh_today").try_cast("decimal(12,2)").cast("double").as("wh_today"),
+          col("credit").try_cast("decimal(12,2)").cast("double").as("credit"))
+        .distinct()
+        .orderBy(col("machine_id"), col("ts"), col("watts").asc_nulls_first)
+    },
+    Some("SELECT machine_id, circuit_type, ts, " +
+      "CAST(TRY_CAST(watts AS DECIMAL(12,2)) AS VARCHAR) AS watts, " +
+      "CAST(TRY_CAST(wh_today AS DECIMAL(12,2)) AS DOUBLE) AS wh_today, " +
+      "CAST(TRY_CAST(credit AS DECIMAL(12,2)) AS DOUBLE) AS credit FROM (" +
+      "SELECT DISTINCT " +
+      "regexp_extract(line, '<machine_id>([^<]*)', 1) AS machine_id, " +
+      "regexp_extract(line, '<type>([^<]*)', 1) AS circuit_type, " +
+      "strptime(regexp_extract(line, '<ts>([^<]*)', 1), '%Y%m%d%H%M%S') AS ts, " +
+      "NULLIF(regexp_extract(line, '<watts>([^<]*)', 1), '') AS watts, " +
+      "NULLIF(regexp_extract(line, '<wh_today>([^<]*)', 1), '') AS wh_today, " +
+      "NULLIF(regexp_extract(line, '<credit>([^<]*)', 1), '') AS credit " +
+      // literal TAB delimiter (absent from the staged lines) so each line
+      // lands as one VARCHAR column; Verify's JSON escaping round-trips it
+      "FROM read_csv('" + Stage.token + "/solar_log.xml', " +
+      "columns={'line': 'VARCHAR'}, delim='\t', quote='', header=false) " +
+      "WHERE line LIKE '%<reading>%') " +
+      "ORDER BY machine_id, ts, watts NULLS FIRST"))
+
   val all: Seq[Op] = Seq(csvLogIngest, sinkPartitionedParquet, sinkBucketedJoin,
     sinkClusteredLayout, mergeUpsertLatest, sinkCsvReport, sourceJsonlRoundtrip,
     sourceOrcRoundtrip, sourceSchemaEvolution, sinkCompactSmallFiles, sinkZorderLayout,
     sinkTargetedDelete, sinkDynamicPartitionOverwrite, cdcApplyChanges, sinkTimeTravelRead,
     sinkVacuumRetention, sourceProvenanceAudit, sourceCustomV2Solarlog, sinkCustomV2Roundtrip,
-    sqlCatalogTimeTravel, csvQuotedMultiline, jsonlLogIngest, sinkPartitionEvolution)
+    sqlCatalogTimeTravel, csvQuotedMultiline, jsonlLogIngest, sinkPartitionEvolution,
+    xmlLogIngest)
 }

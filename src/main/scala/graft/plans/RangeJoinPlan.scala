@@ -1,0 +1,249 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graft.PlanBridge
+import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The native BAND (range) join — `join_range_theta`'s semantics as a
+  * first-class Catalyst operator, extension path (c) of the build contract
+  * beside [[AsofJoin]]: INNER equi-join on keys plus a time-band predicate
+  * `leftTime + loUs < rightTime <= leftTime + hiUs` (each bound's
+  * strictness configurable).
+  *
+  * Why a custom exec: Catalyst plans equi+band as a sort-merge join whose
+  * band predicate is evaluated as a POST-JOIN condition — the merge buffers
+  * each key's ENTIRE right-side group and compares every (left, right) pair
+  * within the key, O(per-key n²) compares and per-key-group memory. This
+  * exec exploits that both sides are time-sorted: a sliding buffer holds
+  * only the right rows currently inside the band (eviction is monotone as
+  * the left time advances), so compares and memory are O(n + output) and
+  * O(band occupancy) — at 100 TB with hot keys (one device's whole history
+  * in one group) this is the difference between the key's square and the
+  * band's width.
+  *
+  * Scale shape: each side shuffles ONCE on its keys (co-partitioned via
+  * `requireAllClusterKeys`, exactly a shuffled join's contract) and sorts
+  * by (keys, time); the merge is a single forward pass per partition.
+  */
+case class RangeJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    loUs: Long,
+    hiUs: Long,
+    loStrict: Boolean,
+    hiStrict: Boolean) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): RangeJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner rule: [[RangeJoin]] logical node → [[RangeJoinExec]]. Registered
+  * per-session via [[Band.ensureRegistered]] and globally via
+  * [[graft.GraftExtensions]]. */
+object RangeJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case RangeJoin(l, r, lk, rk, lt, rt, lo, hi, ls, hs) =>
+      RangeJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, lo, hi, ls, hs) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical band join: children arrive hash-clustered on the join keys and
+  * sorted by (keys, time); one merge pass per partition with a sliding
+  * buffer of in-band right rows. Inner-join null semantics: a null key or
+  * null time on either side can never match (left such rows emit nothing,
+  * right such rows are discarded on first contact). */
+case class RangeJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    loUs: Long,
+    hiUs: Long,
+    loStrict: Boolean,
+    hiStrict: Boolean) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys, requireAllClusterKeys = true) ::
+      ClusteredDistribution(rightKeys, requireAllClusterKeys = true) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): RangeJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeys = leftKeys
+    val rKeys = rightKeys
+    val lTime = leftTime
+    val rTime = rightTime
+    val lo = loUs; val hi = hiUs
+    val loS = loStrict; val hiS = hiStrict
+    val allOut = output
+    val numOutputRows = longMetric("numOutputRows")
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTime), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
+      val keyOrd = GenerateOrdering.create(StructType(
+        lKeys.zipWithIndex.map { case (e, i) => StructField(s"k$i", e.dataType, e.nullable) }))
+      val resultProj = UnsafeProjection.create(allOut, allOut)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        // lookahead right row (copied — sort iterators reuse their buffers)
+        private var rRow: InternalRow = _
+        private var rKey: InternalRow = _
+        private var rTimeUs: Long = 0L
+        // sliding in-band buffer for the CURRENT left key: rows whose time
+        // is <= the current left row's upper bound; the head is evicted as
+        // the lower bound advances. Both motions are monotone because both
+        // inputs are time-sorted — each right row enters and leaves once.
+        private val band = new java.util.ArrayDeque[(Long, InternalRow)]()
+        private var bandKey: InternalRow = _
+        // pending output: the current left row joined to each in-band right
+        private var pendingLeft: InternalRow = _
+        private var pendingIt: java.util.Iterator[(Long, InternalRow)] = _
+
+        private def fetchRight(): Unit = {
+          rRow = null
+          while (rRow == null && rIter.hasNext) {
+            val raw = rIter.next()
+            val k = rKeyProj(raw)
+            val t = rTimeProj(raw)
+            if (!k.anyNull && !t.isNullAt(0)) {
+              rRow = raw.copy(); rKey = k.copy(); rTimeUs = t.getLong(0)
+            }
+          }
+        }
+
+        private def admitUpTo(lKey: InternalRow, upper: Long): Unit = {
+          var advancing = true
+          while (advancing) {
+            if (rRow == null) fetchRight()
+            if (rRow == null) advancing = false
+            else {
+              val cmp = keyOrd.compare(rKey, lKey)
+              if (cmp < 0) rRow = null // right is behind this key: discard
+              else if (cmp == 0 && (if (hiS) rTimeUs < upper else rTimeUs <= upper)) {
+                band.addLast((rTimeUs, rRow)); rRow = null
+              } else advancing = false // ahead in key or beyond the band top
+            }
+          }
+        }
+
+        private def advanceLeft(): Unit = {
+          pendingLeft = null; pendingIt = null
+          while (pendingIt == null && lIter.hasNext) {
+            val lRow = lIter.next()
+            val lKey = lKeyProj(lRow)
+            val lt = lTimeProj(lRow)
+            if (!lKey.anyNull && !lt.isNullAt(0)) {
+              if (bandKey == null || keyOrd.compare(bandKey, lKey) != 0) {
+                band.clear(); bandKey = lKey.copy()
+              }
+              val ltUs = lt.getLong(0)
+              admitUpTo(lKey, ltUs + hi)
+              // evict rows at/below the lower bound — monotone in ltUs
+              while (!band.isEmpty &&
+                (if (loS) band.peekFirst()._1 <= ltUs + lo
+                 else band.peekFirst()._1 < ltUs + lo)) band.pollFirst()
+              if (!band.isEmpty) {
+                pendingLeft = lRow.copy()
+                pendingIt = band.iterator()
+              }
+            }
+          }
+        }
+
+        override def hasNext: Boolean = {
+          if (pendingIt != null && pendingIt.hasNext) true
+          else { advanceLeft(); pendingIt != null && pendingIt.hasNext }
+        }
+
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          numOutputRows += 1
+          resultProj(joined(pendingLeft, pendingIt.next()._2))
+        }
+      }
+    }
+  }
+}
+
+/** Public construction API for the native band join. */
+object Band {
+  /** Idempotently adds [[RangeJoinStrategy]] to the session's planner (the
+    * per-session fallback; `spark.sql.extensions=graft.GraftExtensions` is
+    * the production path). */
+  def ensureRegistered(s: SparkSession): Unit = synchronized {
+    if (!s.experimental.extraStrategies.contains(RangeJoinStrategy))
+      s.experimental.extraStrategies = s.experimental.extraStrategies :+ RangeJoinStrategy
+  }
+
+  /** left BAND JOIN right ON keys AND
+    * `leftTime + loMicros (<|<=) rightTime (<|<=) leftTime + hiMicros`.
+    * Time columns must be TIMESTAMP or LONG (micros); key pairs must be
+    * type-identical; right-side column NAMES must not collide with left
+    * ones. Self-join inputs are safe (fresh right-side exprIds). */
+  def join(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
+           leftTimeCol: String, rightTimeCol: String,
+           loMicros: Long, hiMicros: Long,
+           loStrict: Boolean = true, hiStrict: Boolean = false): DataFrame = {
+    require(loMicros <= hiMicros, s"band join: empty band ($loMicros, $hiMicros)")
+    val spark = left.sparkSession
+    ensureRegistered(spark)
+    val lp = left.queryExecution.analyzed
+    val rightDeduped =
+      if (right.queryExecution.analyzed.outputSet.intersect(lp.outputSet).nonEmpty) {
+        import org.apache.spark.sql.functions.col
+        right.select(right.columns.toIndexedSeq.map(c => col(c).alias(c)): _*)
+      } else right
+    val rp = rightDeduped.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String, side: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"band join: no column '$n' on the $side side (have ${p.output.map(_.name).mkString(", ")})"))
+    val lks = keys.map(k => attr(lp, k._1, "left"))
+    val rks = keys.map(k => attr(rp, k._2, "right"))
+    lks.zip(rks).foreach { case (a, b) => require(a.dataType == b.dataType,
+      s"band join: key type mismatch ${a.name}:${a.dataType} vs ${b.name}:${b.dataType}") }
+    val lt = attr(lp, leftTimeCol, "left")
+    val rt = attr(rp, rightTimeCol, "right")
+    Seq(lt, rt).foreach(t => require(
+      t.dataType == TimestampType || t.dataType == LongType,
+      s"band join: time columns must be timestamp/long micros, got ${t.dataType}"))
+    require(lt.dataType == rt.dataType,
+      s"band join: time type mismatch ${lt.dataType} vs ${rt.dataType}")
+    PlanBridge.ofRows(spark,
+      RangeJoin(lp, rp, lks, rks, lt, rt, loMicros, hiMicros, loStrict, hiStrict))
+  }
+}

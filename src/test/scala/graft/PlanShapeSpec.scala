@@ -299,4 +299,31 @@ class PlanShapeSpec extends AnyFunSuite {
       stageIds.distinct.size < stageIds.size,
       s"no exchange reuse in:\n$p")
   }
+
+  // ------------------------------------------------- round-11 wave shapes
+
+  test("text_vocab_coverage broadcasts the dictionary onto the token stream") {
+    val p = plan(TextOps.textVocabCoverage)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"), p)
+  }
+
+  test("analytics_ab_lift has zero joins and two-phase aggregates") {
+    val p = plan(AnalyticsOps.analyticsAbLift).split("== Initial Plan ==").head
+    assert(!p.contains("Join"), s"unexpected join in a join-free op:\n$p")
+    assert(p.contains("partial_"), p) // map-side combine on the user rollup
+  }
+
+  test("ts_week_over_week reuses the daily-rollup exchange across both " +
+    "self-join branches") {
+    val p = plan(TimeSeriesOps.tsWeekOverWeek)
+    val stageIds = "ShuffleQueryStage (\\d+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(p.contains("ReusedExchange") || stageIds.distinct.size < stageIds.size,
+      s"no exchange reuse in:\n$p")
+  }
+
+  test("dq_freshness_lag broadcasts the 1-row global max back onto the " +
+    "per-feed rollup") {
+    val p = plan(DqOps.dqFreshnessLag)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
 }

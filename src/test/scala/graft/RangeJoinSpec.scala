@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.JoinOps
+import graft.plans.Band
+
+/** Native band-join contract ([[graft.plans.RangeJoinExec]]): result
+  * equality with the theta rewrite on real data, boundary/null semantics on
+  * a planted fixture, buffer reset across keys, and the co-partitioned plan
+  * shape (a custom exec that silently planned a cartesian would still pass
+  * a result check — the plan assertion is half the contract).
+  */
+class RangeJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("native band join equals the theta rewrite on real data") {
+    val native = JoinOps.joinRangeNative.fn(spark, TestSpark.sf0001).collect().toSeq
+    val theta = JoinOps.joinRangeTheta.fn(spark, TestSpark.sf0001).collect().toSeq
+    assert(native.nonEmpty && native == theta)
+  }
+
+  test("boundary semantics: lower bound strict, upper bound inclusive") {
+    import spark.implicits._
+    // left point at t=1000; band (1000, 1000 + 600] in micros
+    val p = Seq((1L, 10L, 1000L)).toDF("pid", "k", "t1")
+    val f = Seq(
+      (100L, 10L, 1000L), // == t1: excluded (strict lower)
+      (101L, 10L, 1001L), // just inside
+      (102L, 10L, 1600L), // == t1 + hi: included (inclusive upper)
+      (103L, 10L, 1601L), // just past: excluded
+      (104L, 11L, 1001L)  // wrong key
+    ).toDF("fid", "k2", "t2")
+    val got = Band.join(p, f, Seq("k" -> "k2"), "t1", "t2", 0L, 600L)
+      .select("pid", "fid").orderBy("fid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 101L), (1L, 102L)))
+  }
+
+  test("null keys and null times never match; buffer resets across keys") {
+    import spark.implicits._
+    val p = Seq(
+      (1L, Option(10L), Option(1000L)),
+      (2L, Option.empty[Long], Option(1000L)), // null key: emits nothing (inner)
+      (3L, Option(20L), Option(1000L)),
+      (4L, Option(20L), Option.empty[Long])    // null time: emits nothing
+    ).toDF("pid", "k", "t1")
+    val f = Seq(
+      (100L, Option(10L), Option(1100L)),
+      (101L, Option.empty[Long], Option(1100L)), // null key right: discarded
+      (102L, Option(20L), Option.empty[Long]),   // null time right: discarded
+      (103L, Option(20L), Option(1100L))
+    ).toDF("fid", "k2", "t2")
+    val got = Band.join(p, f, Seq("k" -> "k2"), "t1", "t2", 0L, 600L)
+      .select("pid", "fid").orderBy("pid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // key 10's match must not leak into key 20's band and vice versa
+    assert(got.toSeq == Seq((1L, 100L), (3L, 103L)))
+  }
+
+  test("one-to-many fan-out: every in-band right row joins") {
+    import spark.implicits._
+    val p = Seq((1L, 10L, 1000L), (2L, 10L, 1200L)).toDF("pid", "k", "t1")
+    val f = (1 to 5).map(i => (100L + i, 10L, 1000L + i * 100L)).toDF("fid", "k2", "t2")
+    val got = Band.join(p, f, Seq("k" -> "k2"), "t1", "t2", 0L, 300L)
+      .select("pid", "fid").orderBy("pid", "fid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // pid 1 band (1000,1300]: fids 101,102,103; pid 2 band (1200,1500]: 103,104,105
+    assert(got.toSeq == Seq((1L, 101L), (1L, 102L), (1L, 103L),
+      (2L, 103L), (2L, 104L), (2L, 105L)))
+  }
+
+  test("plan shape: RangeJoinExec with co-partitioned exchanges, no cartesian") {
+    val df = JoinOps.joinRangeNative.fn(spark, TestSpark.sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("RangeJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(
+      p.split("== Initial Plan ==").head).size >= 2, p)
+  }
+}
