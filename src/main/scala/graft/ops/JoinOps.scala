@@ -180,8 +180,14 @@ object JoinOps {
         .select(col("event_id").as("purchase_id"), col("user_id").as("u1"), col("ts").as("t1"))
       val f = e.select(col("event_id").as("follow_id"), col("user_id").as("u2"),
         col("ts").as("t2"), col("event_type").as("follow_type"))
+      // broadcastRight pinned OFF: at testdata scale the strategy's
+      // JoinSelection-style decision would (rightly) broadcast the right
+      // side, but this key exists to exercise the 100 TB fact-fact shape —
+      // the co-partitioned sliding-buffer merge. The broadcast exec is
+      // exercised (and equality-proven) in RangeJoinSpec.
       graft.plans.Band.join(p, f, Seq("u1" -> "u2"), "t1", "t2",
-          loMicros = 0L, hiMicros = 600000000L) // (t1, t1 + 10 min]
+          loMicros = 0L, hiMicros = 600000000L, // (t1, t1 + 10 min]
+          broadcastRight = Some(false))
         .select("purchase_id", "follow_id", "follow_type")
         .orderBy("purchase_id", "follow_id")
     },

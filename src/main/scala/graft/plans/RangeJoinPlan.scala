@@ -43,20 +43,31 @@ case class RangeJoin(
     loUs: Long,
     hiUs: Long,
     loStrict: Boolean,
-    hiStrict: Boolean) extends BinaryNode {
+    hiStrict: Boolean,
+    broadcastRight: Option[Boolean] = None) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): RangeJoin =
     copy(left = newLeft, right = newRight)
 }
 
-/** Planner rule: [[RangeJoin]] logical node → [[RangeJoinExec]]. Registered
-  * per-session via [[Band.ensureRegistered]] and globally via
-  * [[graft.GraftExtensions]]. */
+/** Planner rule: [[RangeJoin]] logical node → physical band join, making
+  * the JoinSelection-style broadcast-vs-shuffle decision the as-of strategy
+  * makes: an explicit `broadcastRight` hint wins; otherwise the right side
+  * broadcasts when its estimated size fits
+  * `spark.sql.autoBroadcastJoinThreshold`, else both sides shuffle into the
+  * sliding-buffer [[RangeJoinExec]]. Registered per-session via
+  * [[Band.ensureRegistered]] and globally via [[graft.GraftExtensions]]. */
 object RangeJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case RangeJoin(l, r, lk, rk, lt, rt, lo, hi, ls, hs) =>
-      RangeJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, lo, hi, ls, hs) :: Nil
+    case RangeJoin(l, r, lk, rk, lt, rt, lo, hi, ls, hs, bc) =>
+      val threshold = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val broadcast = bc.getOrElse(
+        threshold > 0 && r.stats.sizeInBytes >= 0 && r.stats.sizeInBytes <= threshold)
+      if (broadcast)
+        BroadcastRangeJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, lo, hi, ls, hs) :: Nil
+      else
+        RangeJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, lo, hi, ls, hs) :: Nil
     case _ => Nil
   }
 }
@@ -200,6 +211,120 @@ case class RangeJoinExec(
   }
 }
 
+/** Broadcast band join: the ZERO-FACT-SHUFFLE path for dimension-sized
+  * right sides (maintenance windows, campaign intervals, rate periods) —
+  * the right side ships to every task, each task builds one
+  * key → time-sorted-rows index, and every left row resolves its in-band
+  * slice by TWO binary searches (lower admissible bound, upper admissible
+  * bound). The fact side keeps its partitioning and ordering — map-only,
+  * the broadcast-hash analog for the band shape. */
+case class BroadcastRangeJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    loUs: Long,
+    hiUs: Long,
+    loStrict: Boolean,
+    hiStrict: Boolean) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution ::
+      org.apache.spark.sql.catalyst.plans.physical.BroadcastDistribution(
+        org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode) :: Nil
+
+  // map-only over the left: partitioning and ordering both survive
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastRangeJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeys = leftKeys
+    val rKeys = rightKeys
+    val lTime = leftTime
+    val rTime = rightTime
+    val lo = loUs; val hi = hiUs
+    val loS = loStrict; val hiS = hiStrict
+    val allOut = output
+    val numOutputRows = longMetric("numOutputRows")
+    val bcast = right.executeBroadcast[Array[InternalRow]]()
+
+    left.execute().mapPartitions { lIter =>
+      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTime), lOut)
+      val resultProj = UnsafeProjection.create(allOut, allOut)
+      val joined = new JoinedRow
+
+      // per-task index from the broadcast rows: key → rows time-sorted, with
+      // the parallel long array the binary searches run over
+      val index = new scala.collection.mutable.HashMap[
+        InternalRow, scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
+      bcast.value.foreach { r =>
+        val k = rKeyProj(r)
+        val t = rTimeProj(r)
+        if (!k.anyNull && !t.isNullAt(0)) {
+          index.getOrElseUpdate(k.copy(),
+            new scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]())
+            .append((t.getLong(0), r))
+        }
+      }
+      val built: Map[InternalRow, (Array[Long], Array[InternalRow])] =
+        index.iterator.map { case (k, buf) =>
+          val sorted = buf.sortBy(_._1)
+          k -> (sorted.map(_._1).toArray, sorted.map(_._2).toArray)
+        }.toMap
+
+      // first index with times(i) > bound (gt) / >= bound (ge)
+      def upperBound(times: Array[Long], bound: Long, strictGt: Boolean): Int = {
+        var loI = 0; var hiI = times.length
+        while (loI < hiI) {
+          val mid = (loI + hiI) >>> 1
+          val beyond = if (strictGt) times(mid) > bound else times(mid) >= bound
+          if (beyond) hiI = mid else loI = mid + 1
+        }
+        loI
+      }
+
+      lIter.flatMap { lRow =>
+        val lKey = lKeyProj(lRow)
+        val lt = lTimeProj(lRow)
+        if (lKey.anyNull || lt.isNullAt(0)) Iterator.empty
+        else built.get(lKey) match {
+          case None => Iterator.empty
+          case Some((times, rows)) =>
+            val ltUs = lt.getLong(0)
+            // admissible t: (loS ? t > ltUs+lo : t >= ltUs+lo) and
+            //               (hiS ? t < ltUs+hi : t <= ltUs+hi)
+            val from = upperBound(times, ltUs + lo, strictGt = loS)
+            val until = upperBound(times, ltUs + hi, strictGt = !hiS)
+            if (from >= until) Iterator.empty
+            else {
+              val lCopy = lRow.copy()
+              (from until until).iterator.map { i =>
+                numOutputRows += 1
+                resultProj(joined(lCopy, rows(i)))
+              }
+            }
+        }
+      }
+    }
+  }
+}
+
 /** Public construction API for the native band join. */
 object Band {
   /** Idempotently adds [[RangeJoinStrategy]] to the session's planner (the
@@ -218,7 +343,8 @@ object Band {
   def join(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
            leftTimeCol: String, rightTimeCol: String,
            loMicros: Long, hiMicros: Long,
-           loStrict: Boolean = true, hiStrict: Boolean = false): DataFrame = {
+           loStrict: Boolean = true, hiStrict: Boolean = false,
+           broadcastRight: Option[Boolean] = None): DataFrame = {
     require(loMicros <= hiMicros, s"band join: empty band ($loMicros, $hiMicros)")
     val spark = left.sparkSession
     ensureRegistered(spark)
@@ -244,6 +370,7 @@ object Band {
     require(lt.dataType == rt.dataType,
       s"band join: time type mismatch ${lt.dataType} vs ${rt.dataType}")
     PlanBridge.ofRows(spark,
-      RangeJoin(lp, rp, lks, rks, lt, rt, loMicros, hiMicros, loStrict, hiStrict))
+      RangeJoin(lp, rp, lks, rks, lt, rt, loMicros, hiMicros, loStrict, hiStrict,
+        broadcastRight))
   }
 }

@@ -69,6 +69,26 @@ class RangeJoinSpec extends AnyFunSuite {
       (2L, 103L), (2L, 104L), (2L, 105L)))
   }
 
+  test("broadcast exec equals the shuffled merge and never exchanges the fact side") {
+    import spark.implicits._
+    val e = graft.tables.Tables.events(spark, TestSpark.sf0001)
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("u1"), col("ts").as("t1"))
+    val f = e.select(col("event_id").as("fid"), col("user_id").as("u2"), col("ts").as("t2"))
+    def run(bc: Boolean) =
+      Band.join(p, f, Seq("u1" -> "u2"), "t1", "t2", 0L, 600000000L,
+          broadcastRight = Some(bc))
+        .select("pid", "fid").orderBy("pid", "fid")
+    val shuffled = run(false)
+    val broadcast = run(true)
+    assert(broadcast.collect().toSeq == shuffled.collect().toSeq)
+    val bp = broadcast.queryExecution.executedPlan.toString
+    assert(bp.contains("BroadcastRangeJoin"), bp)
+    // the fact (left) side must not shuffle: the only exchange is the
+    // right side's broadcast
+    assert(!bp.contains("Exchange hashpartitioning"), bp)
+  }
+
   test("plan shape: RangeJoinExec with co-partitioned exchanges, no cartesian") {
     val df = JoinOps.joinRangeNative.fn(spark, TestSpark.sf0001)
     df.collect()
