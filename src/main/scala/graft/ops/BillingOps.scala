@@ -180,5 +180,52 @@ object BillingOps {
       "+ credits_e2 - charges_e2 AS BIGINT) AS closing_e2 " +
       "FROM wk ORDER BY user_id, week"))
 
-  val all: Seq[Op] = Seq(billingTimeOfUse, billingPrepaidBalance, billingWeeklyStatement)
+  /** Progressive TIERED-RATE billing — the inclining-block tariff most
+    * utilities actually run (and the shape the reference's flat prepaid
+    * rate grows into): each (user, month)'s consumption fills tier 1
+    * (first 5 000 cents of usage at rate 7), then tier 2 (next 15 000 at
+    * 12), then tier 3 (the rest at 18). Tier splits are LEAST/GREATEST
+    * integer arithmetic on exact cents — no conditionals-over-floats, no
+    * rounding anywhere until the single per-row display division; the
+    * per-tier charge columns sum exactly to total_e4 by construction
+    * (an accounting identity the oracle's hash enforces).
+    *
+    * Scale notes (100 TB): one (user, month) two-phase aggregate; the tier
+    * math is a scan-local projection of the AGGREGATED row — tier edges
+    * ship as config (or a broadcast dim for per-plan tiers) without
+    * changing the shape. */
+  val billingTieredRates: Op = Op(
+    "billing_tiered_rates",
+    (s, d) => {
+      val usage = col("usage_cents")
+      val t1 = least(usage, lit(5000L))
+      val t2 = least(greatest(usage - 5000L, lit(0L)), lit(15000L))
+      val t3 = greatest(usage - 20000L, lit(0L))
+      Tables.events(s, d)
+        .where(col("event_type") =!= "purchase")
+        .groupBy(col("user_id"), date_trunc("month", col("ts")).as("month"))
+        .agg(sum((d2(col("value")) * 100).cast("long")).as("usage_cents"))
+        .select(col("user_id"), col("month"), usage,
+          (t1 * 7L).as("tier1_e4"), (t2 * 12L).as("tier2_e4"),
+          (t3 * 18L).as("tier3_e4"),
+          (t1 * 7L + t2 * 12L + t3 * 18L).as("total_e4"))
+        .withColumn("total", col("total_e4").cast("double") / 10000.0)
+        .orderBy("user_id", "month")
+    },
+    Some("WITH u AS (SELECT user_id, date_trunc('month', ts) AS month, " +
+      "CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) " +
+      "AS usage_cents FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2), " +
+      "t AS (SELECT user_id, month, usage_cents, " +
+      "LEAST(usage_cents, 5000) AS t1, " +
+      "LEAST(GREATEST(usage_cents - 5000, 0), 15000) AS t2, " +
+      "GREATEST(usage_cents - 20000, 0) AS t3 FROM u) " +
+      "SELECT user_id, month, usage_cents, " +
+      "CAST(t1 * 7 AS BIGINT) AS tier1_e4, CAST(t2 * 12 AS BIGINT) AS tier2_e4, " +
+      "CAST(t3 * 18 AS BIGINT) AS tier3_e4, " +
+      "CAST(t1 * 7 + t2 * 12 + t3 * 18 AS BIGINT) AS total_e4, " +
+      "CAST(t1 * 7 + t2 * 12 + t3 * 18 AS DOUBLE) / 10000.0 AS total " +
+      "FROM t ORDER BY user_id, month"))
+
+  val all: Seq[Op] = Seq(billingTimeOfUse, billingPrepaidBalance, billingWeeklyStatement,
+    billingTieredRates)
 }

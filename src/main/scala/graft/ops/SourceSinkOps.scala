@@ -1185,10 +1185,10 @@ object SourceSinkOps {
       "NULLIF(regexp_extract(line, '<watts>([^<]*)', 1), '') AS watts, " +
       "NULLIF(regexp_extract(line, '<wh_today>([^<]*)', 1), '') AS wh_today, " +
       "NULLIF(regexp_extract(line, '<credit>([^<]*)', 1), '') AS credit " +
-      // literal TAB delimiter (absent from the staged lines) so each line
-      // lands as one VARCHAR column; Verify's JSON escaping round-trips it
+      // '|' delimiter — printable (the oracle-SQL no-control-chars guard)
+      // and absent from the staged lines, so each line lands as one column
       "FROM read_csv('" + Stage.token + "/solar_log.xml', " +
-      "columns={'line': 'VARCHAR'}, delim='\t', quote='', header=false) " +
+      "columns={'line': 'VARCHAR'}, delim='|', quote='', header=false) " +
       "WHERE line LIKE '%<reading>%') " +
       "ORDER BY machine_id, ts, watts NULLS FIRST"))
 

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** The declarative SQL authoring surfaces (Spark 4.x) beyond plain
   * `spark.sql(text)` (which `sql_interface` already proves): SQL-bodied
@@ -304,7 +305,61 @@ object SqlSurfaceOps {
       "INTO NAME metric VALUE value) " +
       "ORDER BY c_mktsegment, metric"))
 
+  /** `listagg(...) WITHIN GROUP (ORDER BY ...)` (SQL:2016, Spark 4.0+) —
+    * ordered string aggregation with an EXPLICIT deterministic order: the
+    * per-group concatenation every report and debugging session wants,
+    * stated so shuffle order cannot reach the result (an unordered
+    * string_agg is exactly the kind of silently-nondeterministic output
+    * the hash oracle exists to catch). Grouped small (nations per region)
+    * — the result row is bounded by the DIM size; at 100 TB a listagg over
+    * a fact-sized group is a design error, not a tuning problem. */
+  val aggListagg: Op = Op(
+    "agg_listagg",
+    (s, d) => {
+      GraftCatalog.registerAll(s, d)
+      s.sql("SELECT r_name, COUNT(*) AS n_nations, " +
+        "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations " +
+        "FROM region JOIN nation ON r_regionkey = n_regionkey " +
+        "GROUP BY r_name ORDER BY r_name")
+    },
+    Some("SELECT r_name, COUNT(*) AS n_nations, " +
+      "string_agg(n_name, ',' ORDER BY n_name) AS nations " +
+      "FROM region JOIN nation ON r_regionkey = n_regionkey " +
+      "GROUP BY r_name ORDER BY r_name"))
+
+  /** LATERAL COLUMN ALIAS (Spark 3.4+): a SELECT-list expression referencing
+    * an alias defined earlier in the SAME select — the spreadsheet-style
+    * derivation chain analysts write (net → tax → total) without nesting a
+    * subquery per step. Analysis-time sugar: the resolved plan is the same
+    * single Project, so codegen fuses the chain and pushdown is unchanged.
+    * Exact-decimal chain per the Dets policy; one double cast at the end. */
+  val sqlLateralColumnAlias: Op = Op(
+    "sql_lateral_column_alias",
+    (s, d) => {
+      GraftCatalog.registerAll(s, d)
+      s.sql("SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, " +
+        "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) AS net, " +
+        "net * CAST(l_tax AS DECIMAL(3,2)) AS tax_amt, " +
+        "CAST(net + tax_amt AS DOUBLE) AS total " +
+        "FROM lineitem WHERE l_orderkey % 100 = 0 " +
+        "ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, total")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"),
+          col("net").cast("double").as("net"),
+          col("tax_amt").cast("double").as("tax_amt"), col("total"))
+    },
+    Some("SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, " +
+      "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS net, " +
+      "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) " +
+      "* CAST(l_tax AS DECIMAL(3,2)) AS DOUBLE) AS tax_amt, " +
+      "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) " +
+      "+ CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) " +
+      "* CAST(l_tax AS DECIMAL(3,2)) AS DOUBLE) AS total " +
+      "FROM lineitem WHERE l_orderkey % 100 = 0 " +
+      "ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, total"))
+
   val all: Seq[Op] = Seq(sqlUdfScalarInline, sqlTableFunction, sqlParameterized,
     sqlPipeSyntax, sqlLateralTopn, sqlGroupByAll, sqlSelectStarExcept, sqlOrderByAll,
-    sqlIdentifierDynamic, sqlExecuteImmediate, sqlSessionVariable, sqlUnpivotSyntax)
+    sqlIdentifierDynamic, sqlExecuteImmediate, sqlSessionVariable, sqlUnpivotSyntax,
+    aggListagg, sqlLateralColumnAlias)
 }

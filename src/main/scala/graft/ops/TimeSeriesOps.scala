@@ -1211,10 +1211,53 @@ object TimeSeriesOps {
       "ON a.event_type = b.event_type AND a.day = b.day + 7 " +
       "ORDER BY event_type, day"))
 
+  /** RAMP-RATE alarm — the grid-operations check a solar/feed warehouse
+    * runs on every aggregate series: hour-over-hour change of the hourly
+    * total, flagged when |ramp| exceeds the threshold (here 50 currency
+    * units = 5 000 exact cents). The prior hour comes from a CALENDAR
+    * self-join on hour − 1 (the dq_volume_anomaly / ts_week_over_week
+    * discipline): a gap in the feed yields an honest `no_prior` row, never
+    * a silent comparison against whatever hour happened to precede it in
+    * row order. All arithmetic is exact integer cents.
+    *
+    * Scale notes (100 TB): the hourly rollup is a two-phase aggregate onto
+    * (feed, hour) — tiny; both self-join branches are the same aggregate
+    * subplan (exchange-reuse shape). The alarm reads the rollup, never the
+    * raw events. */
+  val tsRampRateAlarm: Op = Op(
+    "ts_ramp_rate_alarm",
+    (s, d) => {
+      def hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(sum((Dets.d2(col("value")) * 100).cast("long")).as("cents"))
+      hourly.as("a")
+        .join(hourly.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.hr") === col("b.hr") + expr("INTERVAL 1 HOUR"), "left")
+        .select(col("a.event_type").as("event_type"), col("a.hr").as("hr"),
+          col("a.cents").as("cents"), col("b.cents").as("prev_cents"),
+          (col("a.cents") - col("b.cents")).as("ramp_cents"),
+          when(col("b.cents").isNull, "no_prior")
+            .when(abs(col("a.cents") - col("b.cents")) > 5000L, "alarm")
+            .otherwise("ok").as("status"))
+        .orderBy("event_type", "hr")
+    },
+    Some("WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hr, " +
+      "CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) " +
+      "AS cents FROM events GROUP BY 1, 2) " +
+      "SELECT a.event_type, a.hr, a.cents, b.cents AS prev_cents, " +
+      "a.cents - b.cents AS ramp_cents, " +
+      "CASE WHEN b.cents IS NULL THEN 'no_prior' " +
+      "WHEN abs(a.cents - b.cents) > 5000 THEN 'alarm' ELSE 'ok' END AS status " +
+      "FROM hourly a LEFT JOIN hourly b " +
+      "ON a.event_type = b.event_type AND a.hr = b.hr + INTERVAL 1 HOUR " +
+      "ORDER BY a.event_type, a.hr"))
+
   val all: Seq[Op] = Seq(tsTumblingHourly, tsSlidingWindow, tsSessionWindow, tsGapDetection,
     tsCounterDelta, tsCounterDailyReset, tsDailyProfile, tsResampleFfill, tsInterpolateLinear,
     creditEventDetect, siteCircuitRollup, tsDownsampleLtob, tsOutlierMad, tsZscoreRolling,
     tsEwmaScaled, tsCusumDrift, tsSlidingDistinct, tsSeasonalDecompose, tsPeakDetect,
     tsAutocorrLag, tsRollingMedian, tsCalendarSpine, tsAnomalyStl, tsLoadDurationCurve,
-    tsForecastSnaiveBacktest, tsUptimeSla, tsDegradationSlope, tsWeekOverWeek)
+    tsForecastSnaiveBacktest, tsUptimeSla, tsDegradationSlope, tsWeekOverWeek,
+    tsRampRateAlarm)
 }
