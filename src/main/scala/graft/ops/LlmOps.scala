@@ -1303,6 +1303,51 @@ object LlmOps {
       "FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id WHERE a.vec_id < 10) " +
       "WHERE rank <= 5 ORDER BY query_id, rank"))
 
+  /** MUTUAL k-NN GRAPH construction — the preprocessing artifact
+    * density-based clustering, label propagation, and graph-dedup all start
+    * from: each vector's 5 nearest neighbors by exact cosine, kept as an
+    * UNDIRECTED edge only when the relation is mutual (a ∈ knn(b) AND
+    * b ∈ knn(a) — the standard symmetrization that prunes hub artifacts).
+    * Exact-baseline formulation over [[blockedAllPairs]] (the same declared
+    * all-pairs baseline backing the ANN recall proofs); ranking determinism
+    * is the proven sim_search contract (graft cosine ≡ DuckDB
+    * list_cosine_similarity on identical doubles), and only MEMBERSHIP
+    * leaves the op — no float reaches the hash.
+    *
+    * Scale notes (100 TB): the production path swaps the all-pairs stage
+    * for the banded ANN candidates (LSH/IVF rerank — the shipped
+    * sim_search machinery) and keeps everything downstream unchanged: the
+    * per-node top-k is a WindowGroupLimit heap, and the mutuality filter is
+    * ONE self-equi-join on the directed edge list (|V|·k rows), never the
+    * pair space. */
+  val embedKnnGraph: Op = Op(
+    "embed_knn_graph",
+    (s, d) => {
+      val pairs = blockedAllPairs(s, d)
+      val directed = pairs
+        .select(col("vec_id_a").as("src"), col("vec_id_b").as("dst"), col("sim"))
+        .unionAll(pairs
+          .select(col("vec_id_b").as("src"), col("vec_id_a").as("dst"), col("sim")))
+      val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)
+      val knn = directed.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select("src", "dst")
+      knn.as("x").join(knn.as("y"),
+          col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
+        .where(col("x.src") < col("x.dst"))
+        .select(col("x.src").as("vec_a"), col("x.dst").as("vec_b"))
+        .orderBy("vec_a", "vec_b")
+    },
+    Some("WITH p AS (SELECT a.vec_id AS sa, b.vec_id AS sb, " +
+      "list_cosine_similarity(a.embedding, b.embedding) AS sim " +
+      "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id), " +
+      "k AS (SELECT sa AS src, sb AS dst FROM (SELECT sa, sb, " +
+      "row_number() OVER (PARTITION BY sa ORDER BY sim DESC, sb) AS rn FROM p) " +
+      "WHERE rn <= 5) " +
+      "SELECT x.src AS vec_a, x.dst AS vec_b FROM k x " +
+      "JOIN k y ON y.src = x.dst AND y.dst = x.src " +
+      "WHERE x.src < x.dst ORDER BY vec_a, vec_b"))
+
   // ----------------------------------------------------------- text analysis
 
   /** Per (lang, source): doc count, avg length, distinct token count. */
@@ -1669,6 +1714,6 @@ object LlmOps {
     dedupEmbeddingCosine,
     dedupContainment, dedupSubstringSpans, dedupSubstringTrim, dedupEditPrefix, splitClusterSafe,
     simSearchTopk, simSearchKnnPerQuery, simSearchAnnLsh, simSearchAnnIvf, simSearchAnnProbe,
-    simSearchAnnPq, simSearchHybridRrf,
+    simSearchAnnPq, simSearchHybridRrf, embedKnnGraph,
     textLangStats, textQualityFilter, multimodalJoin)
 }
