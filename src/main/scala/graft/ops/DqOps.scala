@@ -659,7 +659,58 @@ object DqOps {
       "(epoch_us(fresh_ts) - epoch_us(last_ts)) // 60000000 > 1440 AS stale " +
       "FROM f, g ORDER BY event_type"))
 
+  /** CROSS-TABLE aggregate reconciliation — the accounting check between a
+    * header table and its detail table that `dq_expectations`' row-level
+    * referential rule cannot see: per order, the lineitem-side exact-cents
+    * revenue (Σ extendedprice·(1−discount), in e4 cents-of-cents) against
+    * the header's o_totalprice, bucketed by relative deviation. Real
+    * warehouses run this between every fact and its rollup; this testdata's
+    * headers are NOT derived from the details (independent synthesis), so
+    * the report legitimately shows large deviations — the op's contract is
+    * the exact bucketing, not a pass/fail. Integer arithmetic end to end:
+    * the deviation test `|detail−header| · 100 > header · pct` multiplies
+    * BIGINTs instead of dividing into floats.
+    *
+    * Scale notes (100 TB): one (orderkey) two-phase aggregate over the
+    * detail side + one equi-join to headers (co-located under bucketing on
+    * the key), output = #buckets rows. */
+  val dqAggregateReconcile: Op = Op(
+    "dq_aggregate_reconcile",
+    (s, d) => {
+      val detail = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("okey"))
+        .agg(sum((d2(col("l_extendedprice")) * 100).cast("long") *
+          (lit(100L) - (frac(col("l_discount")) * 100).cast("long"))).as("detail_e4"))
+      val header = Tables.orders(s, d)
+        .select(col("o_orderkey").as("okey"),
+          ((d2(col("o_totalprice")) * 100).cast("long") * 100L).as("header_e4"))
+      val diff = abs(col("detail_e4") - col("header_e4"))
+      header.join(detail, Seq("okey"), "left")
+        .select(col("okey"),
+          when(col("detail_e4").isNull, "no_detail")
+            .when(diff * 100L <= col("header_e4") * 1L, "within_1pct")
+            .when(diff * 100L <= col("header_e4") * 10L, "within_10pct")
+            .otherwise("divergent").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("bucket")
+    },
+    Some("WITH detail AS (SELECT l_orderkey AS okey, " +
+      "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) * " +
+      "(100 - CAST(CAST(l_discount AS DECIMAL(3,2)) * 100 AS BIGINT))) AS BIGINT) " +
+      "AS detail_e4 FROM lineitem GROUP BY 1), " +
+      "header AS (SELECT o_orderkey AS okey, " +
+      "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 100 AS header_e4 " +
+      "FROM orders), " +
+      "b AS (SELECT header.okey, CASE WHEN detail_e4 IS NULL THEN 'no_detail' " +
+      "WHEN abs(detail_e4 - header_e4) * 100 <= header_e4 * 1 THEN 'within_1pct' " +
+      "WHEN abs(detail_e4 - header_e4) * 100 <= header_e4 * 10 THEN 'within_10pct' " +
+      "ELSE 'divergent' END AS bucket " +
+      "FROM header LEFT JOIN detail ON detail.okey = header.okey) " +
+      "SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders FROM b " +
+      "GROUP BY 1 ORDER BY bucket"))
+
   val all: Seq[Op] = Seq(dqExpectations, dqQuarantineSplit, cdcSnapshotDiff,
     dqObserveMetrics, dqVolumeAnomaly, dqDriftKs, dqDriftChi2, dqDuplicateEvents,
-    dqBenfordFirstdigit, dqSchemaDrift, dqFreshnessLag)
+    dqBenfordFirstdigit, dqSchemaDrift, dqFreshnessLag, dqAggregateReconcile)
 }

@@ -883,9 +883,62 @@ object PipelineOps {
     Some("SELECT doc_id, CAST(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) " +
       "% 5 AS INT) AS fold FROM documents ORDER BY doc_id"))
 
+  /** Deterministic NEGATIVE MINING — the contrastive-training sampler every
+    * recommendation / retrieval pipeline needs: for each customer with
+    * purchase interactions, up to 3 parts they did NOT interact with,
+    * drawn by a pure multiplicative hash chain over the part domain
+    * (candidate i = (cust·2654435761 + i·40503) mod maxPart + 1, i = 1..8),
+    * deduped to the first occurrence, anti-joined against the interaction
+    * set, ranked by chain position. No RNG anywhere — the same corpus
+    * always yields the same negatives (the reproducible-training-run
+    * property), and the arithmetic is exact BIGINT on both engines (no
+    * hex-parse portability trap).
+    *
+    * Scale notes (100 TB): the interaction set is one distinct aggregate;
+    * candidates are a scan-local 8× fan-out of the USER list (not the
+    * interactions); the anti-join is the one keyed shuffle — co-located
+    * under bucketing on (user, item). Chain overdraw (8 draws for 3 keeps)
+    * bounds the miss probability without a resample loop. */
+  val sampleNegativesHash: Op = Op(
+    "sample_negatives_hash",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val inter = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+        .distinct()
+      val mx = Tables.part(s, d).agg(max(col("p_partkey")).as("mx"))
+      val cands = inter.select("cust").distinct()
+        .crossJoin(broadcast(mx))
+        .select(col("cust"), explode(sequence(lit(1L), lit(8L))).as("i"), col("mx"))
+        .select(col("cust"), col("i"),
+          (pmod(col("cust") * lit(2654435761L) + col("i") * lit(40503L), col("mx")) + 1L)
+            .as("part"))
+        .groupBy("cust", "part").agg(min(col("i")).as("i"))
+      val w = Window.partitionBy("cust").orderBy("i")
+      cands.join(inter, Seq("cust", "part"), "left_anti")
+        .withColumn("neg_rank", row_number().over(w))
+        .where(col("neg_rank") <= 3)
+        .select(col("cust"), col("neg_rank"), col("part"))
+        .orderBy("cust", "neg_rank")
+    },
+    Some("WITH inter AS (SELECT DISTINCT o_custkey AS cust, l_partkey AS part " +
+      "FROM orders JOIN lineitem ON l_orderkey = o_orderkey), " +
+      "mx AS (SELECT MAX(p_partkey) AS mx FROM part), " +
+      "cand AS (SELECT cust, part, MIN(i) AS i FROM (" +
+      "SELECT u.cust, g.i, ((u.cust * 2654435761 + g.i * 40503) % mx.mx) + 1 AS part " +
+      "FROM (SELECT DISTINCT cust FROM inter) u, mx, " +
+      "(SELECT unnest(generate_series(1, 8)) AS i) g) GROUP BY 1, 2), " +
+      "negs AS (SELECT c.cust, c.part, c.i FROM cand c " +
+      "WHERE NOT EXISTS (SELECT 1 FROM inter x " +
+      "WHERE x.cust = c.cust AND x.part = c.part)) " +
+      "SELECT cust, CAST(rn AS INT) AS neg_rank, CAST(part AS BIGINT) AS part FROM (" +
+      "SELECT cust, part, row_number() OVER (PARTITION BY cust ORDER BY i) AS rn " +
+      "FROM negs) WHERE rn <= 3 ORDER BY cust, neg_rank"))
+
   val all: Seq[Op] = Seq(sampleStratified, splitTrainValTest, packSequences, embedQuantizeInt8,
     pipelineCorpusBuild, sampleReservoirGroup, sampleWeightedHash, embedGramExact,
     sampleMixtureQuota, sampleTemperature, embedRandomProjection, pipelineIncrementalUpdate, idsDenseAssign,
     featureOnehotEncode, featureScaleMinmax, embedCentroidOutliers, featureHashVectorize,
-    pipelineDatasetCard, pipelinePitFeatures, splitKfoldAssign)
+    pipelineDatasetCard, pipelinePitFeatures, splitKfoldAssign, sampleNegativesHash)
 }
