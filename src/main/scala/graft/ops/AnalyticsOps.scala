@@ -416,8 +416,8 @@ object AnalyticsOps {
       "CAST(CAST(2 * six - (n_users + 1) * CAST(total_cents AS DECIMAL(38,0)) " +
       "AS DECIMAL(38,0)) AS VARCHAR) AS gini_num, " +
       "CAST(CAST(n_users * CAST(total_cents AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS VARCHAR) AS gini_den, " +
-      "CAST(CAST(2 * six - (n_users + 1) * CAST(total_cents AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) / " +
-      "CAST(CAST(n_users * CAST(total_cents AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) AS gini " +
+      "CAST(CAST(CAST(2 * six - (n_users + 1) * CAST(total_cents AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) / " +
+      "CAST(CAST(CAST(n_users * CAST(total_cents AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS gini " +
       "FROM a"))
 
   /** A/B experiment readout with DETERMINISTIC assignment — the analysis

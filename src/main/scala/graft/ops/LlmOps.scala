@@ -1348,6 +1348,50 @@ object LlmOps {
       "JOIN k y ON y.src = x.dst AND y.dst = x.src " +
       "WHERE x.src < x.dst ORDER BY vec_a, vec_b"))
 
+  /** FILTERED similarity search — the vector-database feature plain top-k
+    * misses: each query's 5 nearest neighbors AMONG vectors sharing its
+    * label (the metadata predicate), i.e. PRE-filter semantics. The naive
+    * post-filter (global top-k, then filter) silently returns FEWER than k
+    * rows whenever the metadata is selective — the classic recall bug this
+    * key exists to state correctly: filter first, then rank.
+    *
+    * Scale notes (100 TB): the label predicate composes with any ANN
+    * family as a bucket-side filter (IVF cells / LSH buckets store the
+    * metadata column, the probe join adds the equality) — pre-filter costs
+    * nothing extra at the index layout; post-filter cannot be fixed with
+    * any k. Exact formulation here; ranking determinism is the proven
+    * sim_search contract. */
+  val simSearchFiltered: Op = Op(
+    "sim_search_filtered",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def side(idAs: String, vecAs: String, labAs: String, normAs: String) =
+        Tables.embeddings(s, d)
+          .select(col("vec_id").as(idAs),
+            transform(col("embedding"), x => x.cast("double")).as(vecAs),
+            col("label").as(labAs))
+          .withColumn(normAs,
+            sqrt(graft.functions.GraftFunctions.dot(col(vecAs), col(vecAs))))
+      val q = side("query_id", "vq", "qlabel", "nq").where(col("query_id") < 10)
+      val c = side("neighbor_id", "vc", "clabel", "nc")
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("neighbor_id").asc)
+      broadcast(q).join(c,
+          col("neighbor_id") =!= col("query_id") && col("qlabel") === col("clabel"))
+        .withColumn("sim", cosine(col("vq"), col("vc"), col("nq"), col("nc")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    },
+    Some("SELECT query_id, rank, neighbor_id FROM (" +
+      "SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+      "CAST(row_number() OVER (PARTITION BY a.vec_id ORDER BY " +
+      "list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS INT) AS rank " +
+      "FROM embeddings a JOIN embeddings b " +
+      "ON b.vec_id <> a.vec_id AND b.label = a.label WHERE a.vec_id < 10) " +
+      "WHERE rank <= 5 ORDER BY query_id, rank"))
+
   // ----------------------------------------------------------- text analysis
 
   /** Per (lang, source): doc count, avg length, distinct token count. */
@@ -1714,6 +1758,6 @@ object LlmOps {
     dedupEmbeddingCosine,
     dedupContainment, dedupSubstringSpans, dedupSubstringTrim, dedupEditPrefix, splitClusterSafe,
     simSearchTopk, simSearchKnnPerQuery, simSearchAnnLsh, simSearchAnnIvf, simSearchAnnProbe,
-    simSearchAnnPq, simSearchHybridRrf, embedKnnGraph,
+    simSearchAnnPq, simSearchHybridRrf, embedKnnGraph, simSearchFiltered,
     textLangStats, textQualityFilter, multimodalJoin)
 }

@@ -733,6 +733,74 @@ object PipelineOps {
       "SELECT label, CAST(rn AS INT) AS rn, vec_id, dot, nq2, nc2, cos_centroid " +
       "FROM r WHERE rn <= 5 ORDER BY label, rn"))
 
+  /** Nearest-centroid CLASSIFICATION with a confusion matrix — the
+    * embedding-quality eval a labeling pipeline runs before trusting a
+    * cheap classifier: every vector assigns to the label whose centroid it is
+    * most cosine-similar to, and the (true label, predicted) census says
+    * how separable the embedding space is. Same exact-integer discipline
+    * as [[embedCentroidOutliers]]: vectors int8-quantize per the shipped
+    * formula, centroids are BIGINT per-dimension SUMS (order-free, shard-
+    * mergeable), every dot/norm is an exact integer, and the single IEEE
+    * step per (vector, label) is one division of identical exact integers
+    * on both engines — the K-way argmax can never flip across engines or
+    * partitionings (ties break to the highest label, stated on both
+    * sides).
+    *
+    * Scale notes (100 TB): the quantized explode is scan-local; centroids
+    * are one (label, dim) aggregate (K·dims rows, broadcast back); scoring
+    * is a dims-keyed join fanning each vector row K ways — members × dims
+    * × K linear, no pair space; the confusion matrix is K² rows. */
+  val embedCentroidClassify: Op = Op(
+    "embed_centroid_classify",
+    (s, d) => {
+      val q = Tables.embeddings(s, d)
+        .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+        .withColumn("scale",
+          when(col("maxabs") === 0, lit(0.0)).otherwise(lit(127.0) / col("maxabs")))
+        .select(col("vec_id"), col("label"),
+          posexplode(expr("transform(v, x -> cast(floor(x * scale + 0.5) as bigint))")))
+        .select(col("vec_id"), col("label"), col("pos").as("i"), col("col").as("q"))
+      val cent = q.groupBy(col("label").as("clabel"), col("i"))
+        .agg(sum(col("q")).as("sq"))
+      val nc2 = cent.groupBy("clabel").agg(sum(col("sq") * col("sq")).as("nc2"))
+      val pred = q.join(cent, Seq("i")) // every vector scores ALL K centroids
+        .groupBy("vec_id", "label", "clabel")
+        .agg(sum(col("q") * col("sq")).as("dt"), sum(col("q") * col("q")).as("nq2"))
+        .join(broadcast(nc2), "clabel")
+        .select(col("vec_id"), col("label"),
+          struct((col("dt").cast("double") /
+            sqrt(col("nq2").cast("double") * col("nc2").cast("double"))).as("cs"),
+            col("clabel")).as("sc"))
+        .groupBy("vec_id", "label")
+        .agg(max(col("sc")).getField("clabel").as("predicted"))
+      pred.groupBy("label", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "predicted")
+    },
+    Some("WITH e AS (SELECT vec_id, label, embedding, " +
+      "CASE WHEN maxabs = 0 THEN 0.0 ELSE 127.0 / maxabs END AS scale " +
+      "FROM (SELECT vec_id, label, embedding, " +
+      "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs " +
+      "FROM embeddings)), " +
+      "q AS (SELECT vec_id, label, g.i AS i, " +
+      "CAST(floor(CAST(embedding[g.i] AS DOUBLE) * scale + 0.5) AS BIGINT) AS q " +
+      "FROM e, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g), " +
+      "cent AS (SELECT label AS clabel, i, CAST(SUM(q) AS BIGINT) AS sq " +
+      "FROM q GROUP BY 1, 2), " +
+      "n2 AS (SELECT clabel, CAST(SUM(sq * sq) AS BIGINT) AS nc2 FROM cent GROUP BY 1), " +
+      "sc AS (SELECT q.vec_id, q.label, c.clabel, " +
+      "CAST(SUM(q.q * c.sq) AS BIGINT) AS dt, CAST(SUM(q.q * q.q) AS BIGINT) AS nq2 " +
+      "FROM q JOIN cent c ON q.i = c.i GROUP BY 1, 2, 3), " +
+      "cosd AS (SELECT sc.vec_id, sc.label, sc.clabel, " +
+      "CAST(dt AS DOUBLE) / sqrt(CAST(nq2 AS DOUBLE) * CAST(n2.nc2 AS DOUBLE)) AS cs " +
+      "FROM sc JOIN n2 ON sc.clabel = n2.clabel), " +
+      "pred AS (SELECT vec_id, label, clabel AS predicted FROM (" +
+      "SELECT *, row_number() OVER (PARTITION BY vec_id " +
+      "ORDER BY cs DESC, clabel DESC) AS rn FROM cosd) WHERE rn = 1) " +
+      "SELECT label, predicted, CAST(COUNT(*) AS BIGINT) AS n FROM pred " +
+      "GROUP BY 1, 2 ORDER BY label, predicted"))
+
   /** The hashing trick — fixed-width feature vectorization without a
     * vocabulary: every token maps to bucket md5(token)[0:8] mod 64 (the
     * content-addressed bucket assignment, engine-portable like the
@@ -940,5 +1008,6 @@ object PipelineOps {
     pipelineCorpusBuild, sampleReservoirGroup, sampleWeightedHash, embedGramExact,
     sampleMixtureQuota, sampleTemperature, embedRandomProjection, pipelineIncrementalUpdate, idsDenseAssign,
     featureOnehotEncode, featureScaleMinmax, embedCentroidOutliers, featureHashVectorize,
-    pipelineDatasetCard, pipelinePitFeatures, splitKfoldAssign, sampleNegativesHash)
+    pipelineDatasetCard, pipelinePitFeatures, splitKfoldAssign, sampleNegativesHash,
+    embedCentroidClassify)
 }

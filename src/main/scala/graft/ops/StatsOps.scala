@@ -349,9 +349,9 @@ object StatsOps {
         .orderBy("l_returnflag")
     },
     Some("WITH m AS (SELECT l_returnflag, COUNT(*) AS n, " +
-      "CAST(CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DECIMAL(38,0)) AS DOUBLE) AS cov, " +
-      "CAST(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DECIMAL(38,0)) AS DOUBLE) AS vx, " +
-      "CAST(CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS DECIMAL(38,0)) AS DOUBLE) AS vy, " +
+      "CAST(CAST(CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS cov, " +
+      "CAST(CAST(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS vx, " +
+      "CAST(CAST(CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS vy, " +
       "CAST(SUM(x) AS DOUBLE) AS sxd, CAST(SUM(y) AS DOUBLE) AS syd " +
       "FROM (SELECT l_returnflag, " +
       "CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS x, " +
@@ -452,12 +452,20 @@ object StatsOps {
       "FROM (SELECT o_orderpriority, CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 " +
       "AS BIGINT) AS DECIMAL(38,0)) AS x FROM orders " +
       "WHERE o_orderpriority IN ('1-URGENT', '5-LOW')) GROUP BY 1) " +
+      // every DECIMAL(38,0)->DOUBLE goes through VARCHAR: strtod is
+      // correctly rounded, DuckDB's decimal128->double is 1 ulp off past
+      // 2^53 (caught by the round-11 sf0.1 matrix axis — sxx exceeds 2^53
+      // there), while Spark's BigDecimal.doubleValue matches the string
+      // parse
       "SELECT a.grp AS grp_a, b.grp AS grp_b, a.n AS n_a, b.n AS n_b, " +
       "CAST(a.sx AS VARCHAR) AS sum_a, CAST(b.sx AS VARCHAR) AS sum_b, " +
       "CAST(a.sxx AS VARCHAR) AS sumsq_a, CAST(b.sxx AS VARCHAR) AS sumsq_b, " +
-      "(CAST(a.sx AS DOUBLE) / a.n - CAST(b.sx AS DOUBLE) / b.n) / " +
-      "sqrt((CAST(a.sxx AS DOUBLE) - CAST(a.sx AS DOUBLE) * a.sx / a.n) / (a.n - 1) / a.n + " +
-      "(CAST(b.sxx AS DOUBLE) - CAST(b.sx AS DOUBLE) * b.sx / b.n) / (b.n - 1) / b.n) AS t_stat " +
+      "(CAST(CAST(a.sx AS VARCHAR) AS DOUBLE) / a.n - " +
+      "CAST(CAST(b.sx AS VARCHAR) AS DOUBLE) / b.n) / " +
+      "sqrt((CAST(CAST(a.sxx AS VARCHAR) AS DOUBLE) - " +
+      "CAST(CAST(a.sx AS VARCHAR) AS DOUBLE) * a.sx / a.n) / (a.n - 1) / a.n + " +
+      "(CAST(CAST(b.sxx AS VARCHAR) AS DOUBLE) - " +
+      "CAST(CAST(b.sx AS VARCHAR) AS DOUBLE) * b.sx / b.n) / (b.n - 1) / b.n) AS t_stat " +
       "FROM (SELECT * FROM g WHERE grp = '1-URGENT') a, " +
       "(SELECT * FROM g WHERE grp = '5-LOW') b"))
 

@@ -808,9 +808,9 @@ object TimeSeriesOps {
         "CAST(CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DECIMAL(38,0)) AS VARCHAR) AS cov_num, " +
         "CAST(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DECIMAL(38,0)) AS VARCHAR) AS var_x_num, " +
         "CAST(CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS DECIMAL(38,0)) AS VARCHAR) AS var_y_num, " +
-        "CAST(CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DECIMAL(38,0)) AS DOUBLE) / " +
-        "sqrt(CAST(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DECIMAL(38,0)) AS DOUBLE) * " +
-        "CAST(CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS DECIMAL(38,0)) AS DOUBLE)) AS r " +
+        "CAST(CAST(CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) / " +
+        "sqrt(CAST(CAST(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) * " +
+        "CAST(CAST(CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)) AS r " +
         "FROM (SELECT event_type, CAST(y_e2 AS DECIMAL(38,0)) AS x, " +
         "CAST(lead(y_e2, " + k + ") OVER (PARTITION BY event_type ORDER BY h) AS DECIMAL(38,0)) AS y " +
         "FROM (SELECT event_type, date_trunc('hour', ts) AS h, " +
@@ -1158,7 +1158,7 @@ object TimeSeriesOps {
       "SELECT user_id, n_days, " +
       "CASE WHEN n_days < 2 THEN 'short_history' ELSE 'fitted' END AS status, " +
       "(n_days >= 2 AND cov < 0) AS declining, " +
-      "CASE WHEN n_days >= 2 THEN CAST(cov AS DOUBLE) / CAST(vx AS DOUBLE) " +
+      "CASE WHEN n_days >= 2 THEN CAST(CAST(cov AS VARCHAR) AS DOUBLE) / CAST(CAST(vx AS VARCHAR) AS DOUBLE) " +
       "ELSE 0.0 END AS slope_cents_per_day " +
       "FROM m ORDER BY user_id"))
 

@@ -89,6 +89,32 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!bp.contains("Exchange hashpartitioning"), bp)
   }
 
+  test("property: native band join equals the theta rewrite for every band " +
+    "shape and strictness combination") {
+    import spark.implicits._
+    // deterministic fixture: clustered keys, colliding times, both key
+    // parities — the shapes that stress buffer admission/eviction edges
+    val p = (1 to 60).map(i => (i.toLong, (i % 5).toLong, (i * 37 % 200).toLong))
+      .toDF("pid", "k", "t1")
+    val f = (1 to 80).map(i => (100L + i, (i % 5).toLong, (i * 23 % 200).toLong))
+      .toDF("fid", "k2", "t2")
+    for {
+      (lo, hi) <- Seq((0L, 10L), (-15L, 15L), (5L, 40L), (0L, 0L), (-200L, 200L))
+      loS <- Seq(true, false)
+      hiS <- Seq(true, false)
+    } {
+      val native = Band.join(p, f, Seq("k" -> "k2"), "t1", "t2", lo, hi, loS, hiS)
+        .select("pid", "fid").orderBy("pid", "fid").collect().toSeq
+      val loCmp = if (loS) col("t2") > col("t1") + lo else col("t2") >= col("t1") + lo
+      val hiCmp = if (hiS) col("t2") < col("t1") + hi else col("t2") <= col("t1") + hi
+      val theta = p.join(f, col("k") === col("k2") && loCmp && hiCmp)
+        .select("pid", "fid").orderBy("pid", "fid").collect().toSeq
+      assert(native == theta,
+        s"band ($lo, $hi) loStrict=$loS hiStrict=$hiS: native ${native.size} rows " +
+          s"vs theta ${theta.size}")
+    }
+  }
+
   test("plan shape: RangeJoinExec with co-partitioned exchanges, no cartesian") {
     val df = JoinOps.joinRangeNative.fn(spark, TestSpark.sf0001)
     df.collect()
