@@ -39,4 +39,32 @@ class ProfileMetricsSpec extends AnyFunSuite {
     val b = PlanSurfaceOps.planProfileMetrics.fn(spark, sf).collect().toSeq
     assert(a == b, "second profile run diverged — metrics leaked across runs")
   }
+
+  test("memory/spill metrics are readable off the same executed plan " +
+    "(the non-hashable half of EXPLAIN ANALYZE)") {
+    // spill bytes and peak memory are host-dependent, so they stay OUT of
+    // the hashed profile — but the plumbing the op walks must expose them;
+    // this pins that a memory profile is one metrics-map read away.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val q = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(org.apache.spark.sql.functions.count("*").as("n"))
+    q.collect()
+    def expand(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case qs: QueryStageExec => Seq(qs.plan)
+        case _ => p.children
+      }
+      p +: inner.flatMap(expand)
+    }
+    val metricNames = expand(q.queryExecution.executedPlan).flatMap(_.metrics.keys).toSet
+    assert(metricNames.exists(n => n.toLowerCase.contains("spill") ||
+      n.toLowerCase.contains("peak")),
+      s"no spill/peak-memory metric exposed; saw: ${metricNames.mkString(", ")}")
+    // every accumulated value is non-negative (a sane read, not garbage)
+    val vals = expand(q.queryExecution.executedPlan)
+      .flatMap(_.metrics.values.map(_.value))
+    assert(vals.forall(_ >= -1), s"negative metric value in: $vals")
+  }
 }
