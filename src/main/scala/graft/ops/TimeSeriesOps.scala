@@ -1253,11 +1253,60 @@ object TimeSeriesOps {
       "ON a.event_type = b.event_type AND a.hr = b.hr + INTERVAL 1 HOUR " +
       "ORDER BY a.event_type, a.hr"))
 
+  /** TIME-WEIGHTED AVERAGE — the canonical statistic for irregularly
+    * sampled meter readings (the reference's data arrives on kiosk upload
+    * schedules, not a clock): a plain AVG over-weights chatty intervals;
+    * the TWA weights each reading by how long it was the standing value
+    * (until the next sample, within the same user-day). All mass math is
+    * exact integers — value cents × duration micros summed as
+    * DECIMAL(38,0) (order-free), emitted as an exact VARCHAR beside ONE
+    * IEEE division for the human-readable column, with the wide-decimal →
+    * double conversion routed through VARCHAR per the round-11 rounding
+    * rule (DuckDB's decimal128→double is 1 ulp off past 2^53).
+    *
+    * Scale notes (100 TB): one shuffle on (user, day) covers both the
+    * lead() segmentation and the aggregate; output ∝ user-days. */
+  val tsTimeWeightedAvg: Op = Op(
+    "ts_time_weighted_avg",
+    (s, d) => {
+      val w = Window.partitionBy("user_id", "day").orderBy("us", "event_id")
+      val seg = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          unix_micros(col("ts")).as("us"), col("event_id"),
+          (Dets.d2(col("value")) * 100).cast("long").as("cents"))
+        .withColumn("next_us", lead(col("us"), 1).over(w))
+        .where(col("next_us").isNotNull)
+      seg.groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n_segments"),
+          sum(col("next_us") - col("us")).as("span_us"),
+          sum((col("cents") * (col("next_us") - col("us"))).cast("decimal(38,0)"))
+            .as("mass"))
+        .select(col("user_id"), col("day"), col("n_segments"), col("span_us"),
+          col("mass").cast("string").as("mass_e2us"),
+          (col("mass").cast("string").cast("double") / col("span_us")).as("twa_cents"))
+        .orderBy("user_id", "day")
+    },
+    Some("WITH s AS (SELECT user_id, CAST(ts AS DATE) AS day, epoch_us(ts) AS us, " +
+      "event_id, CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents " +
+      "FROM events), " +
+      "seg AS (SELECT user_id, day, us, cents, " +
+      "lead(us) OVER (PARTITION BY user_id, day ORDER BY us, event_id) AS next_us " +
+      "FROM s) " +
+      "SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS n_segments, " +
+      "CAST(SUM(next_us - us) AS BIGINT) AS span_us, " +
+      "CAST(CAST(SUM(CAST(cents * (next_us - us) AS DECIMAL(38,0))) " +
+      "AS DECIMAL(38,0)) AS VARCHAR) AS mass_e2us, " +
+      "CAST(CAST(CAST(SUM(CAST(cents * (next_us - us) AS DECIMAL(38,0))) " +
+      "AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) / CAST(SUM(next_us - us) AS BIGINT) " +
+      "AS twa_cents " +
+      "FROM seg WHERE next_us IS NOT NULL " +
+      "GROUP BY 1, 2 ORDER BY user_id, day"))
+
   val all: Seq[Op] = Seq(tsTumblingHourly, tsSlidingWindow, tsSessionWindow, tsGapDetection,
     tsCounterDelta, tsCounterDailyReset, tsDailyProfile, tsResampleFfill, tsInterpolateLinear,
     creditEventDetect, siteCircuitRollup, tsDownsampleLtob, tsOutlierMad, tsZscoreRolling,
     tsEwmaScaled, tsCusumDrift, tsSlidingDistinct, tsSeasonalDecompose, tsPeakDetect,
     tsAutocorrLag, tsRollingMedian, tsCalendarSpine, tsAnomalyStl, tsLoadDurationCurve,
     tsForecastSnaiveBacktest, tsUptimeSla, tsDegradationSlope, tsWeekOverWeek,
-    tsRampRateAlarm)
+    tsRampRateAlarm, tsTimeWeightedAvg)
 }
