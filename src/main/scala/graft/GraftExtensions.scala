@@ -33,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
     ext.injectOptimizerRule(s => new graft.plans.RollupMvRule(s))
+    ext.injectOptimizerRule(_ => graft.plans.BandRewriteRule)
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))

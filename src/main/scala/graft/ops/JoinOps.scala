@@ -138,12 +138,20 @@ object JoinOps {
       "AND e2.ts <= e1.ts + INTERVAL 10 MINUTE WHERE e1.event_type = 'purchase' " +
       "ORDER BY purchase_id, follow_id"
 
-  /** Band join: equi-key on user_id + time-range predicate. At scale this is
-    * a single shuffle on user_id with the range filter applied inside the
-    * sort-merge join — never a cartesian. */
+  /** Band join in the natural DECLARATIVE theta form: equi-key on user_id +
+    * time-range predicate. With [[graft.plans.BandRewriteRule]] registered
+    * (here per-session; `spark.sql.extensions=graft.GraftExtensions` in
+    * production) the optimizer recognizes the equi+band shape and plans it
+    * through the native sliding-buffer [[graft.plans.RangeJoinExec]] — the
+    * user writes the theta join, the engine picks the O(band-occupancy)
+    * operator instead of the buffer-whole-groups sort-merge plan
+    * (RangeJoinSpec pins the fired plan shape AND equality with the
+    * un-rewritten plan). Never a cartesian either way: one shuffle per side
+    * on user_id. */
   val joinRangeTheta: Op = Op(
     "join_range_theta",
     (s, d) => {
+      graft.plans.Band.ensureOptimized(s)
       val e = Tables.events(s, d)
       val p = e.where(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id").as("u1"), col("ts").as("t1"))

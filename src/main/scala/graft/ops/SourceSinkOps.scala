@@ -80,7 +80,17 @@ object SourceSinkOps {
           col("frequency").cast("double").as("frequency"),
           col("relay_open"),
           col("credit").cast("double").as("credit"))
-        .orderBy(col("machine_id"), col("ts").asc_nulls_first, col("watts").asc_nulls_first)
+        // TOTAL order: two distinct staged rows can tie on (machine_id, ts,
+        // watts) yet differ in another gauge, which would make row order
+        // engine-dependent and flip the driver hash. Every output column is
+        // in the sort key, so the sort functionally determines the row
+        // (TotalOrderSpec enforces this tree-wide).
+        .orderBy(col("machine_id"), col("ts").asc_nulls_first, col("watts").asc_nulls_first,
+          col("circuit_type").asc_nulls_first, col("volts").asc_nulls_first,
+          col("amps").asc_nulls_first, col("wh_lifetime").asc_nulls_first,
+          col("wh_today").asc_nulls_first, col("power_factor").asc_nulls_first,
+          col("frequency").asc_nulls_first, col("relay_open").asc_nulls_first,
+          col("credit").asc_nulls_first)
     },
     Some("WITH raw AS (SELECT * FROM read_csv('" + Stage.token + "/solar_log.csv', header=true, all_varchar=true)), " +
       "p AS (SELECT \"Machine ID\" AS machine_id, \"Type\" AS circuit_type, " +
@@ -102,7 +112,10 @@ object SourceSinkOps {
       "CAST(frequency AS DOUBLE) AS frequency, relay_open, " +
       "CAST(credit AS DOUBLE) AS credit " +
       "FROM (SELECT DISTINCT * FROM p) " +
-      "ORDER BY machine_id, ts ASC NULLS FIRST, watts ASC NULLS FIRST"))
+      "ORDER BY machine_id, ts ASC NULLS FIRST, watts ASC NULLS FIRST, " +
+      "circuit_type NULLS FIRST, volts NULLS FIRST, amps NULLS FIRST, " +
+      "wh_lifetime NULLS FIRST, wh_today NULLS FIRST, power_factor NULLS FIRST, " +
+      "frequency NULLS FIRST, relay_open NULLS FIRST, credit NULLS FIRST"))
 
   /** The warehouse load step: facts written day-partitioned, read back
     * through partition discovery, aggregated per partition. The oracle
@@ -838,7 +851,9 @@ object SourceSinkOps {
         .select(col("machine_id"), col("ts"), col("watts").cast("string").as("watts"),
           col("wh_today").cast("double").as("wh_today"),
           col("credit").cast("double").as("credit"))
-        .orderBy(col("machine_id"), col("ts"), col("watts").asc_nulls_first)
+        // TOTAL order: every output column in the sort key (TotalOrderSpec)
+        .orderBy(col("machine_id"), col("ts"), col("watts").asc_nulls_first,
+          col("wh_today").asc_nulls_first, col("credit").asc_nulls_first)
     },
     Some("SELECT \"Machine ID\" AS machine_id, " +
       "strptime(\"Time Stamp\", '%Y%m%d%H%M%S') AS ts, " +
@@ -847,7 +862,8 @@ object SourceSinkOps {
       "CAST(TRY_CAST(\"Credit\" AS DECIMAL(12,2)) AS DOUBLE) AS credit " +
       "FROM read_csv('" + Stage.token + "/v2log/*.csv', header=true, all_varchar=true) " +
       "WHERE \"Type\" = 'PWR' " +
-      "ORDER BY machine_id, ts, watts NULLS FIRST"))
+      "ORDER BY machine_id, ts, watts NULLS FIRST, " +
+      "wh_today NULLS FIRST, credit NULLS FIRST"))
 
   /** The WRITE half of the custom V2 source: read the staged raw logs
     * through [[graft.sources.SolarLogSource]], filter to power circuits,
@@ -884,7 +900,9 @@ object SourceSinkOps {
         .select(col("machine_id"), col("ts"), col("watts").cast("string").as("watts"),
           col("power_factor").cast("double").as("power_factor"),
           col("credit").cast("double").as("credit"))
-        .orderBy(col("machine_id"), col("ts"), col("watts").asc_nulls_first)
+        // TOTAL order: every output column in the sort key (TotalOrderSpec)
+        .orderBy(col("machine_id"), col("ts"), col("watts").asc_nulls_first,
+          col("power_factor").asc_nulls_first, col("credit").asc_nulls_first)
     },
     Some("SELECT \"Machine ID\" AS machine_id, " +
       "strptime(\"Time Stamp\", '%Y%m%d%H%M%S') AS ts, " +
@@ -892,7 +910,8 @@ object SourceSinkOps {
       "CAST(TRY_CAST(\"Power Factor\" AS DECIMAL(12,2)) AS DOUBLE) AS power_factor, " +
       "CAST(TRY_CAST(\"Credit\" AS DECIMAL(12,2)) AS DOUBLE) AS credit " +
       "FROM read_csv('" + Stage.token + "/v2log_out/*.csv', header=true, all_varchar=true) " +
-      "ORDER BY machine_id, ts, watts NULLS FIRST"))
+      "ORDER BY machine_id, ts, watts NULLS FIRST, " +
+      "power_factor NULLS FIRST, credit NULLS FIRST"))
 
   /** SQL-SURFACE TIME TRAVEL through a CATALOG PLUGIN
     * ([[graft.sources.GraftLakeCatalog]]): where `sink_time_travel_read`
@@ -1044,7 +1063,10 @@ object SourceSinkOps {
           col("j.credit").try_cast("decimal(12,2)").cast("double").as("credit"))
         .where(col("machine_id").isNotNull) // unparseable-line lane
       parsed.distinct()
-        .orderBy(col("machine_id"), col("ts"), col("watts").asc_nulls_first)
+        // TOTAL order: every output column in the sort key (TotalOrderSpec)
+        .orderBy(col("machine_id"), col("ts"), col("watts").asc_nulls_first,
+          col("circuit_type").asc_nulls_first, col("wh_today").asc_nulls_first,
+          col("credit").asc_nulls_first)
     },
     Some("SELECT machine_id, \"type\" AS circuit_type, " +
       "strptime(ts, '%Y%m%d%H%M%S') AS ts, " +
@@ -1056,7 +1078,8 @@ object SourceSinkOps {
       "columns={'ts':'VARCHAR','machine_id':'VARCHAR','type':'VARCHAR'," +
       "'watts':'VARCHAR','wh_today':'VARCHAR','credit':'VARCHAR'})) " +
       "WHERE machine_id IS NOT NULL " +
-      "ORDER BY machine_id, ts, watts NULLS FIRST"))
+      "ORDER BY machine_id, ts, watts NULLS FIRST, " +
+      "circuit_type NULLS FIRST, wh_today NULLS FIRST, credit NULLS FIRST"))
 
   /** Partition-GRANULARITY migration — the layout maintenance job every
     * aging warehouse runs: a feed originally landed day-partitioned grows a
@@ -1172,7 +1195,10 @@ object SourceSinkOps {
           col("wh_today").try_cast("decimal(12,2)").cast("double").as("wh_today"),
           col("credit").try_cast("decimal(12,2)").cast("double").as("credit"))
         .distinct()
-        .orderBy(col("machine_id"), col("ts"), col("watts").asc_nulls_first)
+        // TOTAL order: every output column in the sort key (TotalOrderSpec)
+        .orderBy(col("machine_id"), col("ts"), col("watts").asc_nulls_first,
+          col("circuit_type").asc_nulls_first, col("wh_today").asc_nulls_first,
+          col("credit").asc_nulls_first)
     },
     Some("SELECT machine_id, circuit_type, ts, " +
       "CAST(TRY_CAST(watts AS DECIMAL(12,2)) AS VARCHAR) AS watts, " +
@@ -1190,7 +1216,8 @@ object SourceSinkOps {
       "FROM read_csv('" + Stage.token + "/solar_log.xml', " +
       "columns={'line': 'VARCHAR'}, delim='|', quote='', header=false) " +
       "WHERE line LIKE '%<reading>%') " +
-      "ORDER BY machine_id, ts, watts NULLS FIRST"))
+      "ORDER BY machine_id, ts, watts NULLS FIRST, " +
+      "circuit_type NULLS FIRST, wh_today NULLS FIRST, credit NULLS FIRST"))
 
   val all: Seq[Op] = Seq(csvLogIngest, sinkPartitionedParquet, sinkBucketedJoin,
     sinkClusteredLayout, mergeUpsertLatest, sinkCsvReport, sourceJsonlRoundtrip,

@@ -335,6 +335,17 @@ object Band {
       s.experimental.extraStrategies = s.experimental.extraStrategies :+ RangeJoinStrategy
   }
 
+  /** Idempotently adds [[BandRewriteRule]] (declarative equi+band theta →
+    * [[RangeJoin]]) to the session's optimizer ALONG WITH the planner
+    * strategy — always together, so a node the rule produces can always
+    * plan. Per-session fallback for the `injectOptimizerRule` line in
+    * [[graft.GraftExtensions]]. */
+  def ensureOptimized(s: SparkSession): Unit = synchronized {
+    ensureRegistered(s)
+    if (!s.experimental.extraOptimizations.contains(BandRewriteRule))
+      s.experimental.extraOptimizations = s.experimental.extraOptimizations :+ BandRewriteRule
+  }
+
   /** left BAND JOIN right ON keys AND
     * `leftTime + loMicros (<|<=) rightTime (<|<=) leftTime + hiMicros`.
     * Time columns must be TIMESTAMP or LONG (micros); key pairs must be

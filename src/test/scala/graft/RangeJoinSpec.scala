@@ -15,10 +15,65 @@ import graft.plans.Band
 class RangeJoinSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  /** Evaluate `f` with [[graft.plans.BandRewriteRule]] disabled, so a theta
+    * formulation stays on Catalyst's stock sort-merge plan — the INDEPENDENT
+    * implementation the native exec is compared against. (joinRangeTheta
+    * registers the rewrite on the shared session; without the kill switch
+    * these equality tests would silently compare native to native.) */
+  private def rewriteOff[A](f: => A): A = {
+    spark.conf.set(graft.plans.BandRewriteRule.RewriteConfKey, "false")
+    try f finally spark.conf.unset(graft.plans.BandRewriteRule.RewriteConfKey)
+  }
+
   test("native band join equals the theta rewrite on real data") {
     val native = JoinOps.joinRangeNative.fn(spark, TestSpark.sf0001).collect().toSeq
-    val theta = JoinOps.joinRangeTheta.fn(spark, TestSpark.sf0001).collect().toSeq
+    val theta = rewriteOff(JoinOps.joinRangeTheta.fn(spark, TestSpark.sf0001).collect().toSeq)
     assert(native.nonEmpty && native == theta)
+  }
+
+  test("optimizer rewrite: the declarative theta form fires the native band " +
+    "exec and returns the identical result") {
+    val df = JoinOps.joinRangeTheta.fn(spark, TestSpark.sf0001)
+    val rewrittenRows = df.collect().toSeq
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("RangeJoin"), p) // RangeJoinExec or BroadcastRangeJoinExec
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    val stock = rewriteOff {
+      val sdf = JoinOps.joinRangeTheta.fn(spark, TestSpark.sf0001)
+      val rows = sdf.collect().toSeq
+      assert(!sdf.queryExecution.executedPlan.toString.contains("RangeJoin"),
+        "kill switch must yield the stock plan")
+      rows
+    }
+    assert(rewrittenRows.nonEmpty && rewrittenRows == stock)
+  }
+
+  test("optimizer rewrite: leftover conjuncts survive as a filter above the " +
+    "band join; equi-less or band-less joins are untouched") {
+    import spark.implicits._
+    graft.plans.Band.ensureOptimized(spark)
+    val p = (1 to 40).map(i => (i.toLong, (i % 3).toLong, (i * 7 % 50).toLong))
+      .toDF("pid", "k", "t1")
+    val f = (1 to 40).map(i => (100L + i, (i % 3).toLong, (i * 11 % 50).toLong))
+      .toDF("fid", "k2", "t2")
+    // extra cross-side conjunct (fid > pid) must survive the rewrite
+    val mixed = p.join(f, col("k") === col("k2") && col("t2") > col("t1") &&
+      col("t2") <= col("t1") + 10L && col("fid") > col("pid") + 100L)
+    val mp = mixed.queryExecution.executedPlan.toString
+    assert(mp.contains("RangeJoin"), mp)
+    val expected = rewriteOff(p.join(f, col("k") === col("k2") && col("t2") > col("t1") &&
+        col("t2") <= col("t1") + 10L && col("fid") > col("pid") + 100L)
+      .orderBy("pid", "fid").collect().toSeq)
+    assert(mixed.orderBy("pid", "fid").collect().toSeq == expected && expected.nonEmpty)
+    // no equi key → untouched; one-sided band only → untouched
+    val noEqui = p.join(f, col("t2") > col("t1") && col("t2") <= col("t1") + 10L)
+    assert(!noEqui.queryExecution.executedPlan.toString.contains("RangeJoin"))
+    val noBand = p.join(f, col("k") === col("k2") && col("t2") > col("t1"))
+    assert(!noBand.queryExecution.executedPlan.toString.contains("RangeJoin"))
+    // empty band (lo > hi) → untouched
+    val empty = p.join(f, col("k") === col("k2") && col("t2") > col("t1") + 10L &&
+      col("t2") <= col("t1"))
+    assert(!empty.queryExecution.executedPlan.toString.contains("RangeJoin"))
   }
 
   test("boundary semantics: lower bound strict, upper bound inclusive") {
@@ -107,8 +162,8 @@ class RangeJoinSpec extends AnyFunSuite {
         .select("pid", "fid").orderBy("pid", "fid").collect().toSeq
       val loCmp = if (loS) col("t2") > col("t1") + lo else col("t2") >= col("t1") + lo
       val hiCmp = if (hiS) col("t2") < col("t1") + hi else col("t2") <= col("t1") + hi
-      val theta = p.join(f, col("k") === col("k2") && loCmp && hiCmp)
-        .select("pid", "fid").orderBy("pid", "fid").collect().toSeq
+      val theta = rewriteOff(p.join(f, col("k") === col("k2") && loCmp && hiCmp)
+        .select("pid", "fid").orderBy("pid", "fid").collect().toSeq)
       assert(native == theta,
         s"band ($lo, $hi) loStrict=$loS hiStrict=$hiS: native ${native.size} rows " +
           s"vs theta ${theta.size}")
