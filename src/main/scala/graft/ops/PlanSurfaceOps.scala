@@ -41,13 +41,9 @@ object PlanSurfaceOps {
   private[graft] def withParquetAggPushdown[A](s: SparkSession)(body: => A): A = {
     val v1Key = "spark.sql.sources.useV1SourceList"
     val pdKey = "spark.sql.parquet.aggregatePushdown"
-    val v1Prev = s.conf.get(v1Key)
-    val pdPrev = s.conf.get(pdKey)
-    s.conf.set(v1Key, v1Prev.split(",").map(_.trim)
-      .filterNot(_.equalsIgnoreCase("parquet")).mkString(","))
-    s.conf.set(pdKey, "true")
-    try body
-    finally { s.conf.set(v1Key, v1Prev); s.conf.set(pdKey, pdPrev) }
+    val v1Without = s.conf.get(v1Key).split(",").map(_.trim)
+      .filterNot(_.equalsIgnoreCase("parquet")).mkString(",")
+    Housekeeping.withSessionConf(s, v1Key -> v1Without, pdKey -> "true")(body)
   }
 
   /** Footer-statistics aggregation: COUNT/MIN/MAX answered by the parquet
@@ -178,11 +174,9 @@ object PlanSurfaceOps {
       val sjKey = "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled"
       // defaulted reads: semiJoinReduction is an INTERNAL conf, which
       // RuntimeConfig.get refuses to resolve without an explicit default
-      val bfPrev = s.conf.get(bfKey, "true")
-      val sjPrev = s.conf.get(sjKey, "false")
-      s.conf.set(bfKey, "false"); s.conf.set(sjKey, "false")
-      try q.collect()
-      finally { s.conf.set(bfKey, bfPrev); s.conf.set(sjKey, sjPrev) }
+      Housekeeping.withSessionConfDefaulted(s,
+        Seq(bfKey -> "false", sjKey -> "false"),
+        Map(bfKey -> "true", sjKey -> "false")) { q.collect() }
       // preorder walk that descends through AQE wrappers and query stages
       def expand(p: SparkPlan): Seq[SparkPlan] = {
         val inner = p match {

@@ -940,9 +940,9 @@ object SourceSinkOps {
       TableManifest.commit(dir, 2, TableManifest.parquetFiles(dir.resolve("gen2")))
       val tag = Stage.root(d).split('/').last
       val cat = s"graft_lake_$tag"
-      s.conf.set(s"spark.sql.catalog.$cat",
-        classOf[graft.sources.GraftLakeCatalog].getName)
-      s.conf.set(s"spark.sql.catalog.$cat.root", wh.toString)
+      Housekeeping.registerCatalogConf(s,
+        s"spark.sql.catalog.$cat" -> classOf[graft.sources.GraftLakeCatalog].getName,
+        s"spark.sql.catalog.$cat.root" -> wh.toString)
       s.sql(
         s"SELECT 'v1' AS snap, COUNT(*) AS n_rows, CAST(SUM(bal) AS DOUBLE) AS total_bal " +
           s"FROM $cat.$tbl VERSION AS OF 1 " +

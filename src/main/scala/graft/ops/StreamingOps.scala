@@ -405,10 +405,9 @@ object StreamingOps {
       val (src, srcDir) = eventStream(s, d)
       val ckpt = tmp("ckpt_tws")
       val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val prevProvider = s.conf.get(providerKey)
-      s.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try withStatePartitions(s, 8) { cleanupAfter(Seq(srcDir.toString, ckpt)) {
+      Housekeeping.withSessionConf(s, providerKey ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      withStatePartitions(s, 8) { cleanupAfter(Seq(srcDir.toString, ckpt)) {
         val q = src
           .select(col("user_id"), col("value")).as[(Long, Double)](rowEnc)
           .groupByKey(_._1)(Encoders.scalaLong)
@@ -426,8 +425,7 @@ object StreamingOps {
           .agg(max(col("cnt")).as("cnt"),
             max_by(col("sum_value"), col("cnt")).as("sum_value"))
           .orderBy("user_id")
-      } }
-      finally s.conf.set(providerKey, prevProvider)
+      } } }
     },
     Some("SELECT user_id, COUNT(*) AS cnt, " + oSum("value") + " AS sum_value " +
       "FROM events GROUP BY user_id ORDER BY user_id"))

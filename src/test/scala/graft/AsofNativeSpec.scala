@@ -36,6 +36,35 @@ class AsofNativeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(collectWithSubqueries(plan) { case e: BroadcastNestedLoopJoinExec => e }.isEmpty)
   }
 
+  test("join_asof_native_outer: sparse right side puts a large null fraction " +
+    "in the hash and matches the windowed outer form") {
+    val rows = JoinOps.joinAsofNativeOuter.fn(spark, TestSpark.sf0001).collect()
+    val purchases = graft.tables.Tables.events(spark, TestSpark.sf0001)
+      .where(col("event_type") === "purchase").count()
+    assert(rows.length == purchases, "outer as-of must keep EVERY left row")
+    val nulls = rows.count(_.isNullAt(3))
+    // the 1-in-7 view filter leaves most purchases without a prior view: the
+    // null-if-none emission is a first-class output, not an edge case
+    assert(nulls > rows.length / 4, s"expected a large unmatched fraction, got $nulls/${rows.length}")
+    assert(nulls < rows.length, "some purchases must still match")
+    // windowed (independent) formulation of the same sparse outer join
+    val e = graft.tables.Tables.events(spark, TestSpark.sf0001)
+    val v = e.where(col("event_type") === "view" && pmod(col("event_id"), lit(7)) === 0)
+      .select(col("user_id").as("vu"), col("ts").as("vts"), col("event_id").as("vid"))
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("purchase_ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("purchase_id").orderBy(col("vts").desc, col("vid").desc)
+    val windowed = p.join(v, col("vu") === col("user_id") && col("vts") < col("purchase_ts"), "left")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 || col("vts").isNull)
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("vts").as("prev_view_ts"), col("vid").as("prev_view_id"))
+      .orderBy("purchase_id")
+      .collect()
+    assert(rows.map(_.toSeq).toSeq == windowed.map(_.toSeq).toSeq)
+  }
+
   test("unmatched left rows survive with nulls (left-outer as-of)") {
     val rows = nativeDf.collect()
     assert(rows.exists(_.isNullAt(3)), "expected at least one purchase with no prior view")

@@ -13,6 +13,25 @@ import org.scalatest.funsuite.AnyFunSuite
 class GraphSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("reliable-checkpoint barrier (graft.graph.checkpointDir) is " +
+    "value-identical to the localCheckpoint default") {
+    val local = graft.SparkEntry.queries("graph_pagerank")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val reliable = graft.ops.Housekeeping.withSessionConfDefaulted(spark,
+        Seq(graft.ops.Housekeeping.IterCheckpointDirConf -> dir),
+        Map(graft.ops.Housekeeping.IterCheckpointDirConf -> "")) {
+      graft.SparkEntry.queries("graph_pagerank")(spark, TestSpark.sf0001)
+        .collect().map(_.toSeq).toSeq
+    }
+    assert(local.nonEmpty && local == reliable)
+    // the reliable path actually wrote rounds to the durable dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, "reliable checkpoint path wrote nothing — conf not honored")
+    graft.ops.Housekeeping.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   private val Scale = 1000000000000L
   private val Iters = 5
 
