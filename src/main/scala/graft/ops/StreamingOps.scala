@@ -881,8 +881,122 @@ object StreamingOps {
       "WHERE bal_e2 < 0 AND (prev_bal IS NULL OR prev_bal >= 0) " +
       "ORDER BY user_id, event_id"))
 
+  /** STREAMING NEAR-DEDUP (round 13; the round-12 verdict's #6): documents
+    * arrive in micro-batches; each batch is MinHash-signed ONCE, probed
+    * against the STANDING band index built by every earlier batch, deduped
+    * within itself, and then appends its own bands + shingles to the index —
+    * the foreachBatch restatement of [[LlmOps.dedupIncrementalMinhash]]'s
+    * delta-probe, run as a fold over the whole stream.
+    *
+    * Contract (the J-family oracle discipline): on closed input the fold's
+    * union of within-batch and cross-batch pairs is EXACTLY the batch
+    * `dedup_near_minhash` pair set — every pair (a, b) lands in precisely
+    * one batch (the one where the LATER document arrives), so the oracle is
+    * the same exact all-pairs Jaccard SQL and hash equality proves the
+    * streaming fold loses and duplicates nothing. Pair orientation is
+    * normalized (least, greatest) because delivery order need not follow
+    * doc_id order.
+    *
+    * Scale notes (100 TB ingest): per micro-batch the work is
+    * batch-signing (∝ delta) + one bucket equi-join of delta bands against
+    * the standing index (co-located when the index is bucketed by
+    * (band, bh) on disk) + the delta's self-join — NEVER all-pairs over the
+    * accumulated corpus. Standing state grows linearly: 16 band rows + one
+    * shingle row per document ever seen (StreamDedupMinhashSpec pins the
+    * exact counts), the same index a batch pipeline would persist — so the
+    * streaming and batch paths SHARE their index format. */
+  /** Last run's standing-index root — test hook for the state-growth
+    * assertion (StreamDedupMinhashSpec), the lastUpsertVersions idiom. */
+  private[graft] var lastMinhashIdxRoot: String = _
+
+  val streamDedupMinhash: Op = Op(
+    "stream_dedup_minhash",
+    (s, d) => {
+      val srcDir = Housekeeping.scratchDir("st_minhash_src")
+      val idxRoot = Housekeeping.tempDirBounded("st_minhash_idx",
+        Housekeeping.scratchDir("st_minhash_idx")).toString
+      lastMinhashIdxRoot = idxRoot
+      val ckpt = tmp("st_minhash_ckpt")
+      val docs = graft.tables.Tables.documents(s, d).select("doc_id", "text")
+      val bandsDir = s"$idxRoot/bands"
+      val shinglesDir = s"$idxRoot/shingles"
+      val pairsDir = s"$idxRoot/pairs"
+      def verified(cand: DataFrame, shA: DataFrame, shB: DataFrame): DataFrame =
+        cand
+          .join(shA.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+          .join(shB.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+          .withColumn("jaccard",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))))
+          .where(col("jaccard") >= 0.8)
+          .select("doc_a", "doc_b", "jaccard")
+      cleanupAfter(Seq(srcDir.toString, ckpt)) {
+        // three deliveries split by doc_id mod 3: planted duplicate pairs
+        // (adjacent ids) straddle deliveries, so the cross-batch probe path
+        // carries real matches, not just the within-batch one
+        (0 to 2).foreach(k => stageDelivery(
+          docs.where(pmod(col("doc_id"), lit(3)) === k), srcDir, s"delivery$k.parquet"))
+        val q = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val base = LlmOps.minhashBatchBase(batch).cache()
+            try {
+              val bands = LlmOps.minhashBands(base)
+              val shingles = base.select(col("doc_id"), col("shingles"))
+              // within-batch: the standard banding self-join
+              val within = verified(
+                bands.as("l").join(bands.as("r"),
+                    col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+                      col("l.doc_id") < col("r.doc_id"))
+                  .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+                  .distinct(),
+                shingles, shingles)
+              // cross-batch: probe the STANDING index (absent on batch 1),
+              // normalized to (least, greatest) — delivery order is not id order
+              val cross =
+                if (!Files.exists(java.nio.file.Paths.get(bandsDir))) within.limit(0)
+                else {
+                  val idxBands = batch.sparkSession.read.parquet(bandsDir)
+                  val idxShingles = batch.sparkSession.read.parquet(shinglesDir)
+                  verified(
+                    bands.as("l").join(idxBands.as("r"),
+                        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+                          col("l.doc_id") =!= col("r.doc_id"))
+                      .select(least(col("l.doc_id"), col("r.doc_id")).as("doc_a"),
+                        greatest(col("l.doc_id"), col("r.doc_id")).as("doc_b"))
+                      .distinct(),
+                    shingles.unionByName(idxShingles),
+                    shingles.unionByName(idxShingles))
+                }
+              within.unionByName(cross).write.mode("append").parquet(pairsDir)
+              bands.write.mode("append").parquet(bandsDir)
+              shingles.write.mode("append").parquet(shinglesDir)
+            } finally base.unpersist()
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(pairsDir).orderBy("doc_a", "doc_b")
+      }
+    },
+    // the SAME exact all-pairs oracle as dedup_near_minhash: the fold over
+    // deliveries must reconstruct the full pair set
+    Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "g AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 2), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s FROM t WHERE len(w) >= 3), " +
+      "sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1), " +
+      "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter FROM g a " +
+      "JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "j AS (SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard " +
+      "FROM p JOIN sz na ON na.doc_id = doc_a JOIN sz nb ON nb.doc_id = doc_b " +
+      "WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.8) " +
+      "SELECT doc_a, doc_b, jaccard FROM j ORDER BY doc_a, doc_b"))
+
   val all: Seq[Op] = Seq(streamTumblingWatermark, streamDedup, streamSessionStateful,
     streamLateData, streamStatefulCounter, streamStatefulCounterTws, streamJoinFollows,
     streamEnrichDim, streamRestartExactlyOnce, streamUpsertForeachbatch, streamBackfillHybrid,
-    streamCommitManifest, streamJoinLeftOuter, streamPrepaidCutoff)
+    streamCommitManifest, streamJoinLeftOuter, streamPrepaidCutoff, streamDedupMinhash)
 }
