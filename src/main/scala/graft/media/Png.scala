@@ -166,6 +166,41 @@ object Png {
     res.toSeq
   }
 
+  /** Re-emit `png` with every ANCILLARY chunk removed — the image analog of
+    * a PII scrub before publishing/training: tEXt/zTXt/tIME/eXIf and friends
+    * carry provenance, timestamps, and free-form text; the pixel payload
+    * must survive byte-identically. Per the PNG spec a chunk is ancillary
+    * iff bit 5 of the FIRST type byte is set (lowercase first letter), so
+    * the walk needs no chunk-name whitelist and strips metadata chunks it
+    * has never heard of — exactly what a privacy scrub wants. Critical
+    * chunks (IHDR/PLTE/IDAT/IEND) are copied through byte-identically (CRCs
+    * are per-chunk — carried chunks need no recompute). Same hostile-bytes
+    * hardening as [[decode]]: signature check, long-math chunk bounds,
+    * per-chunk CRC32 verification BEFORE a chunk is carried or dropped. */
+  def stripAncillary(png: Array[Byte]): Array[Byte] = {
+    require(png.length > 8 && Signature.indices.forall(i => png(i) == Signature(i)),
+      "not a PNG: bad signature")
+    val out = new java.io.ByteArrayOutputStream(png.length)
+    out.write(png, 0, 8)
+    var pos = 8
+    var sawEnd = false
+    while (pos + 8 <= png.length && !sawEnd) {
+      val len = beInt(png, pos)
+      val typ = new String(png, pos + 4, 4, "US-ASCII")
+      require(len >= 0 && pos.toLong + 12L + len <= png.length, s"truncated chunk $typ")
+      val crc = new CRC32
+      crc.update(png, pos + 4, 4 + len)
+      require(crc.getValue == (beInt(png, pos + 8 + len).toLong & 0xffffffffL),
+        s"CRC mismatch in $typ")
+      val ancillary = (png(pos + 4) & 0x20) != 0
+      if (!ancillary) out.write(png, pos, 12 + len)
+      if (typ == "IEND") sawEnd = true
+      pos += 12 + len
+    }
+    require(sawEnd, "no IEND chunk")
+    out.toByteArray
+  }
+
   private def beInt(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
       ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)

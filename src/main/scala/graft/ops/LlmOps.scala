@@ -1123,6 +1123,15 @@ object LlmOps {
         (dot(col("vq"), col("vc")) / (col("nq") * col("nc"))).as("sim"))
   }
 
+  /** Assign raw (vec_id, embedding) rows to their nearest FROZEN centroid —
+    * the shared delta-append step: the batch appender and the streaming
+    * ingest both call exactly this, which is what makes their indexes
+    * byte-equal in content. */
+  def ivfAssignAgainst(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    assignToCells(withVec(vectors, "neighbor_id", "vc", "nc"), centroids)
+  }
+
   def annIvfAppendStagePath(sfDir: String): String = Stage.root(sfDir) + "/ann_ivf_append_cand"
 
   val simSearchAnnIvfAppend: Op = Op(
@@ -1130,6 +1139,78 @@ object LlmOps {
     (s, d) => stageAndRank("ann_ivf_append_cand",
       ivfManifestProbe(s, d, ivfAppendIndexPath(s, d), 2L), annIvfAppendStagePath(d)),
     Some(annRerankOracle(Stage.token + "/ann_ivf_append_cand")))
+
+  def annIvfStreamStagePath(sfDir: String): String = Stage.root(sfDir) + "/ann_ivf_stream_cand"
+
+  /** STREAMING vector ingest against the incremental IVF index (round 13):
+    * new embeddings arrive in micro-batches; each batch is assigned to its
+    * nearest FROZEN centroid ([[ivfAssignAgainst]] — the exact step the
+    * batch appender runs, work ∝ batch), its cell files land under a fresh
+    * generation dir, and the index advances by ONE optimistic
+    * [[TableManifest.commitIfVersion]] CAS per batch — readers holding any
+    * earlier manifest keep a consistent snapshot throughout the ingest.
+    * Because assignment is per-row against frozen centroids, the streamed
+    * index's CONTENT equals the batch append's regardless of batch count or
+    * order; StreamIvfAppendSpec asserts probe(streamed) ≡ probe(batch v2)
+    * row-exactly. Probe + oracle are the standard staged-candidate re-rank.
+    *
+    * Scale notes (100 TB ingest): this is the production lifecycle of a
+    * vector index under continuous writes — bounded per-batch work, one
+    * metadata CAS per commit, no rebuild, no reader locks; centroid refresh
+    * (when drift accumulates) is a separate offline retrain + index swap. */
+  val streamAnnIvfAppend: Op = Op(
+    "stream_ann_ivf_append",
+    (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val batchIdx = ivfAppendIndexPath(s, d) // frozen centroids live here
+      val cents = Housekeeping.cacheBounded("ivf_stream_cents",
+        s.read.parquet(batchIdx.resolve("centroids").toString))
+      val root = Housekeeping.tempDirBounded("ivf_stream_idx",
+        Housekeeping.scratchDir("ivf_stream_idx"))
+      val cellsDir = root.resolve("cells")
+      cents.write.mode("overwrite").parquet(root.resolve("centroids").toString)
+      val vecs = Tables.embeddings(s, d).select("vec_id", "embedding")
+      // base index: the standing 4/5 corpus, assigned against the frozen
+      // centroids (identical to the batch appender's v1 by construction)
+      ivfAssignAgainst(vecs.where(pmod(col("vec_id"), lit(5)) =!= 0), cents)
+        .withColumn("cell_dir", col("cell"))
+        .write.partitionBy("cell_dir").parquet(cellsDir.resolve("gen0").toString)
+      TableManifest.commit(cellsDir, 1,
+        TableManifest.parquetFiles(cellsDir.resolve("gen0")))
+      // the delta streams in: two deliveries of the id % 5 == 0 fifth
+      val srcDir = Housekeeping.scratchDir("ivf_stream_src")
+      val ckpt = Housekeeping.scratchDir("ivf_stream_ckpt").toString
+      val delta = vecs.where(pmod(col("vec_id"), lit(5)) === 0)
+      try {
+        (0 to 1).foreach(k => StreamingOps.stageDelivery(
+          delta.where(pmod(col("vec_id"), lit(2)) === k), srcDir, s"delivery$k.parquet"))
+        val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+        val q = s.readStream.schema(delta.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val g = gen.incrementAndGet()
+            val genDir = cellsDir.resolve(s"gen$g")
+            ivfAssignAgainst(batch, cents)
+              .withColumn("cell_dir", col("cell"))
+              .write.partitionBy("cell_dir").parquet(genDir.toString)
+            val (cur, curFiles) = TableManifest.read(cellsDir)
+            val ok = TableManifest.commitIfVersion(cellsDir, cur,
+              curFiles ++ TableManifest.parquetFiles(genDir))
+            require(ok, s"ivf stream append lost the CAS at version $cur — " +
+              "a concurrent writer mutated the index mid-ingest")
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        stageAndRank("ann_ivf_stream_cand",
+          ivfManifestProbe(s, d, root, 1L + gen.get()), annIvfStreamStagePath(d))
+      } finally Seq(srcDir.toString, ckpt).foreach(p =>
+        Housekeeping.deleteRecursively(java.nio.file.Paths.get(p)))
+    },
+    Some(annRerankOracle(Stage.token + "/ann_ivf_stream_cand")))
 
   /** Product-quantization ANN (PQ + ADC re-rank) — the memory-compressed
     * third leg of the ANN family: each vector is split into [[PqM]]
@@ -1937,7 +2018,7 @@ object LlmOps {
     dedupEmbeddingCosine,
     dedupContainment, dedupSubstringSpans, dedupSubstringTrim, dedupEditPrefix, splitClusterSafe,
     simSearchTopk, simSearchKnnPerQuery, simSearchAnnLsh, simSearchAnnIvf, simSearchAnnProbe,
-    simSearchAnnIvfAppend,
+    simSearchAnnIvfAppend, streamAnnIvfAppend,
     simSearchAnnPq, simSearchHybridRrf, embedKnnGraph, simSearchFiltered,
     textLangStats, textQualityFilter, multimodalJoin)
 }

@@ -644,8 +644,52 @@ object MultimodalOps {
       "UNION ALL SELECT doc_id, 'title', 'doc_' || CAST(doc_id AS VARCHAR) FROM documents" +
       ") ORDER BY doc_id, keyword"))
 
+  /** METADATA SCRUB (round 13) — the image analog of `text_pii_scrub`:
+    * strip every ANCILLARY chunk (tEXt provenance, and by the spec's
+    * lowercase-first-letter rule any metadata chunk ever invented) from each
+    * PNG while the pixel payload survives byte-identically, then PROVE it
+    * in-row: the stripped file is re-parsed (signature/CRC walk), its pixels
+    * decoded and compared sample-for-sample against the original, and the
+    * byte saving emitted. Oracle: every output column is CLOSED-FORM from
+    * the synthesis parameters — tEXt framing overhead is 12 + keyword + NUL
+    * + value bytes per chunk, so bytes_removed = 56 + len(lang) +
+    * len(str(doc_id)) exactly, and a wrong strip (dropped IDAT, broken CRC,
+    * surviving tEXt) flips n_text_left / pixels_intact / bytes_removed
+    * loudly.
+    *
+    * Scale notes (100 TB): scan-local per-row byte logic (mapPartitions, no
+    * shuffle before the final sort) — the scrub streams at I/O speed and
+    * never inflates the IDAT payload on the carry path; only the in-row
+    * proof decodes, and a production run would sample that check. */
+  val multimodalStripMeta: Op = Op(
+    "multimodal_strip_meta",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"))
+        .as[(Long, String)]
+        .mapPartitions { batch =>
+          batch.map { case (id, lang) =>
+            val samples = Array.tabulate(64)(i => ((i * 5 + id) % 256).toInt)
+            val img = graft.media.Png.encodeWithText(8, 8, 1, samples,
+              Seq("gen" -> (id % 5).toString, "lang" -> lang, "title" -> s"doc_$id"))
+            val stripped = graft.media.Png.stripAncillary(img)
+            val decoded = graft.media.Png.decode(stripped)
+            val intact = decoded.width == 8 && decoded.height == 8 &&
+              decoded.channels == 1 && decoded.samples.sameElements(samples)
+            (id, graft.media.Png.textChunks(stripped).size,
+              (img.length - stripped.length).toLong, if (intact) 1 else 0)
+          }
+        }
+        .toDF("doc_id", "n_text_left", "bytes_removed", "pixels_intact")
+        .orderBy("doc_id")
+    },
+    Some("SELECT doc_id, 0 AS n_text_left, " +
+      "CAST(56 + len(lang) + len(CAST(doc_id AS VARCHAR)) AS BIGINT) AS bytes_removed, " +
+      "1 AS pixels_intact FROM documents ORDER BY doc_id"))
+
   val all: Seq[Op] = Seq(multimodalDecodeFeatures, multimodalResize,
     multimodalDecodeWav, multimodalAudioFrames, multimodalFrameSample,
     multimodalParsePng, multimodalPhash, dedupImagePhash, dedupImageClusterKeep,
-    multimodalAudioVad, multimodalPngMeta)
+    multimodalAudioVad, multimodalPngMeta, multimodalStripMeta)
 }

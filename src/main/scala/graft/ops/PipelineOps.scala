@@ -248,11 +248,14 @@ object PipelineOps {
         graft.ops.LlmOps.shingleArrays(
           docs.where(col("source") === "src0").select("doc_id", "text")))
       val bench = benchArr.select(explode(col("shingles")).as("s")).distinct()
-      val sz = poolSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val hits = poolSh.join(broadcast(bench), "s")
-        .groupBy("doc_id").agg(count(lit(1)).as("nh"))
-      val clean = pool.join(sz, "doc_id").join(hits, Seq("doc_id"), "left")
-        .where(coalesce(col("nh"), lit(0L)).cast("double") / col("n") < 0.5)
+        .withColumn("hit", lit(1))
+      // ONE exploded pass: the broadcast LEFT join marks hits while the same
+      // groupBy counts shingles (r13 — the shape the incremental sibling
+      // uses; the former sz+hits pair paid the explode shuffle twice)
+      val stats = poolSh.join(broadcast(bench), Seq("s"), "left")
+        .groupBy("doc_id").agg(count(lit(1)).as("n"), count(col("hit")).as("nh"))
+      val clean = pool.join(stats, "doc_id")
+        .where(col("nh").cast("double") / col("n") < 0.5)
       // stages 4+5: content-keyed split, per-split stats
       val b = substring(md5(col("text")), 9, 4)
       clean
@@ -384,8 +387,13 @@ object PipelineOps {
         df.where(col("n_chars") >= 64 && col("n_chars") <= 4096 &&
             nTok >= 10 && col("text").rlike("^[a-z ]+$"))
           .select("doc_id", "source", "text", "n_chars")
-      val qStd = Housekeeping.cacheBounded("inc_q_std", gate(docs.where(col("doc_id") <= mid)))
-      val qDel = Housekeeping.cacheBounded("inc_q_del", gate(docs.where(col("doc_id") > mid)))
+      // ONE gated scan + ONE cache for both generations (r13: the former
+      // per-generation caches cost a second docs scan and a second
+      // materialization pass for rows this single flag column separates)
+      val q = Housekeeping.cacheBounded("inc_q",
+        gate(docs).withColumn("is_std", col("doc_id") <= mid))
+      val qStd = q.where(col("is_std"))
+      val qDel = q.where(!col("is_std"))
       // standing state: hash index over ALL standing quality survivors
       val stdIndex = qStd.select(md5(col("text")).as("h")).distinct()
       // keep decisions: standing keep = min-per-hash within standing;
@@ -398,42 +406,53 @@ object PipelineOps {
         .select("doc_id")
       val poolStd = qStd.join(keepStd, "doc_id").where(col("source") =!= "src0")
       val poolDel = qDel.join(keepDel, "doc_id").where(col("source") =!= "src0")
-      // eval dictionaries: standing, plus ONLY what the delta added
+      // eval dictionaries: standing, plus ONLY what the delta added. ONE
+      // src0 shingle-ARRAY cache feeds both — the cache is the mandatory
+      // barrier between shingleArrays and explode (InferFiltersFromGenerate
+      // otherwise re-derives the whole shingle tree inside the injected
+      // size()>0 filter, the documented O(words²)-per-doc trap: measured
+      // 4.5 s + 4.2 s for these two ~10k-shingle dictionaries at sf0.1
+      // without the barrier, <1 s with it)
+      val srcArr = Housekeeping.cacheBounded("inc_bench_arr",
+        graft.ops.LlmOps.shingleArrays(
+            docs.where(col("source") === "src0").select("doc_id", "text"))
+          .withColumn("is_std", col("doc_id") <= mid))
       val benchStd = Housekeeping.cacheBounded("inc_bench_std",
-        graft.ops.LlmOps.shingleArrays(
-            docs.where(col("source") === "src0" && col("doc_id") <= mid).select("doc_id", "text"))
-          .select(explode(col("shingles")).as("s")).distinct())
-      val benchNew = Housekeeping.cacheBounded("inc_bench_new",
-        graft.ops.LlmOps.shingleArrays(
-            docs.where(col("source") === "src0" && col("doc_id") > mid).select("doc_id", "text"))
-          .select(explode(col("shingles")).as("s")).distinct()
-          .join(benchStd, Seq("s"), "left_anti"))
+        srcArr.where(col("is_std")).select(explode(col("shingles")).as("s")).distinct())
+      val benchNew = srcArr.where(!col("is_std"))
+        .select(explode(col("shingles")).as("s")).distinct()
+        .join(benchStd, Seq("s"), "left_anti")
       // The additive-hits identity (hits(standing dict) + hits(benchNew) =
       // hits(full dict), the two dictionaries being disjoint by benchNew's
       // anti-join) lets ONE broadcast left-join against the unioned
       // dictionary mark hits while the same exploded pass counts shingles —
-      // a single scan + single groupBy per pool, where the r10 shape scanned
-      // the shingles three times (sz groupBy, one join per dictionary, then
-      // a union re-aggregate) and regressed the key 9.6→12.4 s.
-      val evalDict = Housekeeping.cacheBounded("inc_bench_all",
-        benchStd.unionByName(benchNew).withColumn("hit", lit(1)))
-      def contaminationClean(pool: DataFrame, tag: String): DataFrame = {
-        val arr = Housekeeping.cacheBounded(s"inc_sh_$tag",
-          graft.ops.LlmOps.shingleArrays(pool.select("doc_id", "text")))
-        val stats = arr.select(col("doc_id"), explode(col("shingles")).as("s"))
-          .join(broadcast(evalDict), Seq("s"), "left")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n"), count(col("hit")).as("nh"))
-        pool.join(stats, "doc_id")
-          .where(col("nh").cast("double") / col("n") < 0.5)
-          .select("doc_id", "text", "n_chars")
-      }
+      // a single scan + single groupBy, where the r10 shape scanned the
+      // shingles three times (sz groupBy, one join per dictionary, then a
+      // union re-aggregate) and regressed the key 9.6→12.4 s. Consumed once
+      // by the broadcast below — no cache needed.
+      val evalDict = benchStd.unionByName(benchNew).withColumn("hit", lit(1))
       // standing docs revalidate on (standing dict) + (new shingles only);
-      // delta docs check against the full dictionary — same unioned join
-      val cleanStd = contaminationClean(poolStd, "std")
-      val cleanDel = contaminationClean(poolDel, "del")
+      // delta docs check against the full dictionary — the SAME unioned
+      // dictionary by the additive identity, so both pools go through ONE
+      // contamination pass (r13: the former per-pool passes paid the explode
+      // shuffle, the groupBy, and a shingle-array cache materialization
+      // TWICE for rows one union separates for free — the final aggregate
+      // unions the cleans anyway)
+      val pool = Housekeeping.cacheBounded("inc_pool",
+        poolStd.unionByName(poolDel).select("doc_id", "text", "n_chars"))
+      // same explode barrier for the pool side
+      val poolArr = Housekeeping.cacheBounded("inc_pool_arr",
+        graft.ops.LlmOps.shingleArrays(pool.select("doc_id", "text")))
+      val stats = poolArr
+        .select(col("doc_id"), explode(col("shingles")).as("s"))
+        .join(broadcast(evalDict), Seq("s"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), count(col("hit")).as("nh"))
+      val clean = pool.join(stats, "doc_id")
+        .where(col("nh").cast("double") / col("n") < 0.5)
+        .select("doc_id", "text", "n_chars")
       val b = substring(md5(col("text")), 9, 4)
-      cleanStd.unionByName(cleanDel)
+      clean
         .withColumn("split",
           when(b < "cccc", "train").when(b < "e666", "val").otherwise("test"))
         .groupBy("split")

