@@ -201,6 +201,36 @@ object JoinOps {
     },
     Some(rangeOracleSql))
 
+  /** Band join, native LEFT OUTER (round 13 — the band sibling of
+    * `join_asof_native_outer`): purchases band-joined to a SPARSE follow-up
+    * side (every 7th event), so a large output fraction carries the
+    * null-if-none emission — "which purchases had NO tracked follow-up
+    * within 10 minutes" is the funnel question the inner form cannot ask.
+    * Same sliding-buffer exec, same single co-partitioned shuffle per side;
+    * unmatched left rows emit once with nulls (RangeJoinSpec pins the outer
+    * semantics on fixtures and against the theta LEFT JOIN). */
+  val joinRangeNativeOuter: Op = Op(
+    "join_range_native_outer",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("u1"), col("ts").as("t1"))
+      val f = e.where(pmod(col("event_id"), lit(7)) === 0)
+        .select(col("event_id").as("follow_id"), col("user_id").as("u2"),
+          col("ts").as("t2"), col("event_type").as("follow_type"))
+      graft.plans.Band.join(p, f, Seq("u1" -> "u2"), "t1", "t2",
+          loMicros = 0L, hiMicros = 600000000L, // (t1, t1 + 10 min]
+          broadcastRight = Some(false), leftOuter = true)
+        .select("purchase_id", "follow_id", "follow_type")
+        .orderBy(col("purchase_id"), col("follow_id").asc_nulls_first)
+    },
+    Some("SELECT e1.event_id AS purchase_id, e2.event_id AS follow_id, " +
+      "e2.event_type AS follow_type " +
+      "FROM events e1 LEFT JOIN events e2 ON e1.user_id = e2.user_id " +
+      "AND e2.event_id % 7 = 0 AND e2.ts > e1.ts " +
+      "AND e2.ts <= e1.ts + INTERVAL 10 MINUTE WHERE e1.event_type = 'purchase' " +
+      "ORDER BY purchase_id, follow_id NULLS FIRST"))
+
   /** As-of join, windowed formulation: one shuffle on user_id, one sort —
     * the scalable shape (SURVEY §2 C / §7.4). For each purchase, the most
     * recent strictly-prior view — its ts AND its row identity (event_id),
@@ -719,7 +749,7 @@ object JoinOps {
 
   val all: Seq[Op] = Seq(joinInnerHash, joinBroadcastDim, joinSortmergeBig, joinLeftOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinCrossSmall, joinRangeTheta,
-    joinRangeNative, joinAsof,
+    joinRangeNative, joinRangeNativeOuter, joinAsof,
     joinAsofNative, joinAsofNativeOuter, joinIntervalBin, dimScd2Asof, dimScd2AsofNative,
     joinBloomPrefilter,
     joinAsofTolerance, joinAsofToleranceNative, joinFirstTouch, joinEntityResolution,

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DayTimeIntervalType, LongType, TimestampType}
@@ -26,15 +26,17 @@ import org.apache.spark.sql.types.{DayTimeIntervalType, LongType, TimestampType}
   * broadcast when the right side is dimension-sized
   * ([[RangeJoinStrategy]]'s JoinSelection-style decision).
   *
-  * Recognized: INNER join whose condition splits into
+  * Recognized: INNER or LEFT OUTER join whose condition splits into
   *   - ≥ 1 equi predicate `leftExpr = rightExpr` (orderable key types),
   *   - a finite band on ONE time pair: a lower bound `rt >(=) lt + loUs` and
   *     an upper bound `rt <(=) lt + hiUs`, in any written orientation, with
   *     literal day-time-interval or long offsets (both sides TIMESTAMP or
   *     both LONG micros),
-  *   - anything else left over — re-applied as a [[Filter]] ABOVE the
-  *     RangeJoin (inner-join conjuncts are pair filters, so this preserves
-  *     semantics exactly).
+  *   - INNER only: anything else left over — re-applied as a [[Filter]]
+  *     ABOVE the RangeJoin (inner-join conjuncts are pair filters, so this
+  *     preserves semantics exactly). A LEFT OUTER join rewrites only when
+  *     the equi+band conjuncts are the WHOLE condition — a leftover cannot
+  *     be hoisted above an outer join without dropping null-extended rows.
   * Joins with streaming children, non-deterministic conditions, or an empty
   * band are left untouched.
   *
@@ -112,7 +114,12 @@ object BandRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     else rewrite(plan)
 
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, Inner, Some(cond), _)
+    // INNER: leftover conjuncts re-apply as a Filter above (pair filters
+    // commute with an inner join). LEFT OUTER: the same shape rewrites to
+    // the exec's native leftOuter emission, but ONLY when the band+equi
+    // conjuncts are the WHOLE condition — a leftover conjunct cannot be
+    // hoisted above an outer join (it would drop the null-extended rows).
+    case j @ Join(left, right, jt @ (Inner | LeftOuter), Some(cond), _)
         if !j.isStreaming && cond.deterministic =>
       val leftSet = left.outputSet
       val rightSet = right.outputSet
@@ -145,12 +152,14 @@ object BandRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
           .minBy { case (_, b) => (b.deltaUs, !b.strict) }
         if loB.deltaUs < hiB.deltaUs ||
           (loB.deltaUs == hiB.deltaUs && !loB.strict && !hiB.strict)
+        taken = equis.map(_._1).toSet + loC + hiC
+        leftover = conjuncts.filterNot(taken.contains)
+        if jt == Inner || leftover.isEmpty
       } yield {
-        val taken = equis.map(_._1).toSet + loC + hiC
-        val leftover = conjuncts.filterNot(taken.contains)
         val rj = RangeJoin(left, right,
           equis.map(_._2._1), equis.map(_._2._2),
-          loB.lt, loB.rt, loB.deltaUs, hiB.deltaUs, loB.strict, hiB.strict)
+          loB.lt, loB.rt, loB.deltaUs, hiB.deltaUs, loB.strict, hiB.strict,
+          leftOuter = jt == LeftOuter)
         if (leftover.isEmpty) rj else Filter(leftover.reduce(And), rj)
       }
       rewritten.getOrElse(j)

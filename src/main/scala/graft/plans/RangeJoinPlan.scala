@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.metric.SQLMetrics
@@ -44,8 +44,11 @@ case class RangeJoin(
     hiUs: Long,
     loStrict: Boolean,
     hiStrict: Boolean,
-    broadcastRight: Option[Boolean] = None) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+    broadcastRight: Option[Boolean] = None,
+    leftOuter: Boolean = false) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): RangeJoin =
     copy(left = newLeft, right = newRight)
@@ -60,23 +63,28 @@ case class RangeJoin(
   * [[Band.ensureRegistered]] and globally via [[graft.GraftExtensions]]. */
 object RangeJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case RangeJoin(l, r, lk, rk, lt, rt, lo, hi, ls, hs, bc) =>
+    case RangeJoin(l, r, lk, rk, lt, rt, lo, hi, ls, hs, bc, outer) =>
       val threshold = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
       val broadcast = bc.getOrElse(
         threshold > 0 && r.stats.sizeInBytes >= 0 && r.stats.sizeInBytes <= threshold)
       if (broadcast)
-        BroadcastRangeJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, lo, hi, ls, hs) :: Nil
+        BroadcastRangeJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, lo, hi, ls, hs,
+          outer) :: Nil
       else
-        RangeJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, lo, hi, ls, hs) :: Nil
+        RangeJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, lo, hi, ls, hs,
+          outer) :: Nil
     case _ => Nil
   }
 }
 
 /** Physical band join: children arrive hash-clustered on the join keys and
   * sorted by (keys, time); one merge pass per partition with a sliding
-  * buffer of in-band right rows. Inner-join null semantics: a null key or
-  * null time on either side can never match (left such rows emit nothing,
-  * right such rows are discarded on first contact). */
+  * buffer of in-band right rows. Null semantics: a null key or null time on
+  * either side can never match (right such rows are discarded on first
+  * contact). INNER (default): left rows with no in-band match emit nothing.
+  * LEFT OUTER (`leftOuter = true`): every left row emits — unmatched ones
+  * (including null-key/null-time lefts) once with nulls on the right, the
+  * standard outer-join null semantics. */
 case class RangeJoinExec(
     left: SparkPlan,
     right: SparkPlan,
@@ -87,9 +95,12 @@ case class RangeJoinExec(
     loUs: Long,
     hiUs: Long,
     loStrict: Boolean,
-    hiStrict: Boolean) extends BinaryExecNode {
+    hiStrict: Boolean,
+    leftOuter: Boolean = false) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
@@ -117,6 +128,7 @@ case class RangeJoinExec(
     val rTime = rightTime
     val lo = loUs; val hi = hiUs
     val loS = loStrict; val hiS = hiStrict
+    val outer = leftOuter
     val allOut = output
     val numOutputRows = longMetric("numOutputRows")
 
@@ -129,6 +141,7 @@ case class RangeJoinExec(
         lKeys.zipWithIndex.map { case (e, i) => StructField(s"k$i", e.dataType, e.nullable) }))
       val resultProj = UnsafeProjection.create(allOut, allOut)
       val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.size)
 
       new Iterator[InternalRow] {
         // lookahead right row (copied — sort iterators reuse their buffers)
@@ -141,9 +154,11 @@ case class RangeJoinExec(
         // inputs are time-sorted — each right row enters and leaves once.
         private val band = new java.util.ArrayDeque[(Long, InternalRow)]()
         private var bandKey: InternalRow = _
-        // pending output: the current left row joined to each in-band right
+        // pending output: the current left row joined to each in-band right,
+        // or (left outer) joined once to the all-null right
         private var pendingLeft: InternalRow = _
         private var pendingIt: java.util.Iterator[(Long, InternalRow)] = _
+        private var pendingNull: Boolean = false
 
         private def fetchRight(): Unit = {
           rRow = null
@@ -173,8 +188,8 @@ case class RangeJoinExec(
         }
 
         private def advanceLeft(): Unit = {
-          pendingLeft = null; pendingIt = null
-          while (pendingIt == null && lIter.hasNext) {
+          pendingLeft = null; pendingIt = null; pendingNull = false
+          while (pendingIt == null && !pendingNull && lIter.hasNext) {
             val lRow = lIter.next()
             val lKey = lKeyProj(lRow)
             val lt = lTimeProj(lRow)
@@ -191,20 +206,30 @@ case class RangeJoinExec(
               if (!band.isEmpty) {
                 pendingLeft = lRow.copy()
                 pendingIt = band.iterator()
+              } else if (outer) {
+                pendingLeft = lRow.copy()
+                pendingNull = true
               }
+            } else if (outer) {
+              // null key/time can never match; outer still keeps the row
+              pendingLeft = lRow.copy()
+              pendingNull = true
             }
           }
         }
 
         override def hasNext: Boolean = {
-          if (pendingIt != null && pendingIt.hasNext) true
-          else { advanceLeft(); pendingIt != null && pendingIt.hasNext }
+          if (pendingNull || (pendingIt != null && pendingIt.hasNext)) true
+          else { advanceLeft(); pendingNull || (pendingIt != null && pendingIt.hasNext) }
         }
 
         override def next(): InternalRow = {
           if (!hasNext) throw new NoSuchElementException
           numOutputRows += 1
-          resultProj(joined(pendingLeft, pendingIt.next()._2))
+          if (pendingNull) {
+            pendingNull = false
+            resultProj(joined(pendingLeft, nullRight))
+          } else resultProj(joined(pendingLeft, pendingIt.next()._2))
         }
       }
     }
@@ -228,9 +253,12 @@ case class BroadcastRangeJoinExec(
     loUs: Long,
     hiUs: Long,
     loStrict: Boolean,
-    hiStrict: Boolean) extends BinaryExecNode {
+    hiStrict: Boolean,
+    leftOuter: Boolean = false) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
@@ -257,6 +285,7 @@ case class BroadcastRangeJoinExec(
     val rTime = rightTime
     val lo = loUs; val hi = hiUs
     val loS = loStrict; val hiS = hiStrict
+    val outer = leftOuter
     val allOut = output
     val numOutputRows = longMetric("numOutputRows")
     val bcast = right.executeBroadcast[Array[InternalRow]]()
@@ -268,6 +297,7 @@ case class BroadcastRangeJoinExec(
       val lTimeProj = UnsafeProjection.create(Seq(lTime), lOut)
       val resultProj = UnsafeProjection.create(allOut, allOut)
       val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.size)
 
       // per-task index from the broadcast rows: key → rows time-sorted, with
       // the parallel long array the binary searches run over
@@ -300,18 +330,21 @@ case class BroadcastRangeJoinExec(
       }
 
       lIter.flatMap { lRow =>
+        def unmatched: Iterator[InternalRow] =
+          if (!outer) Iterator.empty
+          else { numOutputRows += 1; Iterator.single(resultProj(joined(lRow, nullRight))) }
         val lKey = lKeyProj(lRow)
         val lt = lTimeProj(lRow)
-        if (lKey.anyNull || lt.isNullAt(0)) Iterator.empty
+        if (lKey.anyNull || lt.isNullAt(0)) unmatched
         else built.get(lKey) match {
-          case None => Iterator.empty
+          case None => unmatched
           case Some((times, rows)) =>
             val ltUs = lt.getLong(0)
             // admissible t: (loS ? t > ltUs+lo : t >= ltUs+lo) and
             //               (hiS ? t < ltUs+hi : t <= ltUs+hi)
             val from = upperBound(times, ltUs + lo, strictGt = loS)
             val until = upperBound(times, ltUs + hi, strictGt = !hiS)
-            if (from >= until) Iterator.empty
+            if (from >= until) unmatched
             else {
               val lCopy = lRow.copy()
               (from until until).iterator.map { i =>
@@ -350,12 +383,16 @@ object Band {
     * `leftTime + loMicros (<|<=) rightTime (<|<=) leftTime + hiMicros`.
     * Time columns must be TIMESTAMP or LONG (micros); key pairs must be
     * type-identical; right-side column NAMES must not collide with left
-    * ones. Self-join inputs are safe (fresh right-side exprIds). */
+    * ones. Self-join inputs are safe (fresh right-side exprIds).
+    * `leftOuter = true` keeps every left row — unmatched ones once with
+    * nulls on the right (standard outer semantics; null-key/null-time left
+    * rows survive unmatched). */
   def join(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
            leftTimeCol: String, rightTimeCol: String,
            loMicros: Long, hiMicros: Long,
            loStrict: Boolean = true, hiStrict: Boolean = false,
-           broadcastRight: Option[Boolean] = None): DataFrame = {
+           broadcastRight: Option[Boolean] = None,
+           leftOuter: Boolean = false): DataFrame = {
     require(loMicros <= hiMicros, s"band join: empty band ($loMicros, $hiMicros)")
     val spark = left.sparkSession
     ensureRegistered(spark)
@@ -382,6 +419,6 @@ object Band {
       s"band join: time type mismatch ${lt.dataType} vs ${rt.dataType}")
     PlanBridge.ofRows(spark,
       RangeJoin(lp, rp, lks, rks, lt, rt, loMicros, hiMicros, loStrict, hiStrict,
-        broadcastRight))
+        broadcastRight, leftOuter))
   }
 }

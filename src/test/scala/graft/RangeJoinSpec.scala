@@ -65,6 +65,20 @@ class RangeJoinSpec extends AnyFunSuite {
         col("t2") <= col("t1") + 10L && col("fid") > col("pid") + 100L)
       .orderBy("pid", "fid").collect().toSeq)
     assert(mixed.orderBy("pid", "fid").collect().toSeq == expected && expected.nonEmpty)
+    // LEFT OUTER with ONLY equi+band → rewrites with native null emission
+    val outerCond = col("k") === col("k2") && col("t2") > col("t1") &&
+      col("t2") <= col("t1") + 10L
+    val outerJoin = p.join(f, outerCond, "left")
+    assert(outerJoin.queryExecution.executedPlan.toString.contains("RangeJoin"))
+    val outerExpected = rewriteOff(
+      p.join(f, outerCond, "left").orderBy(col("pid"), col("fid").asc_nulls_first)
+        .collect().map(_.toSeq).toSeq)
+    assert(outerJoin.orderBy(col("pid"), col("fid").asc_nulls_first)
+      .collect().map(_.toSeq).toSeq == outerExpected)
+    assert(outerExpected.exists(_.contains(null)), "fixture must carry unmatched left rows")
+    // LEFT OUTER with a leftover conjunct → NOT rewritten (cannot hoist)
+    val outerLeftover = p.join(f, outerCond && col("fid") > col("pid") + 100L, "left")
+    assert(!outerLeftover.queryExecution.executedPlan.toString.contains("RangeJoin"))
     // no equi key → untouched; one-sided band only → untouched
     val noEqui = p.join(f, col("t2") > col("t1") && col("t2") <= col("t1") + 10L)
     assert(!noEqui.queryExecution.executedPlan.toString.contains("RangeJoin"))
@@ -112,6 +126,27 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 100L), (3L, 103L)))
   }
 
+  test("left outer: unmatched and null-key/null-time left rows survive with " +
+    "nulls, matched rows are identical to inner, on BOTH physical paths") {
+    import spark.implicits._
+    val p = Seq(
+      (1L, Option(10L), Option(1000L)), // matched
+      (2L, Option(10L), Option(5000L)), // in key, out of band → null row
+      (3L, Option(99L), Option(1000L)), // key absent from right → null row
+      (4L, Option.empty[Long], Option(1000L)), // null key → null row (outer keeps it)
+      (5L, Option(10L), Option.empty[Long])    // null time → null row
+    ).toDF("pid", "k", "t1")
+    val f = Seq((100L, 10L, 1100L)).toDF("fid", "k2", "t2")
+    for (bc <- Seq(false, true)) {
+      val got = Band.join(p, f, Seq("k" -> "k2"), "t1", "t2", 0L, 600L,
+          broadcastRight = Some(bc), leftOuter = true)
+        .select("pid", "fid").orderBy("pid")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      assert(got.toSeq == Seq((1L, 100L), (2L, -1L), (3L, -1L), (4L, -1L), (5L, -1L)),
+        s"broadcast=$bc: $got")
+    }
+  }
+
   test("one-to-many fan-out: every in-band right row joins") {
     import spark.implicits._
     val p = Seq((1L, 10L, 1000L), (2L, 10L, 1200L)).toDF("pid", "k", "t1")
@@ -157,16 +192,21 @@ class RangeJoinSpec extends AnyFunSuite {
       (lo, hi) <- Seq((0L, 10L), (-15L, 15L), (5L, 40L), (0L, 0L), (-200L, 200L))
       loS <- Seq(true, false)
       hiS <- Seq(true, false)
+      outer <- Seq(false, true)
     } {
-      val native = Band.join(p, f, Seq("k" -> "k2"), "t1", "t2", lo, hi, loS, hiS)
-        .select("pid", "fid").orderBy("pid", "fid").collect().toSeq
+      val native = Band.join(p, f, Seq("k" -> "k2"), "t1", "t2", lo, hi, loS, hiS,
+          leftOuter = outer)
+        .select("pid", "fid").orderBy(col("pid"), col("fid").asc_nulls_first)
+        .collect().map(_.toSeq).toSeq
       val loCmp = if (loS) col("t2") > col("t1") + lo else col("t2") >= col("t1") + lo
       val hiCmp = if (hiS) col("t2") < col("t1") + hi else col("t2") <= col("t1") + hi
-      val theta = rewriteOff(p.join(f, col("k") === col("k2") && loCmp && hiCmp)
-        .select("pid", "fid").orderBy("pid", "fid").collect().toSeq)
+      val theta = rewriteOff(p.join(f,
+          col("k") === col("k2") && loCmp && hiCmp, if (outer) "left" else "inner")
+        .select("pid", "fid").orderBy(col("pid"), col("fid").asc_nulls_first)
+        .collect().map(_.toSeq).toSeq)
       assert(native == theta,
-        s"band ($lo, $hi) loStrict=$loS hiStrict=$hiS: native ${native.size} rows " +
-          s"vs theta ${theta.size}")
+        s"band ($lo, $hi) loStrict=$loS hiStrict=$hiS outer=$outer: " +
+          s"native ${native.size} rows vs theta ${theta.size}")
     }
   }
 
