@@ -192,6 +192,28 @@ object FuncOps {
     Some("SELECT word, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
       "GROUP BY word ORDER BY cnt DESC, word LIMIT 20"))
 
+  /** OUTER generator semantics (round 13): `posexplode_outer` keeps the
+    * parent row when its array is EMPTY (one row, null pos/token) — the
+    * corner plain explode silently drops, which in a pipeline turns "doc
+    * with no long tokens" into "doc that vanished". The 8-char filter
+    * leaves ~20% of docs with empty arrays at every sf, so both lanes are
+    * in the hash. Oracle: DuckDB unnest + generate_subscripts for the
+    * non-empty lane UNION ALL the explicit null row for the empty lane. */
+  val explodeOuterTokens: Op = Op(
+    "explode_outer_tokens",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), w => length(w) >= 8).as("arr"))
+        .select(col("doc_id"), posexplode_outer(col("arr")).as(Seq("pos", "token")))
+        .orderBy(col("doc_id"), col("pos").asc_nulls_first),
+    Some("WITH a AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) >= 8) AS arr " +
+      "FROM documents), " +
+      "e AS (SELECT doc_id, CAST(generate_subscripts(arr, 1) - 1 AS INT) AS pos, " +
+      "unnest(arr) AS token FROM a WHERE len(arr) > 0 " +
+      "UNION ALL SELECT doc_id, NULL, NULL FROM a WHERE len(arr) = 0) " +
+      "SELECT doc_id, pos, token FROM e ORDER BY doc_id, pos NULLS FIRST"))
+
   /** Scala UDF with exact-decimal internals (charge = price·(1−disc)·(1+tax));
     * scale-6 product, no rounding, emitted as double. Black box to Catalyst —
     * see object scaladoc. */
@@ -369,7 +391,7 @@ object FuncOps {
       "MAX(CAST(json_extract(v, '$.k') AS INT)) AS max_k " +
       "FROM p GROUP BY 1 ORDER BY event_type"))
 
-  val all: Seq[Op] = Seq(strFuncs, dateFuncs, mathFuncs, arrayFuncs, jsonExtractProps,
+  val all: Seq[Op] = Seq(strFuncs, dateFuncs, mathFuncs, arrayFuncs, jsonExtractProps, explodeOuterTokens,
     mapFuncs, hashFuncs, explodeWords, udfScalar, udafWeightedAvg, udtfFlatmapTokens,
     profileUnpivot, aggFilterClause, nullFuncs, safeArithmetic, jsonVariantExtract)
 }

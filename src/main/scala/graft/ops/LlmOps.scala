@@ -1511,12 +1511,23 @@ object LlmOps {
     * (copies carry the identical double). UNDIRECTED rows (src < dst).
     *
     * Scale shape: an equi-join on (table, bucket) — the corpus never pays
-    * the n² pair space; candidate volume ∝ bucket occupancy, and the
-    * downstream graph stages are ∝ |V|·k. */
+    * the n² pair space as ONE JOB; candidate volume ∝ Σ bucket-occupancy
+    * pairs. At FIXED code width that is still ~n²/2^bits per table, so the
+    * bucket count must TRACK the corpus: `graft.knn.lsh.bits` (default 6,
+    * right for the 10²–10⁴ test corpora) is the knob — each +1 bit halves
+    * expected occupancy and with it candidate work, at the usual
+    * recall-per-table price (add tables to buy recall back). KnnGraphRecallSpec
+    * pins both directions: the recall floor at the default, and strictly
+    * shrinking candidate work as bits grow. Uniform-random embeddings are
+    * the worst case throughout — real corpora cluster, and clustered
+    * buckets prune far harder at the same width. */
+  val KnnLshBitsConf = "graft.knn.lsh.bits"
+
   def knnGraphCandidates(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val nTables = 4
-    val nBits = 6
+    val nBits = s.conf.get(KnnLshBitsConf, "6").toInt
+    require(nBits >= 1 && nBits <= 24, s"$KnnLshBitsConf out of range: $nBits")
     def buckets(vec: String): Column =
       graft.functions.GraftFunctions.hyperplaneBuckets(col(vec), nTables, nBits)
     val exact = withVec(Tables.embeddings(s, d), "dst", "vb", "nb")

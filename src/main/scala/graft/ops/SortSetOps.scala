@@ -106,6 +106,39 @@ object SortSetOps {
     },
     Some(s"($oJan) INTERSECT ALL ($oFeb) ORDER BY o_custkey"))
 
+  /** SCHEMA-RECONCILING union (round 13): two generations of a feed with
+    * DIFFERENT column sets union by NAME with missing columns null-filled
+    * (`unionByName(allowMissingColumns = true)`) — the schema-evolution
+    * union every long-lived table eventually needs, where positional
+    * unionAll would silently misalign or refuse. Jan rows carry the price,
+    * Feb rows the priority; each side's missing column is null on the other
+    * side's rows, and the total-order sort covers every output column.
+    * Oracle: DuckDB `UNION ALL BY NAME` — the same reconciliation rule. */
+  val setUnionByName: Op = Op(
+    "set_union_by_name",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      def month(from: String, until: String) =
+        o.where(col("o_orderdate") >= lit(from).cast("timestamp") &&
+                col("o_orderdate") < lit(until).cast("timestamp"))
+      val jan = month("1995-01-01", "1995-02-01")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("double").as("price"))
+      val feb = month("1995-02-01", "1995-03-01")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority").as("prio"))
+      jan.unionByName(feb, allowMissingColumns = true)
+        .orderBy(col("o_orderkey"), col("o_custkey"),
+          col("price").asc_nulls_first, col("prio").asc_nulls_first)
+    },
+    Some("SELECT * FROM (" +
+      "SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price FROM orders " +
+      "WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-02-01' " +
+      "UNION ALL BY NAME " +
+      "SELECT o_orderkey, o_custkey, o_orderpriority AS prio FROM orders " +
+      "WHERE o_orderdate >= TIMESTAMP '1995-02-01' AND o_orderdate < TIMESTAMP '1995-03-01') " +
+      "ORDER BY o_orderkey, o_custkey, price NULLS FIRST, prio NULLS FIRST"))
+
   val all: Seq[Op] = Seq(sortMultiKey, topkGlobal, setUnionAll, setUnionDistinct, setIntersect,
+    setUnionByName,
     setExcept, setExceptAll, setIntersectAll)
 }

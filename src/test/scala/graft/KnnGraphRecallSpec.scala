@@ -40,4 +40,21 @@ class KnnGraphRecallSpec extends AnyFunSuite {
     assert(candidates <= pairSpace * 0.6,
       s"candidate stage scanned $candidates of $pairSpace pairs — the bucketing is not pruning")
   }
+
+  test("graft.knn.lsh.bits is a monotone work knob: wider codes strictly " +
+    "shrink the candidate stage") {
+    val d = TestSpark.sf0001
+    def candidatesAt(bits: Int): Long =
+      graft.ops.Housekeeping.withSessionConfDefaulted(spark,
+        Seq(LlmOps.KnnLshBitsConf -> bits.toString),
+        Map(LlmOps.KnnLshBitsConf -> "6")) {
+        LlmOps.knnGraphCandidates(spark, d).count()
+      }
+    val at6 = candidatesAt(6)
+    val at8 = candidatesAt(8)
+    val at10 = candidatesAt(10)
+    info(s"candidates at 6/8/10 bits: $at6 / $at8 / $at10")
+    assert(at6 > at8 && at8 > at10,
+      s"candidate work must shrink as the code widens: $at6 / $at8 / $at10")
+  }
 }
