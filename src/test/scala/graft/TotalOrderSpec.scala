@@ -67,8 +67,18 @@ class TotalOrderSpec extends AnyFunSuite {
             s"$name: ${worst} distinct payloads under one sort-key group — " +
               "row order is engine-dependent; add the differing columns to the sort key")
         case None =>
-          // No top-level global sort: nothing order-sensitive to guard.
-          succeed
+          // The driver hash is row-order-sensitive, so an oracle-backed
+          // query with NO top-level global sort has undefined output order —
+          // a flake waiting for an engine or plan change — UNLESS the
+          // result is a single row, where order is moot. The five such keys
+          // are all scalar summaries (global aggregates cross-joined into
+          // one report row); if one ever grows a second row this fails and
+          // demands the total orderBy.
+          val n = df.count()
+          assert(n <= 1,
+            s"$name has an oracle, no top-level global Sort, and $n rows — " +
+              "row order is undefined; add a total orderBy (the TREE-WIDE " +
+              "invariant this spec enforces)")
       }
     }
   }
