@@ -223,7 +223,35 @@ object WindowOps {
       "CAST(cents AS DOUBLE) / CAST(SUM(cents) OVER () AS BIGINT) AS share_of_total " +
       "FROM cells ORDER BY seg, pri"))
 
+  /** INTERVAL range frame over EVENT TIME (round 13): per user, count + exact
+    * cents sum of the trailing ONE HOUR ending at each event — `RANGE BETWEEN
+    * INTERVAL ... PRECEDING` ordered by a timestamp, the time-window-per-row
+    * spelling warehouse queries use constantly and `window_range_frame`'s
+    * integer frame cannot express. RANGE (not ROWS) means equal-ts peers are
+    * all in frame on both engines, so ties cannot flip the value; the sum is
+    * exact BIGINT cents. One shuffle on user_id, one sort — the standard
+    * window envelope at any width. */
+  val windowRangeInterval: Op = Op(
+    "window_range_interval",
+    (s, d) => {
+      GraftCatalog.registerAll(s, d)
+      s.sql("SELECT user_id, event_id, ts, " +
+        "COUNT(*) OVER w AS trail_cnt, " +
+        "CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) OVER w AS BIGINT) AS trail_cents " +
+        "FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts " +
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) " +
+        "ORDER BY user_id, event_id")
+    },
+    Some("SELECT user_id, event_id, ts, " +
+      "COUNT(*) OVER w AS trail_cnt, " +
+      "CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) OVER w AS BIGINT) AS trail_cents " +
+      "FROM events " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY ts " +
+      "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) " +
+      "ORDER BY user_id, event_id"))
+
   val all: Seq[Op] = Seq(windowTopkPerGroup, windowRankDense, windowLagLead, windowMovingAvg,
     windowRangeFrame, windowNtilePct, windowFirstLast, windowCumsum, windowStreakLongest,
-    windowRatioToReport)
+    windowRatioToReport, windowRangeInterval)
 }
