@@ -211,7 +211,7 @@ object FuncOps {
       "FROM documents), " +
       "e AS (SELECT doc_id, CAST(generate_subscripts(arr, 1) - 1 AS INT) AS pos, " +
       "unnest(arr) AS token FROM a WHERE len(arr) > 0 " +
-      "UNION ALL SELECT doc_id, NULL, NULL FROM a WHERE len(arr) = 0) " +
+      "UNION ALL SELECT doc_id, NULL, NULL FROM a WHERE len(arr) = 0 OR arr IS NULL) " +
       "SELECT doc_id, pos, token FROM e ORDER BY doc_id, pos NULLS FIRST"))
 
   /** Scala UDF with exact-decimal internals (charge = price·(1−disc)·(1+tax));

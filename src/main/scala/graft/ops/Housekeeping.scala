@@ -43,16 +43,25 @@ object Housekeeping {
 
   def withSessionConfDefaulted[A](s: SparkSession, kvs: Seq[(String, String)],
                                   readDefaults: Map[String, String])(body: => A): A = {
-    val owner = confOwner.getAndSet(Thread.currentThread())
-    require(owner == null || owner == Thread.currentThread(),
-      s"withSessionConf: concurrent session-conf mutation from $owner and " +
-        s"${Thread.currentThread()} — ops must not share a session across threads")
+    val self = Thread.currentThread()
+    val owner = confOwner.getAndSet(self)
+    if (owner != null && owner != self) {
+      // We never owned the guard — put the real owner back before failing,
+      // so the violation doesn't disarm the guard for everyone after us.
+      confOwner.set(owner)
+      throw new IllegalArgumentException(
+        s"withSessionConf: concurrent session-conf mutation from $owner and " +
+          s"$self — ops must not share a session across threads")
+    }
     val prev = kvs.map { case (k, _) =>
       k -> readDefaults.get(k).map(d => s.conf.get(k, d)).getOrElse(s.conf.get(k)) }
     kvs.foreach { case (k, v) => s.conf.set(k, v) }
     try body finally {
       prev.foreach { case (k, v) => s.conf.set(k, v) }
-      confOwner.set(null)
+      // Restore the PREVIOUS owner (self when nested, null at the outermost
+      // scope) — resetting to null here used to disarm the guard for the
+      // remainder of an outer scope whenever scopes nested.
+      confOwner.set(owner)
     }
   }
 

@@ -1101,7 +1101,18 @@ object LlmOps {
     val probedCells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSet
     val files = TableManifest.filesAsOf(idx.resolve("cells"), version)
       .filter(f => probedCells.exists(c => f.toString.contains(s"cell_dir=$c/")))
-    val index = s.read.parquet(files.map(_.toString): _*)
+    // Every probed cell being empty is a legal index state (fresh index, all
+    // probed cells vacant) — a zero-file parquet read cannot infer a schema,
+    // so carry the known cell-file schema explicitly instead of throwing.
+    val index =
+      if (files.nonEmpty) s.read.parquet(files.map(_.toString): _*)
+      else {
+        import org.apache.spark.sql.types._
+        s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(
+            StructField("neighbor_id", LongType), StructField("vc", ArrayType(DoubleType)),
+            StructField("nc", DoubleType), StructField("cell", IntegerType))))
+      }
     broadcast(probes).join(index, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -1184,29 +1195,37 @@ object LlmOps {
       try {
         (0 to 1).foreach(k => StreamingOps.stageDelivery(
           delta.where(pmod(col("vec_id"), lit(2)) === k), srcDir, s"delivery$k.parquet"))
-        val gen = new java.util.concurrent.atomic.AtomicInteger(0)
         val q = s.readStream.schema(delta.schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(srcDir.toString)
           .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            val g = gen.incrementAndGet()
-            val genDir = cellsDir.resolve(s"gen$g")
-            ivfAssignAgainst(batch, cents)
-              .withColumn("cell_dir", col("cell"))
-              .write.partitionBy("cell_dir").parquet(genDir.toString)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            // generation dirs are keyed by batchId and the commit is
+            // idempotent PER BATCH: a re-executed batch (checkpoint restart /
+            // retry) whose files the live manifest already references is a
+            // no-op, and a retry of a batch that died mid-write overwrites
+            // its own partial (unreferenced) files before committing — the
+            // CAS alone only guards CONCURRENT writers, not the same writer
+            // retrying.
+            val genDir = cellsDir.resolve(s"genb$batchId")
             val (cur, curFiles) = TableManifest.read(cellsDir)
-            val ok = TableManifest.commitIfVersion(cellsDir, cur,
-              curFiles ++ TableManifest.parquetFiles(genDir))
-            require(ok, s"ivf stream append lost the CAS at version $cur — " +
-              "a concurrent writer mutated the index mid-ingest")
+            if (!curFiles.exists(_.toString.contains(s"/genb$batchId/"))) {
+              ivfAssignAgainst(batch, cents)
+                .withColumn("cell_dir", col("cell"))
+                .write.mode("overwrite").partitionBy("cell_dir").parquet(genDir.toString)
+              val ok = TableManifest.commitIfVersion(cellsDir, cur,
+                curFiles ++ TableManifest.parquetFiles(genDir))
+              require(ok, s"ivf stream append lost the CAS at version $cur — " +
+                "a concurrent writer mutated the index mid-ingest")
+            }
             ()
           }
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         stageAndRank("ann_ivf_stream_cand",
-          ivfManifestProbe(s, d, root, 1L + gen.get()), annIvfStreamStagePath(d))
+          ivfManifestProbe(s, d, root, TableManifest.read(cellsDir)._1),
+          annIvfStreamStagePath(d))
       } finally Seq(srcDir.toString, ckpt).foreach(p =>
         Housekeeping.deleteRecursively(java.nio.file.Paths.get(p)))
     },

@@ -1,28 +1,37 @@
 package graft
 
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.{LlmOps, StreamingOps}
 
 /** Contract for `stream_dedup_minhash` — the foreachBatch-maintained MinHash
-  * band index (round-12 verdict #6):
+  * band index (round-12 verdict #6, hardened in round 14 per verdict #1):
   *
   *   1. FOLD EQUALITY — on closed input the streamed fold (per-batch
   *      self-dedup + probe of the standing index) reconstructs EXACTLY the
   *      batch `dedup_near_minhash` pair set: nothing lost at a delivery
   *      boundary, nothing duplicated when a pair's bands match in several
-  *      batches' indexes.
-  *   2. STATE GROWTH — the standing index grows LINEARLY in documents seen,
-  *      pinned as exact counts (16 band rows + 1 shingle row per signed
-  *      document), never as accumulated pair state: a run that kept pair or
-  *      candidate state would blow these counts immediately.
+  *      batches' indexes. The op's OWN deliveries now include re-uploaded
+  *      documents (delivery 2 re-sends every 17th earlier doc), so equality
+  *      here also proves re-uploads are no-ops.
+  *   2. STATE GROWTH + PRIMARY KEY — the standing index grows LINEARLY in
+  *      DISTINCT documents seen, pinned as exact counts (16 band rows + 1
+  *      shingle row per signed document) AND as a per-doc_id primary-key
+  *      assertion: a fold that appended re-uploads would blow both.
+  *   3. PROBE PLAN — the cross-batch probe broadcasts the bounded
+  *      micro-batch onto the standing-index scan: no exchange on the index
+  *      side, the shape a 100 TB standing index demands.
   */
-class StreamDedupMinhashSpec extends AnyFunSuite {
+class StreamDedupMinhashSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
   private lazy val spark = TestSpark.spark
   private val d = TestSpark.sf0001
 
-  test("streamed fold equals the batch near-dup pair set on closed input") {
+  test("streamed fold equals the batch near-dup pair set on closed input, " +
+    "re-uploaded documents included") {
     val streamed = StreamingOps.streamDedupMinhash.fn(spark, d)
       .collect().map(_.toSeq).toSeq
     val batch = LlmOps.dedupNearMinhash.fn(spark, d)
@@ -30,19 +39,51 @@ class StreamDedupMinhashSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
-  test("standing index state is linear in documents: 16 band rows + 1 " +
-    "shingle row per signed doc, no pair state") {
+  test("standing index state is linear in DISTINCT documents: 16 band rows + " +
+    "1 shingle row per signed doc (primary key holds under re-upload)") {
     StreamingOps.streamDedupMinhash.fn(spark, d).collect() // (re)build the index
     val idx = StreamingOps.lastMinhashIdxRoot
     assert(idx != null)
-    // signed docs = those with >= 3 words (the shingling floor)
+    def readGens(sub: String) =
+      spark.read.option("recursiveFileLookup", "true").parquet(s"$idx/$sub")
+    // signed docs = those with >= 3 words (the shingling floor); delivery 2's
+    // re-uploads must NOT inflate these counts
     val signedDocs = graft.tables.Tables.documents(spark, d)
       .where(size(split(col("text"), " ")) >= 3).count()
-    val bandRows = spark.read.parquet(s"$idx/bands").count()
-    val shingleRows = spark.read.parquet(s"$idx/shingles").count()
-    assert(bandRows == signedDocs * 16,
-      s"band index must hold exactly 16 rows per signed doc: $bandRows vs ${signedDocs * 16}")
-    assert(shingleRows == signedDocs,
-      s"shingle table must hold exactly one row per signed doc: $shingleRows vs $signedDocs")
+    val bands = readGens("bands")
+    val shingles = readGens("shingles")
+    assert(bands.count() == signedDocs * 16,
+      s"band index must hold exactly 16 rows per signed doc: ${bands.count()} vs ${signedDocs * 16}")
+    assert(shingles.count() == signedDocs,
+      s"shingle table must hold exactly one row per signed doc: ${shingles.count()} vs $signedDocs")
+    // primary key, stated directly: no doc_id may appear twice in the shingle
+    // table or more/less than 16 times in the band table
+    assert(shingles.groupBy("doc_id").count().where(col("count") =!= 1).isEmpty)
+    assert(bands.groupBy("doc_id").count().where(col("count") =!= 16).isEmpty)
+  }
+
+  test("cross-batch probe broadcasts the micro-batch: no exchange on the " +
+    "standing-index side") {
+    val docs = graft.tables.Tables.documents(spark, d).select("doc_id", "text")
+    val base = LlmOps.minhashBatchBase(docs)
+    val idxDir = ops.Housekeeping.scratchDir("probe_plan_idx")
+    try {
+      LlmOps.minhashBands(base.where(col("doc_id") % 2 === 0))
+        .write.mode("overwrite").parquet(idxDir.toString)
+      val idxBands = spark.read.parquet(idxDir.toString)
+      val delta = LlmOps.minhashBands(base.where(col("doc_id") % 2 === 1))
+      val probe = StreamingOps.minhashCrossProbe(delta, idxBands)
+      probe.collect()
+      val plan = probe.queryExecution.executedPlan
+      val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+      assert(bhj.nonEmpty, s"probe must be a broadcast hash join:\n$plan")
+      // the streamed (index) side of the join must carry no shuffle at all
+      val streamedSide = bhj.head.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => bhj.head.right
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => bhj.head.left
+      }
+      assert(collectWithSubqueries(streamedSide) { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"standing index must stream through the probe without an exchange:\n$streamedSide")
+    } finally ops.Housekeeping.deleteRecursively(idxDir)
   }
 }
