@@ -34,6 +34,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
     ext.injectOptimizerRule(s => new graft.plans.RollupMvRule(s))
     ext.injectOptimizerRule(_ => graft.plans.BandRewriteRule)
+    // SQL spelling for the two native joins (TVFs building the same logical
+    // nodes the DataFrame API does — graft.plans.SqlTableFunctions)
+    ext.injectTableFunction((graft.plans.SqlTableFunctions.asofName,
+      new ExpressionInfo(classOf[graft.plans.AsofJoin].getName, "graft_asof_join"),
+      graft.plans.SqlTableFunctions.asofBuilder))
+    ext.injectTableFunction((graft.plans.SqlTableFunctions.bandName,
+      new ExpressionInfo(classOf[graft.plans.RangeJoin].getName, "graft_band_join"),
+      graft.plans.SqlTableFunctions.bandBuilder))
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))

@@ -231,6 +231,59 @@ object JoinOps {
       "AND e2.ts <= e1.ts + INTERVAL 10 MINUTE WHERE e1.event_type = 'purchase' " +
       "ORDER BY purchase_id, follow_id NULLS FIRST"))
 
+  /** Native as-of join reached from PURE SQL TEXT (round 14; the round-13
+    * verdict's #4): the `graft_asof_join` table-valued function
+    * ([[graft.plans.SqlTableFunctions]]) — two temp views and one SQL
+    * string, no DataFrame API — builds the same [[graft.plans.AsofJoin]]
+    * node as `join_asof_native` and hash-matches the SAME windowed oracle:
+    * a third independent formulation of the as-of truth. The as-of pattern
+    * has no declarative theta rewrite (latest-prior-row is a window, not a
+    * join predicate), so without the TVF a SQL-only user could never reach
+    * [[graft.plans.AsofJoinExec]]; SqlNativeJoinSpec asserts the native
+    * exec fires from the SQL text. */
+  val sqlAsofNative: Op = Op(
+    "sql_asof_native",
+    (s, d) => {
+      graft.plans.SqlTableFunctions.ensureRegistered(s)
+      val e = Tables.events(s, d)
+      e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"))
+        .createOrReplaceTempView("graft_sql_asof_l")
+      e.where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("prev_view_ts"),
+          col("event_id").as("prev_view_id"))
+        .createOrReplaceTempView("graft_sql_asof_r")
+      s.sql("SELECT purchase_id, user_id, purchase_ts, prev_view_ts, prev_view_id " +
+        "FROM graft_asof_join('graft_sql_asof_l', 'graft_sql_asof_r', " +
+        "'user_id', 'v_user', 'purchase_ts', 'prev_view_ts', 'prev_view_id') " +
+        "ORDER BY purchase_id")
+    },
+    Some(JoinOps.asofOracleSql))
+
+  /** Native band join from PURE SQL TEXT — `graft_band_join` TVF sibling of
+    * [[sqlAsofNative]]: same query and oracle as `join_range_native`,
+    * reached without the DataFrame API and without relying on
+    * [[graft.plans.BandRewriteRule]] recognizing a theta spelling. */
+  val sqlBandNative: Op = Op(
+    "sql_band_native",
+    (s, d) => {
+      graft.plans.SqlTableFunctions.ensureRegistered(s)
+      val e = Tables.events(s, d)
+      e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("u1"),
+          col("ts").as("t1"))
+        .createOrReplaceTempView("graft_sql_band_l")
+      e.select(col("event_id").as("follow_id"), col("user_id").as("u2"),
+          col("ts").as("t2"), col("event_type").as("follow_type"))
+        .createOrReplaceTempView("graft_sql_band_r")
+      s.sql("SELECT purchase_id, follow_id, follow_type " +
+        "FROM graft_band_join('graft_sql_band_l', 'graft_sql_band_r', " +
+        "'u1', 'u2', 't1', 't2', 0, 600000000) " + // (t1, t1 + 10 min]
+        "ORDER BY purchase_id, follow_id")
+    },
+    Some(rangeOracleSql))
+
   /** As-of join, windowed formulation: one shuffle on user_id, one sort —
     * the scalable shape (SURVEY §2 C / §7.4). For each purchase, the most
     * recent strictly-prior view — its ts AND its row identity (event_id),
@@ -753,7 +806,7 @@ object JoinOps {
     joinAsofNative, joinAsofNativeOuter, joinIntervalBin, dimScd2Asof, dimScd2AsofNative,
     joinBloomPrefilter,
     joinAsofTolerance, joinAsofToleranceNative, joinFirstTouch, joinEntityResolution,
-    joinAsofNearest, joinNullSafe)
+    joinAsofNearest, joinNullSafe, sqlAsofNative, sqlBandNative)
 
   /** Shared by `join_asof` (windowed rewrite) and `join_asof_native` (native
     * Catalyst operator): the naive ranked-join statement of as-of semantics —
