@@ -47,7 +47,7 @@ class KnnGraphRecallSpec extends AnyFunSuite {
     def candidatesAt(bits: Int): Long =
       graft.ops.Housekeeping.withSessionConfDefaulted(spark,
         Seq(LlmOps.KnnLshBitsConf -> bits.toString),
-        Map(LlmOps.KnnLshBitsConf -> "6")) {
+        Map(LlmOps.KnnLshBitsConf -> "")) {
         LlmOps.knnGraphCandidates(spark, d).count()
       }
     val at6 = candidatesAt(6)
@@ -56,5 +56,47 @@ class KnnGraphRecallSpec extends AnyFunSuite {
     info(s"candidates at 6/8/10 bits: $at6 / $at8 / $at10")
     assert(at6 > at8 && at8 > at10,
       s"candidate work must shrink as the code widens: $at6 / $at8 / $at10")
+  }
+
+  test("auto-sizing: width tracks the corpus (⌈log₂ n⌉ − 3, occupancy ≈ 8) " +
+    "and the probe radius widens at scale") {
+    assert(LlmOps.knnLshBitsFor(500) == 6)      // the testdata default, unchanged
+    assert(LlmOps.knnLshBitsFor(8192) == 10)
+    assert(LlmOps.knnLshBitsFor(1L << 30) == 24) // clamped ceiling
+    assert(LlmOps.knnLshBitsFor(10) == 4)        // clamped floor
+    assert(LlmOps.knnLshProbeFor(500) == 1 && LlmOps.knnLshProbeFor(8192) == 2)
+    assert(LlmOps.knnLshTablesFor(500) == 4 && LlmOps.knnLshTablesFor(8192) == 8)
+  }
+
+  test("auto width + Hamming-2 probing holds a 0.80 recall floor on the " +
+    "8192-vector uniform-random fixture (worst case), work bounded") {
+    val n = 8192
+    val dim = 64
+    val dir = java.nio.file.Files.createTempDirectory("knn_auto")
+    try {
+      // the AnnCrossoverSpec corpus scheme: deterministic SplitMix64 vectors
+      val rows = (0 until n).map { i =>
+        (i.toLong, Array.tabulate(dim)(j =>
+          graft.functions.MinHashSig.splitmix64((n.toLong * dim) + i.toLong * dim + j)
+            .toFloat / Long.MaxValue.toFloat))
+      }
+      import spark.implicits._
+      rows.toDF("vec_id", "embedding").repartition(8)
+        .write.mode("overwrite").parquet(dir.resolve("embeddings.parquet").toString)
+      val d = dir.toString
+      val exact = LlmOps.exactKnnGraph(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val cand = LlmOps.knnGraphCandidates(spark, d)
+      val candidates = cand.count()
+      val ann = LlmOps.mutualTop5(cand).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = ann.intersect(exact).size.toDouble / exact.size
+      val pairSpace = n.toLong * (n - 1) / 2
+      info(f"exact=${exact.size} ann=${ann.size} recall=$recall%.3f " +
+        f"candidates=$candidates/$pairSpace (${candidates.toDouble / pairSpace}%.3f of pair space)")
+      assert(recall >= 0.80, f"recall $recall%.3f below the raised floor 0.80")
+      assert(candidates <= pairSpace * 6 / 10,
+        s"candidate stage scanned $candidates of $pairSpace pairs")
+    } finally graft.ops.Housekeeping.deleteRecursively(dir)
   }
 }
