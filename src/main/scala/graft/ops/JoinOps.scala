@@ -647,6 +647,34 @@ object JoinOps {
     },
     Some(JoinOps.asofToleranceOracleSql))
 
+  /** As-of join, TIME-SLICED formulation (round 14; the skew item's as-of
+    * half): the same tolerance-bounded query and oracle as
+    * `join_asof_tolerance_native`, through [[graft.plans.Asof.joinSliced]] —
+    * the slice equi-key spreads a hot user's history across (key, slice)
+    * tasks exactly like `join_range_sliced` does for the band join. The
+    * UNBOUNDED as-of cannot slice (the latest prior row may be arbitrarily
+    * old); the tolerance form is the production answer to skew AND to
+    * staleness, and is value-identical here (NativeSkewSpec). */
+  val joinAsofSliced: Op = Op(
+    "join_asof_sliced",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"))
+      val v = e.where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("prev_view_ts"),
+          col("event_id").as("prev_view_id"))
+      graft.plans.Asof.joinSliced(p, v, Seq("user_id" -> "v_user"),
+          "purchase_ts", "prev_view_ts",
+          toleranceMicros = 3600L * 1000000L, sliceMicros = 3600L * 1000000L,
+          strict = true, tiebreakCols = Seq("prev_view_id"))
+        .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+          col("prev_view_ts"), col("prev_view_id"))
+        .orderBy("purchase_id")
+    },
+    Some(JoinOps.asofToleranceOracleSql))
+
   /** FIRST-touch attribution — the mirror of `join_asof_tolerance`'s
     * last-touch: each purchase attributes to the EARLIEST view in the
     * preceding 7 days (the marketing-attribution rule that credits the
@@ -834,7 +862,8 @@ object JoinOps {
     joinAsofNative, joinAsofNativeOuter, joinIntervalBin, dimScd2Asof, dimScd2AsofNative,
     joinBloomPrefilter,
     joinAsofTolerance, joinAsofToleranceNative, joinFirstTouch, joinEntityResolution,
-    joinAsofNearest, joinNullSafe, sqlAsofNative, sqlBandNative, joinRangeSliced)
+    joinAsofNearest, joinNullSafe, sqlAsofNative, sqlBandNative, joinRangeSliced,
+    joinAsofSliced)
 
   /** Shared by `join_asof` (windowed rewrite) and `join_asof_native` (native
     * Catalyst operator): the naive ranked-join statement of as-of semantics —

@@ -393,4 +393,47 @@ object Asof {
     PlanBridge.ofRows(spark,
       AsofJoin(lp, rp, lks, rks, lt, rt, strict, tb, broadcastRight, toleranceMicros))
   }
+
+  /** TIME-SLICED as-of join — the hot-key mitigation ([[graft.plans.Band.joinSliced]]'s
+    * idiom applied to the as-of shape; round-13 verdict #2). Requires a
+    * TOLERANCE: an unbounded as-of needs the latest prior row arbitrarily
+    * far back, which no time partition can localize — but production
+    * pipelines bound staleness anyway (a quote older than the tolerance is
+    * not a usable match), and the bounded form slices exactly like the band
+    * join. `floor(time / sliceMicros)` joins the equi-keys: each left row
+    * keeps its one slice; each right row is replicated into the slices
+    * whose left rows could match it (`floorDiv(rt) .. floorDiv(rt + tol)`,
+    * ≤ 2 copies at slice ≥ tolerance). Every tolerance-eligible right row
+    * for a given left row is present in that left row's slice, so the
+    * per-slice as-of picks the SAME latest-prior match as the global one,
+    * and the left side's once-emission (matched or null) is preserved —
+    * value-identical, NativeSkewSpec pins it on the planted-skew fixture.
+    * A hot key's task input drops from its whole history to its densest
+    * slice. */
+  def joinSliced(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
+                 leftTimeCol: String, rightTimeCol: String,
+                 toleranceMicros: Long, sliceMicros: Long,
+                 strict: Boolean = true, tiebreakCols: Seq[String] = Nil): DataFrame = {
+    require(toleranceMicros >= 0, s"as-of join: tolerance must be non-negative")
+    require(sliceMicros > 0, s"as-of join: sliceMicros must be positive, got $sliceMicros")
+    import org.apache.spark.sql.Column
+    // selective import: functions.{left, right} would shadow the parameters
+    import org.apache.spark.sql.functions.{col, explode, lit, pmod, sequence, unix_micros}
+    def micros(df: DataFrame, name: String): Column = df.schema(name).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(name))
+      case org.apache.spark.sql.types.LongType => col(name)
+      case other => throw new IllegalArgumentException(
+        s"as-of join: sliced time columns must be timestamp/long micros, got $other")
+    }
+    def floorDiv(c: Column): Column =
+      ((c - pmod(c, lit(sliceMicros))) / lit(sliceMicros)).cast("long")
+    val l2 = left.withColumn("__graft_slice_l", floorDiv(micros(left, leftTimeCol)))
+    val rtc = micros(right, rightTimeCol)
+    val r2 = right.withColumn("__graft_slice_r",
+      explode(sequence(floorDiv(rtc), floorDiv(rtc + toleranceMicros))))
+    join(l2, r2, keys :+ ("__graft_slice_l" -> "__graft_slice_r"),
+        leftTimeCol, rightTimeCol, strict, tiebreakCols,
+        broadcastRight = Some(false), toleranceMicros = Some(toleranceMicros))
+      .drop("__graft_slice_l", "__graft_slice_r")
+  }
 }

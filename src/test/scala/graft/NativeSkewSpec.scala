@@ -88,6 +88,24 @@ class NativeSkewSpec extends AnyFunSuite {
       s"slicing must spread the hot key: $maxByKeySlice vs $hotTotal")
   }
 
+  test("sliced as-of (tolerance-bounded) ≡ unsliced native as-of on the " +
+    "planted-skew fixture, boundaries included, at slice = tol, 2×tol, tol/3") {
+    import graft.plans.Asof
+    val tol = S
+    // sparse right so the null-if-none lane is populated
+    val sparseRight = rightDf.where(pmod(col("r_id"), lit(13)) === 0)
+    val unsliced = rows(Asof.join(leftDf, sparseRight, Seq("lk" -> "rk"),
+      "lt", "rt", strict = true, tiebreakCols = Seq("r_id"),
+      broadcastRight = Some(false), toleranceMicros = Some(tol)))
+    assert(unsliced.nonEmpty && unsliced.count(_.last == null) > 0)
+    for (slice <- Seq(tol, 2 * tol, tol / 3)) {
+      val sliced = rows(Asof.joinSliced(leftDf, sparseRight, Seq("lk" -> "rk"),
+        "lt", "rt", toleranceMicros = tol, sliceMicros = slice,
+        strict = true, tiebreakCols = Seq("r_id")))
+      assert(sliced == unsliced, s"as-of mismatch at slice=$slice")
+    }
+  }
+
   test("right-side replication is bounded: ≤ 2 copies per row at " +
     "slice = band width") {
     val rt = col("rt")
