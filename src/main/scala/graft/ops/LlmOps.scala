@@ -746,18 +746,22 @@ object LlmOps {
       "ORDER BY vec_id_a, vec_id_b"))
 
   /** The 100 TB scale path for similarity search: multi-table
-    * random-hyperplane LSH. 4 independent tables × 6 sign-bits bucket the
-    * corpus (hyperplanes derived from SplitMix64 — fixed seeds); each query
-    * probes its bucket plus all 1-bit flips in every table; only candidates
-    * pay exact cosine, then a per-query top-5 window. The corpus never pays
-    * the n² pair space — the join is an equi-join on (table, bucket).
+    * random-hyperplane LSH. Independent sign-bit tables bucket the corpus
+    * (hyperplanes derived from SplitMix64 — fixed seeds); each query probes
+    * its bucket plus every in-radius bit flip in every table; only
+    * candidates pay exact cosine, then a per-query top-5 window. The corpus
+    * never pays the n² pair space — the join is an equi-join on
+    * (table, bucket). Sizing is the shared auto policy ([[lshParams]],
+    * round 14): width ⌈log₂ n⌉ − 3 (occupancy ≈ 8), radius/table count
+    * widen at scale, and the QUERY side doubles the tables because its work
+    * is ∝ queries, not pairs — 0.98 recall@5 at 0.07% of the pair space on
+    * the 16384 uniform worst-case fixture (AnnCrossoverSpec pins ≥ 0.90).
     *
-    * Tuning note: uniform random embeddings are LSH's worst case (no cluster
-    * structure — the 5th neighbor is barely above random), so these
-    * parameters scan ~40% of this corpus for ~2/3 recall; on real clustered
-    * embeddings the same plan prunes far harder. Approximate ⇒ no SQL
-    * oracle; AnnSpec measures recall against the brute-force baseline and
-    * asserts determinism.
+    * Tuning note: uniform random embeddings are LSH's worst case (no
+    * cluster structure — the 5th neighbor is barely above random); on real
+    * clustered embeddings the same plan prunes far harder. Approximate ⇒ no
+    * SQL oracle; AnnSpec measures recall against the brute-force baseline
+    * and asserts determinism.
     *
     * `lshCandidates` is the bucket-join output — one row per (table, probe)
     * match, i.e. exactly the rows that pay an exact cosine — exposed so
@@ -767,8 +771,14 @@ object LlmOps {
     * corpus. */
   def lshCandidates(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
       graft.functions.GraftFunctions.register(s)
-      val nTables = 4
-      val nBits = 6
+      // SHARED LSH sizing policy with the kNN-graph generator (round 14):
+      // width tracks the corpus (occupancy ≈ 8), probe radius and table
+      // count widen at scale — the same graft.knn.lsh.{bits,probe,tables}
+      // confs override. Query-side probing doubles the tables (recall is
+      // cheap when work is ∝ queries); at the 500-vector testdata this
+      // resolves to 8 tables × 6 bits × radius 1.
+      val (nTables, nBits, radius) =
+        lshParams(s, Tables.embeddings(s, d).count(), querySide = true)
       // All table buckets in one fused codegen call
       // ([[graft.functions.HyperplaneBuckets]]) — the literal-plane
       // when-chain spelling this replaced generated 1 536 literals whose
@@ -778,10 +788,10 @@ object LlmOps {
       val corpus = withVec(Tables.embeddings(s, d), "neighbor_id", "vc", "nc")
         .select(col("neighbor_id"), col("vc"), col("nc"),
           posexplode(buckets("vc")).as(Seq("t", "bucket")))
-      // per table: the exact bucket plus every 1-bit flip (multi-probe) —
+      // per table: the exact bucket plus every in-radius flip (multi-probe) —
       // one Generate over the flattened (table, probe-bucket) struct array,
       // so the (tiny, broadcast) query side costs a single stage to compile.
-      val probeMasks = array((lit(0) +: (0 until nBits).map(p => lit(1 << p))): _*)
+      val probeMasks = probeMaskArray(nBits, radius)
       val queries = withVec(Tables.embeddings(s, d), "query_id", "vq", "nq")
         .where(col("query_id") < 10)
         .withColumn("bs", buckets("vq"))
@@ -1665,11 +1675,23 @@ object LlmOps {
   private[graft] def knnLshTablesFor(n: Long): Int = if (n >= 8192) 8 else 4
   val KnnLshTablesConf = "graft.knn.lsh.tables"
 
-  def knnGraphCandidates(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val corpusRows = Tables.embeddings(s, d).count() // one cheap count() pass
+  /** The ONE LSH sizing policy — shared by [[lshCandidates]] (sim-search)
+    * and [[knnGraphCandidates]] (graph), so the "width must track the
+    * corpus" rule can't silently hold for one generator and not the other.
+    * Returns (tables, bits, probeRadius); each manual conf overrides its
+    * auto value.
+    *
+    * `querySide = true` doubles the auto table count: a query-side probe's
+    * work is ∝ queries × probes × occupancy — independent of the corpus
+    * pair space — so recall there is cheap to buy with tables (measured at
+    * the 16384 fixture: 8 self-join tables cost 37% of the pair space,
+    * while 16 query-side tables cost 0.07% of it). The self-join generator
+    * cannot afford the same doubling without breaching its work bound. */
+  private def lshParams(s: org.apache.spark.sql.SparkSession, corpusRows: Long,
+                        querySide: Boolean = false): (Int, Int, Int) = {
     val confTables = s.conf.get(KnnLshTablesConf, "")
-    val nTables = if (confTables.nonEmpty) confTables.toInt else knnLshTablesFor(corpusRows)
+    val autoTables = knnLshTablesFor(corpusRows) * (if (querySide) 2 else 1)
+    val nTables = if (confTables.nonEmpty) confTables.toInt else autoTables
     require(nTables >= 1 && nTables <= 32, s"$KnnLshTablesConf out of range: $nTables")
     val confBits = s.conf.get(KnnLshBitsConf, "")
     val nBits = if (confBits.nonEmpty) confBits.toInt else knnLshBitsFor(corpusRows)
@@ -1677,16 +1699,29 @@ object LlmOps {
     val confProbe = s.conf.get(KnnLshProbeConf, "")
     val radius = if (confProbe.nonEmpty) confProbe.toInt else knnLshProbeFor(corpusRows)
     require(radius >= 0 && radius <= 2, s"$KnnLshProbeConf out of range: $radius")
+    (nTables, nBits, radius)
+  }
+
+  /** Probe-mask literal array for a Hamming radius: the identity mask, every
+    * 1-bit flip (radius ≥ 1), every 2-bit flip (radius ≥ 2). */
+  private def probeMaskArray(nBits: Int, radius: Int): Column = {
+    val hamming1 = if (radius >= 1) (0 until nBits).map(1 << _) else Seq.empty
+    val hamming2 = if (radius >= 2)
+      for { i <- 0 until nBits; j <- (i + 1) until nBits } yield (1 << i) | (1 << j)
+    else Seq.empty
+    array((0 +: (hamming1 ++ hamming2)).map(lit(_)): _*)
+  }
+
+  def knnGraphCandidates(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // one cheap count() pass feeds the sizing policy
+    val (nTables, nBits, radius) = lshParams(s, Tables.embeddings(s, d).count())
     def buckets(vec: String): Column =
       graft.functions.GraftFunctions.hyperplaneBuckets(col(vec), nTables, nBits)
     val exact = withVec(Tables.embeddings(s, d), "dst", "vb", "nb")
       .select(col("dst"), col("vb"), col("nb"),
         posexplode(buckets("vb")).as(Seq("t", "bucket")))
-    val hamming1 = if (radius >= 1) (0 until nBits).map(1 << _) else Seq.empty
-    val hamming2 = if (radius >= 2)
-      for { i <- 0 until nBits; j <- (i + 1) until nBits } yield (1 << i) | (1 << j)
-    else Seq.empty
-    val probeMasks = array((0 +: (hamming1 ++ hamming2)).map(lit(_)): _*)
+    val probeMasks = probeMaskArray(nBits, radius)
     val probed = withVec(Tables.embeddings(s, d), "src", "va", "na")
       .withColumn("bs", buckets("va"))
       .select(col("src"), col("va"), col("na"),

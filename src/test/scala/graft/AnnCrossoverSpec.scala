@@ -61,9 +61,10 @@ class AnnCrossoverSpec extends AnyFunSuite {
       // change (bands, probes, K, NProbe) that silently degrades recall
       // fails THIS test instead of a user. The fixture is deterministic, so
       // these are regression bars, not statistical hopes: measured on this
-      // corpus lsh = 0.82 avg, ivf = probe = 0.48 avg (uniform-random
-      // embeddings are the documented WORST case for a coarse quantizer —
-      // no cluster structure; real embedding corpora sit far higher).
+      // corpus lsh = 0.98 avg (round-14 auto-sized query-side probe),
+      // ivf = probe = 0.48 avg (uniform-random embeddings are the
+      // documented WORST case for a coarse quantizer — no cluster
+      // structure; real embedding corpora sit far higher).
       def top5(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
         df.collect().map(r => (r.getLong(0), r.getLong(2)))
           .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
@@ -77,7 +78,10 @@ class AnnCrossoverSpec extends AnyFunSuite {
       val ivfR = recall(top5(LlmOps.simSearchAnnIvf.fn(spark, dir.toString)))
       val probeR = recall(top5(LlmOps.simSearchAnnProbe.fn(spark, dir.toString)))
       info(f"recall@5 vs brute force: lsh=$lshR%.3f ivf=$ivfR%.3f probe=$probeR%.3f")
-      assert(lshR >= 0.80, f"lsh recall@5 $lshR%.3f fell below the 0.80 floor")
+      // raised from 0.80 in round 14: the auto-sized query-side probe (16
+      // tables × 11 bits × Hamming-2 at this n) measures 0.980 at 0.07% of
+      // the pair space — 0.90 leaves real margin without tolerating decay
+      assert(lshR >= 0.90, f"lsh recall@5 $lshR%.3f fell below the 0.90 floor")
       assert(ivfR >= 0.45, f"ivf recall@5 $ivfR%.3f fell below the 0.45 floor")
       assert(probeR == ivfR,
         f"probe recall $probeR%.3f != trainer recall $ivfR%.3f — the persisted index diverged")
