@@ -710,7 +710,53 @@ object DqOps {
       "SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders FROM b " +
       "GROUP BY 1 ORDER BY bucket"))
 
+  /** PRE-JOIN SKEW REPORT — the plan-time diagnostic that decides whether a
+    * big join needs mitigation BEFORE it runs: for an intended equi-join
+    * (view events ⋈ purchase events on user_id), count each side per key
+    * (two map-side-combinable aggregates — never the join itself), estimate
+    * per-key output multiplicity n_left·n_right, and report the top keys
+    * with their share of total output (ppm, integer-exact) plus a flag for
+    * keys exceeding 4× the average key's output. This is exactly the signal
+    * that routes a query to `join_skew_salted` / `join_range_sliced` /
+    * `join_asof_sliced` — or lets AQE's skew threshold be sized — without
+    * paying the skewed join first. Cost at 100 TB: two shuffles of
+    * per-key COUNTS (|keys| rows, not |rows|), one tiny key-to-key join,
+    * one broadcast 1-row total; the report never materializes the join.
+    * Share math is integer (×10⁶ then integer-div) and the total is cast
+    * to BIGINT on both engines (DuckDB SUM(BIGINT) is HUGEINT otherwise). */
+  val dqJoinSkewReport: Op = Op(
+    "dq_join_skew_report",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val l = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(count(lit(1)).as("n_left"))
+      val r = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(count(lit(1)).as("n_right"))
+      val j = l.join(r, "user_id")
+        .withColumn("est_rows", col("n_left") * col("n_right"))
+      val t = j.agg(sum(col("est_rows")).as("total"), count(lit(1)).as("nkeys"))
+      j.crossJoin(broadcast(t))
+        .select(col("user_id"), col("n_left"), col("n_right"), col("est_rows"),
+          expr("CAST((est_rows * 1000000) DIV total AS BIGINT)").as("share_ppm"),
+          when(col("est_rows") * col("nkeys") > col("total") * 4, 1)
+            .otherwise(0).cast("int").as("skew_flag"))
+        .orderBy(col("est_rows").desc, col("user_id"))
+        .limit(10)
+    },
+    Some("WITH l AS (SELECT user_id, COUNT(*) AS n_left FROM events " +
+      "WHERE event_type = 'view' GROUP BY 1), " +
+      "r AS (SELECT user_id, COUNT(*) AS n_right FROM events " +
+      "WHERE event_type = 'purchase' GROUP BY 1), " +
+      "j AS (SELECT l.user_id, n_left, n_right, n_left * n_right AS est_rows " +
+      "FROM l JOIN r ON l.user_id = r.user_id), " +
+      "t AS (SELECT CAST(SUM(est_rows) AS BIGINT) AS total, COUNT(*) AS nkeys FROM j) " +
+      "SELECT j.user_id, n_left, n_right, est_rows, " +
+      "est_rows * 1000000 // total AS share_ppm, " +
+      "CAST(CASE WHEN est_rows * nkeys > total * 4 THEN 1 ELSE 0 END AS INT) AS skew_flag " +
+      "FROM j, t ORDER BY est_rows DESC, user_id LIMIT 10"))
+
   val all: Seq[Op] = Seq(dqExpectations, dqQuarantineSplit, cdcSnapshotDiff,
     dqObserveMetrics, dqVolumeAnomaly, dqDriftKs, dqDriftChi2, dqDuplicateEvents,
-    dqBenfordFirstdigit, dqSchemaDrift, dqFreshnessLag, dqAggregateReconcile)
+    dqBenfordFirstdigit, dqSchemaDrift, dqFreshnessLag, dqAggregateReconcile,
+    dqJoinSkewReport)
 }

@@ -1331,6 +1331,63 @@ object LlmOps {
       ivfSwapProbe(s, d, ivfRetrainIndexPath(s, d), 2L), annIvfRetrainStagePath(d)),
     Some(annRerankOracle(Stage.token + "/ann_ivf_retrain_cand")))
 
+  def ivfDriftStagePath(sfDir: String): String = Stage.root(sfDir) + "/ivf_drift_cells"
+
+  /** IVF DRIFT REPORT — the monitoring op that closes the index lifecycle
+    * loop (build → probe → append → **drift-report** → retrain → swap): the
+    * append path keeps the quantizer FROZEN, so after enough appends the
+    * centroids no longer describe the data and recall decays silently. This
+    * report reads NOTHING but the index's own manifests: per cell, the v1
+    * (build-time) occupancy vs the current v2 occupancy, each cell's
+    * appended fraction, a hot-cell flag (cell over 2× the average — the
+    * probe-cost skew signal), and the global appended fraction — the number
+    * an operator thresholds to trigger [[simSearchAnnIvfRetrain]]'s
+    * retrain-and-swap. Cost at 100 TB: one pass over the index FILES (not
+    * the corpus) per version — two map-side-combinable per-cell counts, a
+    * key-to-key join on |cells| rows, one broadcast 1-row total; in a real
+    * deployment the per-file row counts already sit in the manifest and
+    * this becomes pure metadata work. Share math is integer (×10⁶,
+    * integer-div; totals cast BIGINT — DuckDB SUM(BIGINT) is HUGEINT
+    * otherwise). Per-cell counts are staged ([[Stage]] playbook) and the
+    * oracle recomputes the report from the same bytes; IvfDriftSpec pins
+    * the staged counts against the corpus's exact base/delta split. */
+  val simSearchIvfDriftReport: Op = Op(
+    "sim_search_ivf_drift_report",
+    (s, d) => {
+      val cellsDir = ivfAppendIndexPath(s, d).resolve("cells")
+      def perCell(version: Long, name: String): DataFrame =
+        s.read.parquet(TableManifest.filesAsOf(cellsDir, version).map(_.toString): _*)
+          .groupBy(col("cell").cast("int").as("cell"))
+          .agg(count(lit(1)).as(name))
+      // v2 ⊇ v1 by the append contract (v1 files retained by reference), so
+      // right-join on the v2 side; a cell trained but left empty at build
+      // time can still gain delta rows → n_base coalesces to 0
+      val staged = Housekeeping.cacheBounded("ivf_drift_cells",
+        perCell(1L, "n_base").join(perCell(2L, "n_total"), Seq("cell"), "right")
+          .na.fill(0L, Seq("n_base")))
+      staged.coalesce(1).write.mode("overwrite").parquet(ivfDriftStagePath(d))
+      val t = staged.agg(sum(col("n_total")).as("tot"), sum(col("n_base")).as("totb"),
+        count(lit(1)).as("ncells"))
+      staged.crossJoin(broadcast(t))
+        .select(col("cell"), col("n_base"), col("n_total"),
+          (col("n_total") - col("n_base")).as("n_added"),
+          expr("CAST(((n_total - n_base) * 1000000) DIV n_total AS BIGINT)")
+            .as("added_frac_ppm"),
+          when(col("n_total") * col("ncells") > col("tot") * 2, 1)
+            .otherwise(0).cast("int").as("hot_flag"),
+          expr("CAST(((tot - totb) * 1000000) DIV tot AS BIGINT)").as("index_added_ppm"))
+        .orderBy("cell")
+    },
+    Some("WITH c AS (SELECT cell, n_base, n_total FROM read_parquet('" +
+      Stage.token + "/ivf_drift_cells/*.parquet')), " +
+      "t AS (SELECT CAST(SUM(n_total) AS BIGINT) AS tot, " +
+      "CAST(SUM(n_base) AS BIGINT) AS totb, COUNT(*) AS ncells FROM c) " +
+      "SELECT cell, n_base, n_total, n_total - n_base AS n_added, " +
+      "(n_total - n_base) * 1000000 // n_total AS added_frac_ppm, " +
+      "CAST(CASE WHEN n_total * ncells > tot * 2 THEN 1 ELSE 0 END AS INT) AS hot_flag, " +
+      "(tot - totb) * 1000000 // tot AS index_added_ppm " +
+      "FROM c, t ORDER BY cell"))
+
   /** Product-quantization ANN (PQ + ADC re-rank) — the memory-compressed
     * third leg of the ANN family: each vector is split into [[PqM]]
     * subvectors and each subvector replaced by the id of its nearest
@@ -2217,7 +2274,7 @@ object LlmOps {
     dedupEmbeddingCosine,
     dedupContainment, dedupSubstringSpans, dedupSubstringTrim, dedupEditPrefix, splitClusterSafe,
     simSearchTopk, simSearchKnnPerQuery, simSearchAnnLsh, simSearchAnnIvf, simSearchAnnProbe,
-    simSearchAnnIvfAppend, streamAnnIvfAppend, simSearchAnnIvfRetrain,
+    simSearchAnnIvfAppend, streamAnnIvfAppend, simSearchAnnIvfRetrain, simSearchIvfDriftReport,
     simSearchAnnPq, simSearchHybridRrf, embedKnnGraph, simSearchFiltered,
     textLangStats, textQualityFilter, multimodalJoin)
 }

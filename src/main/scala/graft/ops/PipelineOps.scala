@@ -88,6 +88,44 @@ object PipelineOps {
       "(PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off " +
       "FROM documents) ORDER BY lang, doc_id"))
 
+  private val Shards = 8 // pipeline_shard_balance output shard count
+
+  /** TOKEN-BALANCED shard assignment — the writer-side decision when a
+    * tokenized corpus is laid out into N training shards: naive hash/round-
+    * robin balances DOC counts, but a skewed size distribution then leaves
+    * some shards with far more tokens (the straggler shard that gates every
+    * epoch). Classic fix: rank documents by token count (descending) and
+    * deal them out in a SNAKE — rank r goes to shard fold((r-1) mod 2N),
+    * where the fold reflects every second pass (0..N-1, N-1..0, …), so each
+    * consecutive 2N-block contributes one near-largest and one near-smallest
+    * doc to every shard; the per-shard token totals differ by at most one
+    * block's spread (ShardBalanceSpec pins the bound against the hash
+    * assignment's imbalance on the same corpus). Ranking is PER LANGUAGE
+    * STRATUM — the same shuffle shape as [[packSequences]] (one window per
+    * lang, never a single global-order partition): each stratum's snake is
+    * balanced, and a sum of balanced parts is balanced, so the global
+    * totals hold without any global sort. Integer ranks and integer token
+    * counts only — exact on both engines. */
+  val pipelineShardBalance: Op = Op(
+    "pipeline_shard_balance",
+    (s, d) => {
+      val w = Window.partitionBy("lang").orderBy(col("n_tokens").desc, col("doc_id"))
+      val g = (row_number().over(w) - 1) % (2 * Shards)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("shard",
+          when(g < Shards, g).otherwise(lit(2 * Shards - 1) - g).cast("long"))
+        .orderBy("doc_id")
+    },
+    Some("SELECT doc_id, lang, n_tokens, CAST(CASE WHEN g < " + Shards + " THEN g ELSE " +
+      (2 * Shards - 1) + " - g END AS BIGINT) AS shard " +
+      "FROM (SELECT doc_id, lang, n_tokens, " +
+      "(row_number() OVER (PARTITION BY lang ORDER BY n_tokens DESC, doc_id) - 1) % " +
+      (2 * Shards) + " AS g " +
+      "FROM (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens " +
+      "FROM documents)) ORDER BY doc_id"))
+
   /** Symmetric per-vector int8 quantization — the embedding-prep step before
     * a vector-index load or a memory-tight training run: scale each vector by
     * 127/max|x| and round to signed bytes. Scan-local and codegen-friendly
@@ -1028,5 +1066,5 @@ object PipelineOps {
     sampleMixtureQuota, sampleTemperature, embedRandomProjection, pipelineIncrementalUpdate, idsDenseAssign,
     featureOnehotEncode, featureScaleMinmax, embedCentroidOutliers, featureHashVectorize,
     pipelineDatasetCard, pipelinePitFeatures, splitKfoldAssign, sampleNegativesHash,
-    embedCentroidClassify)
+    embedCentroidClassify, pipelineShardBalance)
 }

@@ -1219,11 +1219,76 @@ object SourceSinkOps {
       "ORDER BY machine_id, ts, watts NULLS FIRST, " +
       "circuit_type NULLS FIRST, wh_today NULLS FIRST, credit NULLS FIRST"))
 
+  /** MANIFEST-LEVEL DATA SKIPPING (zone maps) — the scan-side payoff of
+    * stats-bearing commits, and the single biggest lever a 100 TB range
+    * query has: the table commits per-file [min, max] of its cluster key
+    * into the manifest sidecar ([[TableManifest.commitWithStats]]), and a
+    * range predicate then prunes the FILE LIST driver-side
+    * ([[TableManifest.filesForRange]]) before any scan task launches.
+    * Parquet footer stats (sink_clustered_layout / sink_zorder_layout)
+    * still require opening every footer — at 100 TB that is millions of
+    * object-store reads just to plan; manifest stats answer the same
+    * question from one catalog object. The build range-clusters lineitem
+    * by l_orderkey into 16 files (disjoint key slices → near-perfect
+    * pruning), gathers per-file min/max in ONE job (the group-by
+    * input_file_name idiom — per-file jobs would pay a scheduler constant
+    * each), and commits files+stats atomically. The query reads the middle
+    * sixth of the key domain: ~3 of 16 files survive pruning
+    * (StatsPruneSpec pins the pruned count, result equality with the
+    * unpruned scan, the conservative keep-if-no-stats rule, and the
+    * empty-intersection case). Oracle: the same range aggregate straight
+    * off the source table. */
+  val scanStatsPrune: Op = Op(
+    "scan_stats_prune",
+    (s, d) => {
+      val root = Housekeeping.tempDirBounded("graft_statsprune",
+        Files.createTempDirectory("graft_statsprune"))
+      val mx = writeStatsPruned(s, d, root)
+      val (lo, hi) = (mx / 3, mx / 2)
+      val files = TableManifest.filesForRange(root, lo, hi)
+      s.read.parquet(files.map(_.toString): _*)
+        .where(col("l_orderkey").between(lo, hi))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag")
+    },
+    Some("SELECT l_returnflag, COUNT(*) AS cnt, " + oSum("l_quantity") + " AS sum_qty, " +
+      oSum("l_extendedprice") + " AS sum_price FROM lineitem " +
+      "WHERE l_orderkey BETWEEN (SELECT max(l_orderkey) // 3 FROM lineitem) " +
+      "AND (SELECT max(l_orderkey) // 2 FROM lineitem) " +
+      "GROUP BY 1 ORDER BY 1"))
+
+  /** Build half of [[scanStatsPrune]] (shared with StatsPruneSpec): range-
+    * cluster lineitem by l_orderkey under `root/data`, gather per-file
+    * min/max in one job, commit files+stats as v1. Returns the key max
+    * (read off the gathered stats — no extra job). */
+  def writeStatsPruned(s: org.apache.spark.sql.SparkSession, d: String,
+      root: java.nio.file.Path): Long = {
+    val dataDir = root.resolve("data")
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+      .repartitionByRange(16, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(dataDir.toString)
+    val stats = s.read.parquet(dataDir.toString)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("l_orderkey")).cast("long").as("mn"),
+        max(col("l_orderkey")).cast("long").as("mx"))
+      .collect()
+      .map(r => (java.nio.file.Paths.get(new java.net.URI(r.getString(0)).getPath),
+        (r.getLong(1), r.getLong(2))))
+      .toMap
+    TableManifest.commitWithStats(root, 1, TableManifest.parquetFiles(dataDir),
+      "l_orderkey", stats)
+    stats.valuesIterator.map(_._2).max
+  }
+
   val all: Seq[Op] = Seq(csvLogIngest, sinkPartitionedParquet, sinkBucketedJoin,
     sinkClusteredLayout, mergeUpsertLatest, sinkCsvReport, sourceJsonlRoundtrip,
     sourceOrcRoundtrip, sourceSchemaEvolution, sinkCompactSmallFiles, sinkZorderLayout,
     sinkTargetedDelete, sinkDynamicPartitionOverwrite, cdcApplyChanges, sinkTimeTravelRead,
     sinkVacuumRetention, sourceProvenanceAudit, sourceCustomV2Solarlog, sinkCustomV2Roundtrip,
     sqlCatalogTimeTravel, csvQuotedMultiline, jsonlLogIngest, sinkPartitionEvolution,
-    xmlLogIngest)
+    xmlLogIngest, scanStatsPrune)
 }

@@ -127,6 +127,53 @@ object TableManifest {
     }
   }
 
+  /** Per-file column-stats sidecar (`_stats-v{N}.json`) — the zone-map half
+    * of the manifest that makes DATA SKIPPING possible: each live file
+    * carries the [min, max] of one named column, so a range predicate can
+    * prune the file LIST before any scan starts (Delta's per-file
+    * `stats.minValues/maxValues`, Iceberg's manifest-entry bounds). The
+    * sidecar is written BEFORE the manifest rename (same ordering rule as
+    * the immutable `_manifest-v{N}` snapshot), so stats are complete the
+    * instant the version becomes visible; readers of older versions keep
+    * their own version's sidecar. Stats are stored per version, immutable,
+    * keyed by absolute file path. */
+  def commitWithStats(root: Path, version: Long, files: Seq[Path], statsCol: String,
+      stats: Map[Path, (Long, Long)]): Unit = {
+    Files.createDirectories(root)
+    val entries = files.flatMap { f =>
+      stats.get(f).map { case (mn, mx) =>
+        s"""{"f":"${f.toAbsolutePath.toString}","mn":$mn,"mx":$mx}"""
+      }
+    }
+    Files.writeString(root.resolve(s"_stats-v$version.json"),
+      entries.mkString(s"""{"version":$version,"col":"$statsCol","files":[""", ",", "]}"))
+    commit(root, version, files)
+  }
+
+  /** Pruned file resolution for a range predicate `lo <= col <= hi` against
+    * the CURRENT version: live files whose recorded [min, max] intersects
+    * the queried range. A live file with no stats entry is KEPT — stats are
+    * an optimization, never a correctness gate (exactly the conservative
+    * rule real formats apply to files written before stats collection was
+    * enabled). Files with stats prune on `mn <= hi && lo <= mx`; manifest
+    * order is preserved. This is the planning step a 100 TB engine runs
+    * driver-side against the catalog — file-list work, zero data I/O. */
+  def filesForRange(root: Path, lo: Long, hi: Long): Seq[Path] = {
+    val (version, live) = read(root)
+    val statsPath = root.resolve(s"_stats-v$version.json")
+    if (!Files.exists(statsPath)) return live
+    val txt = Files.readString(statsPath)
+    val bounds = """\{"f":"(/[^"]+)","mn":(-?\d+),"mx":(-?\d+)\}""".r
+      .findAllMatchIn(txt)
+      .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
+    live.filter { f =>
+      bounds.get(f.toAbsolutePath.toString) match {
+        case Some((mn, mx)) => mn <= hi && lo <= mx
+        case None           => true
+      }
+    }
+  }
+
   /** Remove data files no longer referenced by the current manifest (the
     * explicit, reader-visible-state-preserving cleanup). Returns the number
     * of orphans removed. */
