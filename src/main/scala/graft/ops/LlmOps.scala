@@ -1678,6 +1678,107 @@ object LlmOps {
       "FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id WHERE a.vec_id < 10) " +
       "WHERE rank <= 5 ORDER BY query_id, rank"))
 
+  def mmrQcStagePath(sfDir: String): String = Stage.root(sfDir) + "/mmr_qc"
+  def mmrCcStagePath(sfDir: String): String = Stage.root(sfDir) + "/mmr_cc"
+
+  /** MMR (maximal-marginal-relevance) DIVERSIFIED RE-RANK — the retrieval
+    * op plain top-k cannot express: the top-k of a dense corpus region is
+    * k near-copies of the same content; MMR greedily picks
+    * argmax(λ·sim(q,d) − (1−λ)·max_{s∈picked} sim(d,s)), trading relevance
+    * against redundancy (λ = 0.7, k = 3 here). The greedy loop is UNROLLED
+    * into three declarative argmax stages over the per-query candidate
+    * table (10 candidates/query from the exact broadcast kNN — at 100 TB
+    * the candidate generator is any of the ANN families; MMR's cost is
+    * ∝ queries·candidates², never corpus-sized), each stage one window
+    * row_number + small equi-joins — no driver loop, no collect. Both the
+    * query→candidate and candidate↔candidate sims are staged ([[Stage]]
+    * playbook, both orientations for join simplicity) and the oracle
+    * replays the same unrolled greedy from the same bytes, re-verifying
+    * every staged sim against DuckDB's own cosine (the [[annRerankOracle]]
+    * discipline). Scores are single IEEE ops over identical staged doubles
+    * (0.7·s − 0.3·m, GREATEST) — identical on both engines; ties break on
+    * neighbor_id. */
+  val simSearchMmrRerank: Op = Op(
+    "sim_search_mmr_rerank",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val q = withVec(Tables.embeddings(s, d), "query_id", "vq", "nq").where(col("query_id") < 10)
+      val c = withVec(Tables.embeddings(s, d), "neighbor_id", "vc", "nc")
+      val wTop = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+      val cand = Housekeeping.cacheBounded("mmr_cand",
+        broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+          .withColumn("sim", cosine(col("vq"), col("vc"), col("nq"), col("nc")))
+          .withColumn("rank", row_number().over(wTop))
+          .where(col("rank") <= 10)
+          .select("query_id", "neighbor_id", "sim", "vc", "nc"))
+      val qc = cand.select("query_id", "neighbor_id", "sim")
+      qc.coalesce(1).write.mode("overwrite").parquet(mmrQcStagePath(d))
+      val cc = Housekeeping.cacheBounded("mmr_cc",
+        cand.as("x").join(cand.as("y"),
+            col("x.query_id") === col("y.query_id") &&
+              col("x.neighbor_id") =!= col("y.neighbor_id"))
+          .select(col("x.query_id").as("query_id"), col("x.neighbor_id").as("a"),
+            col("y.neighbor_id").as("b"),
+            cosine(col("x.vc"), col("y.vc"), col("x.nc"), col("y.nc")).as("sim")))
+      cc.coalesce(1).write.mode("overwrite").parquet(mmrCcStagePath(d))
+
+      def argmax(df: DataFrame, score: Column): DataFrame = {
+        val w = Window.partitionBy("query_id").orderBy(score.desc, col("neighbor_id").asc)
+        df.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("query_id"), col("neighbor_id"))
+      }
+      val p1 = argmax(qc, col("sim")).withColumnRenamed("neighbor_id", "p1")
+      val s2 = qc.join(p1, "query_id").where(col("neighbor_id") =!= col("p1"))
+        .join(cc.select(col("query_id"), col("a"), col("b"), col("sim").as("sim1")),
+          Seq("query_id"))
+        .where(col("a") === col("neighbor_id") && col("b") === col("p1"))
+        .withColumn("score", lit(0.7) * col("sim") - lit(0.3) * col("sim1"))
+      val p2 = argmax(s2, col("score")).withColumnRenamed("neighbor_id", "p2")
+      val s3 = qc.join(p1, "query_id").join(p2, "query_id")
+        .where(col("neighbor_id") =!= col("p1") && col("neighbor_id") =!= col("p2"))
+        .join(cc.select(col("query_id"), col("a"), col("b"), col("sim").as("sim1")),
+          Seq("query_id"))
+        .where(col("a") === col("neighbor_id") && col("b") === col("p1"))
+        .drop("a", "b")
+        .join(cc.select(col("query_id"), col("a"), col("b"), col("sim").as("sim2")),
+          Seq("query_id"))
+        .where(col("a") === col("neighbor_id") && col("b") === col("p2"))
+        .withColumn("score",
+          lit(0.7) * col("sim") - lit(0.3) * greatest(col("sim1"), col("sim2")))
+      val p3 = argmax(s3, col("score")).withColumnRenamed("neighbor_id", "p3")
+      p1.select(col("query_id"), lit(1).as("pick"), col("p1").as("neighbor_id"))
+        .unionByName(p2.select(col("query_id"), lit(2).as("pick"), col("p2").as("neighbor_id")))
+        .unionByName(p3.select(col("query_id"), lit(3).as("pick"), col("p3").as("neighbor_id")))
+        .orderBy("query_id", "pick")
+    },
+    Some("WITH qc AS (SELECT c.query_id, c.neighbor_id, c.sim FROM read_parquet('" +
+      Stage.token + "/mmr_qc/*.parquet') c " +
+      "JOIN embeddings a ON a.vec_id = c.query_id JOIN embeddings b ON b.vec_id = c.neighbor_id " +
+      "WHERE abs(list_cosine_similarity(a.embedding, b.embedding) - c.sim) <= 1e-5), " +
+      "cc AS (SELECT c.query_id, c.a, c.b, c.sim FROM read_parquet('" +
+      Stage.token + "/mmr_cc/*.parquet') c " +
+      "JOIN embeddings x ON x.vec_id = c.a JOIN embeddings y ON y.vec_id = c.b " +
+      "WHERE abs(list_cosine_similarity(x.embedding, y.embedding) - c.sim) <= 1e-5), " +
+      "p1 AS (SELECT query_id, neighbor_id AS p FROM (SELECT query_id, neighbor_id, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM qc) WHERE rn = 1), " +
+      "s2 AS (SELECT q.query_id, q.neighbor_id, 0.7 * q.sim - 0.3 * c1.sim AS score " +
+      "FROM qc q JOIN p1 ON p1.query_id = q.query_id AND q.neighbor_id <> p1.p " +
+      "JOIN cc c1 ON c1.query_id = q.query_id AND c1.a = q.neighbor_id AND c1.b = p1.p), " +
+      "p2 AS (SELECT query_id, neighbor_id AS p FROM (SELECT query_id, neighbor_id, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn FROM s2) WHERE rn = 1), " +
+      "s3 AS (SELECT q.query_id, q.neighbor_id, " +
+      "0.7 * q.sim - 0.3 * greatest(c1.sim, c2.sim) AS score " +
+      "FROM qc q JOIN p1 ON p1.query_id = q.query_id JOIN p2 ON p2.query_id = q.query_id " +
+      "AND q.neighbor_id <> p1.p AND q.neighbor_id <> p2.p " +
+      "JOIN cc c1 ON c1.query_id = q.query_id AND c1.a = q.neighbor_id AND c1.b = p1.p " +
+      "JOIN cc c2 ON c2.query_id = q.query_id AND c2.a = q.neighbor_id AND c2.b = p2.p), " +
+      "p3 AS (SELECT query_id, neighbor_id AS p FROM (SELECT query_id, neighbor_id, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn FROM s3) WHERE rn = 1) " +
+      "SELECT query_id, CAST(1 AS INT) AS pick, p AS neighbor_id FROM p1 " +
+      "UNION ALL SELECT query_id, CAST(2 AS INT), p FROM p2 " +
+      "UNION ALL SELECT query_id, CAST(3 AS INT), p FROM p3 " +
+      "ORDER BY query_id, pick"))
+
   /** Corpus-side LSH candidate pairs for the k-NN graph: the SAME fixed
     * random-hyperplane tables as [[lshCandidates]], self-joined — a pair is
     * a candidate when its two bucket codes are within Hamming distance 1 in
@@ -2275,6 +2376,6 @@ object LlmOps {
     dedupContainment, dedupSubstringSpans, dedupSubstringTrim, dedupEditPrefix, splitClusterSafe,
     simSearchTopk, simSearchKnnPerQuery, simSearchAnnLsh, simSearchAnnIvf, simSearchAnnProbe,
     simSearchAnnIvfAppend, streamAnnIvfAppend, simSearchAnnIvfRetrain, simSearchIvfDriftReport,
-    simSearchAnnPq, simSearchHybridRrf, embedKnnGraph, simSearchFiltered,
+    simSearchAnnPq, simSearchHybridRrf, embedKnnGraph, simSearchFiltered, simSearchMmrRerank,
     textLangStats, textQualityFilter, multimodalJoin)
 }

@@ -88,6 +88,51 @@ object PipelineOps {
       "(PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off " +
       "FROM documents) ORDER BY lang, doc_id"))
 
+  /** QUALITY-RANKED SELECTION UNDER A TOKEN BUDGET — the data-selection move
+    * behind every curated pretraining mix: each source stratum gets a token
+    * budget (a fifth of its own token mass here; in production the mixture
+    * weights), documents are ranked by a quality score within the stratum,
+    * and the best are taken until the budget fills. Quality here is the
+    * type-token ratio in integer ppt (distinct words ×1000 ÷ words — a
+    * cheap, deterministic repetition penalty; any integer score slots in).
+    * Selection is by START offset (running token sum BEFORE the doc <
+    * budget — [[packSequences]]' convention, so the last doc may overflow
+    * by at most itself, a target not a hard cap). Shapes at 100 TB: one
+    * shuffle on source for the window, per-stratum budgets from one tiny
+    * aggregate broadcast back — never a global sort; a dominant stratum
+    * salts by doc_id range exactly like pack_sequences. All-integer rank
+    * and cumsum arithmetic — exact on both engines. */
+  val pipelineBudgetSelect: Op = Op(
+    "pipeline_budget_select",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"))
+        .withColumn("ttr_ppt", expr("(n_distinct * 1000) DIV n_tokens"))
+      val budgets = docs.groupBy("source")
+        .agg(expr("CAST(sum(n_tokens) DIV 5 AS BIGINT)").as("budget"))
+      val w = Window.partitionBy("source").orderBy(col("ttr_ppt").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs
+        .withColumn("end_off", sum(col("n_tokens")).over(w))
+        .join(broadcast(budgets), "source")
+        .where(col("end_off") - col("n_tokens") < col("budget"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("ttr_ppt"))
+        .orderBy("doc_id")
+    },
+    Some("WITH d AS (SELECT doc_id, source, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+      "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct " +
+      "FROM documents), " +
+      "s AS (SELECT doc_id, source, n_tokens, (n_distinct * 1000) // n_tokens AS ttr_ppt FROM d), " +
+      "b AS (SELECT source, CAST(SUM(n_tokens) // 5 AS BIGINT) AS budget FROM d GROUP BY 1), " +
+      "c AS (SELECT doc_id, source, n_tokens, ttr_ppt, " +
+      "SUM(n_tokens) OVER (PARTITION BY source ORDER BY ttr_ppt DESC, doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off FROM s) " +
+      "SELECT c.doc_id, c.source, c.n_tokens, c.ttr_ppt FROM c JOIN b ON b.source = c.source " +
+      "WHERE c.end_off - c.n_tokens < b.budget ORDER BY c.doc_id"))
+
   private val Shards = 8 // pipeline_shard_balance output shard count
 
   /** TOKEN-BALANCED shard assignment — the writer-side decision when a
@@ -1066,5 +1111,5 @@ object PipelineOps {
     sampleMixtureQuota, sampleTemperature, embedRandomProjection, pipelineIncrementalUpdate, idsDenseAssign,
     featureOnehotEncode, featureScaleMinmax, embedCentroidOutliers, featureHashVectorize,
     pipelineDatasetCard, pipelinePitFeatures, splitKfoldAssign, sampleNegativesHash,
-    embedCentroidClassify, pipelineShardBalance)
+    embedCentroidClassify, pipelineShardBalance, pipelineBudgetSelect)
 }
