@@ -78,5 +78,63 @@ object SkewOps {
     Some("SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users, COUNT(*) AS cnt " +
       "FROM events GROUP BY 1 ORDER BY event_type"))
 
-  val all: Seq[Op] = Seq(joinSkewSalted, aggDistinctSalted)
+  private val HybridHotKeys = 2 // keys routed to the salted path
+
+  /** HYBRID hot/cold skew join — the production refinement of
+    * [[joinSkewSalted]]'s uniform salting: measuring first (the
+    * `dq_join_skew_report` signal) and salting ONLY the hot keys means the
+    * cold 99.9 % of keys pay zero replication and one plain shuffle, while
+    * each hot key's rows spread across [[JoinSalts]] reducers. This is a
+    * fact⋈fact self-join (view events ⋈ purchase events on user_id) where
+    * neither side broadcasts at warehouse scale, and AQE's skew split never
+    * sees the native/clustered cases — so the split is done declaratively:
+    *
+    *   hot  = top-[[HybridHotKeys]] left keys by count (deterministic
+    *          ties-to-lowest-id; production swaps in a threshold from the
+    *          skew report) — a TINY key list, broadcast to both lanes;
+    *   cold = anti-join both sides against hot → plain sort-merge join;
+    *   hot lane = left salted by a per-row column, right replicated into
+    *          all SALTS slots → sort-merge on (key, salt), per-reducer
+    *          input for the hot key bounded at 1/SALTS of its rows;
+    *   result = lane union, provably the exact unsalted relation (the
+    *          lanes partition the key domain — HybridSkewSpec).
+    *
+    * The oracle is the plain join aggregate. Per-key pair counts and exact
+    * decimal sums ride the union; SUM splits across lanes exactly because
+    * decimal partials are associative (Dets). */
+  val joinSkewHybrid: Op = Op(
+    "join_skew_hybrid",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val v = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("value").as("v_value"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("value").as("p_value"))
+      val hot = broadcast(
+        v.groupBy("user_id").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("user_id")).limit(HybridHotKeys)
+          .select("user_id"))
+      val cold = v.join(hot, Seq("user_id"), "left_anti")
+        .join(p.join(hot, Seq("user_id"), "left_anti").hint("merge"), Seq("user_id"))
+        .select("user_id", "v_value", "p_value")
+      val vHot = v.join(hot, Seq("user_id"), "left_semi")
+        .withColumn("salt", pmod(col("event_id"), lit(JoinSalts)).cast("int"))
+      val pHot = p.join(hot, Seq("user_id"), "left_semi")
+        .withColumn("salt", explode(sequence(lit(0), lit(JoinSalts - 1))))
+        .hint("merge")
+      val hotLane = vHot.join(pHot, Seq("user_id", "salt"))
+        .select("user_id", "v_value", "p_value")
+      cold.unionByName(hotLane)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          dsum(col("v_value")).as("sum_v"), dsum(col("p_value")).as("sum_p"))
+        .orderBy("user_id")
+    },
+    Some("WITH v AS (SELECT user_id, value AS v_value FROM events WHERE event_type = 'view'), " +
+      "p AS (SELECT user_id, value AS p_value FROM events WHERE event_type = 'purchase') " +
+      "SELECT v.user_id, COUNT(*) AS n_pairs, " + oSum("v_value") + " AS sum_v, " +
+      oSum("p_value") + " AS sum_p " +
+      "FROM v JOIN p ON p.user_id = v.user_id GROUP BY 1 ORDER BY v.user_id"))
+
+  val all: Seq[Op] = Seq(joinSkewSalted, aggDistinctSalted, joinSkewHybrid)
 }

@@ -991,17 +991,7 @@ object StreamingOps {
             val marker = java.nio.file.Paths.get(idxRoot, s"_b$batchId.done")
             // only generation dirs COMMITTED BEFORE this batch: a retry of a
             // batch that died mid-write never sees its own partial output
-            def priorGens(dir: String): Seq[String] = {
-              val p = java.nio.file.Paths.get(dir)
-              if (!Files.exists(p)) Seq.empty
-              else {
-                val ls = Files.list(p)
-                try ls.iterator().asScala.map(_.getFileName.toString)
-                  .filter(n => n.matches("b\\d+") && n.drop(1).toLong < batchId)
-                  .map(n => s"$dir/$n").toList.sorted
-                finally ls.close()
-              }
-            }
+            def priorGens(dir: String): Seq[String] = committedGensBefore(dir, batchId)
             if (!Files.exists(marker)) {
               val priorSh = priorGens(shinglesDir)
               // re-upload hardening: dedup within the batch, then drop every
@@ -1060,8 +1050,111 @@ object StreamingOps {
       "WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.8) " +
       "SELECT doc_a, doc_b, jaccard FROM j ORDER BY doc_a, doc_b"))
 
+  /** Generation dirs committed BEFORE a batch (`b<id>` under `dir`, id <
+    * batchId): the read side of the batchId-keyed idempotent-commit idiom —
+    * a retried batch never sees its own partial output, a replayed batch
+    * anti-joins against exactly what its first run saw. */
+  private[graft] def committedGensBefore(dir: String, batchId: Long): Seq[String] = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!Files.exists(p)) Seq.empty
+    else {
+      val ls = Files.list(p)
+      try ls.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.matches("b\\d+") && n.drop(1).toLong < batchId)
+        .map(n => s"$dir/$n").toList.sorted
+      finally ls.close()
+    }
+  }
+
+  /** STREAMING QUALITY GATE — `dq_quarantine_split`'s lane-routing applied
+    * to a document INGEST stream: each micro-batch's documents get the
+    * [[LlmOps.textQualityFilter]] verdict and are routed to a `clean/` or
+    * `quarantine/` generation dir (machine-readable reasons preserved on the
+    * quarantine lane), so downstream corpus builds only ever read the clean
+    * lane while nothing is deleted. Exactly-once discipline is the
+    * [[streamDedupMinhash]] idiom end to end: batchId-keyed OVERWRITE
+    * generations + a `_b<id>.done` marker (a replayed batch is a no-op), and
+    * re-uploaded documents (delivery 2 re-posts every 17th earlier doc — the
+    * duplicate gateway upload) are dropped by an anti-join against the ids
+    * already routed by COMMITTED generations, so each doc is routed exactly
+    * once no matter how often it arrives. The fold over deliveries must
+    * reproduce the batch op's per-doc verdicts bit-for-bit — the oracle IS
+    * `text_quality_filter`'s. Per-batch cost ∝ batch + one id-projection
+    * scan of the standing lanes (columnar, ids only); state is the routed
+    * output itself — no state store. */
+  /** Last run's lane root — test hook for StreamQualityGateSpec's lane and
+    * commit-marker assertions. */
+  private[graft] var lastQualityGateRoot: String = _
+
+  val streamQualityGate: Op = Op(
+    "stream_quality_gate",
+    (s, d) => {
+      val srcDir = Housekeeping.scratchDir("st_qgate_src")
+      val root = Housekeeping.tempDirBounded("st_qgate_root",
+        Housekeeping.scratchDir("st_qgate_root")).toString
+      lastQualityGateRoot = root
+      val ckpt = tmp("st_qgate_ckpt")
+      val docs = graft.tables.Tables.documents(s, d).select("doc_id", "text", "n_chars")
+      val cleanDir = s"$root/clean"
+      val quarDir = s"$root/quarantine"
+      withStatePartitions(s, 8) { cleanupAfter(Seq(srcDir.toString, ckpt)) {
+        (0 to 2).foreach { k =>
+          val own = docs.where(pmod(col("doc_id"), lit(3)) === k)
+          val reupload =
+            if (k == 2) docs.where(pmod(col("doc_id"), lit(3)) =!= 2 &&
+              pmod(col("doc_id"), lit(17)) === 0)
+            else own.limit(0)
+          stageDelivery(own.unionByName(reupload), srcDir, s"delivery$k.parquet")
+        }
+        val q = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val ss = batch.sparkSession
+            val marker = java.nio.file.Paths.get(root, s"_b$batchId.done")
+            if (!Files.exists(marker)) {
+              val routed = committedGensBefore(cleanDir, batchId) ++
+                committedGensBefore(quarDir, batchId)
+              val fresh0 = batch.dropDuplicates("doc_id")
+              val fresh = if (routed.isEmpty) fresh0
+                else fresh0.join(ss.read.parquet(routed: _*).select("doc_id"),
+                  Seq("doc_id"), "left_anti")
+              val badLen = col("n_chars") < 64 || col("n_chars") > 4096
+              val badTok = size(split(col("text"), " ")) < 10
+              val badChars = !col("text").rlike("^[a-z ]+$")
+              val verdict = fresh.select(col("doc_id"),
+                (!badLen && !badTok && !badChars).as("keep"),
+                concat_ws(",",
+                  when(badLen, "len"), when(badTok, "tok"), when(badChars, "chars"))
+                  .as("reasons"))
+              verdict.where(col("keep")).write.mode("overwrite").parquet(s"$cleanDir/b$batchId")
+              verdict.where(!col("keep")).write.mode("overwrite").parquet(s"$quarDir/b$batchId")
+              Files.createFile(marker) // the batch's commit point
+              ()
+            }
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.option("recursiveFileLookup", "true").parquet(cleanDir)
+          .unionByName(s.read.option("recursiveFileLookup", "true").parquet(quarDir))
+          .orderBy("doc_id")
+      } }
+    },
+    // the SAME oracle as text_quality_filter: the streamed, deduped,
+    // lane-routed fold must reconstruct the batch verdict table exactly
+    Some("SELECT doc_id, NOT (bad_len OR bad_tok OR bad_chars) AS keep, " +
+      "concat_ws(',', CASE WHEN bad_len THEN 'len' END, CASE WHEN bad_tok THEN 'tok' END, " +
+      "CASE WHEN bad_chars THEN 'chars' END) AS reasons FROM " +
+      "(SELECT doc_id, (n_chars < 64 OR n_chars > 4096) AS bad_len, " +
+      "len(string_split(text, ' ')) < 10 AS bad_tok, " +
+      "NOT regexp_matches(text, '^[a-z ]+$') AS bad_chars FROM documents) ORDER BY doc_id"))
+
   val all: Seq[Op] = Seq(streamTumblingWatermark, streamDedup, streamSessionStateful,
     streamLateData, streamStatefulCounter, streamStatefulCounterTws, streamJoinFollows,
     streamEnrichDim, streamRestartExactlyOnce, streamUpsertForeachbatch, streamBackfillHybrid,
-    streamCommitManifest, streamJoinLeftOuter, streamPrepaidCutoff, streamDedupMinhash)
+    streamCommitManifest, streamJoinLeftOuter, streamPrepaidCutoff, streamDedupMinhash,
+    streamQualityGate)
 }
