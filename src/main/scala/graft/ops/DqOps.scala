@@ -723,26 +723,55 @@ object DqOps {
     * per-key COUNTS (|keys| rows, not |rows|), one tiny key-to-key join,
     * one broadcast 1-row total; the report never materializes the join.
     * Share math is integer (×10⁶ then integer-div) and the total is cast
-    * to BIGINT on both engines (DuckDB SUM(BIGINT) is HUGEINT otherwise). */
+    * to BIGINT on both engines (DuckDB SUM(BIGINT) is HUGEINT otherwise).
+    *
+    * The report is a CONSUMED artifact, not just a diagnostic:
+    * [[stageJoinSkewReport]] persists it and `join_skew_hybrid` reads the
+    * staged rows to pick its hot lane (SkewOps) — the measure→route loop
+    * runs off this table. The top-10 LIMIT deliberately bounds mitigation
+    * to the report's keys: production sizes the report to the expected
+    * hot-key count, and anything below the cut is by definition not worth
+    * a dedicated lane. */
+  private[graft] def joinSkewReportDf(s: org.apache.spark.sql.SparkSession,
+                                      d: String): org.apache.spark.sql.DataFrame = {
+    val ev = Tables.events(s, d)
+    val l = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(count(lit(1)).as("n_left"))
+    val r = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id").agg(count(lit(1)).as("n_right"))
+    val j = l.join(r, "user_id")
+      .withColumn("est_rows", col("n_left") * col("n_right"))
+    val t = j.agg(sum(col("est_rows")).as("total"), count(lit(1)).as("nkeys"))
+    j.crossJoin(broadcast(t))
+      .select(col("user_id"), col("n_left"), col("n_right"), col("est_rows"),
+        expr("CAST((est_rows * 1000000) DIV total AS BIGINT)").as("share_ppm"),
+        // spelled est_rows > (total*4) DIV nkeys — identical truth table to
+        // est_rows * nkeys > total * 4 for positive integers, but the only
+        // multiplication left is total*4: Spark non-ANSI Long multiply wraps
+        // silently where DuckDB raises, so the per-key product must never
+        // approach Long range at 100 TB key cardinalities
+        when(col("est_rows") > expr("(total * 4) DIV nkeys"), 1)
+          .otherwise(0).cast("int").as("skew_flag"))
+      .orderBy(col("est_rows").desc, col("user_id"))
+      .limit(10)
+  }
+
+  def joinSkewReportStagePath(sfDir: String): String =
+    Stage.root(sfDir) + "/join_skew_report"
+
+  /** Build the report and persist it at the sf-scoped staging path — the
+    * write side of the measure→route loop. Deterministic content, so the
+    * report key and the hybrid join can each (re)stage it in any order. */
+  def stageJoinSkewReport(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val path = joinSkewReportStagePath(d)
+    joinSkewReportDf(s, d).coalesce(1).write.mode("overwrite").parquet(path)
+    path
+  }
+
   val dqJoinSkewReport: Op = Op(
     "dq_join_skew_report",
-    (s, d) => {
-      val ev = Tables.events(s, d)
-      val l = ev.where(col("event_type") === "view")
-        .groupBy("user_id").agg(count(lit(1)).as("n_left"))
-      val r = ev.where(col("event_type") === "purchase")
-        .groupBy("user_id").agg(count(lit(1)).as("n_right"))
-      val j = l.join(r, "user_id")
-        .withColumn("est_rows", col("n_left") * col("n_right"))
-      val t = j.agg(sum(col("est_rows")).as("total"), count(lit(1)).as("nkeys"))
-      j.crossJoin(broadcast(t))
-        .select(col("user_id"), col("n_left"), col("n_right"), col("est_rows"),
-          expr("CAST((est_rows * 1000000) DIV total AS BIGINT)").as("share_ppm"),
-          when(col("est_rows") * col("nkeys") > col("total") * 4, 1)
-            .otherwise(0).cast("int").as("skew_flag"))
-        .orderBy(col("est_rows").desc, col("user_id"))
-        .limit(10)
-    },
+    (s, d) => s.read.parquet(stageJoinSkewReport(s, d))
+      .orderBy(col("est_rows").desc, col("user_id")),
     Some("WITH l AS (SELECT user_id, COUNT(*) AS n_left FROM events " +
       "WHERE event_type = 'view' GROUP BY 1), " +
       "r AS (SELECT user_id, COUNT(*) AS n_right FROM events " +
@@ -752,7 +781,7 @@ object DqOps {
       "t AS (SELECT CAST(SUM(est_rows) AS BIGINT) AS total, COUNT(*) AS nkeys FROM j) " +
       "SELECT j.user_id, n_left, n_right, est_rows, " +
       "est_rows * 1000000 // total AS share_ppm, " +
-      "CAST(CASE WHEN est_rows * nkeys > total * 4 THEN 1 ELSE 0 END AS INT) AS skew_flag " +
+      "CAST(CASE WHEN est_rows > total * 4 // nkeys THEN 1 ELSE 0 END AS INT) AS skew_flag " +
       "FROM j, t ORDER BY est_rows DESC, user_id LIMIT 10"))
 
   val all: Seq[Op] = Seq(dqExpectations, dqQuarantineSplit, cdcSnapshotDiff,

@@ -1373,7 +1373,10 @@ object LlmOps {
           (col("n_total") - col("n_base")).as("n_added"),
           expr("CAST(((n_total - n_base) * 1000000) DIV n_total AS BIGINT)")
             .as("added_frac_ppm"),
-          when(col("n_total") * col("ncells") > col("tot") * 2, 1)
+          // n_total > (tot*2) DIV ncells ≡ n_total * ncells > tot * 2 for
+          // positive integers, without the per-cell Long multiply that wraps
+          // on Spark but raises on DuckDB at extreme occupancies
+          when(col("n_total") > expr("(tot * 2) DIV ncells"), 1)
             .otherwise(0).cast("int").as("hot_flag"),
           expr("CAST(((tot - totb) * 1000000) DIV tot AS BIGINT)").as("index_added_ppm"))
         .orderBy("cell")
@@ -1384,7 +1387,7 @@ object LlmOps {
       "CAST(SUM(n_base) AS BIGINT) AS totb, COUNT(*) AS ncells FROM c) " +
       "SELECT cell, n_base, n_total, n_total - n_base AS n_added, " +
       "(n_total - n_base) * 1000000 // n_total AS added_frac_ppm, " +
-      "CAST(CASE WHEN n_total * ncells > tot * 2 THEN 1 ELSE 0 END AS INT) AS hot_flag, " +
+      "CAST(CASE WHEN n_total > tot * 2 // ncells THEN 1 ELSE 0 END AS INT) AS hot_flag, " +
       "(tot - totb) * 1000000 // tot AS index_added_ppm " +
       "FROM c, t ORDER BY cell"))
 

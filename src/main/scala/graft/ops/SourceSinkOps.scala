@@ -1246,7 +1246,17 @@ object SourceSinkOps {
       val mx = writeStatsPruned(s, d, root)
       val (lo, hi) = (mx / 3, mx / 2)
       val files = TableManifest.filesForRange(root, lo, hi)
-      s.read.parquet(files.map(_.toString): _*)
+      // an empty pruned list is a LEGAL planning outcome (range misses every
+      // file's zone map — StatsPruneSpec's empty-intersection case); Spark
+      // can't infer a schema from zero files, so carry it explicitly — the
+      // same guard as the IVF cellFileProbe's all-cells-vacant state
+      val pruned =
+        if (files.nonEmpty) s.read.parquet(files.map(_.toString): _*)
+        else s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "l_orderkey BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE, " +
+              "l_returnflag STRING"))
+      pruned
         .where(col("l_orderkey").between(lo, hi))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"),

@@ -929,9 +929,17 @@ object StreamingOps {
     * one shingle row per distinct document ever seen (exact counts pinned),
     * the same index a batch pipeline would persist — so the streaming and
     * batch paths SHARE their index format. */
-  /** Last run's standing-index root — test hook for the state-growth
-    * assertion (StreamDedupMinhashSpec), the lastUpsertVersions idiom. */
-  private[graft] var lastMinhashIdxRoot: String = _
+  /** Last run's artifact roots, keyed by (op kind, sfDir) — test hooks for
+    * the state-growth / lane assertions (StreamDedupMinhashSpec,
+    * StreamQualityGateSpec). Keyed, not a bare var: two concurrent op
+    * executions at different scale factors must not clobber each other's
+    * hook (the round-14 ADVICE race). */
+  private val lastRunRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def lastRoot(kind: String, d: String): String =
+    lastRunRoots.get(s"$kind|$d")
+  private def recordRoot(kind: String, d: String, root: String): Unit =
+    lastRunRoots.put(s"$kind|$d", root)
 
   /** Cross-batch candidate probe: the BOUNDED micro-batch's band rows
     * broadcast onto the standing-index scan, so the side that grows without
@@ -953,7 +961,7 @@ object StreamingOps {
       val srcDir = Housekeeping.scratchDir("st_minhash_src")
       val idxRoot = Housekeeping.tempDirBounded("st_minhash_idx",
         Housekeeping.scratchDir("st_minhash_idx")).toString
-      lastMinhashIdxRoot = idxRoot
+      recordRoot("minhash", d, idxRoot)
       val ckpt = tmp("st_minhash_ckpt")
       val docs = graft.tables.Tables.documents(s, d).select("doc_id", "text")
       val bandsDir = s"$idxRoot/bands"
@@ -1082,17 +1090,13 @@ object StreamingOps {
     * `text_quality_filter`'s. Per-batch cost ∝ batch + one id-projection
     * scan of the standing lanes (columnar, ids only); state is the routed
     * output itself — no state store. */
-  /** Last run's lane root — test hook for StreamQualityGateSpec's lane and
-    * commit-marker assertions. */
-  private[graft] var lastQualityGateRoot: String = _
-
   val streamQualityGate: Op = Op(
     "stream_quality_gate",
     (s, d) => {
       val srcDir = Housekeeping.scratchDir("st_qgate_src")
       val root = Housekeeping.tempDirBounded("st_qgate_root",
         Housekeeping.scratchDir("st_qgate_root")).toString
-      lastQualityGateRoot = root
+      recordRoot("qgate", d, root)
       val ckpt = tmp("st_qgate_ckpt")
       val docs = graft.tables.Tables.documents(s, d).select("doc_id", "text", "n_chars")
       val cleanDir = s"$root/clean"

@@ -44,8 +44,12 @@ object TableManifest {
     * the Delta/Iceberg commit-log shape in miniature. */
   def commit(root: Path, version: Long, files: Seq[Path]): Unit = {
     Files.createDirectories(root)
-    val body = files.map(f => "\"" + f.toAbsolutePath.toString + "\"")
-      .mkString(s"""{"version":$version,"files":[""", ",", "]}")
+    val body = files.map { f =>
+      val abs = f.toAbsolutePath.toString
+      require(!abs.exists(c => c == '"' || c == '\\'),
+        s"manifest file paths must not contain quotes/backslashes: $abs")
+      "\"" + abs + "\""
+    }.mkString(s"""{"version":$version,"files":[""", ",", "]}")
     Files.writeString(root.resolve(s"_manifest-v$version.json"), body)
     val tmp = root.resolve(s"$fileName.tmp-$version")
     Files.writeString(tmp, body)
@@ -127,6 +131,18 @@ object TableManifest {
     }
   }
 
+  /** The one serializer of a stats entry — [[statsOf]] is its one parser
+    * (same documented contract as [[commit]]/[[read]]: absolute paths we
+    * generate ourselves, no quotes/backslashes — enforced loudly below, so
+    * a hostile path corrupts the commit visibly instead of the sidecar
+    * silently). */
+  private def statsEntry(f: Path, mn: Long, mx: Long): String = {
+    val abs = f.toAbsolutePath.toString
+    require(!abs.exists(c => c == '"' || c == '\\'),
+      s"manifest file paths must not contain quotes/backslashes: $abs")
+    s"""{"f":"$abs","mn":$mn,"mx":$mx}"""
+  }
+
   /** Per-file column-stats sidecar (`_stats-v{N}.json`) — the zone-map half
     * of the manifest that makes DATA SKIPPING possible: each live file
     * carries the [min, max] of one named column, so a range predicate can
@@ -136,18 +152,37 @@ object TableManifest {
     * the immutable `_manifest-v{N}` snapshot), so stats are complete the
     * instant the version becomes visible; readers of older versions keep
     * their own version's sidecar. Stats are stored per version, immutable,
-    * keyed by absolute file path. */
+    * keyed by absolute file path. A committed file MISSING from its own
+    * version's stats map is almost always a caller bug (a path-key
+    * mismatch would silently disable skipping for that file), so it is
+    * logged loudly — but still committed, because stats are an
+    * optimization, never a gate. */
   def commitWithStats(root: Path, version: Long, files: Seq[Path], statsCol: String,
       stats: Map[Path, (Long, Long)]): Unit = {
     Files.createDirectories(root)
-    val entries = files.flatMap { f =>
-      stats.get(f).map { case (mn, mx) =>
-        s"""{"f":"${f.toAbsolutePath.toString}","mn":$mn,"mx":$mx}"""
-      }
-    }
+    val missing = files.filterNot(stats.contains)
+    if (missing.nonEmpty)
+      System.err.println(s"[graft][manifest] WARNING: ${missing.size}/${files.size} " +
+        s"committed files carry no '$statsCol' stats entry (skipping disabled for " +
+        s"them); first: ${missing.head}")
+    val entries = files.flatMap(f => stats.get(f).map { case (mn, mx) => statsEntry(f, mn, mx) })
     Files.writeString(root.resolve(s"_stats-v$version.json"),
       entries.mkString(s"""{"version":$version,"col":"$statsCol","files":[""", ",", "]}"))
     commit(root, version, files)
+  }
+
+  /** The stats sidecar of one committed version, parsed by the ONE parser
+    * matched to [[statsEntry]]'s writer. Empty map if the version committed
+    * without stats — callers degrade to keep-all, never throw. Exposed so
+    * incremental writers ([[commitWithStats]] callers that append files
+    * batch by batch) can carry the prior version's entries forward without
+    * recomputing them. */
+  def statsOf(root: Path, version: Long): Map[Path, (Long, Long)] = {
+    val statsPath = root.resolve(s"_stats-v$version.json")
+    if (!Files.exists(statsPath)) Map.empty
+    else """\{"f":"(/[^"]+)","mn":(-?\d+),"mx":(-?\d+)\}""".r
+      .findAllMatchIn(Files.readString(statsPath))
+      .map(m => Paths.get(m.group(1)) -> (m.group(2).toLong, m.group(3).toLong)).toMap
   }
 
   /** Pruned file resolution for a range predicate `lo <= col <= hi` against
@@ -160,15 +195,38 @@ object TableManifest {
     * driver-side against the catalog — file-list work, zero data I/O. */
   def filesForRange(root: Path, lo: Long, hi: Long): Seq[Path] = {
     val (version, live) = read(root)
-    val statsPath = root.resolve(s"_stats-v$version.json")
-    if (!Files.exists(statsPath)) return live
-    val txt = Files.readString(statsPath)
-    val bounds = """\{"f":"(/[^"]+)","mn":(-?\d+),"mx":(-?\d+)\}""".r
-      .findAllMatchIn(txt)
-      .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
+    val bounds = statsOf(root, version).map { case (p, b) => p.toAbsolutePath.toString -> b }
     live.filter { f =>
       bounds.get(f.toAbsolutePath.toString) match {
         case Some((mn, mx)) => mn <= hi && lo <= mx
+        case None           => true
+      }
+    }
+  }
+
+  /** Pruned file resolution for a POINT-SET probe (`col IN (pts)`) against
+    * the CURRENT version — the equi-join twin of [[filesForRange]]: a file
+    * survives iff its [min, max] contains at least one probe point. The
+    * point set is sorted once and each file pays one binary search, so the
+    * planning cost is |files| · log |pts| driver-side — this is how a
+    * micro-batch's join keys prune a range-clustered standing index down
+    * to the files that can possibly match before any scan task launches.
+    * Files without stats are kept (same conservative rule as the range
+    * prune). */
+  def filesForPoints(root: Path, pts: Seq[Long]): Seq[Path] = {
+    val (version, live) = read(root)
+    val bounds = statsOf(root, version).map { case (p, b) => p.toAbsolutePath.toString -> b }
+    val sorted = pts.distinct.sorted.toArray
+    def hits(mn: Long, mx: Long): Boolean = {
+      // first point >= mn; the file survives iff that point is <= mx
+      var lo = 0; var hi = sorted.length
+      while (lo < hi) { val mid = (lo + hi) >>> 1
+        if (sorted(mid) < mn) lo = mid + 1 else hi = mid }
+      lo < sorted.length && sorted(lo) <= mx
+    }
+    live.filter { f =>
+      bounds.get(f.toAbsolutePath.toString) match {
+        case Some((mn, mx)) => hits(mn, mx)
         case None           => true
       }
     }

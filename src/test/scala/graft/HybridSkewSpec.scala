@@ -1,65 +1,91 @@
 package graft
 
-import graft.ops.{Dets, SkewOps}
+import graft.ops.{Dets, DqOps, SkewOps}
 import graft.tables.Tables
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The lane claims behind `join_skew_hybrid` (the oracle proves the final
-  * relation; this spec proves the split is real and exact):
+  * relation; this spec proves the measure→route loop is real and exact):
   *
-  *  1. Result ≡ the plain unsplit join aggregate.
-  *  2. Both lanes exist physically: a sort-merge join WITH salt in its keys
-  *     (hot lane) and one WITHOUT (cold lane); the hot-key list is
-  *     broadcast, never shuffled.
+  *  1. Routing is DRIVEN BY THE STAGED `dq_join_skew_report` artifact: with
+  *     no key flagged (this corpus's live state) the plan degrades to ONE
+  *     plain sort-merge join — no salt column anywhere, zero mitigation
+  *     overhead — and still equals the naive join.
+  *  2. Under a conf'd ppm floor (`graft.skew.hot.ppm`) the report's
+  *     over-threshold keys get the salted lane: a sort-merge join whose KEY
+  *     LIST includes the salt (matched on the SortMergeJoin node itself,
+  *     not anywhere in the plan string), beside a salt-free cold lane.
   *  3. The lanes PARTITION the key domain: hot-lane output = the plain join
-  *     restricted to the top-2 hot keys, cold-lane output = the rest —
+  *     restricted to the threshold keys, cold-lane output = the rest —
   *     nothing lost, nothing doubled at the seam.
   */
 class HybridSkewSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  test("hybrid skew join: exact result, salted hot lane + plain cold lane, clean seam") {
-    val d = TestSpark.sf001
-    val res = SkewOps.joinSkewHybrid.fn(spark, d)
+  /** A SortMergeJoin NODE whose join-key list contains the salt — the
+    * anywhere-in-the-plan substring check would also match a project list. */
+  private def saltedSmj(plan: String): Boolean =
+    """SortMergeJoin[^\[]*\[[^\]]*salt[^\]]*\]""".r.findFirstIn(plan).isDefined
 
-    val plan = res.queryExecution.executedPlan.toString
-    assert(plan.contains("SortMergeJoin"), "expected sort-merge lanes:\n" + plan)
-    assert(plan.contains("salt"), "hot lane join keys must include the salt:\n" + plan)
-    assert(plan.contains("BroadcastExchange"), "the hot-key list must broadcast:\n" + plan)
-
+  private def naive(d: String) = {
     val ev = Tables.events(spark, d)
     val v = ev.where(col("event_type") === "view")
       .select(col("user_id"), col("value").as("v_value"))
     val p = ev.where(col("event_type") === "purchase")
       .select(col("user_id"), col("value").as("p_value"))
-    val naive = v.join(p, "user_id")
+    v.join(p, "user_id")
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_pairs"),
         Dets.dsum(col("v_value")).as("sum_v"), Dets.dsum(col("p_value")).as("sum_p"))
       .orderBy("user_id")
-    assert(res.collect().toSeq == naive.collect().toSeq,
-      "the hybrid split must not change the join result")
+  }
 
-    // seam: top-2 hot keys by view count, ties to lowest id — the hot lane
-    // must carry exactly their pairs, the cold lane exactly the rest
-    val hotKeys = v.groupBy("user_id").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("user_id")).limit(2)
-      .collect().map(_.getLong(0)).toSet
-    assert(hotKeys.size == 2)
-    val perKey = naive.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val hotPairs = hotKeys.toSeq.map(perKey).sum
-    assert(hotPairs > 0, "the hot lane must actually carry rows on this corpus")
+  test("unflagged report degrades to one plain sort-merge join, result intact") {
+    val d = TestSpark.sf001
+    val hot = SkewOps.hotKeysFromReport(spark, d)
+    assert(hot.isEmpty,
+      s"this corpus has no 4x-average key, so the default routing must be empty: $hot")
+    val res = SkewOps.joinSkewHybrid.fn(spark, d)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), "expected the merge path:\n" + plan)
+    assert(!saltedSmj(plan),
+      "an empty hot list must produce NO salted lane:\n" + plan)
+    assert(!plan.contains("Union"),
+      "an empty hot list must not build the two-lane union:\n" + plan)
+    assert(res.collect().toSeq == naive(d).collect().toSeq,
+      "the degraded path must equal the naive join")
+  }
 
-    val allPairs = perKey.values.sum
-    // rebuild the two lanes independently and check they sum to the whole
-    val vh = v.join(broadcast(spark.createDataFrame(
-      spark.sparkContext.parallelize(hotKeys.toSeq.map(org.apache.spark.sql.Row(_))),
-      new org.apache.spark.sql.types.StructType().add("user_id", "long"))),
-      Seq("user_id"), "left_semi")
-    val coldPairs = allPairs - hotPairs
-    assert(vh.count() > 0)
-    info(s"hot keys=$hotKeys hotPairs=$hotPairs coldPairs=$coldPairs")
-    assert(hotPairs + coldPairs == allPairs)
+  test("ppm-floor routing: salted hot lane + plain cold lane, clean seam") {
+    val d = TestSpark.sf001
+    spark.conf.set("graft.skew.hot.ppm", "12000")
+    try {
+      val hotKeys = SkewOps.hotKeysFromReport(spark, d)
+      assert(hotKeys.nonEmpty, "the 12000-ppm floor must route keys on this corpus")
+      // the routed set is exactly the staged report's over-threshold keys
+      val expected = spark.read.parquet(DqOps.joinSkewReportStagePath(d))
+        .where(col("share_ppm") >= 12000).select("user_id")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(hotKeys == expected, "routing must read the staged report verbatim")
+
+      val res = SkewOps.joinSkewHybrid.fn(spark, d)
+      val plan = res.queryExecution.executedPlan.toString
+      assert(saltedSmj(plan),
+        "the hot lane's SortMergeJoin keys must include the salt:\n" + plan)
+      assert(plan.contains("Union"), "expected the two-lane union:\n" + plan)
+      val naiveRows = naive(d).collect()
+      assert(res.collect().toSeq == naiveRows.toSeq,
+        "the hybrid split must not change the join result")
+
+      // seam: hot keys' pairs + cold pairs = all pairs, nothing doubled
+      val perKey = naiveRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val hotPairs = hotKeys.flatMap(perKey.get).sum
+      assert(hotPairs > 0, "the hot lane must actually carry rows on this corpus")
+      val allPairs = perKey.values.sum
+      info(s"hot keys=$hotKeys hotPairs=$hotPairs coldPairs=${allPairs - hotPairs}")
+      assert(hotKeys.forall(perKey.contains),
+        "every routed key must appear in the join output on this corpus")
+    } finally spark.conf.unset("graft.skew.hot.ppm")
   }
 }

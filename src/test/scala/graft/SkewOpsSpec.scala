@@ -28,7 +28,11 @@ class SkewOpsSpec extends AnyFunSuite {
       "salted join must take the shuffle path, not broadcast:\n" + plan)
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
       "expected a shuffled join:\n" + plan)
-    assert(plan.contains("salt"), "join keys must include the salt:\n" + plan)
+    // the salt must appear in the JOIN NODE's key list, not merely somewhere
+    // in the plan string (a project list would also contain the column name)
+    assert("""(SortMergeJoin|ShuffledHashJoin)[^\[]*\[[^\]]*salt[^\]]*\]""".r
+        .findFirstIn(plan).isDefined,
+      "join keys must include the salt:\n" + plan)
 
     val e = Tables.events(spark, TestSpark.sf001)
     val c = Tables.customer(spark, TestSpark.sf001)

@@ -42,7 +42,7 @@ class StreamDedupMinhashSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
   test("standing index state is linear in DISTINCT documents: 16 band rows + " +
     "1 shingle row per signed doc (primary key holds under re-upload)") {
     StreamingOps.streamDedupMinhash.fn(spark, d).collect() // (re)build the index
-    val idx = StreamingOps.lastMinhashIdxRoot
+    val idx = StreamingOps.lastRoot("minhash", d)
     assert(idx != null)
     def readGens(sub: String) =
       spark.read.option("recursiveFileLookup", "true").parquet(s"$idx/$sub")

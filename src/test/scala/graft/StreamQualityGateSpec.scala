@@ -29,7 +29,7 @@ class StreamQualityGateSpec extends AnyFunSuite {
       assert(out.count() == n, "every doc routed")
       assert(out.select("doc_id").distinct().count() == n, "each doc routed exactly once")
 
-      val root = StreamingOps.lastQualityGateRoot
+      val root = StreamingOps.lastRoot("qgate", d)
       val clean = spark.read.option("recursiveFileLookup", "true").parquet(s"$root/clean")
       val quar = spark.read.option("recursiveFileLookup", "true").parquet(s"$root/quarantine")
       assert(clean.where(!col("keep") || col("reasons") =!= "").count() == 0, "clean lane purity")
