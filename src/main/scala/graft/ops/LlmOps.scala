@@ -1351,21 +1351,43 @@ object LlmOps {
     * otherwise). Per-cell counts are staged ([[Stage]] playbook) and the
     * oracle recomputes the report from the same bytes; IvfDriftSpec pins
     * the staged counts against the corpus's exact base/delta split. */
+  /** Build + stage the per-cell v1/v2 occupancy counts off the append
+    * index's own manifests — the measured half of the drift report, shared
+    * by the report key and the autorefresh decision ([[ivfDriftPpm]]):
+    * both must read the SAME staged artifact or the monitor and the
+    * trigger could disagree. */
+  private def ivfDriftCellsStaged(s: org.apache.spark.sql.SparkSession,
+                                  d: String): DataFrame = {
+    val cellsDir = ivfAppendIndexPath(s, d).resolve("cells")
+    def perCell(version: Long, name: String): DataFrame =
+      s.read.parquet(TableManifest.filesAsOf(cellsDir, version).map(_.toString): _*)
+        .groupBy(col("cell").cast("int").as("cell"))
+        .agg(count(lit(1)).as(name))
+    // v2 ⊇ v1 by the append contract (v1 files retained by reference), so
+    // right-join on the v2 side; a cell trained but left empty at build
+    // time can still gain delta rows → n_base coalesces to 0
+    val staged = Housekeeping.cacheBounded("ivf_drift_cells",
+      perCell(1L, "n_base").join(perCell(2L, "n_total"), Seq("cell"), "right")
+        .na.fill(0L, Seq("n_base")))
+    staged.coalesce(1).write.mode("overwrite").parquet(ivfDriftStagePath(d))
+    staged
+  }
+
+  /** The index's global appended fraction (ppm), read OFF THE STAGED DRIFT
+    * CELLS — the one number the autorefresh thresholds. Driver-side over
+    * a 2-long aggregate row; same integer math as the report's
+    * `index_added_ppm` column. */
+  private[graft] def ivfDriftPpm(s: org.apache.spark.sql.SparkSession, d: String): Long = {
+    val r = ivfDriftCellsStaged(s, d)
+      .agg(sum(col("n_total")).as("tot"), sum(col("n_base")).as("totb")).first()
+    val (tot, totb) = (r.getLong(0), r.getLong(1))
+    (tot - totb) * 1000000L / tot
+  }
+
   val simSearchIvfDriftReport: Op = Op(
     "sim_search_ivf_drift_report",
     (s, d) => {
-      val cellsDir = ivfAppendIndexPath(s, d).resolve("cells")
-      def perCell(version: Long, name: String): DataFrame =
-        s.read.parquet(TableManifest.filesAsOf(cellsDir, version).map(_.toString): _*)
-          .groupBy(col("cell").cast("int").as("cell"))
-          .agg(count(lit(1)).as(name))
-      // v2 ⊇ v1 by the append contract (v1 files retained by reference), so
-      // right-join on the v2 side; a cell trained but left empty at build
-      // time can still gain delta rows → n_base coalesces to 0
-      val staged = Housekeeping.cacheBounded("ivf_drift_cells",
-        perCell(1L, "n_base").join(perCell(2L, "n_total"), Seq("cell"), "right")
-          .na.fill(0L, Seq("n_base")))
-      staged.coalesce(1).write.mode("overwrite").parquet(ivfDriftStagePath(d))
+      val staged = ivfDriftCellsStaged(s, d)
       val t = staged.agg(sum(col("n_total")).as("tot"), sum(col("n_base")).as("totb"),
         count(lit(1)).as("ncells"))
       staged.crossJoin(broadcast(t))
@@ -1390,6 +1412,50 @@ object LlmOps {
       "CAST(CASE WHEN n_total > tot * 2 // ncells THEN 1 ELSE 0 END AS INT) AS hot_flag, " +
       "(tot - totb) * 1000000 // tot AS index_added_ppm " +
       "FROM c, t ORDER BY cell"))
+
+  def annIvfAutorefreshStagePath(sfDir: String): String =
+    Stage.root(sfDir) + "/ann_ivf_autorefresh_cand"
+
+  /** DRIFT-TRIGGERED AUTOREFRESH (round 15; the round-14 verdict's #3) —
+    * the op that CLOSES the index lifecycle loop the drift report only
+    * monitored: read the staged drift cells ([[ivfDriftPpm]] — the same
+    * artifact `sim_search_ivf_drift_report` publishes), threshold the
+    * global appended fraction against `graft.ivf.refresh.ppm` (default
+    * 100 000 ppm = 10 %), and
+    *
+    *   - ABOVE the floor: execute the retrain-and-swap
+    *     ([[ivfRetrainIndexPath]] — full Lloyd's over base ∪ delta, new
+    *     quantizer + inverted file committed as one atomic manifest
+    *     version) and probe the swapped v2;
+    *   - BELOW it: probe the CURRENT append index as-is — an explicit
+    *     no-op, because a retrain that fires on every tick would pay the
+    *     full-corpus Lloyd's pass the append path exists to amortize.
+    *
+    * This corpus's append delta is exactly 1/5 of the index (200 000 ppm),
+    * so the default floor FIRES and the staged probe must equal the
+    * retrain key's row-exactly; IvfAutorefreshSpec pins both branches (a
+    * sky-high conf'd floor proves the no-op path equals the append
+    * probe) and the measured ppm itself. Scale notes (100 TB): the
+    * decision costs one metadata-only pass over the index manifests; the
+    * retrain — when it fires — is the declared full-Lloyd's price, and
+    * the swap one rename. Oracle: the standard staged-candidate re-rank,
+    * valid for WHICHEVER branch ran, because DuckDB re-verifies every
+    * staged candidate's cosine and the downstream ranking is exact. */
+  val simSearchAnnIvfAutorefresh: Op = Op(
+    "sim_search_ann_ivf_autorefresh",
+    (s, d) => {
+      val ppm = ivfDriftPpm(s, d)
+      val floor = s.conf.getOption("graft.ivf.refresh.ppm")
+        .map(_.toLong).getOrElse(100000L)
+      val cand =
+        if (ppm >= floor) ivfSwapProbe(s, d, ivfRetrainIndexPath(s, d), 2L)
+        else {
+          val idx = ivfAppendIndexPath(s, d)
+          ivfManifestProbe(s, d, idx, TableManifest.read(idx.resolve("cells"))._1)
+        }
+      stageAndRank("ann_ivf_autorefresh_cand", cand, annIvfAutorefreshStagePath(d))
+    },
+    Some(annRerankOracle(Stage.token + "/ann_ivf_autorefresh_cand")))
 
   /** Product-quantization ANN (PQ + ADC re-rank) — the memory-compressed
     * third leg of the ANN family: each vector is split into [[PqM]]
@@ -2379,6 +2445,7 @@ object LlmOps {
     dedupContainment, dedupSubstringSpans, dedupSubstringTrim, dedupEditPrefix, splitClusterSafe,
     simSearchTopk, simSearchKnnPerQuery, simSearchAnnLsh, simSearchAnnIvf, simSearchAnnProbe,
     simSearchAnnIvfAppend, streamAnnIvfAppend, simSearchAnnIvfRetrain, simSearchIvfDriftReport,
+    simSearchAnnIvfAutorefresh,
     simSearchAnnPq, simSearchHybridRrf, embedKnnGraph, simSearchFiltered, simSearchMmrRerank,
     textLangStats, textQualityFilter, multimodalJoin)
 }
