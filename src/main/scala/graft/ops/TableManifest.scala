@@ -215,7 +215,16 @@ object TableManifest {
     * prune). */
   def filesForPoints(root: Path, pts: Seq[Long]): Seq[Path] = {
     val (version, live) = read(root)
-    val bounds = statsOf(root, version).map { case (p, b) => p.toAbsolutePath.toString -> b }
+    pruneForPoints(live, statsOf(root, version), pts)
+  }
+
+  /** The pure planning step behind [[filesForPoints]], exposed for callers
+    * that must prune AGAINST A PINNED VERSION's file list + stats instead
+    * of the live manifest (a streaming batch retry must never see — or
+    * prune against — its own partially-committed generation). */
+  def pruneForPoints(files: Seq[Path], stats: Map[Path, (Long, Long)],
+      pts: Seq[Long]): Seq[Path] = {
+    val bounds = stats.map { case (p, b) => p.toAbsolutePath.toString -> b }
     val sorted = pts.distinct.sorted.toArray
     def hits(mn: Long, mx: Long): Boolean = {
       // first point >= mn; the file survives iff that point is <= mx
@@ -224,7 +233,7 @@ object TableManifest {
         if (sorted(mid) < mn) lo = mid + 1 else hi = mid }
       lo < sorted.length && sorted(lo) <= mx
     }
-    live.filter { f =>
+    files.filter { f =>
       bounds.get(f.toAbsolutePath.toString) match {
         case Some((mn, mx)) => hits(mn, mx)
         case None           => true

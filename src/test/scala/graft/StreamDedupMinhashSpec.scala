@@ -62,6 +62,37 @@ class StreamDedupMinhashSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(bands.groupBy("doc_id").count().where(col("count") =!= 16).isEmpty)
   }
 
+  test("standing band index is a stats-committed manifest table and " +
+    "point-probes prune its file list") {
+    StreamingOps.streamDedupMinhash.fn(spark, d).collect() // (re)build the index
+    val idx = StreamingOps.lastRoot("minhash", d)
+    val bandsRoot = java.nio.file.Paths.get(idx, "bands")
+    val (version, files) = ops.TableManifest.read(bandsRoot)
+    assert(version == 3, s"three deliveries must commit three versions: $version")
+    assert(files.size >= 12, s"expected >= 4 clustered files per generation: ${files.size}")
+    val stats = ops.TableManifest.statsOf(bandsRoot, version)
+    assert(files.forall(stats.contains), "every committed file must carry bkey stats")
+    // each batch recorded the prune it ran against the PINNED prior version
+    (1L to 2L).foreach { b =>
+      val rec = StreamingOps.lastRoot(s"minhash_prune_b$b", d)
+      assert(rec != null, s"batch $b must record its prune")
+      val Array(p, t) = rec.split("/").map(_.toInt)
+      assert(t > 0 && p <= t, s"batch $b prune $rec")
+    }
+    // a range-clustered generation's files hold DISJOINT bkey ranges, so a
+    // single-point probe touches at most one file (two at a shared
+    // boundary) per generation — the zone-map geometry a small micro-batch
+    // probing a 100 TB standing index relies on
+    val pt = stats.values.head._1 // an existing min — guaranteed to hit
+    val pruned = ops.TableManifest.pruneForPoints(files, stats, Seq(pt))
+    assert(pruned.nonEmpty && pruned.size <= 6,
+      s"a single point must touch <= 2 files x 3 generations: " +
+        s"${pruned.size} of ${files.size}")
+    assert(pruned.size < files.size, "the prune must actually skip files")
+    // an empty probe set prunes every stats-covered file
+    assert(ops.TableManifest.pruneForPoints(files, stats, Nil).isEmpty)
+  }
+
   test("cross-batch probe broadcasts the micro-batch: no exchange on the " +
     "standing-index side") {
     val docs = graft.tables.Tables.documents(spark, d).select("doc_id", "text")
