@@ -306,16 +306,29 @@ object PipelineOps {
     * content hash. The only additions over the standalone ops are two
     * equi-joins on doc_id. Oracle: the same five stages as one DuckDB CTE
     * chain. */
+  /** Stage-1 gate of the corpus build (text_quality_filter's predicate) —
+    * ONE definition shared by the batch op and `stream_corpus_build`'s
+    * per-batch fold, so the two surfaces cannot drift. */
+  private[graft] def corpusGate(docs: DataFrame): DataFrame = {
+    val nTok = size(split(col("text"), " "))
+    docs.where(col("n_chars") >= 64 && col("n_chars") <= 4096 &&
+        nTok >= 10 && col("text").rlike("^[a-z ]+$"))
+      .select("doc_id", "source", "text", "n_chars")
+  }
+
+  /** Stage-4 content-keyed split assignment (split_train_val_test's hex
+    * ranges) — shared with `stream_corpus_build` like [[corpusGate]]. */
+  private[graft] def corpusSplitCol: org.apache.spark.sql.Column = {
+    val b = substring(md5(col("text")), 9, 4)
+    when(b < "cccc", "train").when(b < "e666", "val").otherwise("test")
+  }
+
   val pipelineCorpusBuild: Op = Op(
     "pipeline_corpus_build",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val nTok = size(split(col("text"), " "))
       // stage 1: quality gate (same predicate as text_quality_filter)
-      val q = Housekeeping.cacheBounded("pipeline_q",
-        docs.where(col("n_chars") >= 64 && col("n_chars") <= 4096 &&
-            nTok >= 10 && col("text").rlike("^[a-z ]+$"))
-          .select("doc_id", "source", "text", "n_chars"))
+      val q = Housekeeping.cacheBounded("pipeline_q", corpusGate(docs))
       // stage 2: exact-dedup keep across ALL quality survivors
       val keep = q.groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")

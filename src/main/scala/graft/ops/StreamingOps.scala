@@ -1254,9 +1254,190 @@ object StreamingOps {
       "len(string_split(text, ' ')) < 10 AS bad_tok, " +
       "NOT regexp_matches(text, '^[a-z ]+$') AS bad_chars FROM documents) ORDER BY doc_id"))
 
+  /** STREAMING CORPUS BUILD — the capstone (round 15; the round-14
+    * verdict's #4): `pipeline_corpus_build`'s five stages (quality gate →
+    * exact-dedup keep → eval exclusion + decontamination → content-keyed
+    * split → per-split stats) run as ONE foreachBatch fold over document
+    * deliveries — the end-to-end job an LLM-data team actually operates as
+    * a stream. On closed input the fold must reproduce the batch op
+    * BIT-FOR-BIT; the oracle IS `pipeline_corpus_build`'s five-stage CTE.
+    *
+    * The fold keeps per-batch work ∝ batch by maintaining ADDITIVE standing
+    * state, never retracting:
+    *
+    *  - `docstate/` — one narrow row per gated doc ever seen (content hash,
+    *    split, token/char counts, shingle count): written once at arrival;
+    *    the keep decision (min doc_id per hash) is NOT folded — it falls
+    *    out of the final aggregate over this state, which is what makes
+    *    arrival order irrelevant and replacement retraction unnecessary.
+    *  - `dict/` — the RAW src0 shingle dictionary as disjoint generations
+    *    (each batch appends only shingles not yet in the dictionary).
+    *  - `hits/` — per-doc contamination-hit counts, appended twice per
+    *    batch: the batch's own docs vs the full dictionary-so-far
+    *    (including the batch's src0 contribution — full-rebuild semantics),
+    *    and the STANDING pool revalidated against only the batch's NEW
+    *    dictionary shingles. Because dictionary generations are disjoint,
+    *    final nh(doc) = Σ appended hits = |shingles(doc) ∩ full dict|
+    *    EXACTLY — the additive decomposition `pipeline_incremental_update`
+    *    proves for one delta, folded over every batch.
+    *  - `shingles/` — the pool docs' shingle arrays (revalidation input).
+    *
+    * Every big-side relation (docstate ids, dictionary, shingle state)
+    * streams through its per-batch join with the BOUNDED batch broadcast —
+    * the `minhashCrossProbe` spelling — so standing state is never
+    * shuffled per batch; the revalidation pass is skipped entirely when a
+    * batch adds no new eval shingles. Exactly-once is the family's
+    * batchId-keyed OVERWRITE generations + `_b<id>.done` markers, and
+    * delivery 2 re-uploads every 17th earlier document (the duplicate
+    * gateway upload) — dropped by the broadcast-probe anti-join against
+    * the standing docstate ids, and inert in the dictionary lane because
+    * an already-seen doc's shingles are already in the dictionary. The
+    * final answer is one aggregate over the narrow folded state (no text,
+    * no shingles) — the state-table-then-query shape of every streaming
+    * upsert system. */
+  val streamCorpusBuild: Op = Op(
+    "stream_corpus_build",
+    (s, d) => {
+      val srcDir = Housekeeping.scratchDir("st_corpus_src")
+      val root = Housekeeping.tempDirBounded("st_corpus_root",
+        Housekeeping.scratchDir("st_corpus_root")).toString
+      recordRoot("corpus", d, root)
+      val ckpt = tmp("st_corpus_ckpt")
+      val docs = graft.tables.Tables.documents(s, d)
+        .select("doc_id", "source", "text", "n_chars")
+      val stateDir = s"$root/docstate"
+      val dictDir = s"$root/dict"
+      val hitsDir = s"$root/hits"
+      val shDir = s"$root/shingles"
+      withStatePartitions(s, 8) { cleanupAfter(Seq(srcDir.toString, ckpt)) {
+        (0 to 2).foreach { k =>
+          val own = docs.where(pmod(col("doc_id"), lit(3)) === k)
+          val reupload =
+            if (k == 2) docs.where(pmod(col("doc_id"), lit(3)) =!= 2 &&
+              pmod(col("doc_id"), lit(17)) === 0)
+            else own.limit(0)
+          stageDelivery(own.unionByName(reupload), srcDir, s"delivery$k.parquet")
+        }
+        val q = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val ss = batch.sparkSession
+            val marker = java.nio.file.Paths.get(root, s"_b$batchId.done")
+            if (!Files.exists(marker)) {
+              // a generation with zero part files (nothing qualified that
+              // batch) is legal state but unreadable by schema inference —
+              // keep only gens that actually carry data
+              def gens(dir: String): Seq[String] =
+                committedGensBefore(dir, batchId).filter(g =>
+                  TableManifest.parquetFiles(java.nio.file.Paths.get(g)).nonEmpty)
+              // re-upload hardening: within-batch dedupe, then drop every
+              // already-seen gated doc — probe spelled so the standing
+              // docstate STREAMS against the broadcast batch ids
+              val distinctB = batch.dropDuplicates("doc_id")
+              val fresh = (gens(stateDir) match {
+                case Nil => distinctB
+                case prior =>
+                  val seen = ss.read.parquet(prior: _*).select("doc_id")
+                    .join(broadcast(distinctB.select("doc_id")), "doc_id")
+                  distinctB.join(broadcast(seen), Seq("doc_id"), "left_anti")
+              }).cache()
+              try {
+                val gated = PipelineOps.corpusGate(fresh)
+                // dictionary lane: RAW src0 docs (the batch op's bench
+                // dictionary is ungated — full-rebuild semantics)
+                val batchSrc0Sh = LlmOps.shingleArrays(
+                    fresh.where(col("source") === "src0").select("doc_id", "text"))
+                  .select(explode(col("shingles")).as("s")).distinct()
+                val dictPrior = gens(dictDir)
+                val newdict = (dictPrior match {
+                  case Nil => batchSrc0Sh
+                  case prior =>
+                    val existing = ss.read.parquet(prior: _*)
+                      .join(broadcast(batchSrc0Sh), "s").select("s").distinct()
+                    batchSrc0Sh.join(broadcast(existing), Seq("s"), "left_anti")
+                }).cache()
+                try {
+                  newdict.write.mode("overwrite").parquet(s"$dictDir/b$batchId")
+                  // pool lane: gated docs' shingle arrays (cached — the
+                  // InferFiltersFromGenerate recompute trap, LlmOps)
+                  val shArr = LlmOps.shingleArrays(gated.select("doc_id", "text")).cache()
+                  try {
+                    // docstate: one narrow row per gated doc, written once
+                    gated
+                      .join(shArr.select(col("doc_id"), size(col("shingles")).as("n_sh")),
+                        Seq("doc_id"), "left")
+                      .na.fill(0, Seq("n_sh"))
+                      .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+                        PipelineOps.corpusSplitCol.as("split"),
+                        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+                        col("n_chars"), col("n_sh"))
+                      .write.mode("overwrite").parquet(s"$stateDir/b$batchId")
+                    // arrival hits: the batch's pool docs vs the FULL
+                    // dictionary (standing generations ∪ this batch's new
+                    // shingles — disjoint by construction, so one count each)
+                    val poolIds = gated.where(col("source") =!= "src0").select("doc_id")
+                    val batchShRows = shArr.join(broadcast(poolIds), "doc_id")
+                      .select(col("doc_id"), explode(col("shingles")).as("s"))
+                    val standingHits = dictPrior match {
+                      case Nil => batchShRows.limit(0)
+                      case prior => ss.read.parquet(prior: _*)
+                        .join(broadcast(batchShRows), "s")
+                        .select("doc_id", "s")
+                    }
+                    val newHits = batchShRows.join(broadcast(newdict), "s")
+                      .select("doc_id", "s")
+                    standingHits.unionByName(newHits)
+                      .groupBy("doc_id").agg(count(lit(1)).as("nh"))
+                      .write.mode("overwrite").parquet(s"$hitsDir/b$batchId/arrival")
+                    // revalidate the STANDING pool against only the NEW
+                    // dictionary shingles (skip when there are none)
+                    val shPrior = gens(shDir)
+                    if (shPrior.nonEmpty && !newdict.isEmpty) {
+                      ss.read.parquet(shPrior: _*)
+                        .select(col("doc_id"), explode(col("shingles")).as("s"))
+                        .join(broadcast(newdict), "s")
+                        .groupBy("doc_id").agg(count(lit(1)).as("nh"))
+                        .write.mode("overwrite").parquet(s"$hitsDir/b$batchId/reval")
+                    }
+                    // shingle state for future revalidations: pool docs only
+                    shArr.join(broadcast(poolIds), "doc_id")
+                      .write.mode("overwrite").parquet(s"$shDir/b$batchId")
+                    Files.createFile(marker) // the batch's commit point
+                  } finally shArr.unpersist()
+                } finally newdict.unpersist()
+              } finally fresh.unpersist()
+            }
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        // the answer: one aggregate over the narrow folded state — keep =
+        // min doc_id per hash falls out HERE, so arrival order never
+        // mattered and replacements never needed retraction
+        val state = s.read.option("recursiveFileLookup", "true").parquet(stateDir)
+        val nh = s.read.option("recursiveFileLookup", "true").parquet(hitsDir)
+          .groupBy("doc_id").agg(sum(col("nh")).as("nh"))
+        val keep = state.groupBy("h").agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+        state.where(col("source") =!= "src0")
+          .join(keep, "doc_id")
+          .join(nh, Seq("doc_id"), "left").na.fill(0L, Seq("nh"))
+          .where(col("nh").cast("double") / col("n_sh") < 0.5)
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            dsum(col("n_chars")).as("sum_chars"))
+          .orderBy("split")
+      } }
+    },
+    // the SAME five-stage CTE as the batch op: the fold must reproduce it
+    PipelineOps.pipelineCorpusBuild.oracle)
+
   val all: Seq[Op] = Seq(streamTumblingWatermark, streamDedup, streamSessionStateful,
     streamLateData, streamStatefulCounter, streamStatefulCounterTws, streamJoinFollows,
     streamEnrichDim, streamRestartExactlyOnce, streamUpsertForeachbatch, streamBackfillHybrid,
     streamCommitManifest, streamJoinLeftOuter, streamPrepaidCutoff, streamDedupMinhash,
-    streamQualityGate)
+    streamQualityGate, streamCorpusBuild)
 }
