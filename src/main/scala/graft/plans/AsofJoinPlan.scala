@@ -94,8 +94,14 @@ case class AsofJoinExec(
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
+  // Input-row metrics are SIZE metrics on purpose: the UI then reports the
+  // per-task min/med/max beside the total, which is exactly the post-hoc
+  // skew signal the sliced variants exist to fix — a hot key shows up as
+  // max >> med on the executed plan, not only in a spec fixture.
   override lazy val metrics = Map(
-    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numLeftRows" -> SQLMetrics.createSizeMetric(sparkContext, "left input rows per task"),
+    "numRightRows" -> SQLMetrics.createSizeMetric(sparkContext, "right input rows per task"))
 
   // Exactly a shuffled join's contract: both sides clustered on ALL their
   // keys so partition i of the left can only ever need partition i of the
@@ -133,6 +139,8 @@ case class AsofJoinExec(
     val tolLocal = toleranceUs
     val allOut = output
     val numOutputRows = longMetric("numOutputRows")
+    val numLeftRows = longMetric("numLeftRows")
+    val numRightRows = longMetric("numRightRows")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
@@ -163,6 +171,7 @@ case class AsofJoinExec(
           rRow = null
           while (rRow == null && rIter.hasNext) {
             val raw = rIter.next()
+            numRightRows += 1
             val k = rKeyProj(raw)
             val t = rTimeProj(raw)
             // null key or null time can never match anything: drop here so
@@ -177,6 +186,7 @@ case class AsofJoinExec(
 
         override def next(): InternalRow = {
           val lRow = lIter.next()
+          numLeftRows += 1
           val lKey = lKeyProj(lRow)
           if (lKey.anyNull) {
             numOutputRows += 1
@@ -239,8 +249,11 @@ case class BroadcastAsofJoinExec(
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
+  // numLeftRows is a SIZE metric (per-task min/med/max in the UI) — the
+  // right side is a broadcast, so the left distribution IS the skew story.
   override lazy val metrics = Map(
-    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numLeftRows" -> SQLMetrics.createSizeMetric(sparkContext, "left input rows per task"))
 
   override def requiredChildDistribution: Seq[Distribution] =
     org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution ::
@@ -267,6 +280,7 @@ case class BroadcastAsofJoinExec(
     val tolLocal = toleranceUs
     val allOut = output
     val numOutputRows = longMetric("numOutputRows")
+    val numLeftRows = longMetric("numLeftRows")
     val bcast = right.executeBroadcast[Array[InternalRow]]()
 
     left.execute().mapPartitions { lIter =>
@@ -307,6 +321,7 @@ case class BroadcastAsofJoinExec(
         }.toMap
 
       lIter.map { lRow =>
+        numLeftRows += 1
         val lKey = lKeyProj(lRow)
         val matched: InternalRow =
           if (lKey.anyNull) nullRight

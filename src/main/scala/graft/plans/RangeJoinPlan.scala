@@ -102,8 +102,13 @@ case class RangeJoinExec(
     if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
     else left.output ++ right.output
 
+  // Input-row metrics are SIZE metrics on purpose: the UI reports per-task
+  // min/med/max beside the total — the post-hoc skew signal join_range_sliced
+  // exists to fix, now measurable on the executed plan.
   override lazy val metrics = Map(
-    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numLeftRows" -> SQLMetrics.createSizeMetric(sparkContext, "left input rows per task"),
+    "numRightRows" -> SQLMetrics.createSizeMetric(sparkContext, "right input rows per task"))
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys, requireAllClusterKeys = true) ::
@@ -131,6 +136,8 @@ case class RangeJoinExec(
     val outer = leftOuter
     val allOut = output
     val numOutputRows = longMetric("numOutputRows")
+    val numLeftRows = longMetric("numLeftRows")
+    val numRightRows = longMetric("numRightRows")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
@@ -164,6 +171,7 @@ case class RangeJoinExec(
           rRow = null
           while (rRow == null && rIter.hasNext) {
             val raw = rIter.next()
+            numRightRows += 1
             val k = rKeyProj(raw)
             val t = rTimeProj(raw)
             if (!k.anyNull && !t.isNullAt(0)) {
@@ -191,6 +199,7 @@ case class RangeJoinExec(
           pendingLeft = null; pendingIt = null; pendingNull = false
           while (pendingIt == null && !pendingNull && lIter.hasNext) {
             val lRow = lIter.next()
+            numLeftRows += 1
             val lKey = lKeyProj(lRow)
             val lt = lTimeProj(lRow)
             if (!lKey.anyNull && !lt.isNullAt(0)) {
@@ -260,8 +269,11 @@ case class BroadcastRangeJoinExec(
     if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
     else left.output ++ right.output
 
+  // numLeftRows is a SIZE metric (per-task min/med/max) — the right side is
+  // a broadcast, so the left distribution IS the skew story.
   override lazy val metrics = Map(
-    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numLeftRows" -> SQLMetrics.createSizeMetric(sparkContext, "left input rows per task"))
 
   override def requiredChildDistribution: Seq[Distribution] =
     org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution ::
@@ -288,6 +300,7 @@ case class BroadcastRangeJoinExec(
     val outer = leftOuter
     val allOut = output
     val numOutputRows = longMetric("numOutputRows")
+    val numLeftRows = longMetric("numLeftRows")
     val bcast = right.executeBroadcast[Array[InternalRow]]()
 
     left.execute().mapPartitions { lIter =>
@@ -330,6 +343,7 @@ case class BroadcastRangeJoinExec(
       }
 
       lIter.flatMap { lRow =>
+        numLeftRows += 1
         def unmatched: Iterator[InternalRow] =
           if (!outer) Iterator.empty
           else { numOutputRows += 1; Iterator.single(resultProj(joined(lRow, nullRight))) }

@@ -36,6 +36,34 @@ class AsofNativeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(collectWithSubqueries(plan) { case e: BroadcastNestedLoopJoinExec => e }.isEmpty)
   }
 
+  test("input-row SQLMetrics on the executed exec: totals exact, size-typed " +
+    "for per-task min/med/max skew observability") {
+    // no final orderBy: a global sort's range-partitioner SAMPLING pass
+    // re-executes the join and double-counts every accumulator
+    val ev = graft.tables.Tables.events(spark, TestSpark.sf0001)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("purchase_ts"))
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("prev_view_ts"),
+        col("event_id").as("prev_view_id"))
+    val df = Asof.join(p, v, Seq("user_id" -> "v_user"), "purchase_ts", "prev_view_ts",
+      strict = true, tiebreakCols = Seq("prev_view_id"), broadcastRight = Some(false))
+    val res = df.collect()
+    val exec = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case e: AsofJoinExec => e }.head
+    val purchases = ev.where(col("event_type") === "purchase").count()
+    val views = ev.where(col("event_type") === "view").count()
+    assert(exec.metrics("numLeftRows").value == purchases,
+      "left input metric must count every purchase row entering the merge")
+    val r = exec.metrics("numRightRows").value
+    assert(r > 0 && r <= views,
+      s"right input metric must count consumed view rows (early-out allowed): $r")
+    assert(exec.metrics("numOutputRows").value == res.length)
+    // SIZE metrics render per-task min/med/max — the post-hoc skew signal
+    assert(exec.metrics("numLeftRows").metricType == "size")
+    assert(exec.metrics("numRightRows").metricType == "size")
+  }
+
   test("join_asof_native_outer: sparse right side puts a large null fraction " +
     "in the hash and matches the windowed outer form") {
     val rows = JoinOps.joinAsofNativeOuter.fn(spark, TestSpark.sf0001).collect()

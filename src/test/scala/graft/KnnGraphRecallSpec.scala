@@ -65,10 +65,10 @@ class KnnGraphRecallSpec extends AnyFunSuite {
     assert(LlmOps.knnLshBitsFor(1L << 30) == 24) // clamped ceiling
     assert(LlmOps.knnLshBitsFor(10) == 4)        // clamped floor
     assert(LlmOps.knnLshProbeFor(500) == 1 && LlmOps.knnLshProbeFor(8192) == 2)
-    assert(LlmOps.knnLshTablesFor(500) == 4 && LlmOps.knnLshTablesFor(8192) == 8)
+    assert(LlmOps.knnLshTablesFor(500) == 4 && LlmOps.knnLshTablesFor(8192) == 12)
   }
 
-  test("auto width + Hamming-2 probing holds a 0.80 recall floor on the " +
+  test("auto width + Hamming-2 probing holds a 0.90 recall floor on the " +
     "8192-vector uniform-random fixture (worst case), work bounded") {
     val n = 8192
     val dim = 64
@@ -94,7 +94,10 @@ class KnnGraphRecallSpec extends AnyFunSuite {
       val pairSpace = n.toLong * (n - 1) / 2
       info(f"exact=${exact.size} ann=${ann.size} recall=$recall%.3f " +
         f"candidates=$candidates/$pairSpace (${candidates.toDouble / pairSpace}%.3f of pair space)")
-      assert(recall >= 0.80, f"recall $recall%.3f below the raised floor 0.80")
+      // measured 0.964 at 12 auto tables (0.893 at the former 8); the
+      // 16384-vector point measures 0.928 at 0.35x pair space — the floor
+      // now matches the sim-search generator's 0.90 pin
+      assert(recall >= 0.90, f"recall $recall%.3f below the raised floor 0.90")
       assert(candidates <= pairSpace * 6 / 10,
         s"candidate stage scanned $candidates of $pairSpace pairs")
     } finally graft.ops.Housekeeping.deleteRecursively(dir)

@@ -12,8 +12,34 @@ import graft.plans.Band
   * shape (a custom exec that silently planned a cartesian would still pass
   * a result check — the plan assertion is half the contract).
   */
-class RangeJoinSpec extends AnyFunSuite {
+class RangeJoinSpec extends AnyFunSuite
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
   private lazy val spark = TestSpark.spark
+
+  test("input-row SQLMetrics on the executed band exec: totals exact, " +
+    "size-typed for per-task skew observability") {
+    // no final orderBy: a global sort's range-partitioner SAMPLING pass
+    // re-executes the join and double-counts every accumulator
+    val ev = graft.tables.Tables.events(spark, TestSpark.sf0001)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("u1"), col("ts").as("t1"))
+    val f = ev.select(col("event_id").as("follow_id"), col("user_id").as("u2"),
+      col("ts").as("t2"), col("event_type").as("follow_type"))
+    val df = Band.join(p, f, Seq("u1" -> "u2"), "t1", "t2",
+      loMicros = 0L, hiMicros = 600000000L, broadcastRight = Some(false))
+    val res = df.collect()
+    val exec = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case e: graft.plans.RangeJoinExec => e }.head
+    val purchases = ev.where(col("event_type") === "purchase").count()
+    assert(exec.metrics("numLeftRows").value == purchases,
+      "left input metric must count every purchase row entering the merge")
+    val r = exec.metrics("numRightRows").value
+    assert(r > 0 && r <= ev.count(),
+      s"right input metric must count consumed rows (early-out allowed): $r")
+    assert(exec.metrics("numOutputRows").value == res.length)
+    assert(exec.metrics("numLeftRows").metricType == "size")
+    assert(exec.metrics("numRightRows").metricType == "size")
+  }
 
   /** Evaluate `f` with [[graft.plans.BandRewriteRule]] disabled, so a theta
     * formulation stays on Catalyst's stock sort-merge plan — the INDEPENDENT
