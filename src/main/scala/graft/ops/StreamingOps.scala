@@ -1067,11 +1067,21 @@ object StreamingOps {
             if (!Files.exists(marker)) {
               val priorSh = priorGens(shinglesDir)
               // re-upload hardening: dedup within the batch, then drop every
-              // already-indexed doc_id — only never-seen docs are signed
-              val fresh = LlmOps.minhashBatchBase(batch.dropDuplicates("doc_id"))
-              val base = (if (priorSh.isEmpty) fresh
-                else fresh.join(ss.read.parquet(priorSh: _*).select("doc_id"),
-                  Seq("doc_id"), "left_anti")).cache()
+              // already-indexed doc_id — only never-seen docs are signed.
+              // The seen-id lookup is the broadcast-probe spelling: the
+              // standing id column STREAMS against the broadcast batch ids
+              // (round 15 — a plain left_anti would shuffle the unbounded
+              // standing side every batch), and the signature projection
+              // runs AFTER the anti-join so re-uploads are never signed.
+              val distinctB = batch.dropDuplicates("doc_id")
+              val unseen =
+                if (priorSh.isEmpty) distinctB
+                else {
+                  val seen = ss.read.parquet(priorSh: _*).select("doc_id")
+                    .join(broadcast(distinctB.select("doc_id")), "doc_id")
+                  distinctB.join(broadcast(seen), Seq("doc_id"), "left_anti")
+                }
+              val base = LlmOps.minhashBatchBase(unseen).cache()
               try {
                 val bands = LlmOps.minhashBands(base)
                 val shingles = base.select(col("doc_id"), col("shingles"))
@@ -1219,9 +1229,15 @@ object StreamingOps {
               val routed = committedGensBefore(cleanDir, batchId) ++
                 committedGensBefore(quarDir, batchId)
               val fresh0 = batch.dropDuplicates("doc_id")
+              // broadcast-probe anti-join: the standing routed-id column
+              // streams against the broadcast batch ids (round 15 — a plain
+              // left_anti would shuffle the unbounded lanes every batch)
               val fresh = if (routed.isEmpty) fresh0
-                else fresh0.join(ss.read.parquet(routed: _*).select("doc_id"),
-                  Seq("doc_id"), "left_anti")
+                else {
+                  val seen = ss.read.parquet(routed: _*).select("doc_id")
+                    .join(broadcast(fresh0.select("doc_id")), "doc_id")
+                  fresh0.join(broadcast(seen), Seq("doc_id"), "left_anti")
+                }
               val badLen = col("n_chars") < 64 || col("n_chars") > 4096
               val badTok = size(split(col("text"), " ")) < 10
               val badChars = !col("text").rlike("^[a-z ]+$")
