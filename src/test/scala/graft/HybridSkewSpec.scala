@@ -46,6 +46,15 @@ class HybridSkewSpec extends AnyFunSuite {
     val hot = SkewOps.hotKeysFromReport(spark, d)
     assert(hot.isEmpty,
       s"this corpus has no 4x-average key, so the default routing must be empty: $hot")
+    // the report is a STANDING committed artifact: with a version already
+    // committed (the call above ensured one), building/routing the hybrid
+    // plan must run ZERO measurement passes — the round-15 verdict's #2
+    val before = DqOps.skewMeasureCount.get()
+    SkewOps.hotKeysFromReport(spark, d)
+    val plan0 = SkewOps.joinSkewHybrid.fn(spark, d).queryExecution.executedPlan
+    assert(DqOps.skewMeasureCount.get() == before,
+      "routing against a committed report must not re-measure it")
+    assert(plan0 != null)
     val res = SkewOps.joinSkewHybrid.fn(spark, d)
     val plan = res.queryExecution.executedPlan.toString
     assert(plan.contains("SortMergeJoin"), "expected the merge path:\n" + plan)
@@ -63,8 +72,9 @@ class HybridSkewSpec extends AnyFunSuite {
     try {
       val hotKeys = SkewOps.hotKeysFromReport(spark, d)
       assert(hotKeys.nonEmpty, "the 12000-ppm floor must route keys on this corpus")
-      // the routed set is exactly the staged report's over-threshold keys
-      val expected = spark.read.parquet(DqOps.joinSkewReportStagePath(d))
+      // the routed set is exactly the committed report's over-threshold keys
+      val expected = graft.ops.TableManifest.readTable(spark,
+          java.nio.file.Paths.get(DqOps.joinSkewReportStagePath(d)))
         .where(col("share_ppm") >= 12000).select("user_id")
         .collect().map(_.getLong(0)).toSeq.sorted
       assert(hotKeys == expected, "routing must read the staged report verbatim")

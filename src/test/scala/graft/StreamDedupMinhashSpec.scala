@@ -93,6 +93,42 @@ class StreamDedupMinhashSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(ops.TableManifest.pruneForPoints(files, stats, Nil).isEmpty)
   }
 
+  test("standing SHINGLE table is a stats-committed manifest table: the " +
+    "seen-id probe prunes to the batch's id footprint, the Jaccard verify " +
+    "to the candidate doc_ids (round 16 — no O(corpus) standing read left)") {
+    StreamingOps.streamDedupMinhash.fn(spark, d).collect() // (re)build the index
+    val idx = StreamingOps.lastRoot("minhash", d)
+    val shRoot = java.nio.file.Paths.get(idx, "shingles")
+    val (version, files) = ops.TableManifest.read(shRoot)
+    assert(version == 3, s"three deliveries must commit three versions: $version")
+    val stats = ops.TableManifest.statsOf(shRoot, version)
+    assert(files.forall(stats.contains), "every committed file must carry doc_id stats")
+    // each batch recorded both prunes it ran against the PINNED prior version
+    val fractions = (1L to 2L).map { b =>
+      val seen = StreamingOps.lastRoot(s"minhash_shprune_seen_b$b", d)
+      assert(seen != null, s"batch $b must record its seen-id prune")
+      val Array(sp, st) = seen.split("/").map(_.toInt)
+      assert(st > 0 && sp <= st, s"batch $b seen prune $seen")
+      val ver = StreamingOps.lastRoot(s"minhash_shprune_verify_b$b", d)
+      assert(ver != null, s"batch $b must record its verify prune")
+      val Array(vp, vt) = ver.split("/").map(_.toInt)
+      assert(vt > 0 && vp <= vt, s"batch $b verify prune $ver")
+      (vp, vt)
+    }
+    // the Jaccard verify's candidate id set is bounded by band collisions,
+    // so on this fixture at least one batch's prune must actually SKIP
+    // files (at toy scale a candidate-rich batch can legitimately touch
+    // every file of a tiny generation; the single-point probe below pins
+    // the zone-map geometry the 100 TB claim rests on)
+    assert(fractions.exists { case (vp, vt) => vp < vt },
+      s"no batch's verify prune skipped any file: $fractions")
+    // a single doc_id point probe touches at most ~1 file per generation
+    val pt = stats.values.head._1
+    val pruned = ops.TableManifest.pruneForPoints(files, stats, Seq(pt))
+    assert(pruned.nonEmpty && pruned.size < files.size,
+      s"a single-point prune must skip files: ${pruned.size} of ${files.size}")
+  }
+
   test("cross-batch probe broadcasts the micro-batch: no exchange on the " +
     "standing-index side") {
     val docs = graft.tables.Tables.documents(spark, d).select("doc_id", "text")
