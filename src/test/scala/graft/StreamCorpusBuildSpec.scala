@@ -61,4 +61,53 @@ class StreamCorpusBuildSpec extends AnyFunSuite {
         s"batch $b commit marker missing")
     }
   }
+
+  test("standing state is manifest tables with zone maps: per-batch probes " +
+    "prune their file lists, the pool index is inverted (round 16)") {
+    StreamingOps.streamCorpusBuild.fn(spark, d).collect() // (re)build state
+    val root = StreamingOps.lastRoot("corpus", d)
+    // all three standing tables committed three stats-covered versions
+    Seq("docstate" -> "doc_id", "dict" -> "skey", "shingles" -> "skey").foreach {
+      case (sub, statsCol) =>
+        val p = java.nio.file.Paths.get(root, sub)
+        val (version, files) = ops.TableManifest.read(p)
+        assert(version == 3, s"$sub: three deliveries must commit three versions: $version")
+        val stats = ops.TableManifest.statsOf(p, version)
+        assert(files.forall(stats.contains), s"$sub: every file must carry $statsCol stats")
+    }
+    // the pool index is EXPLODED (skey, s, doc_id) — the inverted layout
+    // whose probe cost is ∝ hits, never ∝ pool
+    val pool = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$root/shingles")
+    assert(pool.columns.toSet == Set("doc_id", "s", "skey"),
+      s"pool index must be inverted rows: ${pool.columns.mkString(",")}")
+    // batches 1 and 2 recorded every standing-side prune they ran (on this
+    // toy fixture the probe point sets are large relative to 8-file
+    // generations, so the fractions are 1.0 — the GEOMETRY that makes them
+    // shrink at scale is pinned by the single-point probes below)
+    val pruned = (1L to 2L).flatMap { b =>
+      Seq("state", "dict", "hits", "reval").flatMap { tag =>
+        Option(StreamingOps.lastRoot(s"corpus_prune_${tag}_b$b", d)).map { rec =>
+          val Array(p, t) = rec.split("/").map(_.toInt)
+          assert(t > 0 && p <= t, s"batch $b $tag prune $rec")
+          tag
+        }
+      }
+    }
+    Seq("state", "dict", "hits", "reval").foreach(tag =>
+      assert(pruned.contains(tag), s"the $tag prune must have run: $pruned"))
+    // zone-map geometry: a SINGLE point probes ≤ ~1 file per generation of
+    // each clustered standing table — a small batch probing a 100 TB
+    // standing table reads a vanishing file fraction
+    Seq("docstate", "dict", "shingles").foreach { sub =>
+      val p = java.nio.file.Paths.get(root, sub)
+      val (version, files) = ops.TableManifest.read(p)
+      val stats = ops.TableManifest.statsOf(p, version)
+      val pt = stats.values.head._1
+      val hit = ops.TableManifest.pruneForPoints(files, stats, Seq(pt))
+      assert(hit.nonEmpty && hit.size < files.size,
+        s"$sub: a single-point prune must skip files: ${hit.size} of ${files.size}")
+      assert(ops.TableManifest.pruneForPoints(files, stats, Nil).isEmpty)
+    }
+  }
 }
