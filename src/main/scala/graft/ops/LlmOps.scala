@@ -1248,6 +1248,157 @@ object LlmOps {
     },
     Some(annRerankOracle(Stage.token + "/ann_ivf_stream_cand")))
 
+  /** Driver-side parquet FOOTER row count — metadata-only (no scan tasks,
+    * no data pages touched): the testbed stand-in for the per-file row
+    * counts a production manifest carries inline, used by the streaming
+    * autorefresh's drift check so the decision never reads vector data. */
+  private def footerRowCount(files: Seq[java.nio.file.Path]): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f.toString), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
+  /** The appended share (ppm) of a streaming refresh index, derived from
+    * ITS OWN manifest: appended rows live in `genb*` generations, trained
+    * rows in `gen0`/`genr*` — and because a retrain SWAPS (carries no prior
+    * files), the live manifest's genb share is exactly the drift since the
+    * last (re)train. Empty index ⇒ 0 drift (the round-15 ADVICE guard). */
+  private[graft] def streamDriftPpm(root: java.nio.file.Path): Long = {
+    val (_, files) = TableManifest.read(root)
+    val cells = files.filter(_.toString.contains("/cells/"))
+    val tot = footerRowCount(cells)
+    if (tot == 0L) 0L
+    else footerRowCount(cells.filter(_.toString.contains("/genb"))) * 1000000L / tot
+  }
+
+  /** Per-batch autorefresh decisions, keyed by "sfDir|b<batchId>" — the
+    * spec hook StreamIvfAutorefreshSpec pins both branches against. */
+  private[graft] val streamRefreshLog =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def annIvfStreamRefreshStagePath(sfDir: String): String =
+    Stage.root(sfDir) + "/ann_ivf_stream_refresh_cand"
+
+  /** STREAMING DRIFT-TRIGGERED AUTOREFRESH (round 16; the round-15
+    * verdict's #4) — [[streamAnnIvfAppend]]'s per-batch CAS with the drift
+    * check FOLDED IN, closing the index lifecycle loop mid-stream instead
+    * of waiting for an offline tick: each micro-batch (1) appends its
+    * nearest-frozen-centroid assignment as a new generation via the
+    * idempotent batchId-keyed CAS, then (2) re-derives the index's appended
+    * share off the MANIFEST ALONE ([[streamDriftPpm]] — footer row counts,
+    * zero data I/O) and, when the share crosses `graft.ivf.refresh.ppm`
+    * (default 10 %), retrains the full committed corpus and SWAPS quantizer
+    * + inverted file in one atomic manifest version (the
+    * [[ivfRetrainIndexPath]] layout: every version carries BOTH centroid
+    * and cell files, so a reader can never mix generations). Post-swap the
+    * appended share is zero by construction, so a replayed batch's drift
+    * check is a natural no-op — no retrain marker needed. Deliveries are
+    * uneven ON PURPOSE: the first lands 1/15 of the corpus (~7.7 %
+    * appended — below the floor, an explicit logged no-op), the second
+    * brings the share to 20 % — above it, firing the mid-stream retrain.
+    * Because training is bit-deterministic over a row SET, the swapped
+    * index's probe equals the offline retrain key's probe ROW-EXACTLY
+    * (StreamIvfAutorefreshSpec pins both branches; a sky-high conf'd floor
+    * proves the never-fires stream equals the pure append index).
+    *
+    * Scale notes (100 TB ingest): per-batch cost is the bounded assignment
+    * + one metadata CAS + a footer-count walk of the manifest's file list;
+    * the retrain — when the stream itself decides it has drifted — is the
+    * declared full-Lloyd's price, amortized across every batch since the
+    * last refresh, and the swap is one rename under concurrent readers.
+    * Oracle: the standard staged-candidate re-rank, valid for WHICHEVER
+    * branch ran last. */
+  val streamAnnIvfAutorefresh: Op = Op(
+    "stream_ann_ivf_autorefresh",
+    (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      graft.functions.GraftFunctions.register(s)
+      val batchIdx = ivfAppendIndexPath(s, d) // frozen base centroids
+      val floor = s.conf.getOption("graft.ivf.refresh.ppm")
+        .map(_.toLong).getOrElse(100000L)
+      val root = Housekeeping.tempDirBounded("ivf_streamref_idx",
+        Housekeeping.scratchDir("ivf_streamref_idx"))
+      val cents0 = Housekeeping.cacheBounded("ivf_streamref_cents",
+        s.read.parquet(batchIdx.resolve("centroids").toString))
+      cents0.write.mode("overwrite").parquet(root.resolve("centroids/gen0").toString)
+      val vecs = Tables.embeddings(s, d).select("vec_id", "embedding")
+      ivfAssignAgainst(vecs.where(pmod(col("vec_id"), lit(5)) =!= 0), cents0)
+        .withColumn("cell_dir", col("cell"))
+        .write.partitionBy("cell_dir").parquet(root.resolve("cells/gen0").toString)
+      TableManifest.commit(root, 1,
+        TableManifest.parquetFiles(root.resolve("centroids/gen0")) ++
+          TableManifest.parquetFiles(root.resolve("cells/gen0")))
+      val srcDir = Housekeeping.scratchDir("ivf_streamref_src")
+      val ckpt = Housekeeping.scratchDir("ivf_streamref_ckpt").toString
+      val delta = vecs.where(pmod(col("vec_id"), lit(5)) === 0)
+      try {
+        StreamingOps.stageDelivery(delta.where(pmod(col("vec_id"), lit(3)) === 0),
+          srcDir, "delivery0.parquet")
+        StreamingOps.stageDelivery(delta.where(pmod(col("vec_id"), lit(3)) =!= 0),
+          srcDir, "delivery1.parquet")
+        val q = s.readStream.schema(delta.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val ss = batch.sparkSession
+            // 1) APPEND — the batchId-keyed idempotent CAS: assignment is
+            // against the COMMITTED version's centroids (a prior batch may
+            // have swapped them), and the fold marker makes a replay after
+            // a later swap a no-op even though the swap dropped its files
+            val marker = root.resolve(s"_b$batchId.appended")
+            if (!java.nio.file.Files.exists(marker)) {
+              val (cur, curFiles) = TableManifest.read(root)
+              val cents = ss.read.parquet(curFiles
+                .filter(_.toString.contains("/centroids/")).map(_.toString): _*)
+              val genDir = root.resolve(s"cells/genb$batchId")
+              ivfAssignAgainst(batch, cents)
+                .withColumn("cell_dir", col("cell"))
+                .write.mode("overwrite").partitionBy("cell_dir").parquet(genDir.toString)
+              val ok = TableManifest.commitIfVersion(root, cur,
+                curFiles ++ TableManifest.parquetFiles(genDir))
+              require(ok, s"ivf stream autorefresh lost the append CAS at " +
+                s"version $cur — a concurrent writer mutated the index mid-ingest")
+              java.nio.file.Files.createFile(marker)
+            }
+            // 2) DRIFT CHECK — every batch, off the manifest alone; fires
+            // the retrain+swap when the appended share crosses the floor
+            val ppm = streamDriftPpm(root)
+            if (ppm >= floor) {
+              streamRefreshLog.put(s"$d|b$batchId", s"retrain:$ppm")
+              val (cur2, f2) = TableManifest.read(root)
+              val corpusNow = ss.read.parquet(f2
+                .filter(_.toString.contains("/cells/")).map(_.toString): _*)
+                .select("neighbor_id", "vc", "nc")
+              val newCents = ivfCentroidsOf(ss, ivfTrain(ss, corpusNow))
+              newCents.write.mode("overwrite")
+                .parquet(root.resolve(s"centroids/genr$batchId").toString)
+              assignToCells(corpusNow, newCents).withColumn("cell_dir", col("cell"))
+                .write.mode("overwrite").partitionBy("cell_dir")
+                .parquet(root.resolve(s"cells/genr$batchId").toString)
+              val ok2 = TableManifest.commitIfVersion(root, cur2,
+                TableManifest.parquetFiles(root.resolve(s"centroids/genr$batchId")) ++
+                  TableManifest.parquetFiles(root.resolve(s"cells/genr$batchId")))
+              require(ok2, s"ivf stream autorefresh lost the swap CAS at " +
+                s"version $cur2 — a concurrent writer mutated the index mid-swap")
+            } else streamRefreshLog.put(s"$d|b$batchId", s"noop:$ppm")
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        stageAndRank("ann_ivf_stream_refresh_cand",
+          ivfSwapProbe(s, d, root, TableManifest.read(root)._1),
+          annIvfStreamRefreshStagePath(d))
+      } finally Seq(srcDir.toString, ckpt).foreach(p =>
+        Housekeeping.deleteRecursively(java.nio.file.Paths.get(p)))
+    },
+    Some(annRerankOracle(Stage.token + "/ann_ivf_stream_refresh_cand")))
+
   def annIvfRetrainStagePath(sfDir: String): String = Stage.root(sfDir) + "/ann_ivf_retrain_cand"
 
   /** OFFLINE CENTROID RETRAIN + ATOMIC INDEX SWAP (round 14; the round-13
@@ -2450,7 +2601,7 @@ object LlmOps {
     dedupContainment, dedupSubstringSpans, dedupSubstringTrim, dedupEditPrefix, splitClusterSafe,
     simSearchTopk, simSearchKnnPerQuery, simSearchAnnLsh, simSearchAnnIvf, simSearchAnnProbe,
     simSearchAnnIvfAppend, streamAnnIvfAppend, simSearchAnnIvfRetrain, simSearchIvfDriftReport,
-    simSearchAnnIvfAutorefresh,
+    simSearchAnnIvfAutorefresh, streamAnnIvfAutorefresh,
     simSearchAnnPq, simSearchHybridRrf, embedKnnGraph, simSearchFiltered, simSearchMmrRerank,
     textLangStats, textQualityFilter, multimodalJoin)
 }
