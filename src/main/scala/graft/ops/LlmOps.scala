@@ -1507,32 +1507,41 @@ object LlmOps {
     * by the report key and the autorefresh decision ([[ivfDriftPpm]]):
     * both must read the SAME staged artifact or the monitor and the
     * trigger could disagree. */
+  private val driftCellsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private def ivfDriftCellsStaged(s: org.apache.spark.sql.SparkSession,
-                                  d: String): DataFrame = {
-    val cellsDir = ivfAppendIndexPath(s, d).resolve("cells")
-    def perCell(version: Long, name: String): DataFrame =
-      s.read.parquet(TableManifest.filesAsOf(cellsDir, version).map(_.toString): _*)
-        .groupBy(col("cell").cast("int").as("cell"))
-        .agg(count(lit(1)).as(name))
-    // v2 ⊇ v1 by the append contract (v1 files retained by reference), so
-    // right-join on the v2 side; a cell trained but left empty at build
-    // time can still gain delta rows → n_base coalesces to 0
-    val staged = Housekeeping.cacheBounded("ivf_drift_cells",
-      perCell(1L, "n_base").join(perCell(2L, "n_total"), Seq("cell"), "right")
-        .na.fill(0L, Seq("n_base")))
-    staged.coalesce(1).write.mode("overwrite").parquet(ivfDriftStagePath(d))
-    staged
-  }
+                                  d: String): DataFrame =
+    // memoized per sfDir (round-16 ADVICE): an autorefresh run plus a
+    // drift-report run in one JVM pay the per-cell measurement and the
+    // parquet restage ONCE — the second caller reads the cached frame
+    driftCellsMemo.computeIfAbsent(d, _ => {
+      val cellsDir = ivfAppendIndexPath(s, d).resolve("cells")
+      def perCell(version: Long, name: String): DataFrame =
+        s.read.parquet(TableManifest.filesAsOf(cellsDir, version).map(_.toString): _*)
+          .groupBy(col("cell").cast("int").as("cell"))
+          .agg(count(lit(1)).as(name))
+      // v2 ⊇ v1 by the append contract (v1 files retained by reference), so
+      // right-join on the v2 side; a cell trained but left empty at build
+      // time can still gain delta rows → n_base coalesces to 0
+      val staged = Housekeeping.cacheBounded(s"ivf_drift_cells|$d",
+        perCell(1L, "n_base").join(perCell(2L, "n_total"), Seq("cell"), "right")
+          .na.fill(0L, Seq("n_base")))
+      staged.coalesce(1).write.mode("overwrite").parquet(ivfDriftStagePath(d))
+      staged
+    })
 
   /** The index's global appended fraction (ppm), read OFF THE STAGED DRIFT
     * CELLS — the one number the autorefresh thresholds. Driver-side over
     * a 2-long aggregate row; same integer math as the report's
-    * `index_added_ppm` column. */
+    * `index_added_ppm` column. An EMPTY index (zero cells → null sums)
+    * reports 0 drift: nothing was appended to nothing, and an autorefresh
+    * must not fire on it (the round-15 ADVICE NPE/zero-division guard). */
   private[graft] def ivfDriftPpm(s: org.apache.spark.sql.SparkSession, d: String): Long = {
     val r = ivfDriftCellsStaged(s, d)
       .agg(sum(col("n_total")).as("tot"), sum(col("n_base")).as("totb")).first()
-    val (tot, totb) = (r.getLong(0), r.getLong(1))
-    (tot - totb) * 1000000L / tot
+    if (r.isNullAt(0) || r.getLong(0) == 0L) 0L
+    else (r.getLong(0) - r.getLong(1)) * 1000000L / r.getLong(0)
   }
 
   val simSearchIvfDriftReport: Op = Op(
