@@ -204,6 +204,21 @@ object StreamingOps {
           stageDelivery(ev.where(pmod(col("event_id"), lit(3)) === k),
             srcDir, s"delivery$k.parquet")
         }
+        // PRECONDITION (round-16 ADVICE): the oracle's group-level drop
+        // accounting (numRowsDroppedByWatermark = distinct late windows per
+        // batch) holds only while each delivery plans as ONE input
+        // partition — guaranteed iff each single staged file fits in
+        // maxPartitionBytes (maxFilesPerTrigger=1 ⇒ one file per batch; a
+        // lone file splits only past that size). Assert it loudly so a
+        // partitioning-conf or file-size change can never silently break
+        // hash equality into a per-partition-counts puzzle.
+        val maxPB = s.sessionState.conf.filesMaxPartitionBytes
+        (0 to 2).foreach { k =>
+          val sz = Files.size(srcDir.resolve(s"delivery$k.parquet"))
+          require(sz <= maxPB, s"stream_late_data: delivery$k is $sz bytes > " +
+            s"spark.sql.files.maxPartitionBytes=$maxPB — the one-input-partition-" +
+            "per-batch precondition of the drop accounting no longer holds")
+        }
         val q = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(srcDir.toString)
@@ -225,6 +240,12 @@ object StreamingOps {
           .orderBy("ws")
       } }
     },
+    // SPARK-VERSION PIN (round-16 ADVICE): this oracle replays MEASURED
+    // Spark 4.1.x internals — the ms-truncated EventTimeStats watermark, the
+    // one-batch effect lag (batch k filters with max-event-time through
+    // batch k-2), and group-level numRowsDroppedByWatermark. Re-measure all
+    // three against per-batch progress on this fixture after any Spark
+    // upgrade before trusting hash equality.
     Some("WITH e AS (SELECT event_id, ts, event_id % 3 AS dlv FROM events), " +
       "mx AS (SELECT dlv, date_trunc('milliseconds', max(ts)) AS mts FROM e GROUP BY 1), " +
       "wm AS (SELECT dlv, max(mts) OVER (ORDER BY dlv ROWS BETWEEN UNBOUNDED PRECEDING " +
@@ -1021,21 +1042,14 @@ object StreamingOps {
       root: java.nio.file.Path, version: Long, statsCol: String,
       priorFiles: Seq[java.nio.file.Path],
       priorStats: Map[java.nio.file.Path, (Long, Long)], parts: Int = 8): Unit = {
-    val ss = df.sparkSession
     df.repartitionByRange(parts, col(statsCol)).sortWithinPartitions(statsCol)
       .write.mode("overwrite").parquet(genDir)
     val genFiles = TableManifest.parquetFiles(java.nio.file.Paths.get(genDir))
-    val genStats =
-      if (genFiles.isEmpty) Map.empty[java.nio.file.Path, (Long, Long)]
-      else ss.read.parquet(genDir)
-        .groupBy(input_file_name().as("f"))
-        .agg(min(col(statsCol)).as("mn"), max(col(statsCol)).as("mx"))
-        .collect()
-        .map(r => java.nio.file.Paths.get(
-          new java.net.URI(r.getString(0)).getPath) ->
-          (r.getLong(1), r.getLong(2))).toMap
+    // zone maps come from the just-written files' parquet FOOTERS — one
+    // driver-side metadata walk, no re-scan job (round 16; was a
+    // groupBy(input_file_name) aggregate per commit)
     TableManifest.commitWithStats(root, version, priorFiles ++ genFiles, statsCol,
-      priorStats ++ genStats)
+      priorStats ++ TableManifest.footerLongStats(genFiles, statsCol))
   }
 
   /** Cross-batch candidate probe: the BOUNDED micro-batch's band rows

@@ -247,6 +247,34 @@ object TableManifest {
     }
   }
 
+  /** Per-file [min, max] of one INT64 column read from parquet FOOTERS —
+    * metadata-only stats collection (no scan tasks, no data pages): how a
+    * production writer populates manifest zone maps without re-reading the
+    * data it just wrote (Delta and Iceberg ingest exactly these footer
+    * statistics into their manifests). A file whose footer carries no
+    * statistics for the column (e.g. zero rows) is omitted from the map —
+    * [[pruneForPoints]]/[[filesForRange]] keep uncovered files
+    * conservatively, so omission is always safe. */
+  def footerLongStats(files: Seq[Path], statsCol: String): Map[Path, (Long, Long)] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    files.flatMap { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toString), conf))
+      try {
+        val sts = r.getFooter.getBlocks.asScala
+          .flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == statsCol)
+          .map(_.getStatistics)
+          .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
+        if (sts.isEmpty) None
+        else Some(f -> (
+          sts.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
+          sts.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max))
+      } finally r.close()
+    }.toMap
+  }
+
   /** Remove data files no longer referenced by the current manifest (the
     * explicit, reader-visible-state-preserving cleanup). Returns the number
     * of orphans removed. */
