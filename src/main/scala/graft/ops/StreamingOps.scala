@@ -1275,9 +1275,11 @@ object StreamingOps {
     * already routed by COMMITTED generations, so each doc is routed exactly
     * once no matter how often it arrives. The fold over deliveries must
     * reproduce the batch op's per-doc verdicts bit-for-bit — the oracle IS
-    * `text_quality_filter`'s. Per-batch cost ∝ batch + one id-projection
-    * scan of the standing lanes (columnar, ids only); state is the routed
-    * output itself — no state store. */
+    * `text_quality_filter`'s. Per-batch cost ∝ batch: both lanes are
+    * manifest tables (round 16 — generations range-clustered on doc_id,
+    * footer zone maps), so the routed-id probe reads only the lane files
+    * whose id range intersects the batch's ids; state is the routed output
+    * itself — no state store. */
   val streamQualityGate: Op = Op(
     "stream_quality_gate",
     (s, d) => {
@@ -1305,29 +1307,52 @@ object StreamingOps {
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             val ss = batch.sparkSession
             val marker = java.nio.file.Paths.get(root, s"_b$batchId.done")
+            // both lanes are manifest tables since round 16 (the
+            // stream_dedup_minhash idiom): generations range-clustered on
+            // doc_id with footer zone maps, so the routed-id probe prunes
+            // to the BATCH's id footprint instead of scanning every lane
+            // generation per batch
+            val cleanP = java.nio.file.Paths.get(cleanDir)
+            val quarP = java.nio.file.Paths.get(quarDir)
+            def laneAt(p: java.nio.file.Path, id: Long): (Seq[java.nio.file.Path],
+                Map[java.nio.file.Path, (Long, Long)]) =
+              if (id == 0) (Nil, Map.empty)
+              else (TableManifest.filesAsOf(p, id), TableManifest.statsOf(p, id))
             if (!Files.exists(marker)) {
-              val routed = committedGensBefore(cleanDir, batchId) ++
-                committedGensBefore(quarDir, batchId)
+              val (cF, cS) = laneAt(cleanP, batchId)
+              val (qF, qS) = laneAt(quarP, batchId)
               val fresh0 = batch.dropDuplicates("doc_id")
-              // broadcast-probe anti-join: the standing routed-id column
-              // streams against the broadcast batch ids (round 15 — a plain
-              // left_anti would shuffle the unbounded lanes every batch)
-              val fresh = if (routed.isEmpty) fresh0
+              val batchIds = fresh0.select("doc_id").collect().map(_.getLong(0)).toSeq
+              val routedF = TableManifest.pruneForPoints(cF, cS, batchIds) ++
+                TableManifest.pruneForPoints(qF, qS, batchIds)
+              recordRoot(s"qgate_prune_b$batchId", d,
+                s"${routedF.size}/${cF.size + qF.size}")
+              // broadcast-probe anti-join: the (pruned) standing routed-id
+              // column streams against the broadcast batch ids (round 15 —
+              // a plain left_anti would shuffle the unbounded lanes every
+              // batch)
+              val fresh = if (routedF.isEmpty) fresh0
                 else {
-                  val seen = ss.read.parquet(routed: _*).select("doc_id")
+                  val seen = ss.read.parquet(routedF.map(_.toString): _*).select("doc_id")
                     .join(broadcast(fresh0.select("doc_id")), "doc_id")
                   fresh0.join(broadcast(seen), Seq("doc_id"), "left_anti")
                 }
               val badLen = col("n_chars") < 64 || col("n_chars") > 4096
               val badTok = size(split(col("text"), " ")) < 10
               val badChars = !col("text").rlike("^[a-z ]+$")
+              // cached: four consumers (two lanes × sampling + write) would
+              // otherwise each recompute the anti-join and the regex gate
               val verdict = fresh.select(col("doc_id"),
                 (!badLen && !badTok && !badChars).as("keep"),
                 concat_ws(",",
                   when(badLen, "len"), when(badTok, "tok"), when(badChars, "chars"))
-                  .as("reasons"))
-              verdict.where(col("keep")).write.mode("overwrite").parquet(s"$cleanDir/b$batchId")
-              verdict.where(!col("keep")).write.mode("overwrite").parquet(s"$quarDir/b$batchId")
+                  .as("reasons")).cache()
+              try {
+                commitClusteredGen(verdict.where(col("keep")),
+                  s"$cleanDir/b$batchId", cleanP, batchId + 1, "doc_id", cF, cS)
+                commitClusteredGen(verdict.where(!col("keep")),
+                  s"$quarDir/b$batchId", quarP, batchId + 1, "doc_id", qF, qS)
+              } finally verdict.unpersist()
               Files.createFile(marker) // the batch's commit point
               ()
             }
@@ -1499,17 +1524,20 @@ object StreamingOps {
                     val shArr = LlmOps.shingleArrays(gated.select("doc_id", "text")).cache()
                     try {
                       // docstate: one narrow row per gated doc, written once
-                      commitClusteredGen(
-                        gated
-                          .join(shArr.select(col("doc_id"), size(col("shingles")).as("n_sh")),
-                            Seq("doc_id"), "left")
-                          .na.fill(0, Seq("n_sh"))
-                          .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
-                            PipelineOps.corpusSplitCol.as("split"),
-                            size(split(col("text"), " ")).cast("long").as("n_tokens"),
-                            col("n_chars"), col("n_sh")),
+                      // (cached: the range clustering's sampling pass would
+                      // otherwise recompute the gate join)
+                      val docstate = gated
+                        .join(shArr.select(col("doc_id"), size(col("shingles")).as("n_sh")),
+                          Seq("doc_id"), "left")
+                        .na.fill(0, Seq("n_sh"))
+                        .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+                          PipelineOps.corpusSplitCol.as("split"),
+                          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+                          col("n_chars"), col("n_sh")).cache()
+                      try commitClusteredGen(docstate,
                         s"$stateDir/b$batchId", stateP, batchId + 1, "doc_id",
                         stFiles, stStats)
+                      finally docstate.unpersist()
                       // arrival hits: the batch's pool docs vs the FULL
                       // dictionary (standing generations ∪ this batch's new
                       // shingles — disjoint by construction, so one count
