@@ -110,4 +110,37 @@ class StreamCorpusBuildSpec extends AnyFunSuite {
       assert(ops.TableManifest.pruneForPoints(files, stats, Nil).isEmpty)
     }
   }
+
+  test("revalidation work scales with HITS, not pool size: a fixed probe " +
+    "touches the same file count against a 10x pool (DedupScaleSpec idiom)") {
+    // two synthetic inverted pool indexes in the op's exact layout —
+    // (skey, s, doc_id) range-clustered on skey, footer zone maps — one 10x
+    // the other, at matched file granularity (rows per file held constant)
+    def build(n: Long, parts: Int): (java.nio.file.Path, Seq[java.nio.file.Path],
+        Map[java.nio.file.Path, (Long, Long)]) = {
+      val root = ops.Housekeeping.scratchDir(s"reval_scale_$n")
+      val df = spark.range(n).select(col("id").as("doc_id"),
+          concat(lit("tok"), pmod(col("id"), lit(997))).as("s"))
+        .withColumn("skey", StreamingOps.shingleBucketKey(col("s")))
+      StreamingOps.commitClusteredGen(df, s"$root/b0", root, 1, "skey",
+        Nil, Map.empty, parts)
+      val (v, files) = ops.TableManifest.read(root)
+      (root, files, ops.TableManifest.statsOf(root, v))
+    }
+    val (rootS, filesS, statsS) = build(2000L, 8)
+    val (rootB, filesB, statsB) = build(20000L, 80)
+    try {
+      assert(filesB.size >= filesS.size * 8, "the 10x pool must carry ~10x files")
+      // the probe: one new dictionary shingle's bucket key (the reval
+      // point-set shape) — pruned I/O must NOT grow with the pool
+      val pts = Seq(StreamingOps.MinhashBuckets / 2L)
+      val prunedS = ops.TableManifest.pruneForPoints(filesS, statsS, pts)
+      val prunedB = ops.TableManifest.pruneForPoints(filesB, statsB, pts)
+      assert(prunedS.size <= 2 && prunedB.size <= 2,
+        s"a single bucket point must touch <= 2 clustered files: " +
+          s"${prunedS.size} vs ${prunedB.size}")
+      info(s"pool 2k: ${prunedS.size}/${filesS.size} files; " +
+        s"pool 20k: ${prunedB.size}/${filesB.size} files")
+    } finally Seq(rootS, rootB).foreach(ops.Housekeeping.deleteRecursively)
+  }
 }
