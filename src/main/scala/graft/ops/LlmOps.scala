@@ -1507,15 +1507,19 @@ object LlmOps {
     * by the report key and the autorefresh decision ([[ivfDriftPpm]]):
     * both must read the SAME staged artifact or the monitor and the
     * trigger could disagree. */
-  private val driftCellsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val driftCellsStagedFor =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def ivfDriftCellsStaged(s: org.apache.spark.sql.SparkSession,
-                                  d: String): DataFrame =
-    // memoized per sfDir (round-16 ADVICE): an autorefresh run plus a
-    // drift-report run in one JVM pay the per-cell measurement and the
-    // parquet restage ONCE — the second caller reads the cached frame
-    driftCellsMemo.computeIfAbsent(d, _ => {
+                                  d: String): DataFrame = {
+    // the MEASUREMENT is memoized per sfDir (round-16 ADVICE): an
+    // autorefresh run plus a drift-report run in one JVM pay the per-cell
+    // counting and the parquet restage ONCE. Only the staged PATH is
+    // memoized — each caller re-reads the tiny artifact through its own
+    // session, because a Dataset object shared across test/executor
+    // threads can carry a dead plan session (SparkPlan.session NPE under
+    // parallel suites).
+    val path = driftCellsStagedFor.computeIfAbsent(d, _ => {
       val cellsDir = ivfAppendIndexPath(s, d).resolve("cells")
       def perCell(version: Long, name: String): DataFrame =
         s.read.parquet(TableManifest.filesAsOf(cellsDir, version).map(_.toString): _*)
@@ -1524,12 +1528,13 @@ object LlmOps {
       // v2 ⊇ v1 by the append contract (v1 files retained by reference), so
       // right-join on the v2 side; a cell trained but left empty at build
       // time can still gain delta rows → n_base coalesces to 0
-      val staged = Housekeeping.cacheBounded(s"ivf_drift_cells|$d",
-        perCell(1L, "n_base").join(perCell(2L, "n_total"), Seq("cell"), "right")
-          .na.fill(0L, Seq("n_base")))
-      staged.coalesce(1).write.mode("overwrite").parquet(ivfDriftStagePath(d))
-      staged
+      perCell(1L, "n_base").join(perCell(2L, "n_total"), Seq("cell"), "right")
+        .na.fill(0L, Seq("n_base"))
+        .coalesce(1).write.mode("overwrite").parquet(ivfDriftStagePath(d))
+      ivfDriftStagePath(d)
     })
+    s.read.parquet(path)
+  }
 
   /** The index's global appended fraction (ppm), read OFF THE STAGED DRIFT
     * CELLS — the one number the autorefresh thresholds. Driver-side over
