@@ -726,7 +726,7 @@ object DqOps {
     * to BIGINT on both engines (DuckDB SUM(BIGINT) is HUGEINT otherwise).
     *
     * The report is a CONSUMED artifact, not just a diagnostic:
-    * [[stageJoinSkewReport]] persists it and `join_skew_hybrid` reads the
+    * [[restageJoinSkewReport]] persists it and `join_skew_hybrid` reads the
     * staged rows to pick its hot lane (SkewOps) — the measure→route loop
     * runs off this table. The top-10 LIMIT deliberately bounds mitigation
     * to the report's keys: production sizes the report to the expected
@@ -770,13 +770,19 @@ object DqOps {
 
   /** Re-measure the report and commit it as a NEW [[TableManifest]] version
     * of the standing artifact — the write side of the measure→route loop,
-    * now versioned and rename-atomic: a reader mid-commit keeps the prior
-    * version's files (snapshot isolation), so two concurrent executions can
-    * never observe a partially-(over)written directory (the round-15 ADVICE
-    * race on the old flat overwrite). Restaging itself is serialized per
-    * path, so the gen-v{N} data dir is written by exactly one measurer.
-    * Cost: two map-side-combined per-key COUNT aggregates — once per feed
-    * epoch in production, never per consuming query. */
+    * versioned and rename-atomic: a reader mid-commit keeps the prior
+    * version's files (snapshot isolation). The data dir is COLLISION-FREE
+    * per measurer (`gen-v{N}-{uuid}`): the JVM-local restage lock only
+    * serializes threads, while [[TableManifest.commitIfVersion]] supports
+    * cross-PROCESS writers — two processes that both measured from the same
+    * base version write disjoint dirs, the CAS picks exactly one winner,
+    * and the loser's files become vacuumable orphans instead of an
+    * overwrite deleting the winner's committed part files (round-16 ADVICE).
+    * After a successful commit the superseded generations' data files are
+    * vacuumed, so repeated measuring (bench passes) doesn't grow the staged
+    * dir without bound. Cost: two map-side-combined per-key COUNT
+    * aggregates — once per feed epoch in production, never per consuming
+    * query. */
   def restageJoinSkewReport(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     val root = java.nio.file.Paths.get(joinSkewReportStagePath(d))
     val lock = skewRestageLocks.computeIfAbsent(root.toString, _ => new Object)
@@ -786,11 +792,13 @@ object DqOps {
         if (java.nio.file.Files.exists(root.resolve(TableManifest.fileName)))
           TableManifest.read(root)._1
         else 0L
-      val gen = root.resolve(s"gen-v${cur + 1}")
+      val gen = root.resolve(
+        s"gen-v${cur + 1}-${java.util.UUID.randomUUID.toString.take(8)}")
       joinSkewReportDf(s, d).coalesce(1).write.mode("overwrite").parquet(gen.toString)
       val ok = TableManifest.commitIfVersion(root, cur, TableManifest.parquetFiles(gen))
       require(ok, s"skew report commit lost the CAS at version $cur despite the " +
         "restage lock — a concurrent out-of-band writer mutated the artifact")
+      TableManifest.vacuum(root)
     }
   }
 

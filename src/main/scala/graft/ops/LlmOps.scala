@@ -1348,21 +1348,31 @@ object LlmOps {
             val ss = batch.sparkSession
             // 1) APPEND — the batchId-keyed idempotent CAS: assignment is
             // against the COMMITTED version's centroids (a prior batch may
-            // have swapped them), and the fold marker makes a replay after
-            // a later swap a no-op even though the swap dropped its files
+            // have swapped them). Idempotence is MANIFEST-based, like the
+            // sibling [[streamAnnIvfAppend]]: a replay whose append already
+            // committed sees its /genb{batchId}/ files in curFiles and must
+            // NOT re-run the mode("overwrite") write — that would delete the
+            // committed part files (new runs produce different UUID part
+            // names) and then double-commit the generation (round-16
+            // ADVICE). The marker is only a fast path for a replay AFTER
+            // this batch's own swap dropped the genb files from the
+            // manifest — it is created once the append is durably in the
+            // manifest (either branch), never before.
             val marker = root.resolve(s"_b$batchId.appended")
             if (!java.nio.file.Files.exists(marker)) {
               val (cur, curFiles) = TableManifest.read(root)
-              val cents = ss.read.parquet(curFiles
-                .filter(_.toString.contains("/centroids/")).map(_.toString): _*)
-              val genDir = root.resolve(s"cells/genb$batchId")
-              ivfAssignAgainst(batch, cents)
-                .withColumn("cell_dir", col("cell"))
-                .write.mode("overwrite").partitionBy("cell_dir").parquet(genDir.toString)
-              val ok = TableManifest.commitIfVersion(root, cur,
-                curFiles ++ TableManifest.parquetFiles(genDir))
-              require(ok, s"ivf stream autorefresh lost the append CAS at " +
-                s"version $cur — a concurrent writer mutated the index mid-ingest")
+              if (!curFiles.exists(_.toString.contains(s"/genb$batchId/"))) {
+                val cents = ss.read.parquet(curFiles
+                  .filter(_.toString.contains("/centroids/")).map(_.toString): _*)
+                val genDir = root.resolve(s"cells/genb$batchId")
+                ivfAssignAgainst(batch, cents)
+                  .withColumn("cell_dir", col("cell"))
+                  .write.mode("overwrite").partitionBy("cell_dir").parquet(genDir.toString)
+                val ok = TableManifest.commitIfVersion(root, cur,
+                  curFiles ++ TableManifest.parquetFiles(genDir))
+                require(ok, s"ivf stream autorefresh lost the append CAS at " +
+                  s"version $cur — a concurrent writer mutated the index mid-ingest")
+              }
               java.nio.file.Files.createFile(marker)
             }
             // 2) DRIFT CHECK — every batch, off the manifest alone; fires

@@ -500,6 +500,39 @@ object StreamingOps {
     Housekeeping.deleteRecursively(tmpD)
   }
 
+  /** Delivery count for the heavy streaming-capstone fixtures
+    * (`graft.stream.deliveries`, default 2) — the cross-batch probe and
+    * re-upload semantics need exactly TWO micro-batches (a standing
+    * generation to probe + a later delivery that re-posts earlier docs);
+    * every capstone's final answer is delivery-count-INVARIANT by
+    * construction (the fold-equality oracles prove it), so the count is
+    * pure fixture economics: the bench runs the minimal 2, the specs pin
+    * multi-generation accumulation at 3 via a `newSession()` with this
+    * conf raised (round 17; the round-16 verdict's #2 — the capstones were
+    * ~30% of every bench pass for a third delivery that proved nothing the
+    * second didn't). */
+  private[graft] def deliveryCount(s: SparkSession): Int = {
+    val n = s.conf.getOption("graft.stream.deliveries").map(_.toInt).getOrElse(2)
+    require(n >= 2, s"graft.stream.deliveries must be >= 2 (cross-batch probe + re-upload): $n")
+    n
+  }
+
+  /** Stage the shared capstone fixture: `docs` split into `n` deliveries by
+    * doc_id mod n, the LAST delivery additionally RE-UPLOADING every 17th
+    * earlier document (the duplicate gateway upload the folds must treat as
+    * no-ops). Planted duplicate pairs (adjacent ids) straddle mod-n
+    * deliveries for every n >= 2, so the cross-batch path always carries
+    * real matches. */
+  private def stageModDeliveries(docs: DataFrame, srcDir: java.nio.file.Path, n: Int): Unit =
+    (0 until n).foreach { k =>
+      val own = docs.where(pmod(col("doc_id"), lit(n)) === k)
+      val reupload =
+        if (k == n - 1) docs.where(pmod(col("doc_id"), lit(n)) =!= (n - 1) &&
+          pmod(col("doc_id"), lit(17)) === 0)
+        else own.limit(0)
+      stageDelivery(own.unionByName(reupload), srcDir, s"delivery$k.parquet")
+    }
+
   /** Checkpoint recovery — the crash/restart semantic the J family never
     * exercised before round 9. Two deliveries arrive around an outage:
     * delivery 1 (early half by event time) is drained and the query STOPS
@@ -1088,19 +1121,12 @@ object StreamingOps {
           .where(col("jaccard") >= 0.8)
           .select("doc_a", "doc_b", "jaccard")
       withStatePartitions(s, 8) { cleanupAfter(Seq(srcDir.toString, ckpt)) {
-        // three deliveries split by doc_id mod 3: planted duplicate pairs
-        // (adjacent ids) straddle deliveries, so the cross-batch probe path
-        // carries real matches, not just the within-batch one. Delivery 2
-        // additionally RE-UPLOADS every 17th earlier document (the duplicate
-        // gateway upload) — the fold must treat them as no-ops.
-        (0 to 2).foreach { k =>
-          val own = docs.where(pmod(col("doc_id"), lit(3)) === k)
-          val reupload =
-            if (k == 2) docs.where(pmod(col("doc_id"), lit(3)) =!= 2 &&
-              pmod(col("doc_id"), lit(17)) === 0)
-            else own.limit(0)
-          stageDelivery(own.unionByName(reupload), srcDir, s"delivery$k.parquet")
-        }
+        // deliveries split by doc_id mod n ([[stageModDeliveries]]): planted
+        // duplicate pairs (adjacent ids) straddle deliveries, so the
+        // cross-batch probe path carries real matches, not just the
+        // within-batch one; the last delivery additionally RE-UPLOADS every
+        // 17th earlier document — the fold must treat them as no-ops.
+        stageModDeliveries(docs, srcDir, deliveryCount(s))
         val q = s.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(srcDir.toString)
@@ -1292,14 +1318,7 @@ object StreamingOps {
       val cleanDir = s"$root/clean"
       val quarDir = s"$root/quarantine"
       withStatePartitions(s, 8) { cleanupAfter(Seq(srcDir.toString, ckpt)) {
-        (0 to 2).foreach { k =>
-          val own = docs.where(pmod(col("doc_id"), lit(3)) === k)
-          val reupload =
-            if (k == 2) docs.where(pmod(col("doc_id"), lit(3)) =!= 2 &&
-              pmod(col("doc_id"), lit(17)) === 0)
-            else own.limit(0)
-          stageDelivery(own.unionByName(reupload), srcDir, s"delivery$k.parquet")
-        }
+        stageModDeliveries(docs, srcDir, deliveryCount(s))
         val q = s.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(srcDir.toString)
@@ -1431,14 +1450,7 @@ object StreamingOps {
       val hitsDir = s"$root/hits"
       val shDir = s"$root/shingles"
       withStatePartitions(s, 8) { cleanupAfter(Seq(srcDir.toString, ckpt)) {
-        (0 to 2).foreach { k =>
-          val own = docs.where(pmod(col("doc_id"), lit(3)) === k)
-          val reupload =
-            if (k == 2) docs.where(pmod(col("doc_id"), lit(3)) =!= 2 &&
-              pmod(col("doc_id"), lit(17)) === 0)
-            else own.limit(0)
-          stageDelivery(own.unionByName(reupload), srcDir, s"delivery$k.parquet")
-        }
+        stageModDeliveries(docs, srcDir, deliveryCount(s))
         val q = s.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(srcDir.toString)

@@ -21,28 +21,36 @@ import graft.ops.{PipelineOps, StreamingOps}
 class StreamCorpusBuildSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val d = TestSpark.sf0001
+  // 3-delivery micro-fixture (session-local conf; the bench default is 2):
+  // batch 2 probes TWO standing generations, pinning multi-generation
+  // accumulation and per-batch prune records beyond the minimal fixture
+  private lazy val s3 = {
+    val s = spark.newSession()
+    s.conf.set("graft.stream.deliveries", "3")
+    s
+  }
 
   test("streamed fold equals the batch corpus build on closed input") {
-    val streamed = StreamingOps.streamCorpusBuild.fn(spark, d)
+    val streamed = StreamingOps.streamCorpusBuild.fn(s3, d)
       .collect().map(_.toSeq).toSeq
-    val batch = PipelineOps.pipelineCorpusBuild.fn(spark, d)
+    val batch = PipelineOps.pipelineCorpusBuild.fn(s3, d)
       .collect().map(_.toSeq).toSeq
     assert(streamed.nonEmpty && streamed == batch)
   }
 
   test("folded state keeps its primary keys under re-upload, dictionary " +
     "generations stay disjoint, batches commit idempotently") {
-    StreamingOps.streamCorpusBuild.fn(spark, d).collect() // (re)build state
+    StreamingOps.streamCorpusBuild.fn(s3, d).collect() // (re)build state
     val root = StreamingOps.lastRoot("corpus", d)
     assert(root != null)
     def read(sub: String) =
-      spark.read.option("recursiveFileLookup", "true").parquet(s"$root/$sub")
+      s3.read.option("recursiveFileLookup", "true").parquet(s"$root/$sub")
     // docstate: exactly one row per gated doc, despite re-uploads
     val state = read("docstate")
     assert(state.groupBy("doc_id").count().where(col("count") =!= 1).isEmpty,
       "docstate must hold each doc exactly once")
     val gatedDocs = PipelineOps.corpusGate(
-      graft.tables.Tables.documents(spark, d)).count()
+      graft.tables.Tables.documents(s3, d)).count()
     assert(state.count() == gatedDocs,
       "docstate must hold exactly the gated docs")
     // dictionary: generations are disjoint and union to the full raw src0
@@ -51,7 +59,7 @@ class StreamCorpusBuildSpec extends AnyFunSuite {
     assert(dict.groupBy("s").count().where(col("count") =!= 1).isEmpty,
       "dictionary generations must be disjoint")
     val fullDict = graft.ops.LlmOps.shingleArrays(
-        graft.tables.Tables.documents(spark, d)
+        graft.tables.Tables.documents(s3, d)
           .where(col("source") === "src0").select("doc_id", "text"))
       .select(explode(col("shingles")).as("s")).distinct().count()
     assert(dict.count() == fullDict,
@@ -64,7 +72,7 @@ class StreamCorpusBuildSpec extends AnyFunSuite {
 
   test("standing state is manifest tables with zone maps: per-batch probes " +
     "prune their file lists, the pool index is inverted (round 16)") {
-    StreamingOps.streamCorpusBuild.fn(spark, d).collect() // (re)build state
+    StreamingOps.streamCorpusBuild.fn(s3, d).collect() // (re)build state
     val root = StreamingOps.lastRoot("corpus", d)
     // all three standing tables committed three stats-covered versions
     Seq("docstate" -> "doc_id", "dict" -> "skey", "shingles" -> "skey").foreach {
@@ -77,7 +85,7 @@ class StreamCorpusBuildSpec extends AnyFunSuite {
     }
     // the pool index is EXPLODED (skey, s, doc_id) — the inverted layout
     // whose probe cost is ∝ hits, never ∝ pool
-    val pool = spark.read.option("recursiveFileLookup", "true")
+    val pool = s3.read.option("recursiveFileLookup", "true")
       .parquet(s"$root/shingles")
     assert(pool.columns.toSet == Set("doc_id", "s", "skey"),
       s"pool index must be inverted rows: ${pool.columns.mkString(",")}")

@@ -29,26 +29,34 @@ import graft.ops.{LlmOps, StreamingOps}
 class StreamDedupMinhashSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
   private lazy val spark = TestSpark.spark
   private val d = TestSpark.sf0001
+  // 3-delivery micro-fixture (session-local conf; the bench default is 2):
+  // batch 2 probes TWO standing generations, pinning multi-generation
+  // accumulation and per-batch prune records beyond the minimal fixture
+  private lazy val s3 = {
+    val s = spark.newSession()
+    s.conf.set("graft.stream.deliveries", "3")
+    s
+  }
 
   test("streamed fold equals the batch near-dup pair set on closed input, " +
     "re-uploaded documents included") {
-    val streamed = StreamingOps.streamDedupMinhash.fn(spark, d)
+    val streamed = StreamingOps.streamDedupMinhash.fn(s3, d)
       .collect().map(_.toSeq).toSeq
-    val batch = LlmOps.dedupNearMinhash.fn(spark, d)
+    val batch = LlmOps.dedupNearMinhash.fn(s3, d)
       .collect().map(_.toSeq).toSeq
     assert(streamed.nonEmpty && streamed == batch)
   }
 
   test("standing index state is linear in DISTINCT documents: 16 band rows + " +
     "1 shingle row per signed doc (primary key holds under re-upload)") {
-    StreamingOps.streamDedupMinhash.fn(spark, d).collect() // (re)build the index
+    StreamingOps.streamDedupMinhash.fn(s3, d).collect() // (re)build the index
     val idx = StreamingOps.lastRoot("minhash", d)
     assert(idx != null)
     def readGens(sub: String) =
-      spark.read.option("recursiveFileLookup", "true").parquet(s"$idx/$sub")
+      s3.read.option("recursiveFileLookup", "true").parquet(s"$idx/$sub")
     // signed docs = those with >= 3 words (the shingling floor); delivery 2's
     // re-uploads must NOT inflate these counts
-    val signedDocs = graft.tables.Tables.documents(spark, d)
+    val signedDocs = graft.tables.Tables.documents(s3, d)
       .where(size(split(col("text"), " ")) >= 3).count()
     val bands = readGens("bands")
     val shingles = readGens("shingles")
@@ -64,7 +72,7 @@ class StreamDedupMinhashSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
 
   test("standing band index is a stats-committed manifest table and " +
     "point-probes prune its file list") {
-    StreamingOps.streamDedupMinhash.fn(spark, d).collect() // (re)build the index
+    StreamingOps.streamDedupMinhash.fn(s3, d).collect() // (re)build the index
     val idx = StreamingOps.lastRoot("minhash", d)
     val bandsRoot = java.nio.file.Paths.get(idx, "bands")
     val (version, files) = ops.TableManifest.read(bandsRoot)
@@ -96,7 +104,7 @@ class StreamDedupMinhashSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
   test("standing SHINGLE table is a stats-committed manifest table: the " +
     "seen-id probe prunes to the batch's id footprint, the Jaccard verify " +
     "to the candidate doc_ids (round 16 — no O(corpus) standing read left)") {
-    StreamingOps.streamDedupMinhash.fn(spark, d).collect() // (re)build the index
+    StreamingOps.streamDedupMinhash.fn(s3, d).collect() // (re)build the index
     val idx = StreamingOps.lastRoot("minhash", d)
     val shRoot = java.nio.file.Paths.get(idx, "shingles")
     val (version, files) = ops.TableManifest.read(shRoot)

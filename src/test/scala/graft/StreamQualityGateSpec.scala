@@ -23,15 +23,20 @@ class StreamQualityGateSpec extends AnyFunSuite {
 
   test("stream gate routes each doc once, lanes are pure, batches committed idempotently") {
     val d = TestSpark.sf0001
-    val out = StreamingOps.streamQualityGate.fn(spark, d).cache()
+    // 3-delivery micro-fixture (a session-local conf — the bench default is
+    // 2): batch 2 probes TWO standing generations, pinning multi-generation
+    // accumulation beyond what the minimal fixture exercises
+    val s3 = spark.newSession()
+    s3.conf.set("graft.stream.deliveries", "3")
+    val out = StreamingOps.streamQualityGate.fn(s3, d).cache()
     try {
-      val n = graft.tables.Tables.documents(spark, d).count()
+      val n = graft.tables.Tables.documents(s3, d).count()
       assert(out.count() == n, "every doc routed")
       assert(out.select("doc_id").distinct().count() == n, "each doc routed exactly once")
 
       val root = StreamingOps.lastRoot("qgate", d)
-      val clean = spark.read.option("recursiveFileLookup", "true").parquet(s"$root/clean")
-      val quar = spark.read.option("recursiveFileLookup", "true").parquet(s"$root/quarantine")
+      val clean = s3.read.option("recursiveFileLookup", "true").parquet(s"$root/clean")
+      val quar = s3.read.option("recursiveFileLookup", "true").parquet(s"$root/quarantine")
       assert(clean.where(!col("keep") || col("reasons") =!= "").count() == 0, "clean lane purity")
       assert(quar.where(col("keep") || col("reasons") === "").count() == 0, "quarantine lane purity")
       assert(quar.count() > 0, "the corpus plants quality failures — quarantine must fire")
@@ -45,13 +50,13 @@ class StreamQualityGateSpec extends AnyFunSuite {
       val gens = (0 to 2).flatMap { b =>
         Seq(s"$root/clean/b$b", s"$root/quarantine/b$b")
           .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
-          .map(p => spark.read.parquet(p).select("doc_id").collect().map(_.getLong(0)).toSet)
+          .map(p => s3.read.parquet(p).select("doc_id").collect().map(_.getLong(0)).toSet)
       }
       val total = gens.map(_.size).sum
       assert(gens.reduce(_ ++ _).size == total, "generation doc_id sets overlap")
 
       // fold ≡ batch verdicts
-      val batchVerdicts = LlmOps.textQualityFilter.fn(spark, d)
+      val batchVerdicts = LlmOps.textQualityFilter.fn(s3, d)
       assert(out.exceptAll(batchVerdicts).isEmpty && batchVerdicts.exceptAll(out).isEmpty,
         "stream fold diverged from the batch verdict table")
     } finally out.unpersist()
