@@ -1085,6 +1085,102 @@ object StreamingOps {
       priorStats ++ TableManifest.footerLongStats(genFiles, statsCol))
   }
 
+  /** STANDING-STATE COMPACTION (round 17; the round-16 verdict's #3 — the
+    * genuine 100 TB gap left): fold a standing manifest table's accrued
+    * per-batch generations into ONE byte-budgeted, range-clustered
+    * generation under the same CAS its readers commit through — the
+    * streaming twin of `sink_compact_small_files`. An always-on stream
+    * commits one small-file generation per micro-batch forever; zone maps
+    * keep READS pruned, but file count and manifest length grow without
+    * bound (10⁵ batches = 10⁵ generations). The maintenance move:
+    *
+    *   1. read the current snapshot (version, files) — the compaction's
+    *      CAS base;
+    *   2. rewrite the LIVE rows as one generation, range-clustered on the
+    *      table's cluster column into ceil(bytes/targetFileBytes) files
+    *      (zone maps from parquet footers — no re-scan job);
+    *   3. [[TableManifest.commitIfVersionWithStats]] against the base
+    *      version: a concurrent appender that committed first wins and the
+    *      compactor retries from the new snapshot — never blind-writes
+    *      (the collision-free `compact-v{N}-{uuid}` dir means a losing
+    *      rewrite is an orphan, not corruption);
+    *   4. optionally [[TableManifest.vacuum]] the superseded generations'
+    *      files. Readers pinned to an OLDER version keep reading their
+    *      snapshot until vacuum — so a production compactor vacuums only
+    *      versions older than every live reader/replayer pin (here: after
+    *      the drained stream's checkpoint is final).
+    *
+    * Returns (newVersion, filesBefore, filesAfter). */
+  private[graft] def compactStandingTable(s: SparkSession, root: java.nio.file.Path,
+      statsCol: String, targetFileBytes: Long = 64L << 20,
+      doVacuum: Boolean = true): (Long, Int, Int) = {
+    val (cur, files) = TableManifest.read(root)
+    if (files.isEmpty) return (cur, 0, 0)
+    val totalBytes = files.map(Files.size(_)).sum
+    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val genDir = root.resolve(
+      s"compact-v${cur + 1}-${java.util.UUID.randomUUID.toString.take(8)}")
+    s.read.parquet(files.map(_.toString): _*)
+      .repartitionByRange(parts, col(statsCol)).sortWithinPartitions(statsCol)
+      .write.parquet(genDir.toString)
+    val genFiles = TableManifest.parquetFiles(genDir)
+    val ok = TableManifest.commitIfVersionWithStats(root, cur, genFiles, statsCol,
+      TableManifest.footerLongStats(genFiles, statsCol))
+    require(ok, s"standing-state compaction lost the CAS at version $cur — " +
+      "a concurrent writer advanced the table; re-read and retry")
+    if (doVacuum) TableManifest.vacuum(root)
+    (cur + 1, files.size, genFiles.size)
+  }
+
+  /** `stream_index_compact` — the compaction demonstrated end to end on a
+    * standing table laid out EXACTLY as the per-batch folds leave it: N
+    * generations (one manifest version each, range-clustered on doc_id
+    * within the generation), whose doc_id ranges all overlap ACROSS
+    * generations — so every point probe touches ~1 file *per generation*
+    * and the file count grows linearly in batches: the bloat compaction
+    * exists to fold away. [[compactStandingTable]] rewrites the live rows
+    * into one byte-budgeted clustered generation under the CAS and vacuums
+    * the superseded files. The result carries the compacted table's full
+    * content (identity with the `documents` source — the oracle recomputes
+    * it) plus a `collapse_ok` flag proving the ≥8× file-count collapse
+    * INSIDE the hashed result, so a compaction that stopped collapsing
+    * files would fail the driver compare, not just a spec. */
+  val streamIndexCompact: Op = Op(
+    "stream_index_compact",
+    (s, d) => {
+      val nGens = s.conf.getOption("graft.compact.gens").map(_.toInt).getOrElse(10)
+      val root = Housekeeping.tempDirBounded("st_compact_root",
+        Housekeeping.scratchDir("st_compact_root"))
+      recordRoot("compact", d, root.toString)
+      val docs = graft.tables.Tables.documents(s, d)
+        .select("doc_id", "source", "n_chars")
+      // stage the N-generation standing table in ONE write job: range-
+      // partitioned on (gen, doc_id) so each generation dir lands ~2 files
+      // with tight doc_id zone maps, then N successive manifest commits
+      // (footer stats only — driver-side metadata, no re-scan)
+      val dataDir = root.resolve("gens")
+      docs.withColumn("gen", pmod(col("doc_id"), lit(nGens)))
+        .repartitionByRange(nGens * 2, col("gen"), col("doc_id"))
+        .sortWithinPartitions("gen", "doc_id")
+        .write.partitionBy("gen").parquet(dataDir.toString)
+      var files = Seq.empty[java.nio.file.Path]
+      var stats = Map.empty[java.nio.file.Path, (Long, Long)]
+      (0 until nGens).foreach { g =>
+        val gf = TableManifest.parquetFiles(dataDir.resolve(s"gen=$g"))
+        files = files ++ gf
+        stats = stats ++ TableManifest.footerLongStats(gf, "doc_id")
+        TableManifest.commitWithStats(root, g + 1L, files, "doc_id", stats)
+      }
+      val (v, before, after) = compactStandingTable(s, root, "doc_id")
+      recordRoot("compact_files", d, s"$before/$after")
+      require(v == nGens + 1L, s"compaction must commit version ${nGens + 1}: $v")
+      TableManifest.readTable(s, root)
+        .withColumn("collapse_ok", lit(before >= after * 8))
+        .orderBy("doc_id")
+    },
+    Some("SELECT doc_id, source, n_chars, TRUE AS collapse_ok " +
+      "FROM documents ORDER BY doc_id"))
+
   /** Cross-batch candidate probe: the BOUNDED micro-batch's band rows
     * broadcast onto the standing-index scan, so the side that grows without
     * bound never pays a per-batch exchange — the plan a 100 TB standing
@@ -1255,6 +1351,27 @@ object StreamingOps {
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
+        // every-K-generations maintenance tick ([[compactStandingTable]],
+        // round 17): once the standing band/shingle tables have accrued >=
+        // `graft.stream.compact.every` generations (default 4; 0 disables),
+        // fold each into one byte-budgeted clustered generation under the
+        // same CAS the fold commits through. Run after the drain because
+        // the per-batch commits pin versions by batchId (replay reads
+        // filesAsOf(batchId)) — in a continuous job the compactor runs
+        // between micro-batches and vacuums only versions older than the
+        // checkpoint's replay horizon (see the compaction scaladoc).
+        val every = s.conf.getOption("graft.stream.compact.every")
+          .map(_.toInt).getOrElse(4)
+        if (every > 0) Seq((java.nio.file.Paths.get(bandsDir), "bkey"),
+            (java.nio.file.Paths.get(shinglesDir), "doc_id")).foreach {
+          case (p, c) =>
+            if (Files.exists(p.resolve(TableManifest.fileName)) &&
+                TableManifest.read(p)._1 >= every) {
+              val (_, nb, na) = compactStandingTable(s, p, c)
+              recordRoot(s"minhash_compact_${c}", d, s"$nb/$na")
+              recordRoot("minhash_compact_root", d, idxRoot)
+            }
+        }
         s.read.option("recursiveFileLookup", "true").parquet(pairsDir)
           .orderBy("doc_a", "doc_b")
       } }
@@ -1636,5 +1753,5 @@ object StreamingOps {
     streamLateData, streamStatefulCounter, streamStatefulCounterTws, streamJoinFollows,
     streamEnrichDim, streamRestartExactlyOnce, streamUpsertForeachbatch, streamBackfillHybrid,
     streamCommitManifest, streamJoinLeftOuter, streamPrepaidCutoff, streamDedupMinhash,
-    streamQualityGate, streamCorpusBuild)
+    streamQualityGate, streamCorpusBuild, streamIndexCompact)
 }

@@ -135,6 +135,34 @@ object TableManifest {
     }
   }
 
+  /** [[commitIfVersion]] with a zone-map sidecar — the conditional put a
+    * MAINTENANCE writer (compaction, clustering rewrite) needs: the new
+    * file set REPLACES the table's contents, so the commit must both win
+    * the CAS against concurrent appenders and land its stats sidecar
+    * before the rename (same ordering rule as [[commitWithStats]]). A
+    * lost race returns false and the rewritten files become vacuumable
+    * orphans — the maintenance job re-reads the new snapshot and retries,
+    * exactly how Delta/Iceberg OPTIMIZE jobs coexist with live writers. */
+  def commitIfVersionWithStats(root: Path, expectedVersion: Long, files: Seq[Path],
+      statsCol: String, stats: Map[Path, (Long, Long)]): Boolean = {
+    val lock = commitLocks.computeIfAbsent(
+      root.toAbsolutePath.normalize.toString, _ => new Object)
+    lock.synchronized {
+      Files.createDirectories(root)
+      val ch = java.nio.channels.FileChannel.open(root.resolve("_commit.lock"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val osLock = ch.lock()
+        try {
+          val current =
+            if (Files.exists(root.resolve(fileName))) read(root)._1 else 0L
+          if (current != expectedVersion) false
+          else { commitWithStats(root, expectedVersion + 1, files, statsCol, stats); true }
+        } finally osLock.release()
+      } finally ch.close()
+    }
+  }
+
   /** The one serializer of a stats entry — [[statsOf]] is its one parser
     * (same documented contract as [[commit]]/[[read]]: absolute paths we
     * generate ourselves, no quotes/backslashes — enforced loudly below, so
