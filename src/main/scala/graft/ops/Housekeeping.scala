@@ -164,6 +164,23 @@ object Housekeeping {
     case None => Files.createTempDirectory(prefix)
   }
 
+  /** Recursive file-tree copy — driver-side bytes, no Spark job. Used to
+    * clone a MEMOIZED staged artifact into a run-local mutable table root:
+    * re-deriving identical bytes with a Spark job per invocation would pay
+    * a full compute pass for content the staged store already holds. */
+  def copyTree(src: Path, dst: Path): Unit = {
+    val walk = Files.walk(src)
+    try walk.forEach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) { Files.createDirectories(t); () }
+      else {
+        Files.createDirectories(t.getParent)
+        Files.copy(p, t, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    } finally walk.close()
+  }
+
   def deleteRecursively(p: Path): Unit = bestEffort {
     if (Files.exists(p)) {
       val walk = Files.walk(p)

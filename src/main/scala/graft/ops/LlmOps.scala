@@ -1196,13 +1196,16 @@ object LlmOps {
       val root = Housekeeping.tempDirBounded("ivf_stream_idx",
         Housekeeping.scratchDir("ivf_stream_idx"))
       val cellsDir = root.resolve("cells")
-      cents.write.mode("overwrite").parquet(root.resolve("centroids").toString)
+      // base index: the standing 4/5 corpus assigned against the frozen
+      // centroids — BYTE-IDENTICAL to the memoized staged store's gen1 by
+      // construction, so the run-local mutable root is seeded by a driver-
+      // side file copy instead of re-running the base assignment job per
+      // invocation (round 17; fixture economics, not semantics — the
+      // manifest is committed fresh against the copied paths)
+      Housekeeping.copyTree(batchIdx.resolve("centroids"), root.resolve("centroids"))
+      Housekeeping.copyTree(batchIdx.resolve("cells").resolve("gen1"),
+        cellsDir.resolve("gen0"))
       val vecs = Tables.embeddings(s, d).select("vec_id", "embedding")
-      // base index: the standing 4/5 corpus, assigned against the frozen
-      // centroids (identical to the batch appender's v1 by construction)
-      ivfAssignAgainst(vecs.where(pmod(col("vec_id"), lit(5)) =!= 0), cents)
-        .withColumn("cell_dir", col("cell"))
-        .write.partitionBy("cell_dir").parquet(cellsDir.resolve("gen0").toString)
       TableManifest.commit(cellsDir, 1,
         TableManifest.parquetFiles(cellsDir.resolve("gen0")))
       // the delta streams in: two deliveries of the id % 5 == 0 fifth
@@ -1322,13 +1325,15 @@ object LlmOps {
         .map(_.toLong).getOrElse(100000L)
       val root = Housekeeping.tempDirBounded("ivf_streamref_idx",
         Housekeeping.scratchDir("ivf_streamref_idx"))
-      val cents0 = Housekeeping.cacheBounded("ivf_streamref_cents",
-        s.read.parquet(batchIdx.resolve("centroids").toString))
-      cents0.write.mode("overwrite").parquet(root.resolve("centroids/gen0").toString)
+      // seed the run-local mutable root from the memoized staged store by
+      // driver-side file copy (see streamAnnIvfAppend — identical content
+      // by construction; the per-invocation base assignment job is the
+      // staged store's gen1)
+      Housekeeping.copyTree(batchIdx.resolve("centroids"),
+        root.resolve("centroids/gen0"))
+      Housekeeping.copyTree(batchIdx.resolve("cells").resolve("gen1"),
+        root.resolve("cells/gen0"))
       val vecs = Tables.embeddings(s, d).select("vec_id", "embedding")
-      ivfAssignAgainst(vecs.where(pmod(col("vec_id"), lit(5)) =!= 0), cents0)
-        .withColumn("cell_dir", col("cell"))
-        .write.partitionBy("cell_dir").parquet(root.resolve("cells/gen0").toString)
       TableManifest.commit(root, 1,
         TableManifest.parquetFiles(root.resolve("centroids/gen0")) ++
           TableManifest.parquetFiles(root.resolve("cells/gen0")))
