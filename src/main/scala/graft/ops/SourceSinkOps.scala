@@ -1294,11 +1294,60 @@ object SourceSinkOps {
     stats.valuesIterator.map(_._2).max
   }
 
+  /** METADATA-ONLY AGGREGATE (round 17) — COUNT/MIN/MAX answered from
+    * parquet FOOTERS alone, zero data pages read: the `metadata table`
+    * fast path every lakehouse engine ships (Iceberg's metadata tables,
+    * Delta's stats-based query answering, Spark's own
+    * OptimizeMetadataOnlyQuery for partition values). The file list is the
+    * catalog's (here: the directory walk the manifest stands in for), and
+    * the footer walk FANS OUT OVER EXECUTORS as a Dataset of paths — at
+    * 100 TB that list is millions of files, so the metadata scan must
+    * distribute exactly like a data scan, just touching ~KB per file
+    * instead of ~GB. Row counts come from the footer's block record
+    * counts (exact), min/max from the column statistics (exact for INT64
+    * columns written with stats — a file missing them would surface as a
+    * loud empty-aggregate failure here, not a silent wrong answer,
+    * because the oracle recomputes the same three numbers from the data).
+    * One tiny all-to-one aggregate closes the plan: |files| rows in,
+    * 1 row out. */
+  val scanMetadataOnlyAgg: Op = Op(
+    "scan_metadata_only_agg",
+    (s, d) => {
+      val files = TableManifest.parquetFiles(
+        java.nio.file.Paths.get(s"$d/documents.parquet")).map(_.toString)
+      val perFile = s.createDataset(files)(org.apache.spark.sql.Encoders.STRING)
+        .repartition(math.max(1, math.min(files.size, 32)))
+        .mapPartitions { it =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          import scala.jdk.CollectionConverters._
+          it.map { f =>
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(f), conf))
+            try {
+              val sts = r.getFooter.getBlocks.asScala
+                .flatMap(_.getColumns.asScala)
+                .filter(_.getPath.toDotString == "doc_id")
+                .map(_.getStatistics)
+                .filter(st => st != null && !st.isEmpty && st.hasNonNullValue)
+              (r.getRecordCount,
+                sts.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
+                sts.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
+            } finally r.close()
+          }
+        }(org.apache.spark.sql.Encoders.product[(Long, Long, Long)])
+        .toDF("rows", "mn", "mx")
+      perFile.agg(sum(col("rows")).as("n_rows"),
+        min(col("mn")).as("min_doc_id"), max(col("mx")).as("max_doc_id"))
+    },
+    Some("SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, MIN(doc_id) AS min_doc_id, " +
+      "MAX(doc_id) AS max_doc_id FROM documents"))
+
   val all: Seq[Op] = Seq(csvLogIngest, sinkPartitionedParquet, sinkBucketedJoin,
     sinkClusteredLayout, mergeUpsertLatest, sinkCsvReport, sourceJsonlRoundtrip,
     sourceOrcRoundtrip, sourceSchemaEvolution, sinkCompactSmallFiles, sinkZorderLayout,
     sinkTargetedDelete, sinkDynamicPartitionOverwrite, cdcApplyChanges, sinkTimeTravelRead,
     sinkVacuumRetention, sourceProvenanceAudit, sourceCustomV2Solarlog, sinkCustomV2Roundtrip,
     sqlCatalogTimeTravel, csvQuotedMultiline, jsonlLogIngest, sinkPartitionEvolution,
-    xmlLogIngest, scanStatsPrune)
+    xmlLogIngest, scanStatsPrune, scanMetadataOnlyAgg)
 }
