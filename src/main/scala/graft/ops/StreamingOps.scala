@@ -1110,26 +1110,36 @@ object StreamingOps {
     *      versions older than every live reader/replayer pin (here: after
     *      the drained stream's checkpoint is final).
     *
+    * SELECTIVE, like a real OPTIMIZE: only files UNDER the byte target are
+    * rewritten (small-file bin-packing); already-well-sized files are KEPT
+    * in place with their stats entries carried forward — at 100 TB a
+    * standing table's steady state is a few thousand big clustered files
+    * plus a tail of per-batch slivers, and compaction must cost ∝ the
+    * sliver tail, never a full-table rewrite.
+    *
     * Returns (newVersion, filesBefore, filesAfter). */
   private[graft] def compactStandingTable(s: SparkSession, root: java.nio.file.Path,
       statsCol: String, targetFileBytes: Long = 64L << 20,
       doVacuum: Boolean = true): (Long, Int, Int) = {
     val (cur, files) = TableManifest.read(root)
-    if (files.isEmpty) return (cur, 0, 0)
-    val totalBytes = files.map(Files.size(_)).sum
+    val (small, kept) = files.partition(Files.size(_) < targetFileBytes)
+    if (small.size <= 1) return (cur, files.size, files.size) // nothing to fold
+    val totalBytes = small.map(Files.size(_)).sum
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val genDir = root.resolve(
       s"compact-v${cur + 1}-${java.util.UUID.randomUUID.toString.take(8)}")
-    s.read.parquet(files.map(_.toString): _*)
+    s.read.parquet(small.map(_.toString): _*)
       .repartitionByRange(parts, col(statsCol)).sortWithinPartitions(statsCol)
       .write.parquet(genDir.toString)
     val genFiles = TableManifest.parquetFiles(genDir)
-    val ok = TableManifest.commitIfVersionWithStats(root, cur, genFiles, statsCol,
-      TableManifest.footerLongStats(genFiles, statsCol))
+    val keptStats = TableManifest.statsOf(root, cur).filter { case (p, _) =>
+      kept.exists(_.toAbsolutePath == p.toAbsolutePath) }
+    val ok = TableManifest.commitIfVersionWithStats(root, cur, kept ++ genFiles,
+      statsCol, keptStats ++ TableManifest.footerLongStats(genFiles, statsCol))
     require(ok, s"standing-state compaction lost the CAS at version $cur — " +
       "a concurrent writer advanced the table; re-read and retry")
     if (doVacuum) TableManifest.vacuum(root)
-    (cur + 1, files.size, genFiles.size)
+    (cur + 1, files.size, kept.size + genFiles.size)
   }
 
   /** `stream_index_compact` — the compaction demonstrated end to end on a

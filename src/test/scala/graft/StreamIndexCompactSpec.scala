@@ -108,6 +108,46 @@ class StreamIndexCompactSpec extends AnyFunSuite {
     } finally Housekeeping.deleteRecursively(root)
   }
 
+  test("compaction is SELECTIVE: well-sized files are kept in place with " +
+    "stats carried forward; only the small-file tail is rewritten") {
+    val root = buildStanding(2000L, 8)
+    try {
+      // full fold first: 16 slivers -> one big clustered file
+      val (_, _, a1) = StreamingOps.compactStandingTable(spark, root, "doc_id")
+      val (v1, files1) = TableManifest.read(root)
+      val big = files1.maxBy(java.nio.file.Files.size(_))
+      // two more per-batch sliver generations land after the fold
+      (0 until 2).foreach { k =>
+        val (pv, pf) = TableManifest.read(root)
+        val ps = TableManifest.statsOf(root, pv)
+        val df = spark.range(2000L, 2200L).select(col("id").as("doc_id"),
+          (col("id") * 7 % 1000).as("v"))
+        StreamingOps.commitClusteredGen(df, s"$root/post$k", root, pv + 1, "doc_id",
+          pf, ps, parts = 2)
+      }
+      // threshold = the big file's size: the big file is NOT under it and
+      // must be kept; the four new slivers fold into one generation
+      val target = java.nio.file.Files.size(big)
+      val (v2, before, after) = StreamingOps.compactStandingTable(
+        spark, root, "doc_id", targetFileBytes = target)
+      assert(before == a1 + 4 && after < before,
+        s"selective fold: $before -> $after")
+      val (_, files2) = TableManifest.read(root)
+      assert(files2.exists(_.toAbsolutePath == big.toAbsolutePath),
+        "the well-sized file must be kept in place, not rewritten")
+      val stats2 = TableManifest.statsOf(root, v2)
+      assert(stats2.keys.exists(_.toAbsolutePath == big.toAbsolutePath),
+        "the kept file's stats entry must be carried forward")
+      assert(files2.forall(stats2.contains), "every live file must carry stats")
+      // a target below every file size is a no-op: nothing to fold
+      val (v3, b3, a3) = StreamingOps.compactStandingTable(
+        spark, root, "doc_id", targetFileBytes = 1L)
+      assert(v3 == v2 && b3 == a3, s"no-op expected: $v3 $b3 $a3")
+      // content is the union of the base table and the two appended gens
+      assert(TableManifest.readTable(spark, root).count() == 2000L + 400L)
+    } finally Housekeeping.deleteRecursively(root)
+  }
+
   test("stream_dedup_minhash's every-K tick compacts the standing band and " +
     "shingle tables under the CAS, fold output unchanged") {
     val s3 = spark.newSession()
