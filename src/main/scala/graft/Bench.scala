@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Adversarial-sweep / A/B hook, same contract as Verify's (the driver
+    // never sets it): semicolon-separated k=v runtime SQL confs.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
     // Local-iteration escape hatch: SPARK_GRAFT_ONLY=q1,q2 runs a subset
     // (substring match). The driver never sets it, so its runs see all keys.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)

@@ -330,6 +330,11 @@ object AnalyticsOps {
   val analyticsMarketBasket: Op = Op(
     "analytics_market_basket",
     (s, d) => {
+      // baskets feeds FOUR plan branches (n_orders, freq, both self-join
+      // sides), but caching it measured SLOWER than recompute: all four
+      // branches end in the IDENTICAL distinct exchange, which AQE stage
+      // reuse already deduplicates — the cache only added a materialization
+      // pass on top (measured r17: 2.63 → 2.98 s cached; left uncached).
       val baskets = Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("o"), col("p_brand").as("b"))

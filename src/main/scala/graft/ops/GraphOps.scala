@@ -82,6 +82,20 @@ object GraphOps {
     * receives its own previous-round row, the iteration counter is always
     * present, and the CASE keeps the self-edge out of the contribution sum.
     */
+  /** One damped-PageRank round (round 17 spelling): ONE equi-join + one
+    * map-side-combinable sum, then a shuffle-free union of the static
+    * teleport-only rows — named so the r17 plan dump can explain exactly
+    * the plan each iteration executes. */
+  private[graft] def pagerankStep(e: DataFrame, silent: DataFrame,
+      ranks: DataFrame, teleport: Long): DataFrame =
+    e.join(ranks.withColumnRenamed("v", "src"), "src")
+      .select(col("dst").as("v"), expr("r div d").as("c"))
+      .groupBy("v").agg(sum(col("c")).as("cs"))
+      .select(col("v").as("v"),
+        (lit(teleport) + expr(s"($Damp * cs) div 100")).as("r"))
+      // fresh aliases on both branches — see ccHalfStep's union note
+      .unionByName(silent.select(col("v").as("v"), col("r").as("r")))
+
   val graphPagerank: Op = Op(
     "graph_pagerank",
     (s, d) => {
@@ -96,18 +110,23 @@ object GraphOps {
       // node count feeds the teleport constant, never row data.
       val n = nodes.count()
       val teleport = (Scale * 15L / 100L) / n
+      // Nodes with NO in-edges receive zero contributions every round, so
+      // their rank is the teleport constant from iteration 1 onward — a
+      // STATIC row set. Computing it once (one anti-join) and unioning it
+      // into each round replaces the per-iteration `nodes LEFT JOIN contrib`
+      // (two exchanges + a join per round) with a shuffle-free union: each
+      // round is exactly one equi-join + one partial-agg sum (guide §2.4 —
+      // remove shuffles outright). contrib's key set is distinct(dst) by
+      // construction (every src carries a rank row each round), so
+      // contrib ∪ silent ≡ nodes and cs is never NULL — row-identical to the
+      // left-join spelling.
+      val silent = Housekeeping.cacheBounded("graph_silent",
+        nodes.join(e.select(col("dst").as("v")).distinct(), Seq("v"), "left_anti")
+          .select(col("v"), lit(teleport).as("r")))
       var ranks = nodes.withColumn("r", lit(Scale / n))
-      for (_ <- 1 to Iters) {
-        val contrib = e
-          .join(ranks.withColumnRenamed("v", "src"), "src")
-          .select(col("dst").as("v"), expr("r div d").as("c"))
-          .groupBy("v").agg(sum(col("c")).as("cs"))
-        ranks = nodes.join(contrib, Seq("v"), "left")
-          .select(col("v"),
-            (lit(teleport) +
-              expr(s"($Damp * coalesce(cs, CAST(0 AS BIGINT))) div 100")).as("r"))
+      for (_ <- 1 to Iters)
+        ranks = pagerankStep(e, silent, ranks, teleport)
           .transform(Housekeeping.iterationBarrier)
-      }
       ranks.select(col("v").as("part_id"), col("r").as("rank_scaled"))
         .orderBy(desc("rank_scaled"), asc("part_id"))
     },
@@ -223,7 +242,11 @@ object GraphOps {
           .distinct()
           .join(labels, Seq("node"), "left_anti")
           .transform(Housekeeping.iterationBarrier)
-        labels = labels.union(next).transform(Housekeeping.iterationBarrier)
+        // labels is a UNION of already-checkpointed frontiers — scanning the
+        // union costs nothing extra and re-materializing it per round would
+        // be one wasted checkpoint job per depth (the union tree depth is
+        // bounded by MaxDepth, so plans stay flat without a barrier here)
+        labels = labels.union(next)
         frontier = next
       }
       labels.orderBy("node")
@@ -267,22 +290,59 @@ object GraphOps {
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct())
     val nodes = und.select(col("src").as("v")).distinct()
     var labels = nodes.withColumn("lbl", col("v")).transform(Housekeeping.iterationBarrier)
-    for (_ <- 1 to rounds) {
-      // hash-to-min aggregation: each node pulls the MIN label over its
-      // neighbours in ONE groupBy (never a pair-to-pair join) ...
-      val nbMin = und.join(labels, und("src") === labels("v"))
-        .groupBy(und("dst").as("v")).agg(min(col("lbl")).as("nb"))
-      val half = labels.join(nbMin, Seq("v"), "left")
-        .select(col("v"), least(col("lbl"), coalesce(col("nb"), col("lbl"))).as("lbl"))
-      // ... then the pointer jump: follow the label one hop (labels are node
-      // ids, so the self-join always matches) — the step that turns O(d)
-      // convergence into O(log d)
-      labels = half.as("h").join(half.as("j"), col("h.lbl") === col("j.v"))
-        .select(col("h.v").as("v"), least(col("h.lbl"), col("j.lbl")).as("lbl"))
-        .transform(Housekeeping.iterationBarrier)
+    // Labels are MONOTONE non-increasing per node (hash-min takes a min of
+    // self and neighbours; the jump takes a further min), and the node set
+    // is constant — so the label SUM is strictly decreasing until fixpoint
+    // and one exact-decimal aggregate per round detects convergence (the
+    // ccKeep idiom). Early exit runs the 3-4 rounds this data needs instead
+    // of all `rounds`; at the fixpoint every further round is the identity,
+    // so the result equals the fixed-round oracle's CONVERGED labels
+    // row-exactly (CcConvergenceSpec pins the slack).
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+    var cur = lblSum(labels)
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      r += 1
+      // the jump self-joins `half` on two DIFFERENT keys (h.lbl vs j.v),
+      // but half's own final exchange (groupBy v) is identical for both
+      // sides, so AQE stage reuse computes the half-step once — an explicit
+      // barrier here measured SLOWER (extra eager job per round)
+      val half = Housekeeping.iterationBarrier(ccHalfStep(und, labels))
+      labels = ccJumpStep(half).transform(Housekeeping.iterationBarrier)
+      val ns = lblSum(labels)
+      converged = ns.compareTo(cur) == 0
+      cur = ns
     }
     labels
   }
+
+  /** CC half-step (round 17 spelling): each node pulls the MIN label over
+    * its neighbours in ONE groupBy (never a pair-to-pair join), merged with
+    * its own label by UNION + min-groupBy instead of a LEFT JOIN — one
+    * exchange, no join, row-identical (≤ 1 row per node per side, so the
+    * grouped min equals least(lbl, coalesce(nb, lbl))). */
+  private[graft] def ccHalfStep(und: DataFrame, labels: DataFrame): DataFrame = {
+    val nbMin = und.join(labels, und("src") === labels("v"))
+      .groupBy(und("dst").as("v")).agg(min(col("lbl")).as("nb"))
+    // fresh output aliases on BOTH union branches: the right branch embeds
+    // the labels subtree, and a union whose children share attribute ids
+    // trips UnionBase.rewriteConstraints ("key not found" on the shared
+    // attr) when the shared subtree is also cache-resolved — seen in
+    // GraphSpec's back-to-back ccLabels calls
+    labels.select(col("v").as("v"), col("lbl").as("lbl"))
+      .unionByName(nbMin.select(col("v").as("v"), col("nb").as("lbl")))
+      .groupBy("v").agg(min(col("lbl")).as("lbl"))
+  }
+
+  /** CC pointer jump: follow the label one hop (labels are node ids, so the
+    * self-join always matches) — the step that turns O(d) convergence into
+    * O(log d). */
+  private[graft] def ccJumpStep(half: DataFrame): DataFrame =
+    half.as("h").join(half.as("j"), col("h.lbl") === col("j.v"))
+      .select(col("h.v").as("v"), least(col("h.lbl"), col("j.lbl")).as("lbl"))
 
   /** Connected components of the undirected FREQUENT-transition graph via
     * combined hash-min label propagation + pointer jumping — the scalable
@@ -367,19 +427,47 @@ object GraphOps {
       .where(col("node") % 97 === 0)
       .withColumn("dist", lit(0L))
       .transform(Housekeeping.iterationBarrier)
-    for (_ <- 1 to rounds) {
-      // one equi-join (edges ⋈ current distances, both keyed on the node —
-      // co-located under bucketing) + map-side-combinable MIN per target,
-      // then the synchronous merge with the previous round's distances
-      val nb = e.join(dist.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node"))
-        .agg(min(col("dist") + col("cost")).as("nd"))
-      dist = dist.join(nb, Seq("node"), "full_outer")
-        .select(col("node"),
-          least(coalesce(col("dist"), col("nd")), coalesce(col("nd"), col("dist"))).as("dist"))
-        .transform(Housekeeping.iterationBarrier)
+    // Per-node distances are MONOTONE non-increasing and the reached-node
+    // set only grows, so an unchanged (count, sum) pair after a full round
+    // proves the Bellman-Ford fixpoint exactly (the ccKeep idiom, extended
+    // with the count because relaxation ADDS newly-reached nodes). Early
+    // exit runs the rounds this data needs instead of all `rounds`; at the
+    // fixpoint every further round is the identity, so the result equals
+    // the fixed-round oracle row-exactly (SsspConvergenceSpec's slack).
+    def snapshot(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val row = df.agg(count(lit(1)), sum(col("dist").cast("decimal(38,0)"))).first()
+      (row.getLong(0), Option(row.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    }
+    var cur = snapshot(dist)
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      r += 1
+      dist = spStep(e, dist).transform(Housekeeping.iterationBarrier)
+      val ns = snapshot(dist)
+      converged = ns._1 == cur._1 && ns._2.compareTo(cur._2) == 0
+      cur = ns
     }
     dist
+  }
+
+  /** One Bellman-Ford round (round 17 spelling): one equi-join (edges ⋈
+    * current distances, both keyed on the node — co-located under
+    * bucketing) + map-side-combinable MIN per target, then the synchronous
+    * merge with the previous round's distances. The merge is UNION + one
+    * min-groupBy, not a FULL OUTER join: each side carries ≤ 1 row per
+    * node, so min over the unioned rows equals
+    * least(coalesce(dist, nd), coalesce(nd, dist)) row-exactly — and the
+    * union needs no exchange where the outer join shuffled BOTH sides
+    * (guide §2.4; one exchange per round instead of two + the join). */
+  private[graft] def spStep(e: DataFrame, dist: DataFrame): DataFrame = {
+    val nb = e.join(dist.withColumnRenamed("node", "src"), "src")
+      .groupBy(col("dst").as("node"))
+      .agg(min(col("dist") + col("cost")).as("nd"))
+    // fresh aliases on both branches — see ccHalfStep's union note
+    dist.select(col("node").as("node"), col("dist").as("dist"))
+      .unionByName(nb.select(col("node").as("node"), col("nd").as("dist")))
+      .groupBy("node").agg(min(col("dist")).as("dist"))
   }
 
   /** Multi-source WEIGHTED shortest paths (Bellman-Ford, fixed synchronous

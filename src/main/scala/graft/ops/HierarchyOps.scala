@@ -38,6 +38,26 @@ object HierarchyOps {
     * key arithmetic can produce below 8^16 customers. */
   private[graft] val Rounds = 4
 
+  /** Rounds actually NEEDED for this data: the tree is defined by key
+    * arithmetic (`parent = v div 8`), so the max depth is exactly the
+    * div-8 chain length of the max key — one tiny aggregate, computed
+    * exactly with integer ops (no float log). The closure is converged once
+    * 2^rounds ≥ depth, so running the worst-case [[Rounds]] past that point
+    * composes an already-transitive relation with itself — identical rows,
+    * wasted join+distinct+barrier per extra round (guide §1.2: don't compute
+    * things you throw away). Capped at [[Rounds]], the proven worst case. */
+  private[graft] def roundsFor(s: SparkSession, d: String): Int = {
+    val maxKey = Tables.customer(s, d)
+      .agg(max(col("c_custkey"))).first().getLong(0)
+    var depth = 0L
+    var v = math.max(maxKey, 1L)
+    while (v > 0) { v /= 8; depth += 1 }
+    var r = 0
+    var reach = 1L
+    while (reach < depth) { reach *= 2; r += 1 }
+    math.min(math.max(r, 1), Rounds)
+  }
+
   /** Ancestor closure (descendant, ancestor) — self-pairs included — after
     * `rounds` doubling rounds. Shared by the op and HierarchySpec's
     * convergence assertion. */
@@ -74,7 +94,7 @@ object HierarchyOps {
   val dimHierarchyRollup: Op = Op(
     "dim_hierarchy_rollup",
     (s, d) => {
-      val cl = Housekeeping.cacheBounded("hier_closure", closure(s, d, Rounds))
+      val cl = Housekeeping.cacheBounded("hier_closure", closure(s, d, roundsFor(s, d)))
       // per-customer order aggregates (left join: childless customers carry 0)
       val co = Tables.customer(s, d)
         .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")

@@ -464,15 +464,23 @@ object LlmOps {
         .select(col("doc_id"), col("shingles")))
     val exploded = base.select(col("doc_id"), explode(col("shingles")).as("s"))
     // df-cutoff: the skew guard — see NgramMaxDf. One groupBy over the
-    // exploded rows; the surviving-shingle set joins back on the shingle.
+    // exploded rows; then the occurrences are filtered by ANTI-joining the
+    // HOT set (df > cutoff) rather than inner-joining the COOL set: by Zipf,
+    // shingles above any df cutoff are the vocabulary HEAD — a tiny fraction
+    // of distinct shingles — so the join's small side shrinks from
+    // ~all-distinct-shingles to the head (guide §2.3, shuffle fewer bytes;
+    // §3.1 — AQE sees the aggregate's true size and picks a broadcast anti
+    // join at runtime, leaving the occurrence side unshuffled). Every
+    // shingle is either hot or cool, so the anti-join keeps exactly the
+    // rows the cool inner join kept.
     // The cutoff result feeds THREE plan branches (per-doc sizes + both
     // sides of the self-join): materialize it once or the explode + groupBy
-    // + join subtree executes three times (same plan-branch recompute trap
-    // as the shingle arrays themselves, one level up).
+    // + anti-join subtree executes three times (same plan-branch recompute
+    // trap as the shingle arrays themselves, one level up).
     val sh = Housekeeping.cacheBounded("ngram_cool",
       exploded.join(
-        exploded.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= NgramMaxDf)
-          .select("s"), "s"))
+        exploded.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") > NgramMaxDf)
+          .select("s"), Seq("s"), "left_anti"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -2449,15 +2457,27 @@ object LlmOps {
       shingled(docs.select("doc_id", "text"))
         .select(col("doc_id"), col("shingles")))
     val exploded = base.select(col("doc_id"), explode(col("shingles")).as("s"))
+    // HOT-set anti-join instead of cool-set inner join — see [[ngramPairs]]
+    // (identical rows kept; the join's small side shrinks to the Zipf head).
     val sh = Housekeeping.cacheBounded("cont_cool",
       exploded.join(
         exploded.groupBy("s").agg(count(lit(1)).as("df"))
-          .where(col("df") <= NgramMaxDf).select("s"), "s"))
+          .where(col("df") > NgramMaxDf).select("s"), Seq("s"), "left_anti"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("na"))
-    sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+    // |sh(A) ∩ sh(B)| is SYMMETRIC: enumerate each unordered pair once
+    // (doc_a < doc_b — half the join output and aggregate input) and mirror
+    // the counted row afterward — a shuffle-free union — instead of letting
+    // the self-join emit both orientations (guide §2.3).
+    // the mirror union references interLo twice, but the expensive subtree
+    // (self-join + partial agg) sits BELOW interLo's final exchange, which
+    // AQE stage reuse deduplicates across the two branches — an explicit
+    // materialization barrier here measured SLOWER (extra eager job)
+    val interLo = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    interLo.unionByName(interLo.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b"), col("inter")))
       .join(sizes.select(col("doc_id").as("doc_a"), col("na")), "doc_a")
       .withColumn("containment_pct", expr("(100 * inter) div na"))
       .where(col("containment_pct") >= minPct)

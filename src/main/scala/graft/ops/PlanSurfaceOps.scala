@@ -59,7 +59,7 @@ object PlanSurfaceOps {
     "scan_agg_pushdown",
     (s, d) => {
       val out = Housekeeping.tempDirBounded("agg_pd",
-        Files.createTempDirectory("agg_pd")).toString
+        Housekeeping.scratchDir("agg_pd")).toString
       withParquetAggPushdown(s) {
         aggScan(s, d).coalesce(1).write.mode("overwrite").parquet(out)
       }

@@ -125,7 +125,7 @@ object SourceSinkOps {
     "sink_partitioned_parquet",
     (s, d) => {
       val out = Housekeeping.tempDirBounded("graft_sink",
-        Files.createTempDirectory("graft_sink")).toString
+        Housekeeping.scratchDir("graft_sink")).toString
       Tables.events(s, d)
         .withColumn("d", to_date(col("ts")))
         // one shuffle keyed by the partition column → one file per day dir
@@ -154,7 +154,7 @@ object SourceSinkOps {
       val run = java.lang.Long.toHexString(System.nanoTime())
       val liName = s"li_bucketed_$run"
       val oName = s"o_bucketed_$run"
-      val base = Files.createTempDirectory("graft_bucketed")
+      val base = Housekeeping.scratchDir("graft_bucketed")
       Housekeeping.tablesBounded(s, Seq(liName, oName), base)
       // Project to the join's working set BEFORE materializing the layout —
       // a bucketed table built for a known join workload carries only the
@@ -218,7 +218,7 @@ object SourceSinkOps {
     "sink_clustered_layout",
     (s, d) => {
       val out = Housekeeping.tempDirBounded("graft_clustered",
-        Files.createTempDirectory("graft_clustered")).toString
+        Housekeeping.scratchDir("graft_clustered")).toString
       writeClustered(s, d, out)
       s.read.parquet(out)
         .where(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
@@ -269,7 +269,7 @@ object SourceSinkOps {
     (s, d) => {
       import Dets._
       val out = Housekeeping.tempDirBounded("graft_csv",
-        Files.createTempDirectory("graft_csv")).toString
+        Housekeeping.scratchDir("graft_csv")).toString
       Tables.orders(s, d)
         .groupBy(date_trunc("month", col("o_orderdate")).as("mo"))
         .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("cnt"))
@@ -292,7 +292,7 @@ object SourceSinkOps {
     (s, d) => {
       import Dets._
       val out = Housekeeping.tempDirBounded("graft_jsonl",
-        Files.createTempDirectory("graft_jsonl")).toString
+        Housekeeping.scratchDir("graft_jsonl")).toString
       Tables.events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
         // default JSON timestamp format truncates to milliseconds — pin µs
@@ -316,7 +316,7 @@ object SourceSinkOps {
     (s, d) => {
       import Dets._
       val out = Housekeeping.tempDirBounded("graft_orc",
-        Files.createTempDirectory("graft_orc")).toString
+        Housekeeping.scratchDir("graft_orc")).toString
       Tables.lineitem(s, d)
         .write.mode("overwrite").orc(out)
       s.read.orc(out)
@@ -439,7 +439,7 @@ object SourceSinkOps {
     "sink_compact_small_files",
     (s, d) => {
       val out = Housekeeping.tempDirBounded("graft_compact",
-        Files.createTempDirectory("graft_compact"))
+        Housekeeping.scratchDir("graft_compact"))
       val frag = out.resolve("fragmented").toString
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
@@ -511,7 +511,7 @@ object SourceSinkOps {
     "sink_zorder_layout",
     (s, d) => {
       val out = Housekeeping.tempDirBounded("graft_zorder",
-        Files.createTempDirectory("graft_zorder")).toString
+        Housekeeping.scratchDir("graft_zorder")).toString
       val (pkMax, skMax) = writeZorder(s, d, out)
       s.read.parquet(out)
         .where(col("l_partkey") <= lit(pkMax / 10) && col("l_suppkey") <= lit(skMax / 10))
@@ -580,7 +580,7 @@ object SourceSinkOps {
     "sink_targeted_delete",
     (s, d) => {
       val root = Housekeeping.tempDirBounded("graft_delete",
-        Files.createTempDirectory("graft_delete"))
+        Housekeeping.scratchDir("graft_delete"))
       val standing = root.resolve("standing").toString
       val li = Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
@@ -620,7 +620,7 @@ object SourceSinkOps {
     "sink_time_travel_read",
     (s, d) => {
       val root = Housekeeping.tempDirBounded("graft_tt",
-        Files.createTempDirectory("graft_tt"))
+        Housekeeping.scratchDir("graft_tt"))
       val standing = root.resolve("standing").toString
       val li = Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
@@ -667,7 +667,7 @@ object SourceSinkOps {
     "sink_vacuum_retention",
     (s, d) => {
       val root = Housekeeping.tempDirBounded("graft_vacuum",
-        Files.createTempDirectory("graft_vacuum"))
+        Housekeeping.scratchDir("graft_vacuum"))
       val standing = root.resolve("standing").toString
       val li = Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
@@ -707,7 +707,7 @@ object SourceSinkOps {
     "sink_dynamic_partition_overwrite",
     (s, d) => {
       val out = Housekeeping.tempDirBounded("graft_dynpo",
-        Files.createTempDirectory("graft_dynpo")).toString
+        Housekeeping.scratchDir("graft_dynpo")).toString
       val orders = Tables.orders(s, d)
         .select(substring(col("o_orderpriority"), 1, 1).as("prio"),
           col("o_orderkey"), col("o_totalprice"))
@@ -1242,7 +1242,7 @@ object SourceSinkOps {
     "scan_stats_prune",
     (s, d) => {
       val root = Housekeeping.tempDirBounded("graft_statsprune",
-        Files.createTempDirectory("graft_statsprune"))
+        Housekeeping.scratchDir("graft_statsprune"))
       val mx = writeStatsPruned(s, d, root)
       val (lo, hi) = (mx / 3, mx / 2)
       val files = TableManifest.filesForRange(root, lo, hi)

@@ -63,8 +63,9 @@ object StreamingOps {
     * ~2.5× faster). On a cluster you'd size this to state volume the same
     * way. The session's batch setting is restored before the op returns
     * (thread-safety caveat in [[Housekeeping.withShufflePartitions]]). */
-  private def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A =
-    Housekeeping.withShufflePartitions(s, n)(body)
+  private[graft] def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A =
+    Housekeeping.withShufflePartitions(s,
+      s.conf.getOption("graft.stream.statePartitions").map(_.toInt).getOrElse(n))(body)
 
   /** Run a drained streaming query, then delete the dirs it no longer
     * needs (staged source + checkpoint — the results live elsewhere). */
