@@ -11,9 +11,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Adversarial-sweep / A/B hook, same contract as Verify's (the driver
-    // never sets it): semicolon-separated k=v runtime SQL confs.
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").filter(_.nonEmpty)
-      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
+    // never sets it): semicolon-separated k=v runtime SQL confs. Malformed
+    // tokens (no '=') are skipped with a warning instead of crashing the
+    // bench, and whitespace around keys/values is trimmed.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").map(_.trim).filter(_.nonEmpty)
+      .foreach { kv => kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case _ => System.err.println(
+          s"WARNING: SPARK_GRAFT_EXTRA_CONF token '$kv' is not k=v — skipped")
+      }})
     // Local-iteration escape hatch: SPARK_GRAFT_ONLY=q1,q2 runs a subset
     // (substring match). The driver never sets it, so its runs see all keys.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
@@ -161,6 +167,30 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val line = s"""{"queries":${jmap(results)},"sf":"$sfDir","unit":"sec","metric":"total","value":${num(total)}}"""
     println(line)
+    // Driver-parsable per-query mirror (round 18; round-17 verdict #2): the
+    // driver's stdout capture keeps only a ~2 KB TAIL, and at 322 keys the
+    // full line above is ~11 KB — its per-query head has been truncated away
+    // for two rounds (PERF per_query empty). So AFTER the full line (schema
+    // unchanged — additions only), re-emit the same map as numbered chunk
+    // lines of ≤ ~1.5 KB each and close with a compact headline line, so
+    // however much tail survives parses back into (part of) the map plus the
+    // total. BENCH_FULL.json stays the canonical committed mirror.
+    val chunkBudget = 1400
+    val chunks = scala.collection.mutable.ArrayBuffer[Vector[(String, Double)]]()
+    var cur = Vector.empty[(String, Double)]
+    var curLen = 0
+    results.foreach { case (k, v) =>
+      val entryLen = k.length + num(v).length + 4
+      if (cur.nonEmpty && curLen + entryLen > chunkBudget) {
+        chunks += cur; cur = Vector.empty; curLen = 0
+      }
+      cur = cur :+ (k -> v); curLen += entryLen
+    }
+    if (cur.nonEmpty) chunks += cur
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"queries_part":${i + 1},"of":${chunks.size},"queries":${jmap(c)}}""")
+    }
+    println(s"""{"sf":"$sfDir","unit":"sec","metric":"total","value":${num(total)}}""")
     val full = s"""{"queries":${jmap(results)},"queries_median":${jmap(medians)},""" +
       s""""queries_passes":${jmap(passCounts)},"passes":$passes,""" +
       s""""budget_sec":${num(budgetSec)},"skipped_runs":$skippedRuns,""" +

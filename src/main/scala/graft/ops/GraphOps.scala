@@ -124,9 +124,23 @@ object GraphOps {
         nodes.join(e.select(col("dst").as("v")).distinct(), Seq("v"), "left_anti")
           .select(col("v"), lit(teleport).as("r")))
       var ranks = nodes.withColumn("r", lit(Scale / n))
-      for (_ <- 1 to Iters)
+      // Checkpoint cadence knob (round 18, guide §5 — fewer driver-side
+      // materialization jobs): barrier every k-th round + after the last.
+      // With the per-round join gone (round 17's union rewrite) the round
+      // body is ONE equi-join + partial agg + union, so a lineage depth of
+      // two rounds plans fine; interleaved same-window A/B at sf0.1/cpus=32
+      // (4 invocations per side, min-of-3 each): cadence 2 min 4.49 / median
+      // 4.82 vs cadence 1 min 4.81 / median 4.99 — 3 checkpoint jobs instead
+      // of 5 wins ~5% and the default is 2. (Contrast
+      // graph_label_propagation, whose heavier round body measured SLOWER at
+      // cadence 2 in round 17 — cadence is per-kernel, hence the knob.)
+      // Value-identical at any cadence: the barrier only truncates lineage.
+      val ckptEvery = math.max(1, s.conf.get("graft.graph.prCkptEvery", "2").toInt)
+      for (i <- 1 to Iters) {
         ranks = pagerankStep(e, silent, ranks, teleport)
-          .transform(Housekeeping.iterationBarrier)
+        if (i % ckptEvery == 0 || i == Iters)
+          ranks = Housekeeping.iterationBarrier(ranks)
+      }
       ranks.select(col("v").as("part_id"), col("r").as("rank_scaled"))
         .orderBy(desc("rank_scaled"), asc("part_id"))
     },
@@ -271,8 +285,19 @@ object GraphOps {
 
   /** Labels after `rounds` combined hash-min + pointer-jump rounds — the
     * shared kernel of the op and its convergence spec. All-integer (labels
-    * are node ids), so every round is bit-deterministic on both engines. */
-  private[graft] def ccLabels(s: SparkSession, d: String, rounds: Int): DataFrame = {
+    * are node ids), so every round is bit-deterministic on both engines.
+    * `earlyExit = false` disables the fixpoint early-exit so the convergence
+    * spec can compare rounds-1 vs rounds INDEPENDENTLY of the early-exit
+    * logic (with it on, both sides would stop at the same internal fixpoint
+    * and the comparison would be tautological). */
+  private[graft] def ccLabels(s: SparkSession, d: String, rounds: Int,
+      earlyExit: Boolean = true): DataFrame =
+    ccLabelsRounds(s, d, rounds, earlyExit)._1
+
+  /** [[ccLabels]] plus the number of rounds actually executed (for the
+    * early-exit-headroom assertion in GraphSpec). */
+  private[graft] def ccLabelsRounds(s: SparkSession, d: String, rounds: Int,
+      earlyExit: Boolean = true): (DataFrame, Int) = {
     // The FREQUENT-transition subgraph (pair seen ≥ 2 times): the raw
     // transition graph is one giant component (a 1-row census — verified at
     // sf0.001/0.01/0.1), while repeated transitions fragment into real
@@ -289,7 +314,6 @@ object GraphOps {
     val und = Housekeeping.cacheBounded("cc_und",
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct())
     val nodes = und.select(col("src").as("v")).distinct()
-    var labels = nodes.withColumn("lbl", col("v")).transform(Housekeeping.iterationBarrier)
     // Labels are MONOTONE non-increasing per node (hash-min takes a min of
     // self and neighbours; the jump takes a further min), and the node set
     // is constant — so the label SUM is strictly decreasing until fixpoint
@@ -298,12 +322,28 @@ object GraphOps {
     // of all `rounds`; at the fixpoint every further round is the identity,
     // so the result equals the fixed-round oracle's CONVERGED labels
     // row-exactly (CcConvergenceSpec pins the slack).
-    def lblSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO)
-    var cur = lblSum(labels)
+    //
+    // Round 18 (guide §1.2 — don't run a second full pass for a scalar the
+    // first pass can carry): the sum RIDES the round's own barrier job via
+    // observe(). The CollectMetrics node sits under the eager checkpoint, so
+    // the SAME materialization that truncates lineage also aggregates the
+    // label sum — previously each round paid a separate full-table aggregate
+    // job (at 100 TB: one extra pass over the label table per round).
     var r = 0
     var converged = false
+    var cur: java.math.BigDecimal = null // sum after the previous round; primed below
+    def barrierObserved(df: DataFrame): DataFrame = {
+      if (!earlyExit) return Housekeeping.iterationBarrier(df)
+      val obs = org.apache.spark.sql.Observation()
+      val out = Housekeeping.iterationBarrier(
+        df.observe(obs, sum(col("lbl").cast("decimal(38,0)")).as("s")))
+      val ns = Option(obs.get("s").asInstanceOf[java.math.BigDecimal])
+        .getOrElse(java.math.BigDecimal.ZERO)
+      converged = cur != null && ns.compareTo(cur) == 0
+      cur = ns
+      out
+    }
+    var labels = barrierObserved(nodes.withColumn("lbl", col("v")))
     while (r < rounds && !converged) {
       r += 1
       // the jump self-joins `half` on two DIFFERENT keys (h.lbl vs j.v),
@@ -311,12 +351,9 @@ object GraphOps {
       // sides, so AQE stage reuse computes the half-step once — an explicit
       // barrier here measured SLOWER (extra eager job per round)
       val half = Housekeeping.iterationBarrier(ccHalfStep(und, labels))
-      labels = ccJumpStep(half).transform(Housekeeping.iterationBarrier)
-      val ns = lblSum(labels)
-      converged = ns.compareTo(cur) == 0
-      cur = ns
+      labels = barrierObserved(ccJumpStep(half))
     }
-    labels
+    (labels, r)
   }
 
   /** CC half-step (round 17 spelling): each node pulls the MIN label over
@@ -412,7 +449,14 @@ object GraphOps {
     * all-integer frequency inverse (1000 div w) + 1: frequent transitions
     * are cheap, every cost ≥ 1, and integer arithmetic keeps every round
     * bit-deterministic on both engines. */
-  private[graft] def spDistances(s: SparkSession, d: String, rounds: Int): DataFrame = {
+  private[graft] def spDistances(s: SparkSession, d: String, rounds: Int,
+      earlyExit: Boolean = true): DataFrame =
+    spDistancesRounds(s, d, rounds, earlyExit)._1
+
+  /** [[spDistances]] plus the number of rounds actually executed. The
+    * `earlyExit` switch exists for the convergence spec — see [[ccLabels]]. */
+  private[graft] def spDistancesRounds(s: SparkSession, d: String, rounds: Int,
+      earlyExit: Boolean = true): (DataFrame, Int) = {
     val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
     val e = Housekeeping.cacheBounded("sp_edges",
       Tables.lineitem(s, d)
@@ -422,11 +466,6 @@ object GraphOps {
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
         .select(col("src"), col("dst"),
           (expr("1000 div w") + lit(1L)).as("cost")))
-    var dist = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .where(col("node") % 97 === 0)
-      .withColumn("dist", lit(0L))
-      .transform(Housekeeping.iterationBarrier)
     // Per-node distances are MONOTONE non-increasing and the reached-node
     // set only grows, so an unchanged (count, sum) pair after a full round
     // proves the Bellman-Ford fixpoint exactly (the ccKeep idiom, extended
@@ -434,21 +473,34 @@ object GraphOps {
     // exit runs the rounds this data needs instead of all `rounds`; at the
     // fixpoint every further round is the identity, so the result equals
     // the fixed-round oracle row-exactly (SsspConvergenceSpec's slack).
-    def snapshot(df: DataFrame): (Long, java.math.BigDecimal) = {
-      val row = df.agg(count(lit(1)), sum(col("dist").cast("decimal(38,0)"))).first()
-      (row.getLong(0), Option(row.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
-    }
-    var cur = snapshot(dist)
+    //
+    // Round 18: the (count, sum) snapshot RIDES the round's own barrier job
+    // via observe() — see [[ccLabelsRounds]] (was a second full pass over
+    // the distance table per round).
     var r = 0
     var converged = false
+    var cur: (Long, java.math.BigDecimal) = null
+    def barrierObserved(df: DataFrame): DataFrame = {
+      if (!earlyExit) return Housekeeping.iterationBarrier(df)
+      val obs = org.apache.spark.sql.Observation()
+      val out = Housekeeping.iterationBarrier(df.observe(obs,
+        count(lit(1)).as("n"), sum(col("dist").cast("decimal(38,0)")).as("s")))
+      val ns = (obs.get("n").asInstanceOf[Long],
+        Option(obs.get("s").asInstanceOf[java.math.BigDecimal])
+          .getOrElse(java.math.BigDecimal.ZERO))
+      converged = cur != null && ns._1 == cur._1 && ns._2.compareTo(cur._2) == 0
+      cur = ns
+      out
+    }
+    var dist = barrierObserved(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .where(col("node") % 97 === 0)
+      .withColumn("dist", lit(0L)))
     while (r < rounds && !converged) {
       r += 1
-      dist = spStep(e, dist).transform(Housekeeping.iterationBarrier)
-      val ns = snapshot(dist)
-      converged = ns._1 == cur._1 && ns._2.compareTo(cur._2) == 0
-      cur = ns
+      dist = barrierObserved(spStep(e, dist))
     }
-    dist
+    (dist, r)
   }
 
   /** One Bellman-Ford round (round 17 spelling): one equi-join (edges ⋈

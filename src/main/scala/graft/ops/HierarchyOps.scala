@@ -47,8 +47,12 @@ object HierarchyOps {
     * wasted join+distinct+barrier per extra round (guide §1.2: don't compute
     * things you throw away). Capped at [[Rounds]], the proven worst case. */
   private[graft] def roundsFor(s: SparkSession, d: String): Int = {
-    val maxKey = Tables.customer(s, d)
-      .agg(max(col("c_custkey"))).first().getLong(0)
+    // max() over an EMPTY table is a null aggregate — fall back to the
+    // proven worst case instead of NPE-ing where the old fixed-Rounds
+    // path ran fine.
+    val maxRow = Tables.customer(s, d).agg(max(col("c_custkey"))).first()
+    if (maxRow.isNullAt(0)) return Rounds
+    val maxKey = maxRow.getLong(0)
     var depth = 0L
     var v = math.max(maxKey, 1L)
     while (v > 0) { v /= 8; depth += 1 }

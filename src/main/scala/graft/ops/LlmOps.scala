@@ -472,7 +472,10 @@ object LlmOps {
     // §3.1 — AQE sees the aggregate's true size and picks a broadcast anti
     // join at runtime, leaving the occurrence side unshuffled). Every
     // shingle is either hot or cool, so the anti-join keeps exactly the
-    // rows the cool inner join kept.
+    // rows the cool inner join kept. NULL-semantics caveat: left_anti KEEPS
+    // null-keyed rows an inner join would drop — row-identical here only
+    // because `s` is never null (shingles are concat_ws over split() words,
+    // and explode of the non-null array yields non-null elements).
     // The cutoff result feeds THREE plan branches (per-doc sizes + both
     // sides of the self-join): materialize it once or the explode + groupBy
     // + anti-join subtree executes three times (same plan-branch recompute
@@ -1751,12 +1754,38 @@ object LlmOps {
     val lut = pqSubrows(queries.select(col("query_id"), col("vq").as("v")), "query_id")
       .join(broadcast(cents), Seq("sub"))
       .select(col("query_id"), col("sub"), col("cell"), dot(col("sv"), col("cv")).as("pdot"))
+    // Dense per-query ADC LUT (round 18, guide §4 — codegen-friendly hot
+    // path): pivot the (query, sub, cell, pdot) rows into ONE 64-slot array
+    // per query indexed sub·PqK + cell (cells no training row ever produced
+    // are padded 0.0 — no code word can reference them, since codes are
+    // assignments against the same centroid table). The probe then reads
+    // each of the M terms with element_at — whole-stage-codegen arithmetic —
+    // instead of re-grouping M joined rows per (query, neighbor) pair
+    // through an interpreted collect_list/array_sort/aggregate fold, and
+    // the probe's row count drops from Q·M·N joined rows to Q·N.
+    val lutDense = lut.groupBy("query_id")
+      .agg(map_from_entries(collect_list(struct(
+        (col("sub") * PqK + col("cell")).as("k"), col("pdot").as("v")))).as("m"))
+      .select(col("query_id"),
+        transform(sequence(lit(0), lit(PqM * PqK - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0.0))).as("lut"))
+    // Per-neighbor code word as an M-array in sub order: every neighbor
+    // carries exactly subs 0..PqM-1 (pqAssign groups on (id, sub)), so the
+    // sorted positions ARE the subs.
+    val codeWords = codes.groupBy("neighbor_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cell")))),
+        x => x.getField("cell")).as("cells"))
+    // adot = 0.0 + Σ_sub lut[sub·PqK + cells[sub]] — the identical
+    // left-to-right IEEE fold the collect_list/array_sort/aggregate
+    // spelling produced, so every adot (hence the shortlist) is bit-equal.
+    val adot = (0 until PqM).foldLeft(lit(0.0)) { (acc, sub) =>
+      acc + element_at(col("lut"),
+        (lit(sub * PqK) + element_at(col("cells"), sub + 1) + lit(1)).cast("int"))
+    }
     val wShort = Window.partitionBy("query_id")
       .orderBy(col("asim").desc, col("neighbor_id").asc)
-    val shortlist = codes.join(broadcast(lut), Seq("sub", "cell"))
-      .groupBy("query_id", "neighbor_id")
-      .agg(aggregate(array_sort(collect_list(struct(col("sub"), col("pdot")))),
-        lit(0.0), (acc, x) => acc + x.getField("pdot")).as("adot"))
+    val shortlist = codeWords.crossJoin(broadcast(lutDense))
+      .select(col("query_id"), col("neighbor_id"), adot.as("adot"))
       .join(corpus.select("neighbor_id", "nc"), "neighbor_id")
       .join(broadcast(queries.select("query_id", "nq")), "query_id")
       .where(col("neighbor_id") =!= col("query_id"))
@@ -2357,12 +2386,20 @@ object LlmOps {
   val dedupSubstringSpans: Op = Op(
     "dedup_substring_spans",
     (s, d) => {
+      // Explode the POSITION sequence and hash AFTER the Generate (round 18,
+      // § codegen): exploding a pre-built md5 ARRAY made Catalyst's
+      // InferFiltersFromGenerate inject a `size(...)>0 && isnotnull(...)`
+      // guard whose re-derived child recomputes the whole O(words) md5 array
+      // once per document EXTRA. With the generator child a plain int
+      // sequence, the injected guard is O(words) ints and each span hash is
+      // computed exactly once, in the codegen projection above the Generate.
       Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .where(size(col("w")) >= SpanW)
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(1), size(col("w")) - (SpanW - 1))).as("i"))
         .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("w")) - (SpanW - 1)),
-            i => md5(array_join(slice(col("w"), i, lit(SpanW)), " ")))).as("span_hash"))
+          md5(array_join(slice(col("w"), col("i"), lit(SpanW)), " ")).as("span_hash"))
         .groupBy("span_hash")
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_occ"),
@@ -2395,14 +2432,18 @@ object LlmOps {
   val dedupSubstringTrim: Op = Op(
     "dedup_substring_trim",
     (s, d) => {
+      // Same position-sequence Generate as dedup_substring_spans (round 18):
+      // hashing AFTER the explode keeps the md5 array from being re-derived
+      // by InferFiltersFromGenerate's injected guard. `i` is the 1-based
+      // span start, so the covered word positions are i .. i+SpanW-1.
       val spans = Housekeeping.cacheBounded("trim_spans",
         Tables.documents(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("w"))
           .where(size(col("w")) >= SpanW)
-          .select(col("doc_id"), size(col("w")).as("n_words"),
-            posexplode(transform(sequence(lit(1), size(col("w")) - (SpanW - 1)),
-              i => md5(array_join(slice(col("w"), i, lit(SpanW)), " "))))
-              .as(Seq("i0", "span_hash"))))
+          .select(col("doc_id"), size(col("w")).as("n_words"), col("w"),
+            explode(sequence(lit(1), size(col("w")) - (SpanW - 1))).as("i"))
+          .select(col("doc_id"), col("n_words"), col("i"),
+            md5(array_join(slice(col("w"), col("i"), lit(SpanW)), " ")).as("span_hash")))
       val dupOwners = spans.groupBy("span_hash")
         .agg(countDistinct(col("doc_id")).as("n_docs"), min(col("doc_id")).as("keep_doc"))
         .where(col("n_docs") >= 2)
@@ -2410,7 +2451,7 @@ object LlmOps {
       val marks = spans.join(dupOwners, "span_hash")
         .where(col("doc_id") =!= col("keep_doc"))
         .select(col("doc_id"), col("n_words"),
-          explode(sequence(col("i0") + 1, col("i0") + SpanW)).as("pos"))
+          explode(sequence(col("i"), col("i") + (SpanW - 1))).as("pos"))
         .distinct()
       marks.groupBy("doc_id", "n_words")
         .agg(count(lit(1)).as("n_dup_words"))
@@ -2459,6 +2500,8 @@ object LlmOps {
     val exploded = base.select(col("doc_id"), explode(col("shingles")).as("s"))
     // HOT-set anti-join instead of cool-set inner join — see [[ngramPairs]]
     // (identical rows kept; the join's small side shrinks to the Zipf head).
+    // Row-identity relies on `s` never being null (left_anti keeps
+    // null-keyed rows) — guaranteed by shingle construction, see ngramPairs.
     val sh = Housekeeping.cacheBounded("cont_cool",
       exploded.join(
         exploded.groupBy("s").agg(count(lit(1)).as("df"))

@@ -190,13 +190,30 @@ class GraphSpec extends AnyFunSuite {
     // The oracle replays exactly CcRounds rounds; equality with the op is
     // only meaningful if the recurrence has stopped moving by then. Assert
     // rounds-1 ≡ rounds at both test sfs, so the budget has ≥1 round slack.
+    // earlyExit = false keeps this an INDEPENDENT check: with the early exit
+    // on, both sides stop at the same internal fixpoint and the comparison
+    // is tautological.
     for (sf <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
-      val a = GraphOps.ccLabels(spark, sf, GraphOps.CcRounds - 1)
+      val a = GraphOps.ccLabels(spark, sf, GraphOps.CcRounds - 1, earlyExit = false)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val b = GraphOps.ccLabels(spark, sf, GraphOps.CcRounds)
+      val b = GraphOps.ccLabels(spark, sf, GraphOps.CcRounds, earlyExit = false)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(a == b, s"labels still moving at round ${GraphOps.CcRounds} for $sf")
     }
+  }
+
+  test("cc early exit fires strictly below the round budget and is value-identical") {
+    // The bench path early-exits on the observed label-sum fixpoint; pin
+    // that (a) the exit actually fires with headroom on real data and
+    // (b) the observed-metric path returns exactly the fixed-round labels.
+    val (dfE, usedRounds) =
+      GraphOps.ccLabelsRounds(spark, TestSpark.sf001, GraphOps.CcRounds)
+    val early = dfE.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(usedRounds < GraphOps.CcRounds,
+      s"early exit never fired: used $usedRounds of ${GraphOps.CcRounds} rounds")
+    val full = GraphOps.ccLabels(spark, TestSpark.sf001, GraphOps.CcRounds,
+      earlyExit = false).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(early == full, "early-exit labels differ from fixed-round labels")
   }
 
   test("graph_bfs_levels matches a model BFS from the same seed set") {
@@ -265,13 +282,26 @@ class GraphSpec extends AnyFunSuite {
 
   test("shortest-path distances CONVERGE within the fixed round budget (oracle validity)") {
     // The oracle replays exactly SpRounds rounds; equality with the op is
-    // only meaningful if relaxation has stopped by then — assert ≥1 round slack.
+    // only meaningful if relaxation has stopped by then — assert ≥1 round
+    // slack. earlyExit = false keeps the check independent of the early-exit
+    // logic (see the cc convergence test).
     for (sf <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
-      val a = GraphOps.spDistances(spark, sf, GraphOps.SpRounds - 1)
+      val a = GraphOps.spDistances(spark, sf, GraphOps.SpRounds - 1, earlyExit = false)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val b = GraphOps.spDistances(spark, sf, GraphOps.SpRounds)
+      val b = GraphOps.spDistances(spark, sf, GraphOps.SpRounds, earlyExit = false)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(a == b, s"distances still relaxing at round ${GraphOps.SpRounds} for $sf")
     }
+  }
+
+  test("sssp early exit fires strictly below the round budget and is value-identical") {
+    val (dfE, usedRounds) =
+      GraphOps.spDistancesRounds(spark, TestSpark.sf001, GraphOps.SpRounds)
+    val early = dfE.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(usedRounds < GraphOps.SpRounds,
+      s"early exit never fired: used $usedRounds of ${GraphOps.SpRounds} rounds")
+    val full = GraphOps.spDistances(spark, TestSpark.sf001, GraphOps.SpRounds,
+      earlyExit = false).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(early == full, "early-exit distances differ from fixed-round distances")
   }
 }
