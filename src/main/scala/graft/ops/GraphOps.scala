@@ -236,26 +236,38 @@ object GraphOps {
     * sides keyed on the node — co-located under bucketing) + distinct +
     * anti-join against the visited set; frontier size is bounded by |nodes|,
     * rounds bounded by MaxDepth, lineage truncated per round like the other
-    * iterative ops. The per-round isEmpty() early-exit reads one Boolean,
-    * not data, to the driver. */
+    * iterative ops. The per-round empty-frontier early-exit reads one
+    * observed COUNT off the barrier job itself — no separate driver action,
+    * no row data to the driver. */
   val graphBfsLevels: Op = Op(
     "graph_bfs_levels",
     (s, d) => {
       val e = Housekeeping.cacheBounded("bfs_edges", edges(s, d))
       val nodes = e.select(col("src").as("v"))
         .union(e.select(col("dst").as("v"))).distinct()
-      var labels = nodes.where(col("v") % 97 === 0)
-        .select(col("v").as("node"), lit(0).as("level"))
-        .transform(Housekeeping.iterationBarrier)
+      // The frontier-empty check RIDES the barrier job via observe() (round
+      // 18, the ccLabelsRounds idiom): the same materialization that
+      // truncates lineage also counts the frontier — was a separate
+      // isEmpty() job per depth.
+      var frontierRows = 0L
+      def barrierCounted(df: DataFrame): DataFrame = {
+        val obs = org.apache.spark.sql.Observation()
+        val out = Housekeeping.iterationBarrier(
+          df.observe(obs, count(lit(1)).as("n")))
+        frontierRows = obs.get("n").asInstanceOf[Long]
+        out
+      }
+      var labels = barrierCounted(nodes.where(col("v") % 97 === 0)
+        .select(col("v").as("node"), lit(0).as("level")))
       var frontier = labels
       var depth = 0
-      while (depth < MaxDepth && !frontier.isEmpty) {
+      while (depth < MaxDepth && frontierRows > 0) {
         depth += 1
         val next = frontier.join(e, frontier("node") === e("src"))
           .select(col("dst").as("node"), lit(depth).as("level"))
           .distinct()
           .join(labels, Seq("node"), "left_anti")
-          .transform(Housekeeping.iterationBarrier)
+          .transform(barrierCounted)
         // labels is a UNION of already-checkpointed frontiers — scanning the
         // union costs nothing extra and re-materializing it per round would
         // be one wasted checkpoint job per depth (the union tree depth is

@@ -2420,15 +2420,28 @@ object LlmOps {
     * word positions are covered by some ≥ 2-doc duplicated span whose
     * canonical keeper is ANOTHER document (the keeper doc keeps its copy;
     * everyone else trims theirs), and the resulting kept-word count.
-    * Overlapping duplicated spans are handled by marking POSITIONS and
-    * de-duplicating the marks — equivalent to interval-merging but with no
-    * order-dependent merge logic, so both engines agree trivially.
+    * Overlapping duplicated spans are handled by a fixed-width interval
+    * sweep per document (round 18; the declared semantics — distinct covered
+    * positions — is unchanged, and the oracle still counts de-duplicated
+    * position marks): spans are intervals [i, i+SpanW-1], i unique per doc,
+    * so each span's NEW coverage is min(SpanW, i − previous i) and the total
+    * is the interval-union cardinality. All-integer, total order on i —
+    * deterministic under any partitioning.
     *
     * Scale (100 TB): span emission is the same linear scan as the detector;
     * the dup-span set (multi-doc hashes) is the only thing joined back, and
     * that join is an equi-join on span_hash — shuffle ∝ duplicated content,
-    * not corpus size. Position marks explode ×[[SpanW]] only for rows that
-    * matched a duplicated span. All integers. */
+    * not corpus size; the sweep shuffles matched spans ONCE on doc_id (the
+    * rollup reuses the window's partitioning). All integers. */
+  /** Per-span NEW-coverage in the i-ordered fixed-width interval sweep:
+    * min(SpanW, i − previous i), SpanW for a doc's first span. Exposed as a
+    * helper so the spec can pin sweep ≡ position-mark counting on planted
+    * overlap fixtures. */
+  private[graft] def marksAsIntervals(matched: DataFrame,
+      w: org.apache.spark.sql.expressions.WindowSpec): DataFrame =
+    matched.withColumn("cov",
+      coalesce(least(lit(SpanW), col("i") - lag(col("i"), 1).over(w)), lit(SpanW)))
+
   val dedupSubstringTrim: Op = Op(
     "dedup_substring_trim",
     (s, d) => {
@@ -2448,13 +2461,23 @@ object LlmOps {
         .agg(countDistinct(col("doc_id")).as("n_docs"), min(col("doc_id")).as("keep_doc"))
         .where(col("n_docs") >= 2)
         .select("span_hash", "keep_doc")
-      val marks = spans.join(dupOwners, "span_hash")
+      // Interval sweep instead of position marks (round 18, guide §2.3/§2.4):
+      // every matched span covers the fixed-width interval [i, i+SpanW-1] and
+      // `i` is UNIQUE per doc (one span per start position), so the distinct
+      // covered-position count is the interval-union cardinality:
+      //   Σ_k min(SpanW, i_k − i_{k−1})   (first span contributes SpanW).
+      // One window ordered by i + one groupBy on the SAME key (doc_id) — the
+      // groupBy reuses the window's hash partitioning, so ONE exchange of
+      // |matched spans| rows replaces the old explode(×SpanW) → distinct →
+      // groupBy chain (two exchanges, one carrying SpanW× the rows).
+      // All-integer arithmetic; `i` unique per doc makes the order total, so
+      // the sweep is deterministic on any partitioning.
+      val wSweep = Window.partitionBy("doc_id").orderBy("i")
+      marksAsIntervals(spans.join(dupOwners, "span_hash")
         .where(col("doc_id") =!= col("keep_doc"))
-        .select(col("doc_id"), col("n_words"),
-          explode(sequence(col("i"), col("i") + (SpanW - 1))).as("pos"))
-        .distinct()
-      marks.groupBy("doc_id", "n_words")
-        .agg(count(lit(1)).as("n_dup_words"))
+        .select(col("doc_id"), col("n_words"), col("i")), wSweep)
+        .groupBy("doc_id", "n_words")
+        .agg(sum(col("cov")).as("n_dup_words"))
         .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
           col("n_dup_words"), (col("n_words") - col("n_dup_words")).as("n_kept_words"))
         .orderBy("doc_id")

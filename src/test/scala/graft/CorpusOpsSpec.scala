@@ -123,6 +123,31 @@ class CorpusOpsSpec extends AnyFunSuite {
       "at least one trimmed doc must be a pure non-keeper")
   }
 
+  test("substring trim: interval sweep equals position-mark counting on " +
+    "overlapping, adjacent, gapped and single spans") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Planted matched-span starts covering every interval-union shape the
+    // sweep must get right: overlap (1,5), gap (40), exact adjacency chain
+    // (3,15,27 — intervals touch end-to-start), and a lone span.
+    val matched = Seq(
+      (1L, 100, 1), (1L, 100, 5), (1L, 100, 40),
+      (2L, 60, 3), (2L, 60, 15), (2L, 60, 27),
+      (3L, 30, 7)).toDF("doc_id", "n_words", "i")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")
+    val sweep = LlmOps.marksAsIntervals(matched, w)
+      .groupBy("doc_id").agg(sum("cov").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the round-17 spelling: explode each span into its SpanW positions,
+    // de-duplicate, count
+    val marks = matched
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + 11)).as("pos"))
+      .distinct().groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sweep == marks, s"sweep $sweep != position marks $marks")
+    assert(sweep == Map(1L -> 28L, 2L -> 36L, 3L -> 12L), "hand-computed unions")
+  }
+
   // --------------------------------------------- stats_countmin_estimate
 
   test("count-min: estimate >= exact always, collisions over-count within " +
